@@ -1,0 +1,63 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** O16/O17 — the consumer's own streaming aggregations (reference:
+  * `metrics.go`, `delay.go`).
+  *
+  * The Go version hand-builds this with a 10k-buffered channel, one
+  * aggregator goroutine, double-buffered hash maps and a 1-minute ticker.
+  * In Spark the channel/maps/ticker are replaced by a shuffle into a
+  * hash aggregate (partial map-side combine comes free), and in streaming
+  * mode by the state store + a 1-minute tumbling window — strictly more
+  * durable than the reference (its in-memory maps double-count on restart).
+  */
+object Aggregations {
+
+  private def unknown(c: Column): Column =
+    coalesce(when(c =!= "", c), lit("unknown"))
+
+  /** Per-(env,app,team) log volume: count + byte size
+    * (`metrics.go:48-68,91-157`). `windowCol` is any precomputed time-bucket
+    * column (batch analog of the 1-minute flush tick).
+    */
+  def volumeByEnvAppTeam(parsed: DataFrame, windowCol: Column): DataFrame =
+    parsed
+      .groupBy(
+        windowCol.as("window_start"),
+        unknown(col("container_env")).as("env"),
+        unknown(col("container_app")).as("application"),
+        unknown(col("team")).as("team")
+      )
+      .agg(
+        count(lit(1)).as("log_volume_count"),
+        sum(col("nbytes")).as("log_volume_size")
+      )
+
+  /** Per-(app,env,rule) route counts over ALL kvmeta routes
+    * (`metrics.go:63-67` — note: all route types, not just alerts).
+    */
+  def routeCounts(routed: DataFrame, windowCol: Column): DataFrame =
+    routed
+      .select(
+        windowCol.as("window_start"),
+        unknown(col("container_env")).as("env"),
+        unknown(col("container_app")).as("application"),
+        explode(col("rule_names")).as("route")
+      )
+      .groupBy(col("window_start"), col("env"), col("application"), col("route"))
+      .agg(count(lit(1)).as("log_route_count"))
+
+  /** O17 — max pipeline delay vs an anchor instant (`delay.go:15-33`).
+    * The reference tracks `max(now - point_ts)` in a lock-free atomic; the
+    * Spark analog is a partial-aggregated global max — no shuffle of note
+    * (one row per partition to the final agg). `anchorSec` is a fixed
+    * instant so declared queries stay deterministic.
+    */
+  def maxDelay(df: DataFrame, tsSecCol: Column, anchorSec: Long, groupCols: Seq[Column]): DataFrame = {
+    val delay = lit(anchorSec) - tsSecCol
+    if (groupCols.isEmpty) df.agg(max(delay).as("max_delay_sec"))
+    else df.groupBy(groupCols: _*).agg(max(delay).as("max_delay_sec"))
+  }
+}
