@@ -32,20 +32,40 @@ object LogParse {
     val raw = col(rawCol)
     def nonEmpty(c: org.apache.spark.sql.Column) = when(c =!= "", c)
 
+    // Header fields via substring_index, not regexp_extract: the syslog
+    // header is strictly space-delimited, and a regex scan of the full line
+    // (which is mostly JSON body) per field is ~100× the cost of indexed
+    // splits — this is the 100 TB hot path.
+    def token(n: Int) = substring_index(substring_index(raw, " ", n), " ", -1)
+    val progSeg = token(3)
     val withEnvelope = df
       .withColumn("nbytes", length(raw).cast("long"))
       // try_: Spark 4 runs ANSI mode; an unparseable header must yield a
       // null ts (→ dead-letter downstream, the `ParseAndEnhance` error
       // analog) rather than fail the task
-      .withColumn("ts", try_to_timestamp(regexp_extract(raw, "^(\\S+)", 1)))
-      .withColumn("hostname", nonEmpty(regexp_extract(raw, "^\\S+\\s+(\\S+)", 1)))
+      .withColumn("ts", try_to_timestamp(substring_index(raw, " ", 1)))
+      .withColumn("hostname", nonEmpty(token(2)))
       .withColumn(
         "programname",
-        nonEmpty(regexp_extract(raw, "^\\S+\\s+\\S+\\s+([^\\s\\[]+)\\[", 1))
+        nonEmpty(when(instr(progSeg, "[") > 0, substring_index(progSeg, "[", 1)).otherwise(progSeg))
       )
       // `env--app/arn` decode (`alerts_consumer.go:84-85`)
-      .withColumn("container_env", nonEmpty(regexp_extract(col("programname"), "^(.*?)--", 1)))
-      .withColumn("container_app", nonEmpty(regexp_extract(col("programname"), "--([^/]*)", 1)))
+      .withColumn(
+        "container_env",
+        when(instr(col("programname"), "--") > 0, substring_index(col("programname"), "--", 1))
+      )
+      .withColumn(
+        "container_app",
+        // after the FIRST "--" (an app name may itself contain dashes),
+        // then before any "/arn" suffix
+        when(
+          instr(col("programname"), "--") > 0,
+          substring_index(
+            col("programname").substr(instr(col("programname"), "--") + 2, length(col("programname"))),
+            "/", 1
+          )
+        )
+      )
       .withColumn("env", lit(deployEnv))
       // unparsed message body; the mongo global rule regex-matches this
       // (`global_routes.go:91-96`) so it is set for JSON and non-JSON alike
@@ -55,20 +75,29 @@ object LogParse {
           .otherwise(raw)
       )
 
+    // ONE JSON parse per record (the hot path at 100 TB): payload is a
+    // variant map, and the typed `_kvmeta` struct is carved out of the
+    // already-parsed variant with try_variant_get — no second from_json.
     val payload = from_json(col("rawlog"), lit("map<string,variant>"))
-    val typed = from_json(col("rawlog"), KayveeModel.bodySchema)
 
     withEnvelope
       .withColumn(
         "payload",
         coalesce(payload, from_json(lit("{}"), lit("map<string,variant>")))
       )
-      .withColumn("kvmeta", typed.getField("_kvmeta"))
+      .withColumn(
+        "kvmeta",
+        try_variant_get(
+          try_element_at(col("payload"), lit("_kvmeta")),
+          "$",
+          KayveeModel.kvmetaSchema.sql
+        )
+      )
       // `team` field, else `_kvmeta.team` (`alerts_consumer.go:86-89`)
       .withColumn(
         "team",
         coalesce(
-          nonEmpty(typed.getField("team")),
+          nonEmpty(try_variant_get(try_element_at(col("payload"), lit("team")), "$", "string")),
           nonEmpty(col("kvmeta").getField("team"))
         )
       )
@@ -95,5 +124,12 @@ object LogParse {
           )
         )
       )
+      // Record identity, assigned at parse time (the reference treats each
+      // raw Kinesis record as the unit of work). Also load-bearing for
+      // performance: a non-deterministic projection is a Catalyst barrier —
+      // CollapseProject/PushDownPredicates won't substitute the from_json/
+      // fields expressions into every downstream reference, so the JSON
+      // parse runs once per record instead of once per consumer expression.
+      .withColumn("record_id", monotonically_increasing_id())
   }
 }

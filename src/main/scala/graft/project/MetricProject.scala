@@ -13,11 +13,17 @@ import graft.routes.RouteEngine
   * returns a hard error for the whole record when ANY route hits a bad
   * dimension type / bad value type / bad stat type, and the framework spills
   * that record to a failed-log file. Spark expressions must not throw, so
-  * every potential error becomes an `err` string inside the per-route
-  * projection (computed map-side, pre-explode), the record-level error is
-  * the first route error, and the output splits into valid / dead-letter /
-  * ignored DataFrames. One bad route poisons the whole record, exactly like
+  * the record-level error is computed as a *cheap* predicate over the route
+  * array (no tag/datum construction), the stream splits on it, and the
+  * expensive per-route projection runs only on valid records AFTER
+  * `explode` — one bad route still poisons the whole record, exactly like
   * the reference's early return.
+  *
+  * Plan-size note: an earlier shape built an array of fully-projected route
+  * structs pre-explode; Catalyst's filter pushdown re-inlined that tree into
+  * every downstream consumer (1.3M-char plans, 50 MiB task binaries). The
+  * explode-first shape keeps each Project small and the Generate node stops
+  * expression substitution — plans stay in the tens-of-KB range.
   */
 object MetricProject {
 
@@ -53,107 +59,77 @@ object MetricProject {
       .when(tp === "BOOLEAN", when(v.cast("boolean"), "true").otherwise("false"))
   }
 
-  private def perRoute(defaultDims: Seq[String])(r: Column): Column = {
-    // O10 — dimension projection, order-preserving; missing field → tag
-    // silently skipped; present-but-uncoercible → error
-    val entries = transform(
-      r.getField("dimensions"),
-      d => {
-        val v = try_element_at(col("fields"), d)
-        val coerced = coerceDim(v)
-        struct(
-          d.as("dim"),
-          when(v.isNotNull, concat(d, lit(":"), coerced)).as("tag"),
-          coerced.as("value"),
-          (v.isNotNull && coerced.isNull).as("bad")
-        )
-      }
+  /** First hard error a route would produce, else null — dimension cast
+    * error, value-type error, or invalid stat type
+    * (`alerts_consumer.go:126-192`). Kept intentionally small: this is the
+    * only per-route expression that runs pre-explode (and gets inlined into
+    * the stream-split filters by predicate pushdown).
+    */
+  private def routeErr(r: Column): Column = {
+    val badDim = try_element_at(
+      filter(
+        r.getField("dimensions"),
+        d => {
+          val v = try_element_at(col("fields"), d)
+          v.isNotNull && coerceDim(v).isNull
+        }
+      ),
+      lit(1)
     )
-    val badDim = try_element_at(filter(entries, e => e.getField("bad")), lit(1))
-    val dimErr = when(
+    val v = try_element_at(col("fields"), coalesce(r.getField("value_field"), lit("")))
+    val valueBad =
+      v.isNotNull && !RouteEngine.numericVariant(schema_of_variant(v))
+    val statType = r.getField("stat_type")
+    when(
       badDim.isNotNull,
       concat(
         lit("error casting dimension value. rule="),
         coalesce(r.getField("rule"), lit("")),
-        lit(" dim="),
-        badDim.getField("dim")
+        lit(" dim="), badDim
       )
-    )
-
-    // O11 — value resolution: float → use; present-but-not-float → error;
-    // absent → default (counter 1, gauge 0); bad stat_type → error
-    // (`alerts_consumer.go:157-192`)
-    val v = try_element_at(col("fields"), coalesce(r.getField("value_field"), lit("")))
-    val num = when(RouteEngine.numericVariant(schema_of_variant(v)), v.cast("double"))
-    val valueErr = when(
-      v.isNotNull && num.isNull,
+    ).when(
+      valueBad,
       concat(
         lit("value exists but is wrong type. rule="),
         coalesce(r.getField("rule"), lit("")),
-        lit(" value_field="),
-        r.getField("value_field")
+        lit(" value_field="), r.getField("value_field")
       )
+    ).when(
+      !statType.isin("counter", "gauge"),
+      concat(lit("invalid StatType: "), coalesce(statType, lit("")))
     )
-    val statType = r.getField("stat_type")
-    val value = when(statType === "counter", coalesce(num, lit(1.0)))
-      .when(statType === "gauge", coalesce(num, lit(0.0)))
-    val statErr = when(value.isNull, concat(lit("invalid StatType: "), coalesce(statType, lit(""))))
+  }
 
-    struct(
-      concat(lit("kv."), r.getField("series")).as("metric"),
-      r.getField("series").as("series"),
-      when(statType === "counter", "count").otherwise("gauge").as("dd_type"),
-      filter(transform(entries, e => e.getField("tag")), t => t.isNotNull).as("tags"),
-      filter(
-        transform(
-          entries,
-          e =>
-            when(
-              e.getField("tag").isNotNull && !e.getField("dim").isin(defaultDims: _*),
-              struct(e.getField("dim").as("name"), e.getField("value").as("value"))
-            )
-        ),
-        x => x.isNotNull
-      ).as("cw_dimensions"),
-      value.as("value"),
-      r.getField("rule").as("rule"),
-      coalesce(dimErr, valueErr, statErr).as("err")
-    )
+  private def strField(name: String): Column = {
+    val f = try_element_at(col("fields"), lit(name))
+    when(schema_of_variant(f) === "STRING", f.cast("string"))
   }
 
   def project(routed: DataFrame): Projected = {
     val allowlist = KayveeModel.cloudwatchAllowList
-    val withProj = routed
-      .withColumn("proj", transform(col("routes"), r => perRoute(KayveeModel.defaultDimensions)(r)))
-      .withColumn(
-        "record_err",
-        // timestamp is required once a record has routes
-        // (`alerts_consumer.go:111-114`); otherwise first route error wins
-        when(col("ts").isNull, lit("unable parse Time from message's 'timestamp' field"))
-          .otherwise(
-            try_element_at(filter(col("proj"), p => p.getField("err").isNotNull), lit(1))
-              .getField("err")
-          )
-      )
 
-    // Unparseable header (null ts) → dead-letter for ALL records — the
-    // `decode.ParseAndEnhance` error precedes the route check in the
-    // reference (`alerts_consumer.go:55-63`). Then O9: zero routes →
-    // intentionally skipped (`alerts_consumer.go:101-103`).
-    val parseable = withProj.filter(col("ts").isNotNull)
-    val ignored = parseable.filter(size(col("routes")) === 0)
-    val nonEmpty = parseable.filter(size(col("routes")) > 0)
-    val deadLetter = withProj
-      .filter(col("ts").isNull || (size(col("routes")) > 0 && col("record_err").isNotNull))
-    val valid = nonEmpty.filter(col("record_err").isNull)
+    val withErr = routed.withColumn(
+      "record_err",
+      // unparseable header (null ts) → the `decode.ParseAndEnhance` error
+      // analog, checked before anything else (`alerts_consumer.go:55-63`,
+      // `:111-114`); otherwise first route error wins (early return)
+      when(col("ts").isNull, lit("unable parse Time from message's 'timestamp' field"))
+        .otherwise(
+          try_element_at(
+            filter(transform(col("routes"), r => routeErr(r)), e => e.isNotNull),
+            lit(1)
+          )
+        )
+    )
+
+    val deadLetter = withErr.filter(col("record_err").isNotNull)
+    // O9 — zero routes → intentionally skipped (`alerts_consumer.go:101-103`)
+    val ignored = withErr.filter(col("record_err").isNull && size(col("routes")) === 0)
+    val valid = withErr.filter(col("record_err").isNull && size(col("routes")) > 0)
 
     // O13/O14 — routing tag: an AWS region only when an allow-listed series
     // is present AND the record carries region/pod-region; else "default"
     // (`alerts_consumer.go:214-223`)
-    def strField(name: String): Column = {
-      val f = try_element_at(col("fields"), lit(name))
-      when(schema_of_variant(f) === "STRING", f.cast("string"))
-    }
     val hasAllowlisted =
       exists(col("routes"), r => r.getField("series").isin(allowlist: _*))
     val tag = when(
@@ -161,44 +137,89 @@ object MetricProject {
       coalesce(strField("region"), strField("pod-region"), lit("default"))
     ).otherwise(lit("default"))
 
+    // Heavy per-route projection runs POST-explode on the generator output:
+    // order-preserving dim→tag transform (missing fields silently skipped),
+    // value resolution w/ counter-1/gauge-0 defaults.
+    val r = col("route")
+    val entries = transform(
+      r.getField("dimensions"),
+      d => {
+        val v = try_element_at(col("fields"), d)
+        struct(
+          d.as("dim"),
+          when(v.isNotNull, concat(d, lit(":"), coerceDim(v))).as("tag")
+        )
+      }
+    )
+    val num = {
+      val v = try_element_at(col("fields"), coalesce(r.getField("value_field"), lit("")))
+      when(RouteEngine.numericVariant(schema_of_variant(v)), v.cast("double"))
+    }
+    val statType = r.getField("stat_type")
+    val value = when(statType === "counter", coalesce(num, lit(1.0)))
+      .otherwise(coalesce(num, lit(0.0)))
+
     // O12 — Datadog series: one point per series entry, Unix-second ts
     // (`alerts_consumer.go:194-204`)
+    // record_id retained end-to-end: the per-record grouping the reference
+    // keeps via EncodeOutput — and it keeps the upstream non-deterministic
+    // projection alive so column pruning can't re-enable filter pushdown
+    // into the parse tree (the plan-size guard above).
     val dd = valid
       .withColumn("tag", tag)
       .select(
-        explode(col("proj")).as("m"),
-        unix_timestamp(col("ts")).as("ts_sec"),
-        col("tag")
+        explode(col("routes")).as("route"),
+        col("record_id"), col("fields"), col("ts"), col("tag")
       )
+      .withColumn("entries", entries)
       .select(
-        col("m.metric").as("metric"),
-        col("m.dd_type").as("type"),
-        col("m.tags").as("tags"),
-        col("ts_sec").as("point_ts"),
-        col("m.value").as("point_value"),
-        col("m.rule").as("rule"),
+        col("record_id"),
+        concat(lit("kv."), r.getField("series")).as("metric"),
+        when(statType === "counter", "count").otherwise("gauge").as("type"),
+        filter(transform(col("entries"), e => e.getField("tag")), t => t.isNotNull).as("tags"),
+        unix_timestamp(col("ts")).as("point_ts"),
+        value.as("point_value"),
+        r.getField("rule").as("rule"),
         col("tag")
       )
 
     // O13 — CloudWatch datum for allow-listed series, only when a region is
-    // resolvable (`alerts_consumer.go:206-223`); StorageResolution fixed 1
+    // resolvable (`alerts_consumer.go:206-223`); StorageResolution fixed 1;
+    // CW dimensions exclude the appended defaults (`alerts_consumer.go:151-155`)
+    val defaults = KayveeModel.defaultDimensions
     val cw = valid
       .withColumn("region_tag", coalesce(strField("region"), strField("pod-region")))
       .filter(col("region_tag").isNotNull)
       .select(
-        explode(filter(col("proj"), p => p.getField("series").isin(allowlist: _*))).as("m"),
-        col("ts"),
-        col("region_tag")
+        explode(filter(col("routes"), rt => rt.getField("series").isin(allowlist: _*))).as("route"),
+        col("record_id"), col("fields"), col("ts"), col("region_tag")
       )
+      .withColumn("entries", entries)
       .select(
-        col("m.series").as("metric_name"),
-        col("m.cw_dimensions").as("dimensions"),
-        col("m.value").as("value"),
+        col("record_id"),
+        r.getField("series").as("metric_name"),
+        filter(
+          transform(
+            col("entries"),
+            e =>
+              when(
+                e.getField("tag").isNotNull && !e.getField("dim").isin(defaults: _*),
+                struct(
+                  e.getField("dim").as("name"),
+                  // tag is "dim:value"; strip the "dim:" prefix to recover
+                  // the coerced value without re-coercing
+                  e.getField("tag").substr(length(e.getField("dim")) + 2, lit(Int.MaxValue)).as("value")
+                )
+              )
+          ),
+          x => x.isNotNull
+        ).as("dimensions"),
+        value.as("value"),
         col("ts").as("timestamp"),
         lit(1).as("storage_resolution"),
         col("region_tag")
       )
 
-    Projected(dd, cw, deadLetter.select(col("*")), ignored.select(col("*")))
+    Projected(dd, cw, deadLetter, ignored)
   }
 }

@@ -55,7 +55,10 @@ object PipelineDemo {
       ).as("raw")
     )
 
-    val raw = fixtures.toDF("raw").unionByName(synthesized)
+    // Materialize the synthesized lines: feeding the pipeline a large
+    // *expression* as its raw column would re-inline the to_json tree per
+    // downstream reference; real inputs are storage/stream columns.
+    val raw = fixtures.toDF("raw").unionByName(synthesized).cache()
     val out = MetricProject.project(RouteEngine.withRoutes(LogParse.parse(raw, "demo-env")))
 
     println(s"== input lines: ${raw.count()}")
