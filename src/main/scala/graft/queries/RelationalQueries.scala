@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import QueryDef.q
+
+/** Standard-taxonomy relational operators (SURVEY.md §2.1 ★): scans, joins,
+  * aggregations, grouping sets, window functions, top-k, set ops, dedup.
+  * All Catalyst built-ins; the scale notes per query say why the plan holds
+  * at 100 TB.
+  *
+  * Cross-engine parity rules: aggregates of doubles are rounded (2dp) on
+  * both sides; sums of integers cast to BIGINT (DuckDB widens to HUGEINT);
+  * timestamps leave as epoch seconds or date strings; top-k always carries
+  * a total tiebreak.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Projection + filter scan; predicate and column pruning reach parquet
+    // (PushedFilters in .explain). At 100 TB this is the difference between
+    // reading 3 columns and reading 11.
+    q(
+      "q_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity < 10 AND l_shipdate >= TIMESTAMP '1995-01-01'""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_quantity") < 10 && col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    },
+
+    // TPC-H Q1 shape — the flagship aggregation. Partial aggregation
+    // (map-side combine) keeps the shuffle at |groups| per partition.
+    q(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order")
+        )
+    },
+
+    // Multi-measure stats incl. stddev (sample, both engines).
+    q(
+      "q_agg_stats",
+      """SELECT l_returnflag,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(stddev(l_quantity), 4) AS sd_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(stddev(col("l_quantity")), 4).as("sd_qty"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // Exact distinct — two-phase (partial distinct per partition, then
+    // final). approx_count_distinct exists as the scale path but is not
+    // declared (oracle is exact).
+    q(
+      "q_agg_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // Rollup (grouping sets) — Catalyst Expand, one shuffle.
+    q(
+      "q_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // Broadcast join: customer is the small build side — no shuffle of
+    // orders at any scale (dim tables stay broadcastable at 100 TB fact
+    // scale).
+    q(
+      "q_join_broadcast",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    },
+
+    // Shuffle (sort-merge) join on the two big tables — both sides hash-
+    // partitioned on the key; AQE handles skew at scale.
+    q(
+      "q_join_shuffle",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")
+        )
+    },
+
+    // Anti join — the rdsadmin-exclusion pattern as a relational operator.
+    q(
+      "q_join_anti",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti"
+        )
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    // Set operations on keys.
+    q(
+      "q_set_ops",
+      """SELECT 'intersect' AS op, k FROM
+        |  (SELECT DISTINCT o_custkey AS k FROM orders
+        |   INTERSECT
+        |   SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM
+        |  (SELECT c_custkey AS k FROM customer
+        |   EXCEPT
+        |   SELECT DISTINCT o_custkey AS k FROM orders)""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val orderCust = t.orders.select(col("o_custkey").as("k")).distinct()
+      val building = t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val allCust = t.customer.select(col("c_custkey").as("k"))
+      orderCust.intersect(building).withColumn("op", lit("intersect"))
+        .unionByName(allCust.except(orderCust).withColumn("op", lit("except")))
+    },
+
+    // Window rank: top-3 orders per priority. The partial top-k per
+    // partition (WindowGroupLimit pushdown in Spark 4) keeps state bounded
+    // before the shuffle.
+    q(
+      "q_window_rank",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // Sliding frame: running quantity within an order.
+    q(
+      "q_window_frame",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 2).as("running_qty")
+        )
+    },
+
+    // Top-k → TakeOrderedAndProject: per-partition top-k then a single
+    // k-row merge on the driver — no global sort at any scale. Total
+    // tiebreak keeps both engines deterministic.
+    q(
+      "q_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    },
+
+    // Exact dedup — hash groupBy distinct (map-side partial dedup first).
+    q(
+      "q_dedup_exact",
+      "SELECT DISTINCT user_id, event_type FROM events"
+    ) { (s, dir) =>
+      Tables(s, dir).events.select(col("user_id"), col("event_type")).distinct()
+    },
+
+    // Keep-first dedup: earliest event per (user, type) — window + filter,
+    // with WindowGroupLimit pruning rows before the full sort at scale.
+    q(
+      "q_dedup_keep_first",
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }
+  )
+}
