@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
-    RelationalQueries.defs
+    RelationalQueries.defs ++ KayveeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

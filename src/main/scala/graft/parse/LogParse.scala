@@ -83,7 +83,11 @@ object LogParse {
     withEnvelope
       .withColumn(
         "payload",
-        coalesce(payload, from_json(lit("{}"), lit("map<string,variant>")))
+        // OptimizerBarrier: the JSON parse is the hot path — force
+        // evaluate-once-per-row (see graft.plans.OptimizerBarrier)
+        graft.plans.OptimizerBarrier.once(
+          coalesce(payload, from_json(lit("{}"), lit("map<string,variant>")))
+        )
       )
       .withColumn(
         "kvmeta",
@@ -107,7 +111,7 @@ object LogParse {
       // compat (`alerts_consumer.go:106-109`).
       .withColumn(
         "fields",
-        map_concat(
+        graft.plans.OptimizerBarrier.once(map_concat(
           col("payload"),
           map_filter(
             map(
@@ -122,14 +126,10 @@ object LogParse {
             ),
             (_, v) => v.isNotNull
           )
-        )
+        ))
       )
       // Record identity, assigned at parse time (the reference treats each
-      // raw Kinesis record as the unit of work). Also load-bearing for
-      // performance: a non-deterministic projection is a Catalyst barrier —
-      // CollapseProject/PushDownPredicates won't substitute the from_json/
-      // fields expressions into every downstream reference, so the JSON
-      // parse runs once per record instead of once per consumer expression.
+      // raw Kinesis record as the unit of work).
       .withColumn("record_id", monotonically_increasing_id())
   }
 }

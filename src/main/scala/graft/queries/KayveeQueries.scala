@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.parse.LogParse
+import graft.routes.RouteEngine
+import graft.project.MetricProject
+import graft.agg.Aggregations
+import QueryDef.q
+
+/** The kayvee pipeline operators (SURVEY.md §2 O3–O17) exercised on the
+  * driver's `events` table: each query synthesizes raw syslog+kayvee lines
+  * from event columns (manual string concat — mirrored 1:1 in the DuckDB
+  * oracle so even byte lengths agree), runs the REAL parse→route→project
+  * pipeline, and projects a comparison-friendly output.
+  *
+  * Line shape (FIXTURES.md A1): `<ts> host-<u> production--<type>-svc/arn[<id>]: <body>`
+  * with u = user_id % 50, deploy env "prod".
+  */
+object KayveeQueries {
+
+  // --- Spark-side synthesizer -------------------------------------------
+
+  private def tsString: Column =
+    date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
+  private def kCol: Column = get_json_object(col("props"), "$.k").cast("long")
+  private def header: Column = concat(
+    tsString, lit(" host-"), col("user_id") % 50,
+    lit(" production--"), col("event_type"), lit("-svc/arn["), col("event_id"), lit("]: ")
+  )
+
+  /** events + helper cols (k) → raw lines from a body expression. */
+  private def lines(s: SparkSession, dir: String, body: Column, host: Column = null): DataFrame = {
+    val e = Tables(s, dir).events.withColumn("k", kCol)
+    val h =
+      if (host == null) concat(lit("host-"), col("user_id") % 50)
+      else host
+    e.select(
+      concat(
+        tsString, lit(" "), h,
+        lit(" production--"), col("event_type"), lit("-svc/arn["), col("event_id"), lit("]: "),
+        body
+      ).as("raw")
+    )
+  }
+
+  private def dd(df: DataFrame): DataFrame =
+    MetricProject.project(RouteEngine.withRoutes(LogParse.parse(df, "prod"))).dd
+
+  private def tagsStr(df: DataFrame): DataFrame =
+    df.withColumn("tags_str", concat_ws(",", col("tags")))
+
+  // --- shared SQL fragments (DuckDB oracle side) -------------------------
+
+  /** Mirror of the synthesized header/body prefix; `e` binds events with k/h. */
+  private val withE =
+    """WITH e AS (
+      |  SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |         user_id % 50 AS h, floor(epoch(ts))::BIGINT AS ts_sec
+      |  FROM events)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // O3 — syslog+JSON parse/enrich round-trip.
+    q(
+      "q_parse_enrich",
+      s"""$withE
+         |SELECT event_id, ts_sec,
+         |  'host-' || h AS hostname,
+         |  'production' AS container_env,
+         |  event_type || '-svc' AS container_app,
+         |  'prod' AS env,
+         |  'team-' || (user_id % 7) AS team
+         |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"event_id\":"), col("event_id"),
+        lit(",\"_kvmeta\":{\"team\":\"team-"), col("user_id") % 7, lit("\",\"routes\":[]}}")
+      )
+      LogParse.parse(lines(s, dir, body), "prod")
+        .select(
+          try_variant_get(try_element_at(col("fields"), lit("event_id")), "$", "bigint").as("event_id"),
+          unix_timestamp(col("ts")).as("ts_sec"),
+          col("hostname"), col("container_env"), col("container_app"), col("env"), col("team")
+        )
+    },
+
+    // O4/O5/O9 — kvmeta route explode: alerts kept, analytics dropped,
+    // default dims appended; purchases fan out to 2 routes.
+    q(
+      "q_route_explode",
+      s"""$withE
+         |SELECT event_id, 'events.' || event_type AS series, 'counter' AS stat_type,
+         |       'value' AS value_field, 'evt' AS rule, 4 AS n_dims FROM e
+         |UNION ALL
+         |SELECT event_id, 'purchase.value', 'gauge', 'value', 'evt2', 2 FROM e
+         |WHERE event_type = 'purchase'""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"event_id\":"), col("event_id"),
+        lit(",\"title\":\""), col("event_type"),
+        lit("\",\"value\":"), col("value").cast("string"),
+        lit(",\"_kvmeta\":{\"team\":\"t\",\"routes\":[" +
+          "{\"type\":\"analytics\",\"series\":\"ignored\",\"rule\":\"ra\"}," +
+          "{\"type\":\"alerts\",\"series\":\"events."), col("event_type"),
+        lit("\",\"dimensions\":[\"title\",\"user_id\"],\"stat_type\":\"counter\"," +
+          "\"value_field\":\"value\",\"rule\":\"evt\"}"),
+        when(
+          col("event_type") === "purchase",
+          lit(",{\"type\":\"alerts\",\"series\":\"purchase.value\",\"dimensions\":[]," +
+            "\"stat_type\":\"gauge\",\"value_field\":\"value\",\"rule\":\"evt2\"}")
+        ).otherwise(lit("")),
+        lit("]}}")
+      )
+      RouteEngine.withRoutes(LogParse.parse(lines(s, dir, body), "prod"))
+        .select(
+          try_variant_get(try_element_at(col("fields"), lit("event_id")), "$", "bigint").as("event_id"),
+          explode(col("routes")).as("route")
+        )
+        .select(
+          col("event_id"),
+          col("route.series").as("series"),
+          col("route.stat_type").as("stat_type"),
+          col("route.value_field").as("value_field"),
+          col("route.rule").as("rule"),
+          size(col("route.dimensions")).as("n_dims")
+        )
+    },
+
+    // O10 — ordered dimension projection + coercion (number %.0f, bool %t,
+    // missing dim silently skipped).
+    q(
+      "q_dim_project",
+      s"""$withE
+         |SELECT 'kv.events.' || event_type AS metric, ts_sec AS point_ts,
+         |  'event_id:' || event_id || ',title:' || event_type ||
+         |  ',flag:' || (CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END) ||
+         |  ',Hostname:host-' || h || ',env:prod' AS tags_str
+         |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"event_id\":"), col("event_id"),
+        lit(",\"title\":\""), col("event_type"),
+        lit("\",\"flag\":"), when(col("k") % 2 === 0, "true").otherwise("false"),
+        lit(",\"_kvmeta\":{\"team\":\"t\",\"routes\":[{\"type\":\"alerts\",\"series\":\"events."), col("event_type"),
+        lit("\",\"dimensions\":[\"event_id\",\"title\",\"flag\",\"nope\"]," +
+          "\"stat_type\":\"counter\",\"value_field\":\"value\",\"rule\":\"evt\"}]}}")
+      )
+      tagsStr(dd(lines(s, dir, body)))
+        .select(col("metric"), col("point_ts"), col("tags_str"))
+    },
+
+    // O11 — value resolution: present float used; absent → counter 1 /
+    // gauge 0, per stat type.
+    q(
+      "q_value_resolve",
+      s"""$withE
+         |SELECT 'kv.' || event_type || '.' || event_id AS metric,
+         |  CASE WHEN event_type IN ('click','view','error') THEN 'count' ELSE 'gauge' END AS type,
+         |  CASE event_type
+         |    WHEN 'view' THEN 1.0
+         |    WHEN 'signup' THEN 0.0
+         |    ELSE value END AS point_value
+         |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val statType = when(col("event_type").isin("click", "view", "error"), "counter").otherwise("gauge")
+      val valueField = when(col("event_type").isin("view", "signup"), "missing").otherwise("value")
+      val body = concat(
+        lit("{\"value\":"), col("value").cast("string"),
+        lit(",\"_kvmeta\":{\"team\":\"t\",\"routes\":[{\"type\":\"alerts\",\"series\":\""),
+        col("event_type"), lit("."), col("event_id"),
+        lit("\",\"dimensions\":[],\"stat_type\":\""), statType,
+        lit("\",\"value_field\":\""), valueField,
+        lit("\",\"rule\":\"evt\"}]}}")
+      )
+      dd(lines(s, dir, body)).select(col("metric"), col("type"), col("point_value"))
+    },
+
+    // O6 — process-metrics global rule (incl. the "guage" typo fix).
+    q(
+      "q_route_process_metrics",
+      s"""$withE
+         |SELECT 'kv.process-metrics.t' || k AS metric,
+         |  CASE WHEN k % 2 = 0 THEN 'count' ELSE 'gauge' END AS type,
+         |  ts_sec AS point_ts, value AS point_value,
+         |  'Hostname:host-' || h || ',env:prod,source:' || event_type AS tags_str
+         |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"via\":\"process-metrics\",\"source\":\""), col("event_type"),
+        lit("\",\"title\":\"t"), col("k"),
+        lit("\",\"type\":\""), when(col("k") % 2 === 0, "counter").otherwise("guage"),
+        lit("\",\"value\":"), col("value").cast("string"), lit("}")
+      )
+      tagsStr(dd(lines(s, dir, body)))
+        .select(col("metric"), col("type"), col("point_ts"), col("point_value"), col("tags_str"))
+    },
+
+    // O7 — mongo slow-query regex extraction: derived dims + 2-route
+    // emission (counter + millis gauge).
+    q(
+      "q_regex_extract",
+      s"""$withE, m AS (
+         |  SELECT *,
+         |    CASE k % 6 WHEN 0 THEN 'update' WHEN 1 THEN 'command' WHEN 2 THEN 'remove'
+         |               WHEN 3 THEN 'getmore' WHEN 4 THEN 'query' ELSE 'insert' END AS op,
+         |    'hostname:host-' || h || ',operation:' ||
+         |    (CASE k % 6 WHEN 0 THEN 'update' WHEN 1 THEN 'command' WHEN 2 THEN 'remove'
+         |                WHEN 3 THEN 'getmore' WHEN 4 THEN 'query' ELSE 'insert' END) ||
+         |    ',namespace:db.' || event_type || ',is_collscan:' ||
+         |    (CASE WHEN k % 5 = 0 THEN 'true' ELSE 'false' END) AS tstr
+         |  FROM e)
+         |SELECT 'kv.mongo.slow-query' AS metric, 'count' AS type, ts_sec AS point_ts,
+         |       1.0 AS point_value, tstr AS tags_str FROM m
+         |UNION ALL
+         |SELECT 'kv.mongo.slow-query-millis', 'gauge', ts_sec, k::DOUBLE, tstr FROM m""".stripMargin
+    ) { (s, dir) =>
+      val op = when(col("k") % 6 === 0, "update").when(col("k") % 6 === 1, "command")
+        .when(col("k") % 6 === 2, "remove").when(col("k") % 6 === 3, "getmore")
+        .when(col("k") % 6 === 4, "query").otherwise("insert")
+      val body = concat(
+        lit("[conn"), col("event_id"), lit("] "), op,
+        lit(" db."), col("event_type"),
+        lit(" nscanned:"), col("user_id"),
+        when(col("k") % 5 === 0, " COLLSCAN").otherwise(""),
+        lit(" "), col("k"), lit("ms")
+      )
+      tagsStr(dd(lines(s, dir, body)))
+        .select(col("metric"), col("type"), col("point_ts"), col("point_value"), col("tags_str"))
+    },
+
+    // O8 — rds slow-query conjunctive predicates incl. rdsadmin exclusion.
+    q(
+      "q_filter_predicates",
+      s"""$withE
+         |SELECT 'kv.rds.slow-query' AS metric, ts_sec AS point_ts,
+         |  'env:prod,programname:production--' || event_type || '-svc/arn' AS tags_str
+         |FROM e WHERE k % 3 = 0 AND k % 2 = 0""".stripMargin
+    ) { (s, dir) =>
+      val host = when(col("k") % 3 === 0, lit("aws-rds"))
+        .otherwise(concat(lit("host-"), col("user_id") % 50))
+      val body = concat(
+        lit("{\"user\":\""),
+        when(col("k") % 2 === 0, "clever[clever]").otherwise("rdsadmin[rdsadmin]"),
+        lit("\",\"event_id\":"), col("event_id"), lit("}")
+      )
+      tagsStr(dd(lines(s, dir, body, host)))
+        .select(col("metric"), col("point_ts"), col("tags_str"))
+    },
+
+    // O13 — allow-list membership + CloudWatch projection (defaults
+    // excluded from CW dims, region required).
+    q(
+      "q_allowlist_join",
+      s"""$withE
+         |SELECT 'ContainerExitCount' AS metric_name, 'dim1=d' || user_id AS dims_str,
+         |  value, ts_sec, 'r' || (user_id % 3) AS region_tag, 1 AS storage_resolution
+         |FROM e WHERE k % 8 = 0 AND k % 4 = 0""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"dim1\":\"d"), col("user_id"), lit("\""),
+        when(col("k") % 8 === 0, concat(lit(",\"region\":\"r"), col("user_id") % 3, lit("\""))).otherwise(""),
+        lit(",\"value\":"), col("value").cast("string"),
+        when(
+          col("k") % 4 === 0,
+          lit(",\"_kvmeta\":{\"team\":\"t\",\"routes\":[{\"type\":\"alerts\"," +
+            "\"series\":\"ContainerExitCount\",\"dimensions\":[\"dim1\"]," +
+            "\"stat_type\":\"counter\",\"value_field\":\"value\",\"rule\":\"exit\"}]}}")
+        ).otherwise(lit("}"))
+      )
+      MetricProject.project(RouteEngine.withRoutes(LogParse.parse(lines(s, dir, body), "prod"))).cw
+        .select(
+          col("metric_name"),
+          concat_ws(",", transform(col("dimensions"), d =>
+            concat(d.getField("name"), lit("="), d.getField("value")))).as("dims_str"),
+          col("value"),
+          unix_timestamp(col("timestamp")).as("ts_sec"),
+          col("region_tag"),
+          col("storage_resolution")
+        )
+    },
+
+    // O14 — per-tag batching: routing tag = region only for allow-listed
+    // series with a region, else "default".
+    q(
+      "q_tag_batch",
+      s"""$withE
+         |SELECT CASE WHEN k % 8 = 0 THEN 'r' || (user_id % 3) ELSE 'default' END AS tag,
+         |  count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM e WHERE k % 4 = 0
+         |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"dim1\":\"d"), col("user_id"), lit("\""),
+        when(col("k") % 8 === 0, concat(lit(",\"region\":\"r"), col("user_id") % 3, lit("\""))).otherwise(""),
+        lit(",\"value\":"), col("value").cast("string"),
+        when(
+          col("k") % 4 === 0,
+          lit(",\"_kvmeta\":{\"team\":\"t\",\"routes\":[{\"type\":\"alerts\"," +
+            "\"series\":\"ContainerExitCount\",\"dimensions\":[\"dim1\"]," +
+            "\"stat_type\":\"counter\",\"value_field\":\"value\",\"rule\":\"exit\"}]}}")
+        ).otherwise(lit("}"))
+      )
+      dd(lines(s, dir, body))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("point_value")), 2).as("sum_value"))
+    },
+
+    // O16 — windowed volume aggregation: count + byte size per
+    // (env, application, team), 1-minute tumbling buckets.
+    q(
+      "q_volume_agg",
+      s"""$withE, l AS (
+         |  SELECT floor(epoch(date_trunc('minute', ts)))::BIGINT AS window_start,
+         |    'production' AS env, event_type || '-svc' AS application,
+         |    'team-' || (user_id % 7) AS team,
+         |    length(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00') || ' host-' || h ||
+         |      ' production--' || event_type || '-svc/arn[' || event_id || ']: ' ||
+         |      '{"event_id":' || event_id || ',"_kvmeta":{"team":"team-' || (user_id % 7) ||
+         |      '","routes":[]}}') AS nbytes
+         |  FROM e)
+         |SELECT window_start, env, application, team,
+         |  count(*) AS log_volume_count, sum(nbytes)::BIGINT AS log_volume_size
+         |FROM l GROUP BY 1, 2, 3, 4""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"event_id\":"), col("event_id"),
+        lit(",\"_kvmeta\":{\"team\":\"team-"), col("user_id") % 7, lit("\",\"routes\":[]}}")
+      )
+      val parsed = LogParse.parse(lines(s, dir, body), "prod")
+      Aggregations
+        .volumeByEnvAppTeam(parsed, unix_timestamp(date_trunc("minute", col("ts"))))
+        .withColumn("log_volume_size", col("log_volume_size").cast("long"))
+    },
+
+    // O17 — max pipeline delay vs a fixed anchor (2024-02-01T00:00:00Z),
+    // grouped per application.
+    q(
+      "q_max_delay",
+      s"""$withE
+         |SELECT event_type || '-svc' AS application,
+         |  max(1706745600 - ts_sec) AS max_delay_sec
+         |FROM e GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"event_id\":"), col("event_id"),
+        lit(",\"_kvmeta\":{\"team\":\"team-"), col("user_id") % 7, lit("\",\"routes\":[]}}")
+      )
+      val parsed = LogParse.parse(lines(s, dir, body), "prod")
+      Aggregations.maxDelay(
+        parsed, unix_timestamp(col("ts")), 1706745600L,
+        Seq(col("container_app").as("application"))
+      )
+    },
+
+    // Streaming-style session windows over events (30-minute gap), batch
+    // analog of `session_window` state merging.
+    q(
+      "q_session_window",
+      """WITH s AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start_sec,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("ts_us"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start_sec"),
+          col("n_events"), col("sum_value")
+        )
+    }
+  )
+}

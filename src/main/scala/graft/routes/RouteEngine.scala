@@ -130,20 +130,27 @@ object RouteEngine {
     parsed
       .withColumn(
         "fields",
-        when(
-          mongoMatch,
-          map_concat(
-            col("fields"),
-            map(
-              lit("operation"), op.cast("variant"),
-              lit("namespace"), ns.cast("variant"),
-              lit("is_collscan"), col("rawlog").contains("COLLSCAN").cast("variant"),
-              lit("millis"), ms.cast("double").cast("variant")
+        // evaluate-once fence: the merged map is read per-dimension by
+        // every downstream consumer (see graft.plans.OptimizerBarrier)
+        graft.plans.OptimizerBarrier.once(
+          when(
+            mongoMatch,
+            map_concat(
+              col("fields"),
+              map(
+                lit("operation"), op.cast("variant"),
+                lit("namespace"), ns.cast("variant"),
+                lit("is_collscan"), col("rawlog").contains("COLLSCAN").cast("variant"),
+                lit("millis"), ms.cast("double").cast("variant")
+              )
             )
-          )
-        ).otherwise(col("fields"))
+          ).otherwise(col("fields"))
+        )
       )
-      .withColumn("routes", concat(kvAlertsNamed, pmRoutes, rdsRoutes, mongoRoutes))
+      .withColumn(
+        "routes",
+        graft.plans.OptimizerBarrier.once(concat(kvAlertsNamed, pmRoutes, rdsRoutes, mongoRoutes))
+      )
       .withColumn(
         "rule_names",
         transform(kvRoutes, r => r.getField("rule"))
