@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
-    RelationalQueries.defs ++ KayveeQueries.defs
+    RelationalQueries.defs ++ KayveeQueries.defs ++ TextQueries.defs ++
+      DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef.q
+
+/** Near-duplicate detection for a training-data pipeline: exact hashing is
+  * in RelationalQueries (q_dedup_exact/keep_first); here are the fuzzy
+  * families — n-gram Jaccard, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * The corpus is `documents` UNION a deterministically mutated copy
+  * (doc_id+1000000, every 7th token dropped) so every document has exactly
+  * one planted near-duplicate — the queries must find those pairs and
+  * reject the random ones.
+  *
+  * Scale design: everything is blocked — shingle-join (inverted index) for
+  * Jaccard, band-bucket joins for MinHash/SimHash, label partitions for
+  * embeddings — never an unblocked O(n²) pair scan.
+  */
+object DedupQueries {
+
+  // --- corpus + shingles, Spark side ------------------------------------
+
+  /** documents ∪ mutated copy (drop tokens at 0-based positions ≡ 0 mod 7). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("text"))
+    d.unionByName(
+      d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("lang"),
+        concat_ws(" ", filter(split(col("text"), " "), (_, i) => i % 7 =!= 0)).as("text")
+      )
+    )
+  }
+
+  /** One row per distinct word-3-gram: (doc_id, lang, s). */
+  private def shingles(df: DataFrame): DataFrame =
+    df.withColumn("l", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        explode(
+          array_distinct(
+            transform(
+              sequence(lit(1), size(col("l")) - 2),
+              i => concat_ws("_", element_at(col("l"), i), element_at(col("l"), i + 1), element_at(col("l"), i + 2))
+            )
+          )
+        ).as("s")
+      )
+
+  /** Exact Jaccard over candidate pairs given (doc,shingle) and per-doc
+    * shingle counts; emits doc_a/doc_b/jac ≥ threshold. */
+  private def jaccard(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val sc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sc.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sc.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  // --- shared SQL fragments ---------------------------------------------
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang,
+      |    array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 7 != 1), ' ')
+      |  FROM documents)""".stripMargin
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(l) - 2), i -> l[i] || '_' || l[i+1] || '_' || l[i+2]))) AS s
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM corpus)),
+      |sc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def jaccardSql(pairsCte: String, threshold: Double) =
+    s"""SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
+       |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
+       |  FROM $pairsCte p
+       |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
+       |WHERE jac >= $threshold""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact n-gram Jaccard via an inverted shingle index (blocked by lang):
+    // pairs sharing a shingle → intersection counts → Jaccard ≥ 0.3.
+    q(
+      "q_dedup_ngram_jaccard",
+      s"""WITH $corpusSql, $shinglesSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |${jaccardSql("pairs", 0.3)}""".stripMargin
+    ) { (s, dir) =>
+      val sh = shingles(corpus(s, dir))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
+      val pairs = a
+        .join(b, col("s") === col("s_b") && col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      jaccard(sh, pairs, 0.3)
+    },
+
+    // MinHash (8 string-min hashes over shingles) + LSH banding (4 bands of
+    // 2): only pairs sharing a band bucket are candidates; candidates are
+    // then verified with exact Jaccard. At scale the band join touches
+    // O(n·bands) rows, never O(n²).
+    q(
+      "q_dedup_minhash",
+      s"""WITH $corpusSql, $shinglesSql,
+         |minh AS (
+         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS b,
+         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
+         |  FROM minh GROUP BY doc_id, j // 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |${jaccardSql("pairs", 0.3)}""".stripMargin
+    ) { (s, dir) =>
+      val sh = shingles(corpus(s, dir))
+      val minh = sh
+        .crossJoin(spark_range_j(s))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(md5(concat(col("j"), lit("#"), col("s")))).as("h"))
+      val bands = minh
+        .groupBy(col("doc_id"), expr("j div 2").as("b"))
+        .agg(
+          md5(concat(
+            max(when(col("j") % 2 === 0, col("h"))),
+            max(when(col("j") % 2 === 1, col("h")))
+          )).as("bv")
+        )
+      val cands = bands.select(col("doc_id").as("doc_a"), col("b"), col("bv"))
+        .join(
+          bands.select(col("doc_id").as("doc_b"), col("b").as("b2"), col("bv").as("bv2")),
+          col("b") === col("b2") && col("bv") === col("bv2") && col("doc_a") < col("doc_b")
+        )
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val pairs = cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(
+          sh.select(col("doc_id").as("db2"), col("s").as("s2")),
+          col("db2") === col("doc_b") && col("s2") === col("s")
+        )
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      jaccard(sh, pairs, 0.3)
+    },
+
+    // SimHash: 32-bit signature from per-token md5-hex-char parities,
+    // majority vote per bit; banded (4×8 bits) LSH join; candidates kept at
+    // Hamming distance ≤ 3.
+    q(
+      "q_dedup_simhash",
+      simhashSql
+    ) { (s, dir) =>
+      val tok = corpus(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val aggs = (1 to 32).map(i => sum(ascii(substring(col("h"), i, 1)) % 2).as(s"o$i")) :+
+        count(lit(1)).as("ntok")
+      val bitsums = tok.groupBy(col("doc_id"), col("lang")).agg(aggs.head, aggs.tail: _*)
+      val sig = bitsums.select(
+        col("doc_id"), col("lang"),
+        concat((1 to 32).map(i => when(lit(2) * col(s"o$i") > col("ntok"), "1").otherwise("0")): _*).as("sig")
+      )
+      val banded = sig.select(
+        col("doc_id"), col("lang"), col("sig"),
+        explode(array((0 to 3).map(b => struct(lit(b).as("b"), substring(col("sig"), b * 8 + 1, 8).as("bv"))): _*)).as("band")
+      ).select(col("doc_id"), col("lang"), col("sig"), col("band.b").as("b"), col("band.bv").as("bv"))
+      val cands = banded.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"), col("b"), col("bv"))
+        .join(
+          banded.select(col("doc_id").as("doc_b"), col("lang").as("lang2"), col("sig").as("sig_b"), col("b").as("b2"), col("bv").as("bv2")),
+          col("lang") === col("lang2") && col("b") === col("b2") && col("bv") === col("bv2") && col("doc_a") < col("doc_b")
+        )
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      cands
+        .withColumn(
+          "ham",
+          size(filter(
+            sequence(lit(1), lit(32)),
+            i => col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1))
+          ))
+        )
+        .filter(col("ham") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("ham"))
+    },
+
+    // Embedding-cosine near-dup: label-blocked pair scan in double
+    // precision against a corpus with planted perturbed copies
+    // (vec_id+1000000, dim 1 shifted by +0.1).
+    q(
+      "q_dedup_embed",
+      """WITH corpus AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label,
+        |    list_transform(generate_series(1, 64),
+        |      i -> embedding[i]::DOUBLE + (CASE WHEN i = 1 THEN 0.1 ELSE 0.0 END))
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM corpus)
+        |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.98""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      val perturbed = Tables(s, dir).embeddings.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        col("label"),
+        transform(
+          sequence(lit(1), lit(64)),
+          i => element_at(col("embedding"), i).cast("double") + when(i === 1, 0.1).otherwise(0.0)
+        ).as("e")
+      )
+      val n = base.unionByName(perturbed)
+        .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+      val a = n.select(col("vec_id").as("vec_a"), col("label"), col("e").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
+        .withColumn(
+          "cos",
+          aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+            (col("na") * col("nb"))
+        )
+        .filter(col("cos") >= 0.98)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+    }
+  )
+
+  private def spark_range_j(s: SparkSession): DataFrame =
+    s.range(0, 8).select(col("id").cast("int").as("j"))
+
+  /** SimHash oracle SQL — the 32 per-bit majority sums are generated
+    * programmatically to mirror the Spark 32-agg single-pass shape. */
+  private lazy val simhashSql: String = {
+    val bitTerms = (1 to 32)
+      .map(i => s"(CASE WHEN 2 * sum(ascii(md5(tok)[$i]) % 2) > count(*) THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH $corpusSql,
+       |tokb AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM corpus),
+       |sigc AS (SELECT doc_id, lang, $bitTerms AS sig FROM tokb GROUP BY doc_id, lang),
+       |banded AS (
+       |  SELECT doc_id, lang, sig, b, substr(sig, b * 8 + 1, 8) AS bv
+       |  FROM sigc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ham FROM (
+       |  SELECT doc_a, doc_b,
+       |    len(list_filter(generate_series(1, 32), i -> sig_a[i] != sig_b[i])) AS ham
+       |  FROM cands)
+       |WHERE ham <= 3""".stripMargin
+  }
+}

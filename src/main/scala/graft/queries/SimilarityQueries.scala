@@ -1,0 +1,134 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef.q
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Baseline: brute-force cosine top-k for a small query set — broadcast the
+  * queries, one pass over the corpus, per-partition top-k via window rank.
+  * Scale path: sign-random-projection LSH — deterministic ±1 hyperplanes
+  * derived from md5 parities (identical in Scala and SQL), bucket by the
+  * 8-bit signature, compare only bucket-mates. At 100 TB the bucket join
+  * replaces the O(n·q) scan with O(n) signature computation + a key join.
+  */
+object SimilarityQueries {
+
+  /** Cosine in double precision (embeddings are float32 on disk). */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Deterministic ±1 hyperplane weights: parity of the first hex char of
+    * md5("p<plane>d<dim>") — reproduced verbatim in the SQL oracle. */
+  private def planeWeights: Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (p, d) =>
+      md.reset()
+      val hex = md.digest(s"p${p}d${d + 1}".getBytes(StandardCharsets.UTF_8))
+      val firstHexChar = f"${(hex(0) & 0xff)}%02x".charAt(0)
+      if (firstHexChar.toInt % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  private val dotSqlLambda =
+    "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-5 for 8 query vectors. The query side is
+    // broadcast; rank via window with total tiebreak.
+    q(
+      "q_similarity_topk",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |s AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+        |SELECT q_id, vec_id, rank, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin
+    ) { (s, dir) =>
+      val v = Tables(s, dir).embeddings
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+      val queries = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      v.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn(
+          "cos",
+          aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+            (col("qn") * col("nrm"))
+        )
+        .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+    },
+
+    // Sign-random-projection LSH: 8 deterministic hyperplanes → 8-bit
+    // bucket signature; candidates = bucket-mates of the 8 query vectors;
+    // exact cosine on candidates only.
+    q(
+      "q_similarity_lsh",
+      lshSql
+    ) { (s, dir) =>
+      val planes = planeWeights
+      val v = Tables(s, dir).embeddings
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val sig = v.withColumn(
+        "sig",
+        concat((0 until 8).map { p =>
+          val w = planes(p)
+          val dotP = aggregate(
+            zip_with(col("e"), lit(w).cast("array<double>"), (x, y) => x * y),
+            lit(0.0), (a, x) => a + x
+          )
+          when(dotP > 0, "1").otherwise("0")
+        }: _*)
+      ).withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+      val queries = sig.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("sig").as("qsig"))
+      sig.join(broadcast(queries), col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
+        .withColumn(
+          "cos",
+          aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+            (col("qn") * col("nrm"))
+        )
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+    }
+  )
+
+  /** LSH oracle: hyperplane weights from the same md5-parity construction. */
+  private lazy val lshSql: String = {
+    val sigTerms = (0 until 8).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |  d -> e[d] * (CASE WHEN ascii(md5('p$p' || 'd' || d)[1]) % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |  THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" || ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+       |    $sigTerms AS sig
+       |  FROM v)
+       |SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |  round($dotSqlLambda / (a.nrm * b.nrm), 4) AS cos
+       |FROM sig a JOIN sig b
+       |  ON a.vec_id < 8 AND a.sig = b.sig AND b.vec_id <> a.vec_id""".stripMargin
+  }
+}

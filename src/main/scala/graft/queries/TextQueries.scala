@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef.q
+
+/** Text-analysis operators for a training-data pipeline, over `documents`:
+  * term stats, token counting, n-gram-profile language ID, quality scoring,
+  * document fingerprinting. All pure column expressions / joins — scale is
+  * bounded by an explode to one row per token (linear in corpus size) and
+  * hash aggregations with map-side combine.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Term frequency + document frequency.
+    q(
+      "q_text_stats",
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+    },
+
+    // Per-document token counting (whitespace tokenizer): total, distinct,
+    // mean token length. No shuffle at all — pure per-row array math.
+    q(
+      "q_token_count",
+      """SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct,
+        |  round(list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l), 4) AS avg_token_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("l", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("l")).as("n_tokens"),
+          size(array_distinct(col("l"))).as("n_distinct"),
+          round(
+            aggregate(transform(col("l"), x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+              .cast("double") / size(col("l")),
+            4
+          ).as("avg_token_len")
+        )
+    },
+
+    // Language ID by corpus-derived token profiles (Cavnar–Trenkle shape):
+    // top-10 tokens per language become the profile; each document is
+    // scored by profile overlap. The profile table is tiny → broadcast
+    // join; the heavy side stays one-pass.
+    q(
+      "q_lang_id",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |prof AS (
+        |  SELECT lang AS plang, token FROM (
+        |    SELECT lang, token,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+        |    FROM tok GROUP BY lang, token) WHERE rn <= 10),
+        |dtok AS (SELECT DISTINCT doc_id, token FROM tok),
+        |score AS (
+        |  SELECT d.doc_id, p.plang, count(*) AS c
+        |  FROM dtok d JOIN prof p USING (token) GROUP BY 1, 2)
+        |SELECT doc_id, plang AS predicted FROM (
+        |  SELECT doc_id, plang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, plang) AS rn
+        |  FROM score) WHERE rn = 1""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      val prof = tok
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token")))
+        )
+        .filter(col("rn") <= 10)
+        .select(col("lang").as("plang"), col("token"))
+      val dtok = tok.select(col("doc_id"), col("token")).distinct()
+      dtok
+        .join(broadcast(prof), "token")
+        .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("c"))
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("plang")))
+        )
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("predicted"))
+    },
+
+    // Quality scoring: length/diversity/word-length features + a weighted
+    // score — the classic cheap pre-filter before expensive dedup stages.
+    q(
+      "q_quality_score",
+      """SELECT doc_id, n_tokens,
+        |  round(uniq_ratio, 4) AS uniq_ratio, round(avg_len, 4) AS avg_len,
+        |  round(0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * uniq_ratio +
+        |        0.2 * least(avg_len / 8.0, 1.0), 4) AS score
+        |FROM (
+        |  SELECT doc_id, len(l) AS n_tokens,
+        |    len(list_distinct(l))::DOUBLE / len(l) AS uniq_ratio,
+        |    list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l) AS avg_len
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir).documents
+        .withColumn("l", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("l")).as("n_tokens"),
+          (size(array_distinct(col("l"))).cast("double") / size(col("l"))).as("uniq_ratio"),
+          (aggregate(transform(col("l"), x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+            .cast("double") / size(col("l"))).as("avg_len")
+        )
+      base.select(
+        col("doc_id"), col("n_tokens"),
+        round(col("uniq_ratio"), 4).as("uniq_ratio"),
+        round(col("avg_len"), 4).as("avg_len"),
+        round(
+          lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
+            lit(0.4) * col("uniq_ratio") +
+            lit(0.2) * least(col("avg_len") / 8.0, lit(1.0)),
+          4
+        ).as("score")
+      )
+    },
+
+    // Document fingerprints: exact (md5 of text) and canonical (md5 of the
+    // sorted distinct token set — order/duplication-insensitive).
+    q(
+      "q_fingerprint",
+      """SELECT doc_id, md5(text) AS fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS canon_fp
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("canon_fp")
+      )
+    }
+  )
+}
