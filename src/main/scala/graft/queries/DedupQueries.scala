@@ -162,26 +162,31 @@ object DedupQueries {
       jaccard(sh, pairs, 0.3)
     },
 
-    // SimHash: 32-bit signature from per-token md5-hex-char parities,
-    // majority vote per bit; banded (4×8 bits) LSH join; candidates kept at
-    // Hamming distance ≤ 3.
+    // SimHash: 60-bit integer signature from per-token md5-hex-char
+    // parities (two md5 streams), majority vote per bit; banded (4×15 bits)
+    // LSH join; candidates kept at Hamming ≤ 3 via xor+bit_count.
+    // 15-bit bands keep bucket sizes small even on a correlated corpus —
+    // the 8-bit-band variant produced ~100× the candidate pairs.
     q(
       "q_dedup_simhash",
       simhashSql
     ) { (s, dir) =>
       val tok = corpus(s, dir)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val aggs = (1 to 32).map(i => sum(ascii(substring(col("h"), i, 1)) % 2).as(s"o$i")) :+
-        count(lit(1)).as("ntok")
+        .withColumn("h1", md5(concat(col("tok"), lit("A"))))
+        .withColumn("h2", md5(concat(col("tok"), lit("B"))))
+      def bitSrc(i: Int) = if (i <= 32) substring(col("h1"), i, 1) else substring(col("h2"), i - 32, 1)
+      val aggs = (1 to 60).map(i => sum(ascii(bitSrc(i)) % 2).as(s"o$i")) :+ count(lit(1)).as("ntok")
       val bitsums = tok.groupBy(col("doc_id"), col("lang")).agg(aggs.head, aggs.tail: _*)
       val sig = bitsums.select(
         col("doc_id"), col("lang"),
-        concat((1 to 32).map(i => when(lit(2) * col(s"o$i") > col("ntok"), "1").otherwise("0")): _*).as("sig")
+        (1 to 60).map(i => when(lit(2) * col(s"o$i") > col("ntok"), lit(1L << (i - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig")
       )
       val banded = sig.select(
         col("doc_id"), col("lang"), col("sig"),
-        explode(array((0 to 3).map(b => struct(lit(b).as("b"), substring(col("sig"), b * 8 + 1, 8).as("bv"))): _*)).as("band")
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("b"), shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)).as("band")
       ).select(col("doc_id"), col("lang"), col("sig"), col("band.b").as("b"), col("band.bv").as("bv"))
       val cands = banded.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"), col("b"), col("bv"))
         .join(
@@ -190,13 +195,7 @@ object DedupQueries {
         )
         .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
       cands
-        .withColumn(
-          "ham",
-          size(filter(
-            sequence(lit(1), lit(32)),
-            i => col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1))
-          ))
-        )
+        .withColumn("ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
         .filter(col("ham") <= 3)
         .select(col("doc_a"), col("doc_b"), col("ham"))
     },
@@ -248,26 +247,28 @@ object DedupQueries {
   private def spark_range_j(s: SparkSession): DataFrame =
     s.range(0, 8).select(col("id").cast("int").as("j"))
 
-  /** SimHash oracle SQL — the 32 per-bit majority sums are generated
-    * programmatically to mirror the Spark 32-agg single-pass shape. */
+  /** SimHash oracle SQL — the 60 per-bit majority sums are generated
+    * programmatically to mirror the Spark 60-agg single-pass shape. */
   private lazy val simhashSql: String = {
-    val bitTerms = (1 to 32)
-      .map(i => s"(CASE WHEN 2 * sum(ascii(md5(tok)[$i]) % 2) > count(*) THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+    val sums = (1 to 60)
+      .map(i => s"sum(ascii(md5(tok || '${if (i <= 32) "A" else "B"}')[${(i - 1) % 32 + 1}]) % 2) AS o$i")
+      .mkString(",\n")
+    val sigTerms = (1 to 60)
+      .map(i => s"(CASE WHEN 2 * o$i > n THEN ${1L << (i - 1)}::BIGINT ELSE 0::BIGINT END)")
+      .mkString(" + ")
     s"""WITH $corpusSql,
        |tokb AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM corpus),
-       |sigc AS (SELECT doc_id, lang, $bitTerms AS sig FROM tokb GROUP BY doc_id, lang),
+       |bits AS (SELECT doc_id, lang, $sums, count(*) AS n FROM tokb GROUP BY doc_id, lang),
+       |sigc AS (SELECT doc_id, lang, $sigTerms AS sig FROM bits),
        |banded AS (
-       |  SELECT doc_id, lang, sig, b, substr(sig, b * 8 + 1, 8) AS bv
+       |  SELECT doc_id, lang, sig, b, (sig >> (b * 15)) & 32767 AS bv
        |  FROM sigc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
        |    ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, ham FROM (
-       |  SELECT doc_a, doc_b,
-       |    len(list_filter(generate_series(1, 32), i -> sig_a[i] != sig_b[i])) AS ham
-       |  FROM cands)
+       |  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS ham FROM cands)
        |WHERE ham <= 3""".stripMargin
   }
 }
