@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.fast.FastKayvee
+import graft.parse.LogParse
+import graft.routes.RouteEngine
+import graft.project.MetricProject
+
+/** The imperative lane (FastKayvee) must be row-for-row identical to the
+  * declarative parse→route→project chain on a corpus covering every
+  * operator branch: kvmeta routes, all three global rules, coercions,
+  * default values, error poisoning, skips, and garbage.
+  */
+class FastKayveeParitySpec extends SparkSpec {
+  import SharedSpark.spark.implicits._
+
+  private val header = "2017-08-15T18:39:07.000000+00:00 my-hostname production--my-app/arn[3337]: "
+
+  private def corpus: Seq[String] = {
+    val kv = (series: String, dims: String, st: String, vf: String) =>
+      s""""_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"$series","dimensions":[$dims],"stat_type":"$st","value_field":"$vf","rule":"r"}]}"""
+    Seq(
+      // kvmeta variants
+      header + s"""{"a":"x","b":3.2,"c":true,${kv("s1", "\"a\",\"b\",\"c\",\"missing\"", "counter", "value")}}""",
+      header + s"""{"value":42,${kv("s2", "", "gauge", "value")}}""",
+      header + s"""{${kv("s3", "", "counter", "missing")}}""",
+      header + s"""{"value":"bad",${kv("s4", "", "counter", "value")}}""",      // value type error
+      header + s"""{"o":{"n":1},${kv("s5", "\"o\"", "counter", "value")}}""",   // dim type error
+      header + s"""{"value":1,${kv("s6", "", "weird", "value")}}""",            // stat type error
+      header + s"""{"n":null,${kv("s7", "\"n\"", "counter", "value")}}""",      // JSON-null dim → error
+      // multi-route + ignored analytics
+      header + """{"d":"v","_kvmeta":{"team":"t","routes":[{"type":"analytics","series":"x","rule":"ra"},{"type":"alerts","series":"m1","dimensions":["d"],"stat_type":"counter","value_field":"value","rule":"r1"},{"type":"alerts","series":"m2","dimensions":[],"stat_type":"gauge","value_field":"value","rule":"r2"}]}}""",
+      // allow-listed + region (CW path)
+      header + """{"dim1":"dv","region":"reg","value":2,"_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"ContainerExitCount","dimensions":["dim1"],"stat_type":"counter","value_field":"value","rule":"exit"}]}}""",
+      // allow-listed w/o region → default tag, no CW
+      header + """{"dim1":"dv","value":2,"_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"ContainerExitCount","dimensions":["dim1"],"stat_type":"counter","value_field":"value","rule":"exit"}]}}""",
+      // process-metrics (counter + guage typo + missing-field non-match + numeric title non-match)
+      header + """{"via":"process-metrics","source":"s","title":"t1","type":"counter","value":5}""",
+      header + """{"via":"process-metrics","source":"s","title":"t2","type":"guage","value":0.5}""",
+      header + """{"via":"process-metrics","source":"s","title":"t3"}""",
+      header + """{"via":"process-metrics","source":"s","title":42,"type":"counter"}""",
+      // rds rule
+      "2019-10-09T20:19:43.000000+00:00 aws-rds production--db/arn[1]: " + """{"user":"clever[clever]"}""",
+      "2019-10-09T20:19:43.000000+00:00 aws-rds production--db/arn[1]: " + """{"user":"rdsadmin[rdsadmin]"}""",
+      "2019-10-09T20:19:43.000000+00:00 aws-rds production--db/arn[1]: " + """{"nouser":1}""",
+      // mongo rule (match, COLLSCAN, non-match)
+      header + "[conn1] update clever.students nscanned:1 2964ms",
+      header + "[conn2] query biz.mau planSummary: COLLSCAN nscanned:0 168ms",
+      header + "not a mongo line at all",
+      // envelope-dim lookups + env--app decode edge
+      header + s"""{${kv("e1", "\"hostname\",\"container_app\",\"programname\"", "counter", "value")}}""",
+      "2017-08-15T18:39:07.000000+00:00 h noprog[1]: " + s"""{${kv("e2", "\"container_app\"", "counter", "value")}}""",
+      // garbage / unparseable headers
+      "total garbage",
+      " ",
+      "2017-13-45T99:99:99 bad-ts host--x/arn[1]: {}"
+    )
+  }
+
+  private def declarative(df: DataFrame): MetricProject.Projected =
+    MetricProject.project(RouteEngine.withRoutes(LogParse.parse(df, "test-env")))
+
+  test("fast dd lane ≡ declarative dd on full branch corpus") {
+    val raw = corpus.toDF("raw")
+    val slow = declarative(raw).dd
+      .select(col("metric"), col("type"), col("tags"), col("point_ts"), col("point_value"), col("rule"), col("tag"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Seq[String]](2).mkString("|"), r.getLong(3), r.getDouble(4), r.getString(5), r.getString(6)))
+      .sortBy(_.toString)
+    val fast = FastKayvee.dd(raw, "test-env")
+      .collect()
+      .map(d => (d.metric, d.`type`, d.tags.mkString("|"), d.point_ts, d.point_value, d.rule, d.tag))
+      .sortBy(_.toString)
+    assert(fast.length === slow.length)
+    fast.zip(slow).foreach { case (f, s) => assert(f === s) }
+  }
+
+  test("fast cw lane ≡ declarative cw") {
+    val raw = corpus.toDF("raw")
+    val slow = declarative(raw).cw
+      .select(
+        col("metric_name"),
+        transform(col("dimensions"), d => concat(d.getField("name"), lit("="), d.getField("value"))).as("dims"),
+        col("value"), unix_timestamp(col("timestamp")).as("ts_sec"), col("region_tag")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Seq[String]](1).mkString("|"), r.getDouble(2), r.getLong(3), r.getString(4)))
+      .sortBy(_.toString)
+    val fast = FastKayvee.cw(raw, "test-env")
+      .collect()
+      .map(c => (c.metric_name, c.dim_names.zip(c.dim_values).map { case (n, v) => s"$n=$v" }.mkString("|"), c.value, c.ts_sec, c.region_tag))
+      .sortBy(_.toString)
+    assert(fast.length === slow.length)
+    fast.zip(slow).foreach { case (f, s) => assert(f === s) }
+  }
+
+  test("fast lane error/skip accounting matches declarative splits") {
+    val raw = corpus.toDF("raw")
+    val out = declarative(raw)
+    val (nDead, nIgnored) = (out.deadLetter.count(), out.ignored.count())
+    // recompute via the fast path primitives
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val fastStates = corpus.map { l =>
+      FastKayvee.parseLine(l, "test-env", mapper) match {
+        case None                                 => "dead"
+        case Some(p) if p.routes.isEmpty          => "ignored"
+        case Some(p) =>
+          FastKayvee.encode(p) match {
+            case Left(_)  => "dead"
+            case Right(_) => "ok"
+          }
+      }
+    }
+    assert(fastStates.count(_ == "dead") === nDead)
+    assert(fastStates.count(_ == "ignored") === nIgnored)
+  }
+}
