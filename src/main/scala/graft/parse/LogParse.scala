@@ -129,7 +129,10 @@ object LogParse {
         ))
       )
       // Record identity, assigned at parse time (the reference treats each
-      // raw Kinesis record as the unit of work).
-      .withColumn("record_id", monotonically_increasing_id())
+      // raw Kinesis record as the unit of work). Hash-based rather than
+      // monotonically_increasing_id so the same pipeline runs under
+      // Structured Streaming (which rejects m_i_id); duplicate raw lines
+      // share an id, which is the right correlation semantics anyway.
+      .withColumn("record_id", xxhash64(raw))
   }
 }

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.parse.LogParse
+import graft.routes.RouteEngine
+import graft.project.MetricProject
+
+/** O1/O2/O14/O15 — the streaming wrapper around the kayvee pipeline.
+  *
+  * Reference wiring (`main.go:54-59,85-86`): KCL source → 5 s / 100-record
+  * micro-batches per routing tag → Datadog/CloudWatch submit with 5×
+  * exponential-backoff retry (50 ms base) → failed records spilled to a
+  * file. Spark mapping: any `readStream` source (file/socket/kinesis
+  * connector in prod; MemoryStream in tests) → the SAME declarative
+  * parse/route/project operators (they are stateless narrow ops, so the
+  * logical plan is incrementalizable untouched) → `foreachBatch` sink that
+  * groups by tag, retries, and appends failures to a parquet dead-letter
+  * path (`FailedLogsFile` analog).
+  *
+  * Scale: the only stateful operator is the windowed volume aggregation
+  * (state store, watermark-bounded); everything else is narrow → the
+  * pipeline scales with source partitions (Kinesis shards ≙ partitions).
+  */
+object StreamPipeline {
+
+  /** Operating envelope, mirroring the reference's config (`main.go:54-59`). */
+  final case class Config(
+      deployEnv: String,
+      triggerInterval: String = "5 seconds", // BatchInterval (main.go:57)
+      retryAttempts: Int = 5, // alerts_consumer.go:257
+      retryBaseMs: Long = 50,
+      deadLetterPath: Option[String] = None, // FailedLogsFile (main.go:55)
+      checkpointLocation: Option[String] = None // KCL DynamoDB lease table analog
+  )
+
+  /** Per-tag batch delivery target (Datadog/CloudWatch client analog).
+    * Implementations may throw; delivery is retried with exponential
+    * backoff and dead-lettered on exhaustion. */
+  trait BatchSink extends Serializable {
+    def submit(tag: String, rows: Seq[Row]): Unit
+  }
+
+  /** 5-attempt exponential backoff, 50 ms base — `alerts_consumer.go:257`,
+    * `metrics.go:42`. */
+  def withRetry[T](attempts: Int, baseMs: Long)(f: => T): T = {
+    var delay = baseMs
+    var left = attempts
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          left -= 1
+          if (left <= 0) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The full metric pipeline on a streaming (or batch) raw-line frame. */
+  def metrics(raw: DataFrame, deployEnv: String): MetricProject.Projected =
+    MetricProject.project(RouteEngine.withRoutes(LogParse.parse(raw, deployEnv)))
+
+  /** Wires the dd lane into a foreachBatch sink with per-tag grouping
+    * (O14), retry (O19) and dead-letter spill (O15). Caller starts the
+    * returned writer. */
+  def deliver(
+      raw: DataFrame,
+      cfg: Config,
+      sink: BatchSink
+  ): DataStreamWriter[Row] = {
+    val out = metrics(raw, cfg.deployEnv)
+    val writer = out.dd.writeStream
+      .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-tag micro-batch grouping — the kbc per-tag flush analog.
+        // collect per tag is safe: one micro-batch of metric rows, already
+        // reduced; at scale use foreachPartition+grouping instead.
+        val byTag = batch.collect().groupBy(_.getAs[String]("tag"))
+        byTag.foreach { case (tag, rows) =>
+          try withRetry(cfg.retryAttempts, cfg.retryBaseMs)(sink.submit(tag, rows.toSeq))
+          catch {
+            case _: Exception =>
+              cfg.deadLetterPath.foreach { p =>
+                val spark = batch.sparkSession
+                import spark.implicits._
+                rows.map(_.toString).toSeq.toDF("failed_row")
+                  .write.mode("append").parquet(p)
+              }
+          }
+        }
+        ()
+      }
+    cfg.checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+  }
+
+  /** O16 streaming: watermarked 1-minute tumbling volume aggregation in
+    * update mode — the state store replaces the reference's double-buffered
+    * maps (and survives restarts, which the reference's in-memory maps do
+    * not; SURVEY.md §7.4 notes the deviation). */
+  def volumeAgg(raw: DataFrame, deployEnv: String, watermark: String = "2 minutes"): DataFrame = {
+    val parsed = LogParse.parse(raw, deployEnv).withWatermark("ts", watermark)
+    parsed
+      .groupBy(
+        window(col("ts"), "1 minute").as("w"),
+        coalesce(when(col("container_env") =!= "", col("container_env")), lit("unknown")).as("env"),
+        coalesce(when(col("container_app") =!= "", col("container_app")), lit("unknown")).as("application"),
+        coalesce(when(col("team") =!= "", col("team")), lit("unknown")).as("team")
+      )
+      .agg(count(lit(1)).as("log_volume_count"), sum(col("nbytes")).as("log_volume_size"))
+      .select(col("w.start").as("window_start"), col("env"), col("application"), col("team"),
+        col("log_volume_count"), col("log_volume_size"))
+  }
+
+  /** O17 streaming: max pipeline delay per trigger via `observe` — the
+    * lock-free-atomic analog; read from QueryProgress events. */
+  def withDelayObserver(dd: DataFrame): DataFrame =
+    dd.observe("delay", max(unix_timestamp(current_timestamp()) - col("point_ts")).as("max_delay_sec"))
+}
