@@ -244,6 +244,28 @@ object RelationalQueries {
       Tables(s, dir).events.select(col("user_id"), col("event_type")).distinct()
     },
 
+    // SURVEY §2.1's `q_dedup` name: dropDuplicates over a value tuple.
+    q(
+      "q_dedup",
+      "SELECT DISTINCT user_id, event_type, value FROM events"
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("value"))
+        .dropDuplicates()
+    },
+
+    // Approximate distinct (HLL) — the 100 TB path where exact distinct is
+    // too expensive; declared without a SQL oracle (rows-only check): HLL
+    // estimates are engine-specific.
+    QueryDef.noOracle("q_agg_approx_distinct") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n")
+        )
+    },
+
     // Keep-first dedup: earliest event per (user, type) — window + filter,
     // with WindowGroupLimit pruning rows before the full sort at scale.
     q(

@@ -45,7 +45,9 @@ object SimilarityQueries {
   private val dotSqlLambda =
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
-  val defs: Seq[QueryDef] = Seq(
+  def defs: Seq[QueryDef] = base :+ ivf
+
+  private val base: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-5 for 8 query vectors. The query side is
     // broadcast; rank via window with total tiebreak.
@@ -112,6 +114,56 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
     }
   )
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every 251st vector is
+    * a "centroid"), one-pass cell assignment by max cosine, then top-3
+    * search restricted to the query's cell (nprobe=1). At 100 TB: centroids
+    * broadcast, assignment is a narrow map, search is a cell-partitioned
+    * join instead of a full scan. */
+  val ivf: QueryDef = q(
+    "q_similarity_ivf",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+      |assign AS (
+      |  SELECT vec_id, e, nrm, c_id FROM (
+      |    SELECT a.vec_id, a.e, a.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+      |        c.c_id) AS rn
+      |    FROM n a CROSS JOIN c) WHERE rn = 1)
+      |SELECT q_id, vec_id, rank, round(cos, 4) AS cos FROM (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+      |    list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) DESC,
+      |      b.vec_id) AS rank
+      |  FROM assign a JOIN assign b ON a.vec_id < 8 AND a.c_id = b.c_id AND b.vec_id <> a.vec_id)
+      |WHERE rank <= 3""".stripMargin
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = v.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val assign = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine2(col("e"), col("nrm"), col("ce"), col("cn")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id"))
+    val queries = assign.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
+    assign.join(broadcast(queries), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine2(col("qe"), col("qn"), col("e"), col("nrm")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** cosine with precomputed norms. */
+  private def cosine2(a: Column, na: Column, b: Column, nb: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v) / (na * nb)
 
   /** LSH oracle: hyperplane weights from the same md5-parity construction. */
   private lazy val lshSql: String = {
