@@ -234,11 +234,7 @@ object DedupQueries {
       val a = n.select(col("vec_id").as("vec_a"), col("label"), col("e").as("ea"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("e").as("eb"), col("nrm").as("nb"))
       a.join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
-        .withColumn(
-          "cos",
-          aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
-            (col("na") * col("nb"))
-        )
+        .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("ea"), col("eb")))
         .filter(col("cos") >= 0.98)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     }

@@ -72,11 +72,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
       v.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn(
-          "cos",
-          aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
-            (col("qn") * col("nrm"))
-        )
+        .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
         .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
@@ -95,22 +91,15 @@ object SimilarityQueries {
       val sig = v.withColumn(
         "sig",
         concat((0 until 8).map { p =>
-          val w = planes(p)
-          val dotP = aggregate(
-            zip_with(col("e"), lit(w).cast("array<double>"), (x, y) => x * y),
-            lit(0.0), (a, x) => a + x
-          )
+          val dotP = graft.functions.VectorExpressions
+            .dotProduct(col("e"), lit(planes(p)).cast("array<double>"))
           when(dotP > 0, "1").otherwise("0")
         }: _*)
-      ).withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+      )
       val queries = sig.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("sig").as("qsig"))
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
       sig.join(broadcast(queries), col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
-        .withColumn(
-          "cos",
-          aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
-            (col("qn") * col("nrm"))
-        )
+        .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
     }
   )
@@ -148,14 +137,14 @@ object SimilarityQueries {
     val cents = v.filter(col("vec_id") % 251 === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val assign = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine2(col("e"), col("nrm"), col("ce"), col("cn")))
+      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("c_id"))
     val queries = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
     assign.join(broadcast(queries), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine2(col("qe"), col("qn"), col("e"), col("nrm")))
+      .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
