@@ -134,18 +134,15 @@ object DedupQueries {
          |${jaccardSql("pairs", 0.3)}""".stripMargin
     ) { (s, dir) =>
       val sh = shingles(corpus(s, dir))
-      val minh = sh
-        .crossJoin(spark_range_j(s))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(md5(concat(col("j"), lit("#"), col("s")))).as("h"))
-      val bands = minh
-        .groupBy(col("doc_id"), expr("j div 2").as("b"))
-        .agg(
-          md5(concat(
-            max(when(col("j") % 2 === 0, col("h"))),
-            max(when(col("j") % 2 === 1, col("h")))
-          )).as("bv")
-        )
+      // 8 min-hashes as 8 aggregates in ONE pass over the shingle rows —
+      // no hash-index cross join, no 8× row blow-up before the shuffle
+      val minhAggs = (0 until 8).map(j => min(md5(concat(lit(s"$j#"), col("s")))).as(s"h$j"))
+      val minh = sh.groupBy(col("doc_id")).agg(minhAggs.head, minhAggs.tail: _*)
+      val bands = minh.select(
+        col("doc_id"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("b"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bv"))): _*)).as("band")
+      ).select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
       val cands = bands.select(col("doc_id").as("doc_a"), col("b"), col("bv"))
         .join(
           bands.select(col("doc_id").as("doc_b"), col("b").as("b2"), col("bv").as("bv2")),
@@ -239,9 +236,6 @@ object DedupQueries {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     }
   )
-
-  private def spark_range_j(s: SparkSession): DataFrame =
-    s.range(0, 8).select(col("id").cast("int").as("j"))
 
   /** SimHash oracle SQL — the 60 per-bit majority sums are generated
     * programmatically to mirror the Spark 60-agg single-pass shape. */
