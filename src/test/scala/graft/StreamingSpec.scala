@@ -103,6 +103,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup with watermark drops duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val parsed = graft.parse.LogParse.parse(
+      ms.toDF().withColumnRenamed("value", "raw"), "test-env")
+    val deduped = parsed
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("record_id"))
+      .select(col("record_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(golden)
+      q.processAllAvailable()
+      ms.addData(golden, regionLine) // golden is a duplicate (same raw → same record_id)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(DISTINCT record_id) FROM dedup_out").head.getLong(0) === 2)
+      assert(spark.sql("SELECT count(*) FROM dedup_out").head.getLong(0) === 2)
+    } finally q.stop()
+  }
+
   test("checkpointed restart does not reprocess delivered records") {
     val dir = Files.createTempDirectory("graft-restart")
     val srcDir = dir.resolve("src").toString
