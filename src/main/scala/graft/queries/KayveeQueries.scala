@@ -359,6 +359,54 @@ object KayveeQueries {
       )
     },
 
+    // O9 + §7.4 error semantics — the three-way stream split (valid /
+    // dead-letter / intentionally-skipped) with exact error strings,
+    // oracle-checked: one bad route poisons the whole record.
+    q(
+      "q_error_split",
+      s"""$withE
+         |SELECT event_type, 'ignored' AS status, count(*) AS n, '' AS err
+         |FROM e WHERE k % 3 = 0 GROUP BY event_type
+         |UNION ALL
+         |SELECT event_type, 'dead', count(*),
+         |  'error casting dimension value. rule=evt dim=bad'
+         |FROM e WHERE k % 3 = 1 GROUP BY event_type
+         |UNION ALL
+         |SELECT event_type, 'ok', count(*), '' FROM e WHERE k % 3 = 2 GROUP BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"title\":\""), col("event_type"),
+        lit("\",\"bad\":{\"x\":1}"),
+        when(
+          col("k") % 3 === 1,
+          concat(lit(",\"_kvmeta\":{\"team\":\"t\",\"routes\":[{\"type\":\"alerts\",\"series\":\"events."), col("event_type"),
+            lit("\",\"dimensions\":[\"bad\",\"title\"],\"stat_type\":\"counter\",\"value_field\":\"value\",\"rule\":\"evt\"}]}"))
+        ).when(
+          col("k") % 3 === 2,
+          concat(lit(",\"_kvmeta\":{\"team\":\"t\",\"routes\":[{\"type\":\"alerts\",\"series\":\"events."), col("event_type"),
+            lit("\",\"dimensions\":[\"title\"],\"stat_type\":\"counter\",\"value_field\":\"value\",\"rule\":\"evt\"}]}"))
+        ).otherwise(lit("")),
+        lit("}")
+      )
+      val out = MetricProject.project(RouteEngine.withRoutes(LogParse.parse(lines(s, dir, body), "prod")))
+      def typeOf(df: DataFrame) =
+        try_variant_get(try_element_at(col("fields"), lit("title")), "$", "string")
+      val dead = out.deadLetter
+        .groupBy(typeOf(out.deadLetter).as("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("record_err")).as("err"))
+        .withColumn("status", lit("dead"))
+      val ignored = out.ignored
+        .groupBy(typeOf(out.ignored).as("event_type"))
+        .agg(count(lit(1)).as("n"), min(lit("")).as("err"))
+        .withColumn("status", lit("ignored"))
+      val ok = out.dd
+        .groupBy(col("metric").substr(lit(11), lit(100)).as("event_type"))
+        .agg(count(lit(1)).as("n"), min(lit("")).as("err"))
+        .withColumn("status", lit("ok"))
+      dead.unionByName(ignored).unionByName(ok)
+        .select(col("event_type"), col("status"), col("n"), col("err"))
+    },
+
     // Streaming-style session windows over events (30-minute gap), batch
     // analog of `session_window` state merging.
     q(

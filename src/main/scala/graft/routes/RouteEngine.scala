@@ -115,7 +115,10 @@ object RouteEngine {
     val op = regexp_extract(col("rawlog"), mongoRegex, 1)
     val ns = regexp_extract(col("rawlog"), mongoRegex, 2)
     val ms = regexp_extract(col("rawlog"), mongoRegex, 3)
-    val mongoMatch = col("rawlog").isNotNull && op =!= "" && ms =!= ""
+    // cheap prefix guard short-circuits the (anchored) regex for the vast
+    // majority of records — the regex itself only runs on "[conn…" lines
+    val mongoMatch =
+      col("rawlog").isNotNull && col("rawlog").startsWith("[conn") && op =!= "" && ms =!= ""
     val mongoDims = array(lit("hostname"), lit("operation"), lit("namespace"), lit("is_collscan"))
     val mongoRoutes = when(
       mongoMatch,
