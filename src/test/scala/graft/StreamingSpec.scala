@@ -124,6 +124,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState delay tracker: gauge emitted on timeout, then reset") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val anchor = 1700000000L
+    val points = ms.toDF().toDF("key", "point_ts")
+    val gauges = graft.streaming.DelayTracker
+      .track(points, intervalMs = 100, nowSec = () => anchor + 60)
+    val q = gauges.writeStream.format("memory").queryName("delays")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      ms.addData(("app-a", anchor + 50), ("app-a", anchor + 20), ("app-b", anchor + 59))
+      // gauges appear once the processing-time timeout fires on a later
+      // trigger; poll with a deadline (processAllAvailable doesn't settle
+      // while timeouts are pending)
+      val deadline = System.currentTimeMillis() + 60000
+      def rows() = spark.sql("SELECT key, max_delay_sec FROM delays").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      while (rows().size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(rows().get("app-a").contains(40L)) // max(60-50, 60-20)
+      assert(rows().get("app-b").contains(1L))
+    } finally q.stop()
+  }
+
   test("checkpointed restart does not reprocess delivered records") {
     val dir = Files.createTempDirectory("graft-restart")
     val srcDir = dir.resolve("src").toString
