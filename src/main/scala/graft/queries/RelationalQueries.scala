@@ -164,6 +164,42 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_mktsegment"))
     },
 
+    // As-of join — an operator Spark lacks natively (DuckDB has ASOF JOIN):
+    // for each event, the latest order of that customer at or before the
+    // event time. Composed from built-ins: tag both sides, union, one
+    // window pass carrying the last-seen order forward — a single shuffle
+    // on (key, time), no range-explosion, skew-safe at scale.
+    q(
+      "q_join_asof",
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, od.o_orderkey
+        |FROM events e ASOF JOIN od
+        |  ON od.o_custkey = e.user_id AND od.o_orderdate <= e.ts""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val od = t.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val orderSide = od.select(
+        // o_orderdate is TIMESTAMP_NTZ in parquet; session TZ is UTC
+        col("o_custkey").as("k"), unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"), col("o_orderkey")
+      )
+      val eventSide = t.events.select(
+        col("user_id").as("k"), expr("ts div 1000").as("t"),
+        lit(1).as("is_event"), col("event_id"), lit(null).cast("long").as("o_orderkey")
+      )
+      // at equal t the order sorts first (is_event asc) — the inclusive <=
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orderSide.unionByName(eventSide)
+        .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1 && col("asof_orderkey").isNotNull)
+        .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey").as("o_orderkey"))
+    },
+
     // Set operations on keys.
     q(
       "q_set_ops",
