@@ -105,27 +105,39 @@ object MetricProject {
     when(schema_of_variant(f) === "STRING", f.cast("string"))
   }
 
+  /** Adds `record_err` (first hard error, or null) and `status`
+    * ('ok' | 'dead' | 'ignored') in one pass — the record-level split
+    * decision without materializing three frames. */
+  def withStatus(routed: DataFrame): DataFrame =
+    routed
+      .withColumn(
+        "record_err",
+        // unparseable header (null ts) → the `decode.ParseAndEnhance` error
+        // analog, checked before anything else (`alerts_consumer.go:55-63`,
+        // `:111-114`); otherwise first route error wins (early return)
+        when(col("ts").isNull, lit("unable parse Time from message's 'timestamp' field"))
+          .otherwise(
+            try_element_at(
+              filter(transform(col("routes"), r => routeErr(r)), e => e.isNotNull),
+              lit(1)
+            )
+          )
+      )
+      .withColumn(
+        "status",
+        when(col("record_err").isNotNull, "dead")
+          // O9 — zero routes → intentionally skipped (`alerts_consumer.go:101-103`)
+          .when(size(col("routes")) === 0, "ignored")
+          .otherwise("ok")
+      )
+
   def project(routed: DataFrame): Projected = {
     val allowlist = KayveeModel.cloudwatchAllowList
 
-    val withErr = routed.withColumn(
-      "record_err",
-      // unparseable header (null ts) → the `decode.ParseAndEnhance` error
-      // analog, checked before anything else (`alerts_consumer.go:55-63`,
-      // `:111-114`); otherwise first route error wins (early return)
-      when(col("ts").isNull, lit("unable parse Time from message's 'timestamp' field"))
-        .otherwise(
-          try_element_at(
-            filter(transform(col("routes"), r => routeErr(r)), e => e.isNotNull),
-            lit(1)
-          )
-        )
-    )
-
-    val deadLetter = withErr.filter(col("record_err").isNotNull)
-    // O9 — zero routes → intentionally skipped (`alerts_consumer.go:101-103`)
-    val ignored = withErr.filter(col("record_err").isNull && size(col("routes")) === 0)
-    val valid = withErr.filter(col("record_err").isNull && size(col("routes")) > 0)
+    val withErr = withStatus(routed)
+    val deadLetter = withErr.filter(col("status") === "dead")
+    val ignored = withErr.filter(col("status") === "ignored")
+    val valid = withErr.filter(col("status") === "ok")
 
     // O13/O14 — routing tag: an AWS region only when an allow-listed series
     // is present AND the record carries region/pod-region; else "default"

@@ -388,22 +388,13 @@ object KayveeQueries {
         ).otherwise(lit("")),
         lit("}")
       )
-      val out = MetricProject.project(RouteEngine.withRoutes(LogParse.parse(lines(s, dir, body), "prod")))
-      def typeOf(df: DataFrame) =
-        try_variant_get(try_element_at(col("fields"), lit("title")), "$", "string")
-      val dead = out.deadLetter
-        .groupBy(typeOf(out.deadLetter).as("event_type"))
-        .agg(count(lit(1)).as("n"), min(col("record_err")).as("err"))
-        .withColumn("status", lit("dead"))
-      val ignored = out.ignored
-        .groupBy(typeOf(out.ignored).as("event_type"))
-        .agg(count(lit(1)).as("n"), min(lit("")).as("err"))
-        .withColumn("status", lit("ignored"))
-      val ok = out.dd
-        .groupBy(col("metric").substr(lit(11), lit(100)).as("event_type"))
-        .agg(count(lit(1)).as("n"), min(lit("")).as("err"))
-        .withColumn("status", lit("ok"))
-      dead.unionByName(ignored).unionByName(ok)
+      // single pass: status computed once per record, then one hash agg
+      MetricProject.withStatus(RouteEngine.withRoutes(LogParse.parse(lines(s, dir, body), "prod")))
+        .groupBy(
+          try_variant_get(try_element_at(col("fields"), lit("title")), "$", "string").as("event_type"),
+          col("status")
+        )
+        .agg(count(lit(1)).as("n"), min(coalesce(col("record_err"), lit(""))).as("err"))
         .select(col("event_type"), col("status"), col("n"), col("err"))
     },
 
