@@ -114,14 +114,18 @@ object MetricProject {
         "record_err",
         // unparseable header (null ts) → the `decode.ParseAndEnhance` error
         // analog, checked before anything else (`alerts_consumer.go:55-63`,
-        // `:111-114`); otherwise first route error wins (early return)
-        when(col("ts").isNull, lit("unable parse Time from message's 'timestamp' field"))
-          .otherwise(
-            try_element_at(
-              filter(transform(col("routes"), r => routeErr(r)), e => e.isNotNull),
-              lit(1)
+        // `:111-114`); otherwise first route error wins (early return).
+        // Fenced: consumers reference it several times (status, filters,
+        // aggregates) and the routeErr scan must run once per record.
+        graft.plans.OptimizerBarrier.once(
+          when(col("ts").isNull, lit("unable parse Time from message's 'timestamp' field"))
+            .otherwise(
+              try_element_at(
+                filter(transform(col("routes"), r => routeErr(r)), e => e.isNotNull),
+                lit(1)
+              )
             )
-          )
+        )
       )
       .withColumn(
         "status",
