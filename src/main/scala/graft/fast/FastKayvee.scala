@@ -289,6 +289,36 @@ object FastKayvee {
     }
   }
 
+  /** One determined route, pre-projection (O4-O8 output). `record_key` is
+    * the value of `keyField` in the JSON body when numeric (join key for
+    * route-level analyses); -1 when absent. */
+  final case class RouteOut(
+      record_key: Long,
+      series: String,
+      stat_type: String,
+      value_field: String,
+      rule: String,
+      n_dims: Int
+  )
+
+  /** Route-determination lane: raw lines → one row per determined route. */
+  def routes(raw: DataFrame, deployEnv: String, keyField: String): Dataset[RouteOut] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select(raw.columns.head).as[String].mapPartitions { it =>
+      val mapper = new ObjectMapper
+      it.flatMap { line =>
+        parseLine(line, deployEnv, mapper).toSeq.flatMap { p =>
+          val key = p.field(keyField) match {
+            case Some(FNum(d)) => d.toLong
+            case _             => -1L
+          }
+          p.routes.map(r => RouteOut(key, r.series, r.statType, r.valueField, r.rule, r.dimensions.size))
+        }
+      }
+    }
+  }
+
   /** CloudWatch lane: allow-listed series w/ resolvable region. */
   def cw(raw: DataFrame, deployEnv: String): Dataset[CW] = {
     val spark = raw.sparkSession

@@ -118,18 +118,10 @@ object KayveeQueries {
         ).otherwise(lit("")),
         lit("]}}")
       )
-      RouteEngine.withRoutes(LogParse.parse(lines(s, dir, body), "prod"))
+      graft.fast.FastKayvee.routes(lines(s, dir, body), "prod", "event_id")
         .select(
-          try_variant_get(try_element_at(col("fields"), lit("event_id")), "$", "bigint").as("event_id"),
-          explode(col("routes")).as("route")
-        )
-        .select(
-          col("event_id"),
-          col("route.series").as("series"),
-          col("route.stat_type").as("stat_type"),
-          col("route.value_field").as("value_field"),
-          col("route.rule").as("rule"),
-          size(col("route.dimensions")).as("n_dims")
+          col("record_key").as("event_id"),
+          col("series"), col("stat_type"), col("value_field"), col("rule"), col("n_dims")
         )
     },
 

@@ -96,6 +96,23 @@ class FastKayveeParitySpec extends SparkSpec {
     fast.zip(slow).foreach { case (f, s) => assert(f === s) }
   }
 
+  test("fast routes lane ≡ declarative route determination") {
+    val raw = corpus.toDF("raw")
+    val slow = RouteEngine.withRoutes(LogParse.parse(raw, "test-env"))
+      .filter(col("ts").isNotNull)
+      .select(explode(col("routes")).as("r"))
+      .select(col("r.series"), col("r.stat_type"), col("r.value_field"), col("r.rule"),
+        size(col("r.dimensions")).as("nd"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4)))
+      .sortBy(_.toString)
+    val fast = FastKayvee.routes(raw, "test-env", "event_id")
+      .collect()
+      .map(r => (r.series, r.stat_type, r.value_field, r.rule, r.n_dims))
+      .sortBy(_.toString)
+    assert(fast.toSeq === slow.toSeq)
+  }
+
   test("fast lane error/skip accounting matches declarative splits") {
     val raw = corpus.toDF("raw")
     val out = declarative(raw)
