@@ -15,7 +15,8 @@ object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     RelationalQueries.defs ++ KayveeQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
+      FunctionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef.q
+
+/** Scalar/window/pivot function coverage beyond what the pipeline queries
+  * already exercise: lead/lag, pivot, string functions, date/time parts,
+  * exact percentiles. All Catalyst built-ins, all codegen-friendly.
+  */
+object FunctionQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // lead/lag — inter-event gaps per user.
+    q(
+      "q_window_lead_lag",
+      """SELECT event_id, user_id,
+        |  floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("ts_sec", expr("ts div 1000000000"))
+        .select(
+          col("event_id"), col("user_id"),
+          (col("ts_sec") - lag(col("ts_sec"), 1).over(w)).as("gap_sec"),
+          lead(col("event_type"), 1).over(w).as("next_type")
+        )
+    },
+
+    // Pivot — per-user event-type counts as columns. The oracle spells the
+    // same shape with CASE sums (engine-portable pivot).
+    q(
+      "q_pivot",
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+        |FROM events GROUP BY user_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // String functions over documents: case, trim/pad, substring, replace,
+    // split-part, edit distance between the first two tokens.
+    q(
+      "q_string_funcs",
+      """SELECT doc_id,
+        |  upper(string_split(text, ' ')[1]) AS first_upper,
+        |  lpad(string_split(text, ' ')[2], 12, '_') AS second_padded,
+        |  substr(text, 1, 16) AS head16,
+        |  replace(substr(text, 1, 32), ' ', '-') AS dashed,
+        |  levenshtein(string_split(text, ' ')[1], string_split(text, ' ')[2]) AS edit_dist,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        upper(element_at(toks, 1)).as("first_upper"),
+        lpad(element_at(toks, 2), 12, "_").as("second_padded"),
+        substring(col("text"), 1, 16).as("head16"),
+        regexp_replace(substring(col("text"), 1, 32), " ", "-").as("dashed"),
+        levenshtein(element_at(toks, 1), element_at(toks, 2)).as("edit_dist"),
+        length(col("text")).as("n_chars")
+      )
+    },
+
+    // Date/time parts and arithmetic over orders.
+    q(
+      "q_date_funcs",
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+        |  dayofweek(o_orderdate)::INT % 7 AS dow,
+        |  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate)::INT AS days_since_95
+        |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        // DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 → align
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").as("due_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since_95")
+      )
+    },
+
+    // Exact interpolated percentiles (both engines: linear interpolation).
+    q(
+      "q_agg_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          // percentile() is Spark's exact linear-interpolated quantile —
+          // same semantics as DuckDB quantile_cont (percentile_approx
+          // returns an actual data value, which would NOT match)
+          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
+          round(percentile(col("l_quantity"), lit(0.25)), 2).as("q1_qty")
+        )
+    }
+  )
+}
