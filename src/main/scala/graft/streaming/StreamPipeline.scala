@@ -26,14 +26,18 @@ import graft.project.MetricProject
   */
 object StreamPipeline {
 
-  /** Operating envelope, mirroring the reference's config (`main.go:54-59`). */
+  /** Operating envelope, mirroring the reference's config (`main.go:54-59`).
+    * `fastLane` switches the dd projection to the imperative FastKayvee
+    * implementation (same semantics — FastKayveeParitySpec — at ~8× the
+    * per-line throughput; dead-letter splitting stays declarative). */
   final case class Config(
       deployEnv: String,
       triggerInterval: String = "5 seconds", // BatchInterval (main.go:57)
       retryAttempts: Int = 5, // alerts_consumer.go:257
       retryBaseMs: Long = 50,
       deadLetterPath: Option[String] = None, // FailedLogsFile (main.go:55)
-      checkpointLocation: Option[String] = None // KCL DynamoDB lease table analog
+      checkpointLocation: Option[String] = None, // KCL DynamoDB lease table analog
+      fastLane: Boolean = false
   )
 
   /** Per-tag batch delivery target (Datadog/CloudWatch client analog).
@@ -73,8 +77,10 @@ object StreamPipeline {
       cfg: Config,
       sink: BatchSink
   ): DataStreamWriter[Row] = {
-    val out = metrics(raw, cfg.deployEnv)
-    val writer = out.dd.writeStream
+    val dd =
+      if (cfg.fastLane) graft.fast.FastKayvee.dd(raw, cfg.deployEnv).toDF()
+      else metrics(raw, cfg.deployEnv).dd
+    val writer = dd.writeStream
       .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // per-tag micro-batch grouping — the kbc per-tag flush analog.

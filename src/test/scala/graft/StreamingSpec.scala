@@ -103,6 +103,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fast-lane streaming delivery matches declarative-lane output") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset()
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(raw, Config("test-env", triggerInterval = "1 seconds", fastLane = true), new TestSink)
+      .start()
+    try {
+      ms.addData(golden, regionLine)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byTag = SinkState.delivered.asScala.toSeq.groupBy(_._1)
+    assert(byTag.keySet === Set("default", "us-west-2"))
+    assert(byTag.values.flatten.map(_._2).sum === 2)
+  }
+
   test("streaming dedup with watermark drops duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
