@@ -131,6 +131,49 @@ object TextQueries {
       )
     },
 
+    // Repetition-based quality filter (Gopher-style): duplicate-bigram
+    // ratio + top-token dominance; both computed in one pass (array ops per
+    // row + one small groupBy for the token mode).
+    q(
+      "q_quality_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |mode_freq AS (
+        |  SELECT doc_id, max(c) AS top FROM (
+        |    SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, t) GROUP BY doc_id),
+        |feats AS (
+        |  SELECT doc_id, len(l) AS n,
+        |    1.0 - len(list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |      i -> l[i] || '_' || l[i+1])))::DOUBLE / (len(l) - 1) AS dup2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |SELECT f.doc_id, round(f.dup2, 4) AS dup2_ratio,
+        |  round(m.top::DOUBLE / f.n, 4) AS top_tok_ratio,
+        |  (f.dup2 > 0.5 OR m.top::DOUBLE / f.n > 0.2) AS low_quality
+        |FROM feats f JOIN mode_freq m ON f.doc_id = m.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val modeFreq = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top"))
+      val feats = docs
+        .withColumn("l", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("l")).as("n"),
+          (lit(1.0) - size(array_distinct(transform(
+            sequence(lit(1), size(col("l")) - 1),
+            i => concat_ws("_", element_at(col("l"), i), element_at(col("l"), i + 1))
+          ))).cast("double") / (size(col("l")) - 1)).as("dup2")
+        )
+      feats.join(modeFreq, "doc_id").select(
+        col("doc_id"),
+        round(col("dup2"), 4).as("dup2_ratio"),
+        round(col("top").cast("double") / col("n"), 4).as("top_tok_ratio"),
+        (col("dup2") > 0.5 || col("top").cast("double") / col("n") > 0.2).as("low_quality")
+      )
+    },
+
     // Document fingerprints: exact (md5 of text) and canonical (md5 of the
     // sorted distinct token set — order/duplication-insensitive).
     q(
