@@ -87,6 +87,15 @@ object FastKayvee {
       derived: Map[String, FV], // mongo-rule additions
       routes: Seq[Route]
   ) {
+    /** `team` field, else `_kvmeta.team` (`alerts_consumer.go:86-89`). */
+    def team: Option[String] =
+      (if (body == null) None
+       else
+         Option(body.get("team")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
+           .orElse {
+             val t = body.path("_kvmeta").path("team")
+             if (t.isTextual && t.asText.nonEmpty) Some(t.asText) else None
+           })
     /** envelope wins over body (LAST_WIN map_concat parity). */
     def field(name: String): Option[FV] = name match {
       case "hostname" | "Hostname" => Option(hostname).map(FStr)
@@ -284,6 +293,36 @@ object FastKayvee {
         parseLine(line, deployEnv, mapper) match {
           case Some(p) => encode(p).getOrElse(Nil)
           case None    => Nil
+        }
+      }
+    }
+  }
+
+  /** One volume-accounting row per parsed record (O16 input). */
+  final case class VolumeRow(
+      window_start: Long, // minute bucket, epoch seconds
+      env: String,
+      application: String,
+      team: String,
+      nbytes: Long
+  )
+
+  /** Volume lane: raw lines → per-record accounting rows ("unknown"
+    * null-fills per `metrics.go:49-57`); group downstream. */
+  def volume(raw: DataFrame, deployEnv: String): Dataset[VolumeRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select(raw.columns.head).as[String].mapPartitions { it =>
+      val mapper = new ObjectMapper
+      it.flatMap { line =>
+        parseLine(line, deployEnv, mapper).map { p =>
+          VolumeRow(
+            p.tsSec / 60 * 60,
+            Option(p.containerEnv).filter(_.nonEmpty).getOrElse("unknown"),
+            Option(p.containerApp).filter(_.nonEmpty).getOrElse("unknown"),
+            p.team.getOrElse("unknown"),
+            line.length.toLong
+          )
         }
       }
     }

@@ -170,10 +170,15 @@ object DedupQueries {
     ) { (s, dir) =>
       val tok = corpus(s, dir)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h1", md5(concat(col("tok"), lit("A"))))
-        .withColumn("h2", md5(concat(col("tok"), lit("B"))))
-      def bitSrc(i: Int) = if (i <= 32) substring(col("h1"), i, 1) else substring(col("h2"), i - 32, 1)
-      val aggs = (1 to 60).map(i => sum(ascii(bitSrc(i)) % 2).as(s"o$i")) :+ count(lit(1)).as("ntok")
+        .withColumn("h", md5(col("tok")))
+      // ONE md5 per token: each hex char carries 4 bits (its value), so 32
+      // chars cover the 60-bit signature. hexval = ascii<97 ? ascii-48 : ascii-87.
+      def bit(i: Int) = {
+        val c = ascii(substring(col("h"), (i - 1) / 4 + 1, 1))
+        val v = when(c < 97, c - 48).otherwise(c - 87)
+        shiftright(v, (i - 1) % 4).bitwiseAND(lit(1))
+      }
+      val aggs = (1 to 60).map(i => sum(bit(i)).as(s"o$i")) :+ count(lit(1)).as("ntok")
       val bitsums = tok.groupBy(col("doc_id"), col("lang")).agg(aggs.head, aggs.tail: _*)
       val sig = bitsums.select(
         col("doc_id"), col("lang"),
@@ -238,10 +243,13 @@ object DedupQueries {
   )
 
   /** SimHash oracle SQL — the 60 per-bit majority sums are generated
-    * programmatically to mirror the Spark 60-agg single-pass shape. */
+    * programmatically to mirror the Spark 60-agg single-pass shape (one
+    * md5 per token; 4 bits per hex char). */
   private lazy val simhashSql: String = {
+    def hexval(i: Int) =
+      s"(CASE WHEN ascii(md5(tok)[${(i - 1) / 4 + 1}]) < 97 THEN ascii(md5(tok)[${(i - 1) / 4 + 1}]) - 48 ELSE ascii(md5(tok)[${(i - 1) / 4 + 1}]) - 87 END)"
     val sums = (1 to 60)
-      .map(i => s"sum(ascii(md5(tok || '${if (i <= 32) "A" else "B"}')[${(i - 1) % 32 + 1}]) % 2) AS o$i")
+      .map(i => s"sum((${hexval(i)} >> ${(i - 1) % 4}) & 1) AS o$i")
       .mkString(",\n")
     val sigTerms = (1 to 60)
       .map(i => s"(CASE WHEN 2 * o$i > n THEN ${1L << (i - 1)}::BIGINT ELSE 0::BIGINT END)")

@@ -325,10 +325,9 @@ object KayveeQueries {
         lit("{\"event_id\":"), col("event_id"),
         lit(",\"_kvmeta\":{\"team\":\"team-"), col("user_id") % 7, lit("\",\"routes\":[]}}")
       )
-      val parsed = LogParse.parse(lines(s, dir, body), "prod")
-      Aggregations
-        .volumeByEnvAppTeam(parsed, unix_timestamp(date_trunc("minute", col("ts"))))
-        .withColumn("log_volume_size", col("log_volume_size").cast("long"))
+      graft.fast.FastKayvee.volume(lines(s, dir, body), "prod")
+        .groupBy(col("window_start"), col("env"), col("application"), col("team"))
+        .agg(count(lit(1)).as("log_volume_count"), sum(col("nbytes")).as("log_volume_size"))
     },
 
     // O17 — max pipeline delay vs a fixed anchor (2024-02-01T00:00:00Z),

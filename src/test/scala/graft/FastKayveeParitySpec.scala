@@ -113,6 +113,25 @@ class FastKayveeParitySpec extends SparkSpec {
     assert(fast.toSeq === slow.toSeq)
   }
 
+  test("fast volume lane ≡ declarative volume aggregation (parseable records)") {
+    val raw = corpus.toDF("raw")
+    // reference semantics: unparseable records error out before
+    // recordMetrics, so only ts-parseable rows are counted
+    val parsed = LogParse.parse(raw, "test-env").filter(col("ts").isNotNull)
+    val slow = graft.agg.Aggregations
+      .volumeByEnvAppTeam(parsed, unix_timestamp(date_trunc("minute", col("ts"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_.toString)
+    val fast = graft.fast.FastKayvee.volume(raw, "test-env")
+      .groupBy(col("window_start"), col("env"), col("application"), col("team"))
+      .agg(count(lit(1)).as("n"), sum(col("nbytes")).as("sz"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_.toString)
+    assert(fast.toSeq === slow.toSeq)
+  }
+
   test("fast lane error/skip accounting matches declarative splits") {
     val raw = corpus.toDF("raw")
     val out = declarative(raw)
