@@ -358,6 +358,30 @@ object FastKayvee {
     }
   }
 
+  /** CW datums of one valid parsed record (callers have ruled out
+    * `encode(p).isLeft`): allow-listed series w/ resolvable region. */
+  private def cwRows(p: Parsed): Seq[CW] = {
+    val region = p.field("region").orElse(p.field("pod-region")) match {
+      case Some(FStr(s)) => Some(s)
+      case _             => None
+    }
+    if (region.isEmpty) Nil
+    else p.routes.filter(r => cwAllowList.contains(r.series)).flatMap { r =>
+      val names = ArrayBuffer.empty[String]
+      val values = ArrayBuffer.empty[String]
+      r.dimensions.filterNot(defaultDims.contains).foreach { d =>
+        p.field(d).flatMap(coerceDim).foreach { s => names += d; values += s }
+      }
+      val value = p.field(r.valueField) match {
+        case Some(FNum(d)) => d
+        // wrong-typed value is unreachable here (encode(p) errored first),
+        // but never non-local-return inside an executor closure
+        case _ => if (r.statType == "counter") 1.0 else 0.0
+      }
+      Seq(CW(r.series, names.toSeq, values.toSeq, value, p.tsSec, 1, region.get))
+    }
+  }
+
   /** CloudWatch lane: allow-listed series w/ resolvable region. */
   def cw(raw: DataFrame, deployEnv: String): Dataset[CW] = {
     val spark = raw.sparkSession
@@ -366,25 +390,49 @@ object FastKayvee {
       val mapper = new ObjectMapper
       it.flatMap { line =>
         parseLine(line, deployEnv, mapper).toSeq.flatMap { p =>
-          val region = p.field("region").orElse(p.field("pod-region")) match {
-            case Some(FStr(s)) => Some(s)
-            case _             => None
-          }
-          if (region.isEmpty || encode(p).isLeft) Nil
-          else p.routes.filter(r => cwAllowList.contains(r.series)).flatMap { r =>
-            val names = ArrayBuffer.empty[String]
-            val values = ArrayBuffer.empty[String]
-            r.dimensions.filterNot(defaultDims.contains).foreach { d =>
-              p.field(d).flatMap(coerceDim).foreach { s => names += d; values += s }
+          if (encode(p).isLeft) Nil else cwRows(p)
+        }
+      }
+    }
+  }
+
+  /** Same record identity as the declarative lane's `xxhash64(raw)`
+    * (LogParse.scala:136) — seed 42 is the `xxhash64` function's. */
+  def recordId(line: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(line),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** Fast-lane unified delivery frame: dd + cw + dead rows in one pass per
+    * line (schema-identical to `Delivery.unifiedFromStatused`). Ignored
+    * records (zero routes) are dropped, like the reference's
+    * `kbc.ErrMessageIgnored` skip. */
+  def unified(raw: DataFrame, deployEnv: String): Dataset[graft.streaming.Delivery.Unified] = {
+    import graft.streaming.Delivery.{CWRec, DDRec, Unified}
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select(raw.columns.head).as[String].mapPartitions { it =>
+      val mapper = new ObjectMapper
+      it.flatMap { line =>
+        parseLine(line, deployEnv, mapper) match {
+          case None =>
+            Seq(Unified("dead", "parse", None, None, Some(line),
+              Some("unable parse Time from message's 'timestamp' field")))
+          case Some(p) =>
+            encode(p) match {
+              case Left(err) =>
+                Seq(Unified("dead", "parse", None, None, Some(line), Some(err)))
+              case Right(Nil) => Nil
+              case Right(dds) =>
+                val rid = recordId(line)
+                dds.map(d => Unified("dd", d.tag,
+                  Some(DDRec(rid, d.metric, d.`type`, d.tags, d.point_ts, d.point_value, d.rule)),
+                  None, None, None)) ++
+                  cwRows(p).map(c => Unified("cw", c.region_tag, None,
+                    Some(CWRec(rid, c.metric_name, c.dim_names, c.dim_values, c.value, c.ts_sec,
+                      c.storage_resolution)),
+                    None, None))
             }
-            val value = p.field(r.valueField) match {
-              case Some(FNum(d)) => d
-              // wrong-typed value is unreachable here (encode(p) errored),
-              // but never non-local-return inside an executor closure
-              case _ => if (r.statType == "counter") 1.0 else 0.0
-            }
-            Seq(CW(r.series, names.toSeq, values.toSeq, value, p.tsSec, 1, region.get))
-          }
         }
       }
     }

@@ -135,10 +135,14 @@ object MetricProject {
           .otherwise("ok")
       )
 
-  def project(routed: DataFrame): Projected = {
+  def project(routed: DataFrame): Projected = projectStatused(withStatus(routed))
+
+  /** Same as [[project]] but over an already-statused frame — lets the
+    * streaming sink persist one parsed/statused micro-batch and derive all
+    * four lanes from the cache (one parse per record, three cached scans). */
+  def projectStatused(withErr: DataFrame): Projected = {
     val allowlist = KayveeModel.cloudwatchAllowList
 
-    val withErr = withStatus(routed)
     val deadLetter = withErr.filter(col("status") === "dead")
     val ignored = withErr.filter(col("status") === "ignored")
     val valid = withErr.filter(col("status") === "ok")

@@ -37,7 +37,12 @@ object StreamPipeline {
       retryBaseMs: Long = 50,
       deadLetterPath: Option[String] = None, // FailedLogsFile (main.go:55)
       checkpointLocation: Option[String] = None, // KCL DynamoDB lease table analog
-      fastLane: Boolean = false
+      fastLane: Boolean = false,
+      batchCount: Int = 100, // BatchCount (main.go:56)
+      // the four configured CW region clients (main.go:61-66)
+      cwRegions: Set[String] = Set("us-west-1", "us-west-2", "us-east-1", "us-east-2"),
+      // delivery fan-out width; None = spark.sql.shuffle.partitions
+      deliveryPartitions: Option[Int] = None
   )
 
   /** Per-tag batch delivery target (Datadog/CloudWatch client analog).
@@ -69,39 +74,82 @@ object StreamPipeline {
   def metrics(raw: DataFrame, deployEnv: String): MetricProject.Projected =
     MetricProject.project(RouteEngine.withRoutes(LogParse.parse(raw, deployEnv)))
 
-  /** Wires the dd lane into a foreachBatch sink with per-tag grouping
-    * (O14), retry (O19) and dead-letter spill (O15). Caller starts the
+  /** Wires the full fan-out sink: per-tag ≤100-record flushes (O14), DD
+    * submit with subset-narrowing retry (O19), per-region CW submit
+    * (logged-not-retried), and replayable dead letters (O15) — parse-stage
+    * failures (raw line + error) under `deadLetterPath/parse`, sink-stage
+    * failures (typed dd rows) under `deadLetterPath/sink`.
+    *
+    * No driver-side collect and no shuffle: delivery is partition-local
+    * `mapPartitions` (see [[Delivery.deliverPartition]] for why that is the
+    * faithful analog of kbc's per-shard batching). Caller starts the
     * returned writer. */
   def deliver(
       raw: DataFrame,
       cfg: Config,
-      sink: BatchSink
+      sink: BatchSink,
+      cwSink: Option[Delivery.CwSink] = None
   ): DataStreamWriter[Row] = {
-    val dd =
-      if (cfg.fastLane) graft.fast.FastKayvee.dd(raw, cfg.deployEnv).toDF()
-      else metrics(raw, cfg.deployEnv).dd
-    val writer = dd.writeStream
-      .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // per-tag micro-batch grouping — the kbc per-tag flush analog.
-        // collect per tag is safe: one micro-batch of metric rows, already
-        // reduced; at scale use foreachPartition+grouping instead.
-        val byTag = batch.collect().groupBy(_.getAs[String]("tag"))
-        byTag.foreach { case (tag, rows) =>
-          try withRetry(cfg.retryAttempts, cfg.retryBaseMs)(sink.submit(tag, rows.toSeq))
-          catch {
-            case _: Exception =>
-              cfg.deadLetterPath.foreach { p =>
-                val spark = batch.sparkSession
-                import spark.implicits._
-                rows.map(_.toString).toSeq.toDF("failed_row")
-                  .write.mode("append").parquet(p)
-              }
+    val writer =
+      if (cfg.fastLane) {
+        val u = graft.fast.FastKayvee.unified(raw, cfg.deployEnv).toDF()
+        u.writeStream
+          .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.persist()
+            try deliverBatch(batch, cfg, sink, cwSink)
+            finally { batch.unpersist(); () }
           }
-        }
-        ()
+      } else {
+        // stream the statused frame (one parse per record); all lanes are
+        // derived from the persisted micro-batch inside foreachBatch
+        val statused = MetricProject.withStatus(
+          RouteEngine.withRoutes(LogParse.parse(raw, cfg.deployEnv)))
+        statused.writeStream
+          .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.persist()
+            try deliverBatch(Delivery.unifiedFromStatused(batch), cfg, sink, cwSink)
+            finally { batch.unpersist(); () }
+          }
       }
     cfg.checkpointLocation.fold(writer)(c => writer.option("checkpointLocation", c))
+  }
+
+  /** One micro-batch of the unified frame: spill parse-stage dead letters,
+    * then run executor-side delivery and spill whatever exhausted retries. */
+  private def deliverBatch(
+      unified: DataFrame,
+      cfg: Config,
+      sink: BatchSink,
+      cwSink: Option[Delivery.CwSink]
+  ): Unit = {
+    cfg.deadLetterPath.foreach { p =>
+      val dead = unified.filter(col("kind") === "dead").select(col("raw"), col("err"))
+      if (!dead.isEmpty) dead.write.mode("append").parquet(p + "/parse")
+    }
+    // (tag, record_id) hash partitioning: every flush is single-tag and
+    // record-whole (dd + cw datums of one record land together, so the
+    // CW-after-dd-success coupling of SendBatch holds), while the dominant
+    // "default" tag still spreads across all partitions — repartition(tag)
+    // alone would funnel ~all traffic into one task.
+    val deliverable = unified
+      .filter(col("kind") =!= "dead")
+      .withColumn("rid", coalesce(col("dd.record_id"), col("cw.record_id")))
+    val failed = cfg.deliveryPartitions
+      .fold(deliverable.repartition(col("tag"), col("rid")))(
+        n => deliverable.repartition(n, col("tag"), col("rid")))
+      .mapPartitions { it =>
+        Delivery.deliverPartition(
+          it, sink, cwSink, cfg.retryAttempts, cfg.retryBaseMs, cfg.batchCount, cfg.cwRegions)
+      }(org.apache.spark.sql.Encoders.row(Delivery.failedSchema))
+    // exactly ONE action over `failed` runs the delivery side effects once
+    // per partition (never .isEmpty here — a limit-1 probe would deliver a
+    // partial prefix)
+    cfg.deadLetterPath match {
+      case Some(p) => failed.write.mode("append").parquet(p + "/sink")
+      case None    => failed.foreach(_ => ())
+    }
   }
 
   /** O16 streaming: watermarked 1-minute tumbling volume aggregation in

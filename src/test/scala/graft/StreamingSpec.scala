@@ -18,20 +18,48 @@ import graft.streaming.StreamPipeline.{BatchSink, Config}
   * reprocessing. */
 object SinkState {
   val delivered = new ConcurrentLinkedQueue[(String, Int)]()
+  val deliveredMetrics = new ConcurrentLinkedQueue[String]()
+  val threads = new ConcurrentLinkedQueue[String]()
   val attempts = new AtomicInteger(0)
   val failuresToInject = new AtomicInteger(0)
-  def reset(failures: Int = 0): Unit = {
-    delivered.clear(); attempts.set(0); failuresToInject.set(failures)
+  // when >0: throw PartialSendBatchError listing the LAST row, n times
+  val partialFailures = new AtomicInteger(0)
+  val cwDelivered = new ConcurrentLinkedQueue[(String, Int)]()
+  val cwAttempts = new AtomicInteger(0)
+  val cwFail = new AtomicInteger(0)
+  def reset(failures: Int = 0, partial: Int = 0, cwFailures: Int = 0): Unit = {
+    delivered.clear(); deliveredMetrics.clear(); threads.clear()
+    attempts.set(0); failuresToInject.set(failures); partialFailures.set(partial)
+    cwDelivered.clear(); cwAttempts.set(0); cwFail.set(cwFailures)
   }
 }
 
 class TestSink extends BatchSink {
   override def submit(tag: String, rows: Seq[Row]): Unit = {
     SinkState.attempts.incrementAndGet()
+    SinkState.threads.add(Thread.currentThread().getName)
     if (SinkState.failuresToInject.getAndDecrement() > 0)
       throw new RuntimeException("injected sink failure")
     SinkState.failuresToInject.set(math.max(SinkState.failuresToInject.get(), 0))
+    if (SinkState.partialFailures.get() > 0 && rows.size > 1) {
+      SinkState.partialFailures.decrementAndGet()
+      // all but the last row accepted — PartialSendBatchError semantics
+      rows.init.foreach(r => SinkState.deliveredMetrics.add(r.getAs[String]("metric")))
+      SinkState.delivered.add((tag, rows.size - 1))
+      throw new graft.streaming.Delivery.PartialSendBatchError("partial", Seq(rows.last))
+    }
+    rows.foreach(r => SinkState.deliveredMetrics.add(r.getAs[String]("metric")))
     SinkState.delivered.add((tag, rows.size))
+  }
+}
+
+class TestCwSink extends graft.streaming.Delivery.CwSink {
+  override def putMetricData(region: String, rows: Seq[Row]): Unit = {
+    SinkState.cwAttempts.incrementAndGet()
+    if (SinkState.cwFail.getAndDecrement() > 0)
+      throw new RuntimeException("injected cw failure")
+    SinkState.cwFail.set(math.max(SinkState.cwFail.get(), 0))
+    SinkState.cwDelivered.add((region, rows.size))
   }
 }
 
@@ -62,7 +90,7 @@ class StreamingSpec extends SparkSpec {
     assert(SinkState.attempts.get() >= 4) // 2 failures + 2 successes
   }
 
-  test("streaming delivery: exhausted retries spill to dead-letter parquet") {
+  test("streaming delivery: exhausted retries spill typed, replayable rows to dead-letter") {
     implicit val sqlCtx = spark.sqlContext
     SinkState.reset(failures = 1000) // never succeeds
     val dlq = Files.createTempDirectory("graft-dlq").toString + "/failed"
@@ -80,8 +108,132 @@ class StreamingSpec extends SparkSpec {
       ms.addData(golden)
       q.processAllAvailable()
     } finally q.stop()
-    assert(spark.read.parquet(dlq).count() === 1)
+    val spilled = spark.read.parquet(dlq + "/sink")
+    assert(spilled.count() === 1)
     assert(SinkState.delivered.isEmpty)
+    // fidelity: the spill is the full typed dd row, replayable through the
+    // sink as-is (main.go:55 FailedLogsFile round-trip)
+    val row = spilled.collect().head
+    assert(row.getAs[String]("metric") === "kv.oauth.login_start")
+    assert(row.getAs[String]("tag") === "default")
+    SinkState.reset()
+    new TestSink().submit(row.getAs[String]("tag"), Seq(row))
+    assert(SinkState.deliveredMetrics.asScala.toSeq === Seq("kv.oauth.login_start"))
+  }
+
+  test("parse/projection failures land under deadLetterPath/parse with the raw record") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset()
+    val dlq = Files.createTempDirectory("graft-dlq-parse").toString + "/failed"
+    val badHeader = "not a log line at all"
+    val badRoute =
+      """2017-08-15T18:39:07.000000+00:00 h production--app/arn[1]: {"bad":{"x":1},"_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"s","dimensions":["bad"],"stat_type":"counter","value_field":"v","rule":"r1"}]}}"""
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(raw, Config("test-env", triggerInterval = "1 seconds",
+        deadLetterPath = Some(dlq)), new TestSink)
+      .start()
+    try {
+      ms.addData(badHeader, badRoute, golden)
+      q.processAllAvailable()
+    } finally q.stop()
+    val dead = spark.read.parquet(dlq + "/parse").collect()
+      .map(r => r.getAs[String]("raw") -> r.getAs[String]("err")).toMap
+    assert(dead.keySet === Set(badHeader, badRoute))
+    assert(dead(badHeader).contains("unable parse Time"))
+    assert(dead(badRoute) === "error casting dimension value. rule=r1 dim=bad")
+    // the valid record still delivered; bad ones never reached the sink
+    assert(SinkState.delivered.asScala.map(_._2).sum === 1)
+  }
+
+  test("fast lane: parse dead letters and CW fan-out match the declarative lane") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset()
+    val dlq = Files.createTempDirectory("graft-dlq-fast").toString + "/failed"
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(raw, Config("test-env", triggerInterval = "1 seconds",
+        deadLetterPath = Some(dlq), fastLane = true), new TestSink, Some(new TestCwSink))
+      .start()
+    try {
+      ms.addData("garbage line", golden, regionLine)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(dlq + "/parse").count() === 1)
+    assert(SinkState.delivered.asScala.map(_._2).sum === 2)
+    assert(SinkState.cwDelivered.asScala.toSeq === Seq(("us-west-2", 1)))
+  }
+
+  test("CW fan-out: region-keyed submission after dd success; cw errors logged, not retried") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset(cwFailures = 1)
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(raw, Config("test-env", triggerInterval = "1 seconds"),
+        new TestSink, Some(new TestCwSink))
+      .start()
+    try {
+      ms.addData(golden, regionLine)
+      q.processAllAvailable()
+      // dd lane unaffected by the cw failure, cw attempted exactly once
+      assert(SinkState.delivered.asScala.map(_._2).sum === 2)
+      assert(SinkState.cwAttempts.get() === 1)
+      assert(SinkState.cwDelivered.isEmpty)
+      // a later batch with the same region succeeds (failure was not sticky)
+      ms.addData(regionLine.replace("\"value\":1", "\"value\":2"))
+      q.processAllAvailable()
+      assert(SinkState.cwDelivered.asScala.toSeq === Seq(("us-west-2", 1)))
+    } finally q.stop()
+  }
+
+  test("partial-batch error narrows retry and dead-letter to the failed subset") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset(partial = 1)
+    val lines = (1 to 4).map { i =>
+      s"""2017-08-15T18:39:07.000000+00:00 h production--app/arn[$i]: {"district":"d$i","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"m$i","dimensions":["district"],"stat_type":"counter","value_field":"value","rule":"r"}]}}"""
+    }
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(raw,
+        Config("test-env", triggerInterval = "1 seconds", retryBaseMs = 1,
+          // one partition so all 4 rows form one submit batch
+          deliveryPartitions = Some(1)),
+        new TestSink)
+      .start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every metric delivered exactly once: the retry resubmitted ONLY the
+    // failed row, not the already-accepted ones
+    val metrics = SinkState.deliveredMetrics.asScala.toSeq.sorted
+    assert(metrics === Seq("kv.m1", "kv.m2", "kv.m3", "kv.m4"))
+  }
+
+  test("delivery runs on executor task threads, never via driver collect") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset()
+    val lines = (1 to 20).map { i =>
+      s"""2017-08-15T18:39:07.000000+00:00 h production--app/arn[$i]: {"district":"d$i","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"m$i","dimensions":["district"],"stat_type":"counter","value_field":"value","rule":"r"}]}}"""
+    }
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(raw, Config("test-env", triggerInterval = "1 seconds"), new TestSink)
+      .start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SinkState.delivered.asScala.map(_._2).sum === 20)
+    val threads = SinkState.threads.asScala.toSet
+    assert(threads.nonEmpty)
+    assert(threads.forall(_.startsWith("Executor task launch worker")),
+      s"delivery ran on non-executor threads: $threads")
   }
 
   test("watermarked 1-minute volume aggregation (update mode)") {
