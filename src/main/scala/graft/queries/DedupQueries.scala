@@ -36,7 +36,10 @@ object DedupQueries {
     )
   }
 
-  /** One row per distinct word-3-gram: (doc_id, lang, s). */
+  /** One row per distinct word-3-gram: (doc_id, lang, s). Docs with <3
+    * tokens yield no shingles — unguarded `sequence(1, size-2)` would turn
+    * DESCENDING for them ([1,0]) and `element_at(l, 0)` throws under
+    * Spark 4 ANSI mode, where DuckDB's generate_series(1,0) is just empty. */
   private def shingles(df: DataFrame): DataFrame =
     df.withColumn("l", split(col("text"), " "))
       .select(
@@ -44,7 +47,8 @@ object DedupQueries {
         explode(
           array_distinct(
             transform(
-              sequence(lit(1), size(col("l")) - 2),
+              when(size(col("l")) >= 3, sequence(lit(1), size(col("l")) - 2))
+                .otherwise(array().cast("array<int>")),
               i => concat_ws("_", element_at(col("l"), i), element_at(col("l"), i + 1), element_at(col("l"), i + 2))
             )
           )

@@ -66,13 +66,16 @@ object FunctionQueries {
         |FROM documents""".stripMargin
     ) { (s, dir) =>
       val toks = split(col("text"), " ")
+      // try_element_at for index 2: a single-token doc must yield NULL
+      // (DuckDB list[2] semantics), not an ANSI out-of-bounds error
+      val second = try_element_at(toks, lit(2))
       Tables(s, dir).documents.select(
         col("doc_id"),
         upper(element_at(toks, 1)).as("first_upper"),
-        lpad(element_at(toks, 2), 12, "_").as("second_padded"),
+        lpad(second, 12, "_").as("second_padded"),
         substring(col("text"), 1, 16).as("head16"),
         regexp_replace(substring(col("text"), 1, 32), " ", "-").as("dashed"),
-        levenshtein(element_at(toks, 1), element_at(toks, 2)).as("edit_dist"),
+        levenshtein(element_at(toks, 1), second).as("edit_dist"),
         length(col("text")).as("n_chars")
       )
     },
@@ -102,9 +105,9 @@ object FunctionQueries {
     q(
       "q_agg_percentile",
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-        |  round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
+        |  floor(quantile_cont(l_extendedprice::DOUBLE, 0.5) * 100) / 100 AS p50,
+        |  floor(quantile_cont(l_extendedprice::DOUBLE, 0.95) * 100) / 100 AS p95,
+        |  floor(quantile_cont(l_quantity::DOUBLE, 0.25) * 100) / 100 AS q1_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin
     ) { (s, dir) =>
       Tables(s, dir).lineitem
@@ -112,10 +115,15 @@ object FunctionQueries {
         .agg(
           // percentile() is Spark's exact linear-interpolated quantile —
           // same semantics as DuckDB quantile_cont (percentile_approx
-          // returns an actual data value, which would NOT match)
-          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
-          round(percentile(col("l_quantity"), lit(0.25)), 2).as("q1_qty")
+          // returns an actual data value, which would NOT match).
+          // floor(x*100)/100 instead of round(x,2): a quantile can land
+          // exactly on a .xx5 boundary, where Spark rounds the exact binary
+          // expansion (BigDecimal) but DuckDB rounds x*100 in doubles —
+          // engine-dependent. floor over the SAME IEEE double ops is
+          // deterministic on both.
+          (floor(percentile(col("l_extendedprice"), lit(0.5)) * 100) / 100).as("p50"),
+          (floor(percentile(col("l_extendedprice"), lit(0.95)) * 100) / 100).as("p95"),
+          (floor(percentile(col("l_quantity"), lit(0.25)) * 100) / 100).as("q1_qty")
         )
     }
   )

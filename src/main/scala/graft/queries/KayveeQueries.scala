@@ -330,6 +330,43 @@ object KayveeQueries {
         .agg(count(lit(1)).as("log_volume_count"), sum(col("nbytes")).as("log_volume_size"))
     },
 
+    // O16b — per-(app,env,rule) route counts over ALL kvmeta route types
+    // (`metrics.go:63-67,138-157`: analytics routes count too, not just
+    // alerts; "" → "unknown" null-fills per `metrics.go:48-57`). Records
+    // with a non-container program name (k%5=0) exercise the unknown path.
+    q(
+      "q_route_counts",
+      s"""$withE, l AS (
+         |  SELECT floor(epoch(date_trunc('minute', ts)))::BIGINT AS window_start,
+         |    CASE WHEN k % 5 = 0 THEN 'unknown' ELSE 'production' END AS env,
+         |    CASE WHEN k % 5 = 0 THEN 'unknown' ELSE event_type || '-svc' END AS application,
+         |    event_type
+         |  FROM e)
+         |SELECT window_start, env, application, 'ana-' || event_type AS route,
+         |  count(*) AS log_route_count
+         |FROM l GROUP BY 1, 2, 3, 4
+         |UNION ALL
+         |SELECT window_start, env, application, 'evt', count(*)
+         |FROM l GROUP BY 1, 2, 3, 4""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir).events.withColumn("k", kCol)
+      val prog = when(col("k") % 5 === 0, lit("standalone"))
+        .otherwise(concat(lit("production--"), col("event_type"), lit("-svc")))
+      val raw = e.select(
+        concat(
+          tsString, lit(" host-"), col("user_id") % 50, lit(" "),
+          prog, lit("/arn["), col("event_id"), lit("]: "),
+          lit("{\"_kvmeta\":{\"team\":\"t\",\"routes\":[" +
+            "{\"type\":\"analytics\",\"series\":\"x\",\"rule\":\"ana-"), col("event_type"),
+          lit("\"},{\"type\":\"alerts\",\"series\":\"events."), col("event_type"),
+          lit("\",\"dimensions\":[],\"stat_type\":\"counter\",\"value_field\":\"value\"," +
+            "\"rule\":\"evt\"}]}}")
+        ).as("raw")
+      )
+      val routed = RouteEngine.withRoutes(LogParse.parse(raw, "prod"))
+      Aggregations.routeCounts(routed, unix_timestamp(date_trunc("minute", col("ts"))))
+    },
+
     // O17 — max pipeline delay vs a fixed anchor (2024-02-01T00:00:00Z),
     // grouped per application.
     q(

@@ -143,8 +143,10 @@ object TextQueries {
         |    SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, t) GROUP BY doc_id),
         |feats AS (
         |  SELECT doc_id, len(l) AS n,
-        |    1.0 - len(list_distinct(list_transform(generate_series(1, len(l) - 1),
-        |      i -> l[i] || '_' || l[i+1])))::DOUBLE / (len(l) - 1) AS dup2
+        |    CASE WHEN len(l) >= 2 THEN
+        |      1.0 - len(list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |        i -> l[i] || '_' || l[i+1])))::DOUBLE / (len(l) - 1)
+        |    ELSE 0.0 END AS dup2
         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
         |SELECT f.doc_id, round(f.dup2, 4) AS dup2_ratio,
         |  round(m.top::DOUBLE / f.n, 4) AS top_tok_ratio,
@@ -161,10 +163,17 @@ object TextQueries {
         .select(
           col("doc_id"),
           size(col("l")).as("n"),
-          (lit(1.0) - size(array_distinct(transform(
-            sequence(lit(1), size(col("l")) - 1),
-            i => concat_ws("_", element_at(col("l"), i), element_at(col("l"), i + 1))
-          ))).cast("double") / (size(col("l")) - 1)).as("dup2")
+          // single-token docs have no bigrams: dup2 = 0 (the unguarded
+          // sequence(1, size-1) turns descending there and element_at(l, 0)
+          // throws under ANSI; CaseWhen branches evaluate lazily, so the
+          // guard is sufficient)
+          when(
+            size(col("l")) >= 2,
+            lit(1.0) - size(array_distinct(transform(
+              sequence(lit(1), size(col("l")) - 1),
+              i => concat_ws("_", element_at(col("l"), i), element_at(col("l"), i + 1))
+            ))).cast("double") / (size(col("l")) - 1)
+          ).otherwise(lit(0.0)).as("dup2")
         )
       feats.join(modeFreq, "doc_id").select(
         col("doc_id"),
