@@ -22,6 +22,11 @@ import QueryDef.q
   */
 object DedupQueries {
 
+  // LSH geometry for q_dedup_embed — declared BEFORE `defs` (object-init
+  // order: `defs` forces dedupEmbedSql, which reads these).
+  private val embedBands = 16
+  private val embedPlanesPerBand = 8
+
   // --- corpus + shingles, Spark side ------------------------------------
 
   /** documents ∪ mutated copy (drop tokens at 0-based positions ≡ 0 mod 7). */
@@ -206,45 +211,103 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("ham"))
     },
 
-    // Embedding-cosine near-dup: label-blocked pair scan in double
-    // precision against a corpus with planted perturbed copies
-    // (vec_id+1000000, dim 1 shifted by +0.1).
+    // Embedding-cosine near-dup against a corpus with planted perturbed
+    // copies (vec_id+1000000, dim 1 shifted by +0.1): sign-random-projection
+    // LSH banding (16 bands × 8 md5-parity hyperplanes) as the candidate
+    // filter, exact cosine ≥ 0.98 as the verify stage. Parameters sized
+    // from measurement: planted pairs sit at cos ≈ 0.995 (per-plane
+    // disagreement ≈ 0.032 → per-pair miss ≈ 6e-11), random same-label
+    // pairs max out at cos ≈ 0.47 (~6% band-collide). At scale this is
+    // O(n·planes) signatures + a bucket join — the earlier per-label pair
+    // scan was Σ label n², quadratic.
     q(
       "q_dedup_embed",
-      """WITH corpus AS (
-        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000, label,
-        |    list_transform(generate_series(1, 64),
-        |      i -> embedding[i]::DOUBLE + (CASE WHEN i = 1 THEN 0.1 ELSE 0.0 END))
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM corpus)
-        |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cos
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |WHERE cos >= 0.98""".stripMargin
+      dedupEmbedSql
     ) { (s, dir) =>
-      val base = Tables(s, dir).embeddings
-        .select(col("vec_id"), col("label"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      val perturbed = Tables(s, dir).embeddings.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        col("label"),
-        transform(
-          sequence(lit(1), lit(64)),
-          i => element_at(col("embedding"), i).cast("double") + when(i === 1, 0.1).otherwise(0.0)
-        ).as("e")
-      )
-      val n = base.unionByName(perturbed)
-        .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
-      val a = n.select(col("vec_id").as("vec_a"), col("label"), col("e").as("ea"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("e").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
+      val n = embedCorpus(s, dir)
+      val cands = embedCandidates(n)
+      val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+      val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+      cands
+        .join(a, "vec_a").join(b, "vec_b")
         .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("ea"), col("eb")))
         .filter(col("cos") >= 0.98)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     }
   )
+
+  /** embeddings ∪ perturbed copy (vec_id+1000000, dim 1 + 0.1), with norm. */
+  private[graft] def embedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val perturbed = Tables(s, dir).embeddings.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      col("label"),
+      transform(
+        sequence(lit(1), lit(64)),
+        i => element_at(col("embedding"), i).cast("double") + when(i === 1, 0.1).otherwise(0.0)
+      ).as("e")
+    )
+    base.unionByName(perturbed)
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+  }
+
+  /** LSH candidate pairs for the embed corpus `n(vec_id, label, e)`: 8-bit
+    * sign signature per band, same-label bucket join, distinct pairs. */
+  private[graft] def embedCandidates(n: DataFrame): DataFrame = {
+    val planes = SimilarityQueries.planeWeights(embedBands * embedPlanesPerBand)
+    val bandStructs = (0 until embedBands).map { b =>
+      val bv = (0 until embedPlanesPerBand).map { i =>
+        val p = b * embedPlanesPerBand + i
+        when(
+          graft.functions.VectorExpressions.dotProduct(col("e"), lit(planes(p)).cast("array<double>")) > 0,
+          lit(1 << i)
+        ).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("b"), bv.as("bv"))
+    }
+    val banded = n.select(
+      col("vec_id"), col("label"),
+      explode(array(bandStructs: _*)).as("band")
+    ).select(col("vec_id"), col("label"), col("band.b").as("b"), col("band.bv").as("bv"))
+    banded.select(col("vec_id").as("vec_a"), col("label"), col("b"), col("bv"))
+      .join(
+        banded.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("b").as("b2"), col("bv").as("bv2")),
+        col("label") === col("label2") && col("b") === col("b2") && col("bv") === col("bv2") &&
+          col("vec_a") < col("vec_b")
+      )
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
+  /** Embed-dedup oracle: identical LSH banding with the plane weights
+    * inlined as literals (see SimilarityQueries.planeWeightsSql). */
+  private lazy val dedupEmbedSql: String = {
+    val nPlanes = embedBands * embedPlanesPerBand
+    s"""WITH corpus AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, label,
+       |    list_transform(generate_series(1, 64),
+       |      i -> embedding[i]::DOUBLE + (CASE WHEN i = 1 THEN 0.1 ELSE 0.0 END))
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM corpus),
+       |${SimilarityQueries.planeWeightsSql(nPlanes)},
+       |bandv AS (
+       |  SELECT c.vec_id, c.label, p.p // $embedPlanesPerBand AS b,
+       |    sum(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * p.w[i])) > 0
+       |        THEN (1 << (p.p % $embedPlanesPerBand)) ELSE 0 END) AS bv
+       |  FROM n c CROSS JOIN planes p
+       |  GROUP BY c.vec_id, c.label, p.p // $embedPlanesPerBand),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bandv a JOIN bandv b
+       |    ON a.label = b.label AND a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |    list_sum(list_transform(generate_series(1, 64), i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS cos
+       |  FROM cands c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b)
+       |WHERE cos >= 0.98""".stripMargin
+  }
 
   /** SimHash oracle SQL — the 60 per-bit majority sums are generated
     * programmatically to mirror the Spark 60-agg single-pass shape (one

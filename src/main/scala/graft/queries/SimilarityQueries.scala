@@ -31,16 +31,25 @@ object SimilarityQueries {
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Deterministic ±1 hyperplane weights: parity of the first hex char of
-    * md5("p<plane>d<dim>") — reproduced verbatim in the SQL oracle. */
-  private def planeWeights: Array[Array[Double]] = {
+    * md5("p<plane>d<dim>") — reproduced verbatim in the SQL oracle (as
+    * generated literals for large n). */
+  private[queries] def planeWeights(n: Int = 8): Array[Array[Double]] = {
     val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(8, 64) { (p, d) =>
+    Array.tabulate(n, 64) { (p, d) =>
       md.reset()
       val hex = md.digest(s"p${p}d${d + 1}".getBytes(StandardCharsets.UTF_8))
       val firstHexChar = f"${(hex(0) & 0xff)}%02x".charAt(0)
       if (firstHexChar.toInt % 2 == 1) 1.0 else -1.0
     }
   }
+
+  /** The same weights as a DuckDB VALUES literal `(p, w)` — evaluating the
+    * md5 construction per (row, plane, dim) inside the oracle would be
+    * millions of hashes; literals keep the oracle list-math only. */
+  private[queries] def planeWeightsSql(n: Int): String =
+    planeWeights(n).zipWithIndex
+      .map { case (w, p) => s"($p, [${w.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])" }
+      .mkString("planes(p, w) AS (VALUES ", ", ", ")")
 
   private val dotSqlLambda =
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
@@ -70,9 +79,25 @@ object SimilarityQueries {
         .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
       val queries = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      v.crossJoin(broadcast(queries))
+      val scored = v.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+      // Two-phase top-k (TakeOrderedAndProject shape): local top-5 per
+      // (q_id, input partition) first, so no task ever sorts all n corpus
+      // rows of one query — the old single window per q_id put the whole
+      // corpus for a query into one task. The final merge ranks ≤ 5·P rows
+      // per query. Local top-5 is a superset of the global top-5 regardless
+      // of partition assignment, so the result is unchanged.
+      val local = scored
+        .withColumn("pid", spark_partition_id())
+        .withColumn(
+          "lrank",
+          row_number().over(
+            Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("lrank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cos"))
+      local
         .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
@@ -85,7 +110,7 @@ object SimilarityQueries {
       "q_similarity_lsh",
       lshSql
     ) { (s, dir) =>
-      val planes = planeWeights
+      val planes = planeWeights()
       val v = Tables(s, dir).embeddings
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       val sig = v.withColumn(
