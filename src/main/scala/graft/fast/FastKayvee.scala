@@ -96,26 +96,28 @@ object FastKayvee {
              val t = body.path("_kvmeta").path("team")
              if (t.isTextual && t.asText.nonEmpty) Some(t.asText) else None
            })
-    /** envelope wins over body (LAST_WIN map_concat parity). */
+    private def bodyField(name: String): Option[FV] =
+      if (body == null) None
+      else
+        Option(body.get(name)).map {
+          case n if n.isTextual => FStr(n.asText)
+          case n if n.isNumber  => FNum(n.doubleValue)
+          case n if n.isBoolean => FBool(n.asBoolean)
+          case _                => FOther
+        }
+    /** envelope wins over body (LAST_WIN map_concat parity) — but a NULL
+      * envelope field falls back to a same-named body key: the declarative
+      * lane drops null envelope entries (map_filter) before map_concat, so
+      * the body value shows through there. */
     def field(name: String): Option[FV] = name match {
-      case "hostname" | "Hostname" => Option(hostname).map(FStr)
-      case "programname"           => Option(programname).map(FStr)
-      case "container_env"         => Option(containerEnv).map(FStr)
-      case "container_app"         => Option(containerApp).map(FStr)
-      case "env"                   => Option(env).map(FStr)
+      case "hostname" | "Hostname" => Option(hostname).map(FStr.apply).orElse(bodyField(name))
+      case "programname"           => Option(programname).map(FStr.apply).orElse(bodyField(name))
+      case "container_env"         => Option(containerEnv).map(FStr.apply).orElse(bodyField(name))
+      case "container_app"         => Option(containerApp).map(FStr.apply).orElse(bodyField(name))
+      case "env"                   => Option(env).map(FStr.apply).orElse(bodyField(name))
       case "rawlog"                => Some(FStr(rawlog))
       case "timestamp"             => Some(FOther) // time value: un-coercible as a dim
-      case _ =>
-        derived.get(name).orElse {
-          if (body == null) None
-          else
-            Option(body.get(name)).map {
-              case n if n.isTextual => FStr(n.asText)
-              case n if n.isNumber  => FNum(n.doubleValue)
-              case n if n.isBoolean => FBool(n.asBoolean)
-              case _                => FOther
-            }
-        }
+      case _                       => derived.get(name).orElse(bodyField(name))
     }
   }
 
@@ -321,7 +323,9 @@ object FastKayvee {
             Option(p.containerEnv).filter(_.nonEmpty).getOrElse("unknown"),
             Option(p.containerApp).filter(_.nonEmpty).getOrElse("unknown"),
             p.team.getOrElse("unknown"),
-            line.length.toLong
+            // codepoint count, not UTF-16 units — declarative length()
+            // counts codepoints, diverging on supplementary characters
+            line.codePointCount(0, line.length).toLong
           )
         }
       }

@@ -23,18 +23,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name)
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   val cosineSimilarity: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_similarity"),
-    info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two double arrays"),
+    info(classOf[CosineSimilarity], "cosine_similarity",
+      "cosine_similarity(a, b) - cosine similarity of two double arrays"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))
   )
 
   val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
-    info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
+    info(classOf[DotProduct], "dot_product",
+      "dot_product(a, b) - dot product of two double arrays"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1))
   )
 

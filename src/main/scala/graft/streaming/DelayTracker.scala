@@ -15,12 +15,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object DelayTracker {
 
-  final case class DelayState(maxDelaySec: Long)
+  final case class DelayState(maxDelaySec: Long, intervalStartSec: Long)
   final case class DelayGauge(key: String, max_delay_sec: Long)
 
-  /** point-timestamped rows (key, point_ts) → per-key max-delay gauges,
-    * emitted when the interval timeout fires, then reset (swap). `nowSec`
-    * is injectable for deterministic tests. */
+  /** point-timestamped rows (key, point_ts) → per-key max-delay gauges.
+    *
+    * Two emission paths, together covering the reference ticker's contract
+    * (emit every interval, then swap-reset):
+    *  - inline, when a data batch arrives and the interval has elapsed
+    *    since the stored interval start — under CONTINUOUS traffic the
+    *    processing-time timeout alone never fires (each batch re-arms it),
+    *    so relying on it silenced the gauge exactly when it mattered;
+    *  - the processing-time timeout, which catches the traffic-went-quiet
+    *    tail and flushes the last accumulated max.
+    * A key with no state emits nothing (deviation from the reference,
+    * which logs 0-gauges forever; unbounded-state-free). `nowSec` is
+    * injectable for deterministic tests. */
   def track(
       points: DataFrame,
       intervalMs: Long = 15000,
@@ -36,17 +46,27 @@ object DelayTracker {
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout
       ) { (key, rows, state: GroupState[DelayState]) =>
         if (state.hasTimedOut) {
-          // the 15-s tick: emit the gauge and swap-reset (delay.go:35-39)
+          // silence tick: emit the gauge and swap-reset (delay.go:35-39)
           val gauge = DelayGauge(key, state.getOption.map(_.maxDelaySec).getOrElse(0L))
           state.remove()
           Iterator(gauge)
         } else {
           val now = nowSec()
           val incoming = rows.map(r => now - r._2).foldLeft(0L)(math.max)
-          val merged = math.max(incoming, state.getOption.map(_.maxDelaySec).getOrElse(0L))
-          state.update(DelayState(merged))
-          state.setTimeoutDuration(intervalMs)
-          Iterator.empty
+          val prev = state.getOption
+          val start = prev.map(_.intervalStartSec).getOrElse(now)
+          val merged = math.max(incoming, prev.map(_.maxDelaySec).getOrElse(0L))
+          if ((now - start) * 1000 >= intervalMs) {
+            // interval elapsed under continuous traffic: emit inline and
+            // start a fresh interval (swap-reset)
+            state.update(DelayState(0L, now))
+            state.setTimeoutDuration(intervalMs)
+            Iterator(DelayGauge(key, merged))
+          } else {
+            state.update(DelayState(merged, start))
+            state.setTimeoutDuration(intervalMs)
+            Iterator.empty
+          }
         }
       }
   }

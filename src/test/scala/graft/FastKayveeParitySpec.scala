@@ -132,6 +132,69 @@ class FastKayveeParitySpec extends SparkSpec {
     assert(fast.toSeq === slow.toSeq)
   }
 
+  test("property: generated kvconfig-shaped corpus — fast unified lane ≡ declarative unified lane") {
+    // Deterministic pseudo-random corpus (fixed seed) over the whole input
+    // grammar: random envelopes (incl. null-hostname double-space headers,
+    // aws-rds, no-container prognames), random JSON bodies with
+    // string/number/bool/null/object fields — including a body "hostname"
+    // key that must show through when the envelope value is null — random
+    // kvmeta routes over all stat types and dimension pools, the three
+    // global rules, and garbage. Compares the FULL unified delivery frame
+    // (dd + cw + dead rows, record_id included) across lanes, so any drift
+    // in parse, routing, projection, tagging, CW, or error strings fails.
+    val rnd = new scala.util.Random(20260812L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    def genBody(): String = {
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (rnd.nextBoolean()) fields += s""""a":"v${rnd.nextInt(5)}""""
+      if (rnd.nextBoolean()) fields += s""""b":${rnd.nextInt(2000) / 10.0}"""
+      if (rnd.nextBoolean()) fields += s""""c":${rnd.nextBoolean()}"""
+      if (rnd.nextInt(4) == 0) fields += """"n":null"""
+      if (rnd.nextInt(4) == 0) fields += """"o":{"x":1}"""
+      if (rnd.nextInt(3) == 0) fields += s""""hostname":"bodyhost${rnd.nextInt(3)}""""
+      if (rnd.nextInt(3) != 0) fields += s""""value":${if (rnd.nextInt(5) == 0) "\"notnum\"" else rnd.nextInt(100).toString}"""
+      if (rnd.nextInt(4) == 0) fields += s""""region":${if (rnd.nextBoolean()) s""""r${rnd.nextInt(3)}"""" else "7"}"""
+      if (rnd.nextInt(5) == 0) fields += s""""user":"${pick(Seq("clever[clever]", "rdsadmin[rdsadmin]"))}""""
+      if (rnd.nextInt(5) == 0)
+        fields += s""""via":"process-metrics","source":"s${rnd.nextInt(2)}","title":"t${rnd.nextInt(2)}","type":"${pick(Seq("counter", "gauge", "guage", "odd"))}""""
+      val nRoutes = rnd.nextInt(3)
+      if (nRoutes > 0 || rnd.nextBoolean()) {
+        val dimPool = Seq("a", "b", "c", "n", "o", "missing", "hostname", "container_app",
+          "programname", "timestamp", "region")
+        val routes = (0 until nRoutes).map { ri =>
+          val tpe = pick(Seq("alerts", "alerts", "alerts", "analytics"))
+          val series = pick(Seq(s"s${rnd.nextInt(4)}", "ContainerExitCount"))
+          val dims = rnd.shuffle(dimPool).take(rnd.nextInt(4)).map(d => s""""$d"""").mkString(",")
+          val st = pick(Seq("counter", "counter", "gauge", "weird"))
+          val vf = pick(Seq("value", "missing", ""))
+          s"""{"type":"$tpe","series":"$series","dimensions":[$dims],"stat_type":"$st","value_field":"$vf","rule":"r$ri"}"""
+        }
+        fields += s""""_kvmeta":{"team":"tm${rnd.nextInt(3)}","routes":[${routes.mkString(",")}]}"""
+      }
+      s"{${fields.mkString(",")}}"
+    }
+    def genLine(): String = {
+      val ts = f"2021-03-0${1 + rnd.nextInt(8)}T1${rnd.nextInt(9)}:2${rnd.nextInt(9)}:0${rnd.nextInt(9)}.000000+00:00"
+      val host = pick(Seq("h1", "h2", "aws-rds", "")) // "" → double space → null hostname
+      val prog = pick(Seq("production--app-a/arn", "production--multi--dash/x", "noprog", "staging--db"))
+      rnd.nextInt(12) match {
+        case 0 => "total garbage " + rnd.nextInt(10)
+        case 1 => s"$ts $host $prog[${rnd.nextInt(99)}]: [conn${rnd.nextInt(9)}] query db.c${rnd.nextInt(3)} nscanned:1${if (rnd.nextBoolean()) " COLLSCAN" else ""} ${rnd.nextInt(5000)}ms"
+        case _ => s"$ts $host $prog[${rnd.nextInt(99)}]: ${genBody()}"
+      }
+    }
+    val lines = (0 until 400).map(_ => genLine())
+    val raw = lines.toDF("raw")
+    val slow = graft.streaming.Delivery
+      .unifiedFromStatused(MetricProject.withStatus(RouteEngine.withRoutes(LogParse.parse(raw, "test-env"))))
+      .collect().map(_.toString).sorted
+    val fast = FastKayvee.unified(raw, "test-env").toDF()
+      .collect().map(_.toString).sorted
+    assert(fast.length === slow.length,
+      s"row counts diverge: fast ${fast.length} vs declarative ${slow.length}")
+    fast.zip(slow).foreach { case (f, s) => assert(f === s) }
+  }
+
   test("fast lane error/skip accounting matches declarative splits") {
     val raw = corpus.toDF("raw")
     val out = declarative(raw)

@@ -318,6 +318,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delay tracker emits inline under continuous traffic (timeout never fires)") {
+    implicit val sqlCtx = spark.sqlContext
+    val anchor = 1700000000L
+    val clock = new java.util.concurrent.atomic.AtomicLong(anchor)
+    val ms = MemoryStream[(String, Long)]
+    val points = ms.toDF().toDF("key", "point_ts")
+    // 5-second interval >> test wall time: any emission must come from the
+    // inline elapsed-interval path, not the data-silence timeout
+    val gauges = graft.streaming.DelayTracker
+      .track(points, intervalMs = 5000, nowSec = () => clock.get())
+    val q = gauges.writeStream.format("memory").queryName("delays_cont")
+      .outputMode("append").start()
+    try {
+      // processAllAvailable never settles while a processing-time timeout
+      // is armed — poll progress/table with deadlines instead
+      def deadline = System.currentTimeMillis() + 30000
+      ms.addData(("app", anchor - 10)) // delay 10 at t=anchor
+      val d1 = deadline
+      while (q.recentProgress.map(_.numInputRows).sum < 1 && System.currentTimeMillis() < d1)
+        Thread.sleep(100)
+      clock.set(anchor + 6) // interval (5 s) elapsed, traffic continues
+      ms.addData(("app", anchor - 3)) // delay 9 at t=anchor+6
+      def rows() = spark.sql("SELECT key, max_delay_sec FROM delays_cont").collect()
+      val d2 = deadline
+      while (rows().isEmpty && System.currentTimeMillis() < d2) Thread.sleep(100)
+      assert(rows().length === 1)
+      assert(rows().head.getString(0) === "app")
+      assert(rows().head.getLong(1) === 10L) // max over the elapsed interval
+    } finally q.stop()
+  }
+
   test("checkpointed restart does not reprocess delivered records") {
     val dir = Files.createTempDirectory("graft-restart")
     val srcDir = dir.resolve("src").toString
