@@ -400,6 +400,74 @@ object FastKayvee {
     }
   }
 
+  /** One row per (record, kvmeta route rule) for the route-count lane —
+    * ALL kvmeta route types count, not just alerts (`metrics.go:63-67`,
+    * `alerts_consumer.go:90`); env/app are "unknown"-filled. */
+  final case class RouteNameRow(
+      window_start: Long,
+      env: String,
+      application: String,
+      route: String
+  )
+
+  /** Route-count lane (O16b): raw lines → one row per kvmeta route name,
+    * ts-parseable records only (the reference's recordMetrics runs after a
+    * successful ParseAndEnhance). Imperative mirror of
+    * Aggregations.routeCounts over the declarative rule_names column. */
+  def routeNames(raw: DataFrame, deployEnv: String): Dataset[RouteNameRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select(raw.columns.head).as[String].mapPartitions { it =>
+      val mapper = new ObjectMapper
+      it.flatMap { line =>
+        parseLine(line, deployEnv, mapper).toSeq.flatMap { p =>
+          val names = ArrayBuffer.empty[String]
+          if (p.body != null) {
+            val routes = p.body.path("_kvmeta").path("routes")
+            if (routes.isArray)
+              routes.elements.asScala.foreach(r => names += r.path("rule").asText(null))
+          }
+          val env = Option(p.containerEnv).filter(_.nonEmpty).getOrElse("unknown")
+          val app = Option(p.containerApp).filter(_.nonEmpty).getOrElse("unknown")
+          names.map(n => RouteNameRow(p.tsSec / 60 * 60, env, app, n))
+        }
+      }
+    }
+  }
+
+  /** One record-level classification row (O9/§7.4 split semantics).
+    * `title` is the string-typed body "title" field (null otherwise) —
+    * the grouping key of the declared error-split query. */
+  final case class StatusRow(title: String, status: String, err: String)
+
+  /** Status lane: raw lines → ('ok' | 'dead' | 'ignored', first error) per
+    * record, the imperative mirror of MetricProject.withStatus (parity:
+    * FastKayveeParitySpec). The declarative variant/HOF evaluation of the
+    * per-route error scan is interpreted (~30µs/line); this runs the same
+    * early-return semantics at Jackson speed. */
+  def status(raw: DataFrame, deployEnv: String): Dataset[StatusRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select(raw.columns.head).as[String].mapPartitions { it =>
+      val mapper = new ObjectMapper
+      it.map { line =>
+        parseLine(line, deployEnv, mapper) match {
+          case None => StatusRow(null, "dead", "unable parse Time from message's 'timestamp' field")
+          case Some(p) =>
+            val title = p.field("title") match {
+              case Some(FStr(t)) => t
+              case _             => null
+            }
+            if (p.routes.isEmpty) StatusRow(title, "ignored", "")
+            else encode(p) match {
+              case Left(err) => StatusRow(title, "dead", err)
+              case Right(_)  => StatusRow(title, "ok", "")
+            }
+        }
+      }
+    }
+  }
+
   /** Same record identity as the declarative lane's `xxhash64(raw)`
     * (LogParse.scala:136) — seed 42 is the `xxhash64` function's. */
   def recordId(line: String): Long =

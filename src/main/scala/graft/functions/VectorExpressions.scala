@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native vector kernels as Catalyst expressions with whole-stage codegen.
   *
@@ -93,9 +93,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection band signature: for `nPlanes = planes.length`
+  * hyperplanes grouped into bands of `planesPerBand`, returns one int per
+  * band whose bit i is the sign of the dot product with plane
+  * `band*planesPerBand + i`. One fused kernel instead of `nPlanes`
+  * separate dot-product expression trees — with 128 planes the unfused
+  * plan was dominated by optimizer/codegen overhead, not arithmetic. */
+case class SrpBands(child: Expression, planes: Array[Array[Double]], planesPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "srp_bands"
+
+  @transient private lazy val flat: Array[Double] = planes.flatten
+  @transient private lazy val dims: Int = planes.headOption.map(_.length).getOrElse(0)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val nBands = planes.length / planesPerBand
+    val out = new Array[Int](nBands)
+    var p = 0
+    while (p < planes.length) {
+      val base = p * dims
+      val n = math.min(x.numElements(), dims)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getDouble(i) * flat(base + i); i += 1 }
+      if (dot > 0) out(p / planesPerBand) |= 1 << (p % planesPerBand)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("srpPlanes", flat, "double[]")
+    val nPlanes = planes.length
+    val nBands = nPlanes / planesPerBand
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int[] $out = new int[$nBands];
+         |int $n = java.lang.Math.min($a.numElements(), $dims);
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double $dot = 0.0;
+         |  int base = $p * $dims;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $flatRef[base + $i]; }
+         |  if ($dot > 0) $out[$p / $planesPerBand] |= 1 << ($p % $planesPerBand);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBands =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftShims.column(CosineSimilarity(GraftShims.expression(a), GraftShims.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+  def srpBands(e: Column, planes: Array[Array[Double]], planesPerBand: Int): Column =
+    GraftShims.column(SrpBands(GraftShims.expression(e), planes, planesPerBand))
 }

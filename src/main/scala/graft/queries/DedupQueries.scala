@@ -236,40 +236,37 @@ object DedupQueries {
     }
   )
 
-  /** embeddings ∪ perturbed copy (vec_id+1000000, dim 1 + 0.1), with norm. */
+  /** embeddings ∪ perturbed copy (vec_id+1000000, dim 1 + 0.1), with norm.
+    * `e` is fenced: the banding projection references it 128 times (one per
+    * hyperplane), and without the barrier CollapseProject re-inlines the
+    * interpreted transform into every reference (~128× the parse cost). */
   private[graft] def embedCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir).embeddings
-      .select(col("vec_id"), col("label"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(
+        col("vec_id"), col("label"),
+        graft.plans.OptimizerBarrier.once(transform(col("embedding"), x => x.cast("double"))).as("e"))
     val perturbed = Tables(s, dir).embeddings.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       col("label"),
-      transform(
+      graft.plans.OptimizerBarrier.once(transform(
         sequence(lit(1), lit(64)),
         i => element_at(col("embedding"), i).cast("double") + when(i === 1, 0.1).otherwise(0.0)
-      ).as("e")
+      )).as("e")
     )
     base.unionByName(perturbed)
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
   }
 
   /** LSH candidate pairs for the embed corpus `n(vec_id, label, e)`: 8-bit
-    * sign signature per band, same-label bucket join, distinct pairs. */
+    * sign signature per band (one fused SrpBands kernel — 128 separate
+    * dot-product trees drowned the optimizer), same-label bucket join,
+    * distinct pairs. */
   private[graft] def embedCandidates(n: DataFrame): DataFrame = {
     val planes = SimilarityQueries.planeWeights(embedBands * embedPlanesPerBand)
-    val bandStructs = (0 until embedBands).map { b =>
-      val bv = (0 until embedPlanesPerBand).map { i =>
-        val p = b * embedPlanesPerBand + i
-        when(
-          graft.functions.VectorExpressions.dotProduct(col("e"), lit(planes(p)).cast("array<double>")) > 0,
-          lit(1 << i)
-        ).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("b"), bv.as("bv"))
-    }
     val banded = n.select(
       col("vec_id"), col("label"),
-      explode(array(bandStructs: _*)).as("band")
-    ).select(col("vec_id"), col("label"), col("band.b").as("b"), col("band.bv").as("bv"))
+      posexplode(graft.functions.VectorExpressions.srpBands(col("e"), planes, embedPlanesPerBand))
+    ).toDF("vec_id", "label", "b", "bv")
     banded.select(col("vec_id").as("vec_a"), col("label"), col("b"), col("bv"))
       .join(
         banded.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("b").as("b2"), col("bv").as("bv2")),

@@ -363,8 +363,11 @@ object KayveeQueries {
             "\"rule\":\"evt\"}]}}")
         ).as("raw")
       )
-      val routed = RouteEngine.withRoutes(LogParse.parse(raw, "prod"))
-      Aggregations.routeCounts(routed, unix_timestamp(date_trunc("minute", col("ts"))))
+      // FastKayvee route-name lane (parity vs Aggregations.routeCounts in
+      // FastKayveeParitySpec) + one hash agg
+      graft.fast.FastKayvee.routeNames(raw, "prod")
+        .groupBy(col("window_start"), col("env"), col("application"), col("route"))
+        .agg(count(lit(1)).as("log_route_count"))
     },
 
     // O17 — max pipeline delay vs a fixed anchor (2024-02-01T00:00:00Z),
@@ -416,13 +419,12 @@ object KayveeQueries {
         ).otherwise(lit("")),
         lit("}")
       )
-      // single pass: status computed once per record, then one hash agg
-      MetricProject.withStatus(RouteEngine.withRoutes(LogParse.parse(lines(s, dir, body), "prod")))
-        .groupBy(
-          try_variant_get(try_element_at(col("fields"), lit("title")), "$", "string").as("event_type"),
-          col("status")
-        )
-        .agg(count(lit(1)).as("n"), min(coalesce(col("record_err"), lit(""))).as("err"))
+      // FastKayvee status lane (imperative mirror of withStatus, parity
+      // covered by FastKayveeParitySpec) + one hash agg — the declarative
+      // per-route error scan evaluates interpreted and was 12% of the bench
+      graft.fast.FastKayvee.status(lines(s, dir, body), "prod")
+        .groupBy(col("title").as("event_type"), col("status"))
+        .agg(count(lit(1)).as("n"), min(col("err")).as("err"))
         .select(col("event_type"), col("status"), col("n"), col("err"))
     },
 

@@ -195,6 +195,43 @@ class FastKayveeParitySpec extends SparkSpec {
     fast.zip(slow).foreach { case (f, s) => assert(f === s) }
   }
 
+  test("fast route-name lane ≡ declarative routeCounts (all kvmeta route types)") {
+    val mixed = corpus :+
+      (header + """{"_kvmeta":{"team":"t","routes":[{"type":"analytics","series":"x","rule":"ana1"},{"type":"metrics","rule":"m1"},{"type":"alerts","series":"s","dimensions":[],"stat_type":"counter","value_field":"","rule":"a1"}]}}""")
+    val raw = mixed.toDF("raw")
+    val parsed = LogParse.parse(raw, "test-env").filter(col("ts").isNotNull)
+    val slow = graft.agg.Aggregations
+      .routeCounts(RouteEngine.withRoutes(parsed), unix_timestamp(date_trunc("minute", col("ts"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_.toString)
+    val fast = FastKayvee.routeNames(raw, "test-env")
+      .groupBy(col("window_start"), col("env"), col("application"), col("route"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_.toString)
+    assert(fast.toSeq === slow.toSeq)
+  }
+
+  test("fast status lane ≡ declarative withStatus (title, status, err)") {
+    val raw = corpus.toDF("raw")
+    val title = {
+      val f = try_element_at(col("fields"), lit("title"))
+      when(schema_of_variant(f) === "STRING", f.cast("string"))
+    }
+    val slow = MetricProject.withStatus(RouteEngine.withRoutes(LogParse.parse(raw, "test-env")))
+      .select(title.as("title"), col("status"), coalesce(col("record_err"), lit("")).as("err"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_.toString)
+    val fast = FastKayvee.status(raw, "test-env")
+      .collect()
+      .map(s => (s.title, s.status, s.err))
+      .sortBy(_.toString)
+    assert(fast.toSeq === slow.toSeq)
+  }
+
   test("fast lane error/skip accounting matches declarative splits") {
     val raw = corpus.toDF("raw")
     val out = declarative(raw)
