@@ -49,6 +49,50 @@ object Aggregations {
       .groupBy(col("window_start"), col("env"), col("application"), col("route"))
       .agg(count(lit(1)).as("log_route_count"))
 
+  /** `shipMetrics` series projection (`metrics.go:91-157`): the volume and
+    * route-count aggregates as Datadog MetricSeries rows —
+    * `kinesis_alerts_consumer.log_volume_count` / `.log_volume_size` tagged
+    * env/application/team, and `.log_route_count` tagged
+    * env/application/route, all type "count". `point_ts` is the window
+    * start (the reference stamps flush time — `time.Now` at the tick; the
+    * window start is the deterministic batch analog). */
+  def metaSeries(volumes: DataFrame, routeCounts: DataFrame): DataFrame = {
+    val eatTags = concat_ws(
+      ",",
+      concat(lit("env:"), col("env")),
+      concat(lit("application:"), col("application")),
+      concat(lit("team:"), col("team"))
+    )
+    val lrTags = concat_ws(
+      ",",
+      concat(lit("env:"), col("env")),
+      concat(lit("application:"), col("application")),
+      concat(lit("route:"), col("route"))
+    )
+    val volCount = volumes.select(
+      lit("kinesis_alerts_consumer.log_volume_count").as("metric"),
+      lit("count").as("type"),
+      eatTags.as("tags_str"),
+      col("window_start").as("point_ts"),
+      col("log_volume_count").cast("double").as("point_value")
+    )
+    val volSize = volumes.select(
+      lit("kinesis_alerts_consumer.log_volume_size").as("metric"),
+      lit("count").as("type"),
+      eatTags.as("tags_str"),
+      col("window_start").as("point_ts"),
+      col("log_volume_size").cast("double").as("point_value")
+    )
+    val routeCount = routeCounts.select(
+      lit("kinesis_alerts_consumer.log_route_count").as("metric"),
+      lit("count").as("type"),
+      lrTags.as("tags_str"),
+      col("window_start").as("point_ts"),
+      col("log_route_count").cast("double").as("point_value")
+    )
+    volCount.unionByName(volSize).unionByName(routeCount)
+  }
+
   /** O17 — max pipeline delay vs an anchor instant (`delay.go:15-33`).
     * The reference tracks `max(now - point_ts)` in a lock-free atomic; the
     * Spark analog is a partial-aggregated global max — no shuffle of note

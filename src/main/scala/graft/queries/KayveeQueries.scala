@@ -370,6 +370,55 @@ object KayveeQueries {
         .agg(count(lit(1)).as("log_route_count"))
     },
 
+    // shipMetrics series projection (`metrics.go:91-157`): the two meta
+    // aggregates as Datadog series rows — log_volume_count/size tagged
+    // env/application/team, log_route_count tagged env/application/route.
+    q(
+      "q_meta_series",
+      s"""$withE, l AS (
+         |  SELECT floor(epoch(date_trunc('minute', ts)))::BIGINT AS ws,
+         |    'production' AS env, event_type || '-svc' AS app,
+         |    'team-' || (user_id % 7) AS team, event_type,
+         |    length(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00') || ' host-' || h ||
+         |      ' production--' || event_type || '-svc/arn[' || event_id || ']: ' ||
+         |      '{"_kvmeta":{"team":"team-' || (user_id % 7) ||
+         |      '","routes":[{"type":"analytics","series":"x","rule":"ana-' || event_type ||
+         |      '"},{"type":"alerts","series":"events.' || event_type ||
+         |      '","dimensions":[],"stat_type":"counter","value_field":"value","rule":"evt"}]}}') AS nbytes
+         |  FROM e),
+         |vol AS (SELECT ws, env, app, team, count(*) AS c, sum(nbytes)::BIGINT AS sz
+         |        FROM l GROUP BY 1, 2, 3, 4),
+         |rc AS (
+         |  SELECT ws, env, app, route, count(*) AS n FROM (
+         |    SELECT ws, env, app, 'ana-' || event_type AS route FROM l
+         |    UNION ALL SELECT ws, env, app, 'evt' FROM l) GROUP BY 1, 2, 3, 4)
+         |SELECT 'kinesis_alerts_consumer.log_volume_count' AS metric, 'count' AS type,
+         |  'env:' || env || ',application:' || app || ',team:' || team AS tags_str,
+         |  ws AS point_ts, c::DOUBLE AS point_value FROM vol
+         |UNION ALL
+         |SELECT 'kinesis_alerts_consumer.log_volume_size', 'count',
+         |  'env:' || env || ',application:' || app || ',team:' || team, ws, sz::DOUBLE FROM vol
+         |UNION ALL
+         |SELECT 'kinesis_alerts_consumer.log_route_count', 'count',
+         |  'env:' || env || ',application:' || app || ',route:' || route, ws, n::DOUBLE FROM rc""".stripMargin
+    ) { (s, dir) =>
+      val body = concat(
+        lit("{\"_kvmeta\":{\"team\":\"team-"), col("user_id") % 7,
+        lit("\",\"routes\":[{\"type\":\"analytics\",\"series\":\"x\",\"rule\":\"ana-"), col("event_type"),
+        lit("\"},{\"type\":\"alerts\",\"series\":\"events."), col("event_type"),
+        lit("\",\"dimensions\":[],\"stat_type\":\"counter\",\"value_field\":\"value\"," +
+          "\"rule\":\"evt\"}]}}")
+      )
+      val raw = lines(s, dir, body)
+      val volumes = graft.fast.FastKayvee.volume(raw, "prod")
+        .groupBy(col("window_start"), col("env"), col("application"), col("team"))
+        .agg(count(lit(1)).as("log_volume_count"), sum(col("nbytes")).as("log_volume_size"))
+      val routes = graft.fast.FastKayvee.routeNames(raw, "prod")
+        .groupBy(col("window_start"), col("env"), col("application"), col("route"))
+        .agg(count(lit(1)).as("log_route_count"))
+      Aggregations.metaSeries(volumes, routes)
+    },
+
     // O17 — max pipeline delay vs a fixed anchor (2024-02-01T00:00:00Z),
     // grouped per application.
     q(

@@ -170,6 +170,25 @@ object StreamPipeline {
         col("log_volume_count"), col("log_volume_size"))
   }
 
+  /** O16b streaming: watermarked 1-minute tumbling route counts over ALL
+    * kvmeta route types (`metrics.go:63-67`) in update mode — the second
+    * half of the reference's meta-metrics aggregator goroutine. */
+  def routeCountsAgg(raw: DataFrame, deployEnv: String, watermark: String = "2 minutes"): DataFrame = {
+    val routed = RouteEngine.withRoutes(LogParse.parse(raw, deployEnv))
+      .withWatermark("ts", watermark)
+    routed
+      .select(
+        col("ts"),
+        coalesce(when(col("container_env") =!= "", col("container_env")), lit("unknown")).as("env"),
+        coalesce(when(col("container_app") =!= "", col("container_app")), lit("unknown")).as("application"),
+        explode(col("rule_names")).as("route")
+      )
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("env"), col("application"), col("route"))
+      .agg(count(lit(1)).as("log_route_count"))
+      .select(col("w.start").as("window_start"), col("env"), col("application"), col("route"),
+        col("log_route_count"))
+  }
+
   /** O17 streaming: max pipeline delay per trigger via `observe` — the
     * lock-free-atomic analog; read from QueryProgress events. */
   def withDelayObserver(dd: DataFrame): DataFrame =

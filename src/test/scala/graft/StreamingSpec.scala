@@ -318,6 +318,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked 1-minute route-count aggregation counts ALL kvmeta route types") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val agg = StreamPipeline.routeCountsAgg(raw, "test-env")
+    val q = agg.writeStream.format("memory").queryName("rcounts").outputMode("update").start()
+    try {
+      def line(sec: Int) =
+        f"""2017-08-15T18:39:$sec%02d.000000+00:00 h production--app-b/arn[1]: {"_kvmeta":{"team":"t","routes":[{"type":"analytics","series":"x","rule":"ana"},{"type":"alerts","series":"s","dimensions":[],"stat_type":"counter","value_field":"","rule":"al"}]}}"""
+      ms.addData(line(1), line(2))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT route, log_route_count FROM rcounts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // analytics routes count too (metrics.go:63-67), not just alerts
+      assert(rows === Map("ana" -> 2L, "al" -> 2L))
+    } finally q.stop()
+  }
+
   test("delay tracker emits inline under continuous traffic (timeout never fires)") {
     implicit val sqlCtx = spark.sqlContext
     val anchor = 1700000000L
