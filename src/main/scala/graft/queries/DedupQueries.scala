@@ -41,24 +41,41 @@ object DedupQueries {
     )
   }
 
-  /** One row per distinct word-3-gram: (doc_id, lang, s). Docs with <3
-    * tokens yield no shingles — unguarded `sequence(1, size-2)` would turn
-    * DESCENDING for them ([1,0]) and `element_at(l, 0)` throws under
+  /** Distinct word-3-gram array over the token column `l`. Docs with <3
+    * tokens yield an empty array — unguarded `sequence(1, size-2)` would
+    * turn DESCENDING for them ([1,0]) and `element_at(l, 0)` throws under
     * Spark 4 ANSI mode, where DuckDB's generate_series(1,0) is just empty. */
+  private def shingleArray: Column =
+    array_distinct(
+      transform(
+        when(size(col("l")) >= 3, sequence(lit(1), size(col("l")) - 2))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws("_", element_at(col("l"), i), element_at(col("l"), i + 1), element_at(col("l"), i + 2))
+      )
+    )
+
+  /** (doc_id, lang, sarr): per-doc distinct shingle array. */
+  private def shingleArrays(df: DataFrame): DataFrame =
+    df.withColumn("l", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), shingleArray.as("sarr"))
+
+  /** One row per distinct word-3-gram: (doc_id, lang, s). */
   private def shingles(df: DataFrame): DataFrame =
     df.withColumn("l", split(col("text"), " "))
-      .select(
-        col("doc_id"), col("lang"),
-        explode(
-          array_distinct(
-            transform(
-              when(size(col("l")) >= 3, sequence(lit(1), size(col("l")) - 2))
-                .otherwise(array().cast("array<int>")),
-              i => concat_ws("_", element_at(col("l"), i), element_at(col("l"), i + 1), element_at(col("l"), i + 2))
-            )
-          )
-        ).as("s")
-      )
+      .select(col("doc_id"), col("lang"), explode(shingleArray).as("s"))
+
+  /** Exact-Jaccard verify over candidate (doc_a, doc_b) pairs via
+    * array_intersect on per-doc shingle arrays — candidates are few after
+    * LSH blocking, so two array joins beat re-shuffling the whole exploded
+    * shingle index. */
+  private def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sarr.select(col("doc_id").as("doc_a"), col("sarr").as("sa")), "doc_a")
+      .join(sarr.select(col("doc_id").as("doc_b"), col("sarr").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
 
   /** Exact Jaccard over candidate pairs given (doc,shingle) and per-doc
     * shingle counts; emits doc_a/doc_b/jac ≥ threshold. */
@@ -142,15 +159,27 @@ object DedupQueries {
          |  GROUP BY 1, 2)
          |${jaccardSql("pairs", 0.3)}""".stripMargin
     ) { (s, dir) =>
-      val sh = shingles(corpus(s, dir))
-      // 8 min-hashes as 8 aggregates in ONE pass over the shingle rows —
-      // no hash-index cross join, no 8× row blow-up before the shuffle
-      val minhAggs = (0 until 8).map(j => min(md5(concat(lit(s"$j#"), col("s")))).as(s"h$j"))
-      val minh = sh.groupBy(col("doc_id")).agg(minhAggs.head, minhAggs.tail: _*)
+      val sarr = shingleArrays(corpus(s, dir))
+      // 8 min-hashes in ONE fused MinHashSig pass over the per-doc shingle
+      // array — no explode and no aggregation shuffle for the signature
+      // (the round-1 shape grouped 8 min-aggregates over exploded rows)
+      val minh = sarr
+        .select(
+          col("doc_id"),
+          // fence: `hs` is referenced 9× downstream (8 band element_ats +
+          // the null filter); unfenced, CollapseProject re-inlines the
+          // whole signature loop into every reference (measured 8×)
+          graft.plans.OptimizerBarrier.once(
+            graft.functions.TextHashExpressions.minHash(col("sarr"), 8)).as("hs")
+        )
+        .filter(col("hs").isNotNull) // zero-shingle docs had no aggregate row
       val bands = minh.select(
         col("doc_id"),
         explode(array((0 to 3).map(b =>
-          struct(lit(b).as("b"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bv"))): _*)).as("band")
+          struct(
+            lit(b).as("b"),
+            md5(concat(element_at(col("hs"), 2 * b + 1), element_at(col("hs"), 2 * b + 2))).as("bv")
+          )): _*)).as("band")
       ).select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
       val cands = bands.select(col("doc_id").as("doc_a"), col("b"), col("bv"))
         .join(
@@ -158,14 +187,7 @@ object DedupQueries {
           col("b") === col("b2") && col("bv") === col("bv2") && col("doc_a") < col("doc_b")
         )
         .select(col("doc_a"), col("doc_b")).distinct()
-      val pairs = cands
-        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(
-          sh.select(col("doc_id").as("db2"), col("s").as("s2")),
-          col("db2") === col("doc_b") && col("s2") === col("s")
-        )
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      jaccard(sh, pairs, 0.3)
+      jaccardVerify(sarr, cands, 0.3)
     },
 
     // SimHash: 60-bit integer signature from per-token md5-hex-char
@@ -177,22 +199,16 @@ object DedupQueries {
       "q_dedup_simhash",
       simhashSql
     ) { (s, dir) =>
-      val tok = corpus(s, dir)
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      // ONE md5 per token: each hex char carries 4 bits (its value), so 32
-      // chars cover the 60-bit signature. hexval = ascii<97 ? ascii-48 : ascii-87.
-      def bit(i: Int) = {
-        val c = ascii(substring(col("h"), (i - 1) / 4 + 1, 1))
-        val v = when(c < 97, c - 48).otherwise(c - 87)
-        shiftright(v, (i - 1) % 4).bitwiseAND(lit(1))
-      }
-      val aggs = (1 to 60).map(i => sum(bit(i)).as(s"o$i")) :+ count(lit(1)).as("ntok")
-      val bitsums = tok.groupBy(col("doc_id"), col("lang")).agg(aggs.head, aggs.tail: _*)
-      val sig = bitsums.select(
+      // ONE fused SimHash60 pass per document (one md5 per token, 4 bits
+      // per hex char, strict per-bit majority) — the round-1 shape
+      // exploded tokens into 60 bit-sum aggregates, paying a shuffle plus
+      // 60 interpreted aggregate updates per token for the same signature
+      val sig = corpus(s, dir).select(
         col("doc_id"), col("lang"),
-        (1 to 60).map(i => when(lit(2) * col(s"o$i") > col("ntok"), lit(1L << (i - 1))).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig")
+        // fenced like `hs` below: 5 downstream references (4 band shifts +
+        // the signature column itself)
+        graft.plans.OptimizerBarrier.once(
+          graft.functions.TextHashExpressions.simHash(split(col("text"), " "))).as("sig")
       )
       val banded = sig.select(
         col("doc_id"), col("lang"), col("sig"),
