@@ -183,6 +183,59 @@ object TextQueries {
       )
     },
 
+    // BPE-style regex tokenization (GPT-2-ish pattern: contractions, letter
+    // runs, digit runs, punctuation runs, whitespace) — token count and
+    // chars-per-token compression ratio. Pattern restricted to constructs
+    // with identical semantics in Java regex (Spark) and RE2 (DuckDB).
+    q(
+      "q_token_bpe",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_bpe,
+        |  CASE WHEN len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) > 0
+        |    THEN round(length(text)::DOUBLE /
+        |      len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')), 4)
+        |    ELSE 0.0 END AS chars_per_token
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      val pat = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+      val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(toks).as("n_bpe"),
+        when(size(toks) > 0, round(length(col("text")).cast("double") / size(toks), 4))
+          .otherwise(0.0).as("chars_per_token")
+      )
+    },
+
+    // Stopword + punctuation quality features (the Gopher-style "too few
+    // stopwords / too much punctuation" pre-filter): stopword ratio via a
+    // broadcast-literal list, punctuation ratio via a char-class scrub.
+    q(
+      "q_quality_stopword",
+      """SELECT doc_id,
+        |  round(len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with'], lower(t))))::DOUBLE
+        |    / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  CASE WHEN length(text) > 0
+        |    THEN round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text), 4)
+        |    ELSE 0.0 END AS punct_ratio
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      val stop = array(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "as", "with").map(lit): _*)
+      val l = split(col("text"), " ")
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        round(
+          size(filter(l, t => array_contains(stop, lower(t)))).cast("double") / size(l), 4
+        ).as("stop_ratio"),
+        when(
+          length(col("text")) > 0,
+          round(length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") / length(col("text")), 4)
+        ).otherwise(0.0).as("punct_ratio")
+      )
+    },
+
     // Document fingerprints: exact (md5 of text) and canonical (md5 of the
     // sorted distinct token set — order/duplication-insensitive).
     q(
