@@ -54,7 +54,49 @@ object SimilarityQueries {
   private val dotSqlLambda =
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
-  def defs: Seq[QueryDef] = base :+ ivf
+  def defs: Seq[QueryDef] = base :+ ivf :+ quantize
+
+  /** int8 symmetric quantization of the embedding column — the standard
+    * storage/ANN compression step for a training-data pipeline: per-vector
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit floor
+    * instead of round(): engine round() semantics differ on .5 boundaries,
+    * floor over identical IEEE ops is deterministic in both engines), plus
+    * reconstruction MSE and the count of saturated lanes. Narrow per-row
+    * array math — no shuffle at any scale. */
+  val quantize: QueryDef = q(
+    "q_embed_quantize",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v)
+      |SELECT vec_id, scale,
+      |  CASE WHEN scale > 0 THEN
+      |    list_sum(list_transform(e, x ->
+      |      (x - floor(x / scale + 0.5) * scale) * (x - floor(x / scale + 0.5) * scale))) / 64
+      |  ELSE 0.0 END AS mse,
+      |  CASE WHEN scale > 0 THEN
+      |    len(list_filter(e, x -> abs(floor(x / scale + 0.5)) >= 127))
+      |  ELSE 0 END AS n_saturated
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val scale =
+      aggregate(transform(col("e"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)) / 127.0
+    def qerr(x: Column) = x - floor(x / col("scale") + 0.5) * col("scale")
+    v.withColumn("scale", scale)
+      .select(
+        col("vec_id"),
+        col("scale"),
+        when(
+          col("scale") > 0,
+          aggregate(transform(col("e"), x => qerr(x) * qerr(x)), lit(0.0), (a, x) => a + x) / 64
+        ).otherwise(0.0).as("mse"),
+        when(
+          col("scale") > 0,
+          size(filter(col("e"), x => abs(floor(x / col("scale") + 0.5)) >= 127))
+        ).otherwise(0).as("n_saturated")
+      )
+  }
 
   private val base: Seq[QueryDef] = Seq(
 
