@@ -77,8 +77,14 @@ object DedupQueries {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
 
-  /** Exact Jaccard over candidate pairs given (doc,shingle) and per-doc
-    * shingle counts; emits doc_a/doc_b/jac ≥ threshold. */
+  /** Exact Jaccard over candidate pairs given (doc,shingle) rows and
+    * per-pair intersection counts; emits doc_a/doc_b/jac ≥ threshold.
+    * This is the HIGH-candidate-cardinality verify: `pairs` already
+    * carries intersection counts from the index join, and only tiny
+    * per-doc count rows join in. (`jaccardVerify` — array_intersect over
+    * per-doc shingle arrays — wins when an LSH prefilter has already cut
+    * candidates to a small set; with ngram's any-shared-shingle candidate
+    * set it shipped two full shingle arrays per pair and was 3× slower.) */
   private def jaccard(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val sc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     pairs
