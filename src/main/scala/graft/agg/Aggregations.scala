@@ -56,18 +56,16 @@ object Aggregations {
     * env/application/route, all type "count". `point_ts` is the window
     * start (the reference stamps flush time — `time.Now` at the tick; the
     * window start is the deterministic batch analog). */
-  def metaSeries(volumes: DataFrame, routeCounts: DataFrame): DataFrame = {
+  def metaSeries(volumes: DataFrame, routeCounts: DataFrame): DataFrame =
+    volumeSeries(volumes).unionByName(routeSeries(routeCounts))
+
+  /** The two volume series per (env,app,team) group (`metrics.go:104-136`). */
+  def volumeSeries(volumes: DataFrame): DataFrame = {
     val eatTags = concat_ws(
       ",",
       concat(lit("env:"), col("env")),
       concat(lit("application:"), col("application")),
       concat(lit("team:"), col("team"))
-    )
-    val lrTags = concat_ws(
-      ",",
-      concat(lit("env:"), col("env")),
-      concat(lit("application:"), col("application")),
-      concat(lit("route:"), col("route"))
     )
     val volCount = volumes.select(
       lit("kinesis_alerts_consumer.log_volume_count").as("metric"),
@@ -83,14 +81,24 @@ object Aggregations {
       col("window_start").as("point_ts"),
       col("log_volume_size").cast("double").as("point_value")
     )
-    val routeCount = routeCounts.select(
+    volCount.unionByName(volSize)
+  }
+
+  /** The route-count series per (env,app,rule) group (`metrics.go:138-157`). */
+  def routeSeries(routeCounts: DataFrame): DataFrame = {
+    val lrTags = concat_ws(
+      ",",
+      concat(lit("env:"), col("env")),
+      concat(lit("application:"), col("application")),
+      concat(lit("route:"), col("route"))
+    )
+    routeCounts.select(
       lit("kinesis_alerts_consumer.log_route_count").as("metric"),
       lit("count").as("type"),
       lrTags.as("tags_str"),
       col("window_start").as("point_ts"),
       col("log_route_count").cast("double").as("point_value")
     )
-    volCount.unionByName(volSize).unionByName(routeCount)
   }
 
   /** O17 — max pipeline delay vs an anchor instant (`delay.go:15-33`).

@@ -189,6 +189,48 @@ object StreamPipeline {
         col("log_route_count"))
   }
 
+  /** Streaming `shipMetrics` (`metrics.go:91-172`): the volume and
+    * route-count aggregates projected into DD series rows and submitted
+    * per trigger under tag "meta" — retried 5×, then logged-not-fatal
+    * (`metrics.go:159-171`; meta metrics are never dead-lettered).
+    * Returns the two writers (volume lane, route lane): Spark does not
+    * union two streaming aggregations in one query, and the reference
+    * runs them as two independent map flushes anyway. Submission happens
+    * per partition on executors; the aggregate frames are
+    * bounded-keyspace tiny. */
+  def shipMetaSeries(
+      raw: DataFrame,
+      cfg: Config,
+      sink: BatchSink
+  ): (DataStreamWriter[Row], DataStreamWriter[Row]) = {
+    def shipper(series: DataFrame): DataStreamWriter[Row] =
+      series.writeStream
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val attempts = cfg.retryAttempts
+          val baseMs = cfg.retryBaseMs
+          batch.foreachPartition { (rows: Iterator[Row]) =>
+            val buf = rows.toSeq
+            if (buf.nonEmpty)
+              try withRetry(attempts, baseMs)(sink.submit("meta", buf))
+              catch {
+                case e: Exception =>
+                  org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamPipeline")
+                    .warn(s"failed-sending-volumes: ${e.getMessage}")
+              }
+          }
+        }
+    val volumes = volumeAgg(raw, cfg.deployEnv)
+      .select(unix_timestamp(col("window_start")).as("window_start"), col("env"),
+        col("application"), col("team"), col("log_volume_count"), col("log_volume_size"))
+    val routes = routeCountsAgg(raw, cfg.deployEnv)
+      .select(unix_timestamp(col("window_start")).as("window_start"), col("env"),
+        col("application"), col("route"), col("log_route_count"))
+    (shipper(graft.agg.Aggregations.volumeSeries(volumes)),
+      shipper(graft.agg.Aggregations.routeSeries(routes)))
+  }
+
   /** O17 streaming: max pipeline delay per trigger via `observe` — the
     * lock-free-atomic analog; read from QueryProgress events. */
   def withDelayObserver(dd: DataFrame): DataFrame =

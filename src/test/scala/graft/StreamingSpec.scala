@@ -336,6 +336,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("meta-series shipping: volume and route series submitted under tag 'meta'") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset()
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val (v, r) = StreamPipeline.shipMetaSeries(
+      raw, Config("test-env", triggerInterval = "1 seconds"), new TestSink)
+    val qv = v.start()
+    val qr = r.start()
+    try {
+      ms.addData(
+        """2017-08-15T18:39:07.000000+00:00 h production--app-c/arn[1]: {"_kvmeta":{"team":"tz","routes":[{"type":"analytics","series":"x","rule":"ana"}]}}""")
+      qv.processAllAvailable()
+      qr.processAllAvailable()
+      val metrics = SinkState.deliveredMetrics.asScala.toSet
+      assert(metrics === Set(
+        "kinesis_alerts_consumer.log_volume_count",
+        "kinesis_alerts_consumer.log_volume_size",
+        "kinesis_alerts_consumer.log_route_count"))
+      assert(SinkState.delivered.asScala.forall(_._1 == "meta"))
+    } finally { qv.stop(); qr.stop() }
+  }
+
   test("delay tracker emits inline under continuous traffic (timeout never fires)") {
     implicit val sqlCtx = spark.sqlContext
     val anchor = 1700000000L
