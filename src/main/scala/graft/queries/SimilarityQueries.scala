@@ -54,7 +54,7 @@ object SimilarityQueries {
   private val dotSqlLambda =
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
-  def defs: Seq[QueryDef] = base :+ ivf :+ quantize
+  def defs: Seq[QueryDef] = base :+ ivf :+ quantize :+ kmeansStep
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -215,6 +215,59 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** One Lloyd (k-means) update step over the embedding corpus: assign
+    * every vector to its max-cosine centroid (broadcast centroids, narrow
+    * map — the IVF coarse quantizer), recompute per-cell means as 64
+    * partially-aggregated avg columns, and report each centroid's member
+    * count and movement. At scale this is one broadcast + one bounded-key
+    * hash agg per iteration — the canonical distributed k-means shape. */
+  val kmeansStep: QueryDef = q(
+    "q_kmeans_step",
+    kmeansSql
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = v.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val assign = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("c_id"))
+    val meanAggs = count(lit(1)).as("n_members") +:
+      (0 until 64).map(d => avg(col("e").getItem(d)).as(s"m$d"))
+    val means = assign.groupBy(col("c_id")).agg(meanAggs.head, meanAggs.tail: _*)
+    val movement = sqrt(
+      (0 until 64)
+        .map(d => (col(s"m$d") - element_at(col("ce"), d + 1)) * (col(s"m$d") - element_at(col("ce"), d + 1)))
+        .reduce(_ + _))
+    means
+      .join(cents.select(col("c_id"), col("ce")), "c_id")
+      .select(col("c_id"), col("n_members"), round(movement, 6).as("movement"))
+  }
+
+  /** k-means-step oracle: same assignment CTE as IVF, 64 generated avg
+    * columns, movement vs the original centroid. */
+  private lazy val kmeansSql: String = {
+    val avgs = (1 to 64).map(i => s"avg(e[$i]) AS m$i").mkString(", ")
+    val move = (1 to 64).map(i => s"(a.m$i - c.ce[$i]) * (a.m$i - c.ce[$i])").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+       |assign AS (
+       |  SELECT vec_id, e, c_id FROM (
+       |    SELECT a.vec_id, a.e, c.c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+       |        c.c_id) AS rn
+       |    FROM n a CROSS JOIN c) WHERE rn = 1),
+       |agg AS (SELECT c_id, count(*) AS n_members, $avgs FROM assign GROUP BY c_id)
+       |SELECT a.c_id, a.n_members, round(sqrt($move), 6) AS movement
+       |FROM agg a JOIN c ON a.c_id = c.c_id""".stripMargin
   }
 
   /** cosine with precomputed norms. */
