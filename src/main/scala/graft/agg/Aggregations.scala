@@ -59,7 +59,10 @@ object Aggregations {
   def metaSeries(volumes: DataFrame, routeCounts: DataFrame): DataFrame =
     volumeSeries(volumes).unionByName(routeSeries(routeCounts))
 
-  /** The two volume series per (env,app,team) group (`metrics.go:104-136`). */
+  /** The two volume series per (env,app,team) group (`metrics.go:104-136`).
+    * Emitted via a 2-element explode from ONE scan — a union of two
+    * selects would recompute the whole upstream aggregation (and its
+    * parse) once per branch. */
   def volumeSeries(volumes: DataFrame): DataFrame = {
     val eatTags = concat_ws(
       ",",
@@ -67,21 +70,21 @@ object Aggregations {
       concat(lit("application:"), col("application")),
       concat(lit("team:"), col("team"))
     )
-    val volCount = volumes.select(
-      lit("kinesis_alerts_consumer.log_volume_count").as("metric"),
+    def series(metric: String, value: Column) = struct(
+      lit(metric).as("metric"),
       lit("count").as("type"),
       eatTags.as("tags_str"),
       col("window_start").as("point_ts"),
-      col("log_volume_count").cast("double").as("point_value")
+      value.cast("double").as("point_value")
     )
-    val volSize = volumes.select(
-      lit("kinesis_alerts_consumer.log_volume_size").as("metric"),
-      lit("count").as("type"),
-      eatTags.as("tags_str"),
-      col("window_start").as("point_ts"),
-      col("log_volume_size").cast("double").as("point_value")
-    )
-    volCount.unionByName(volSize)
+    volumes
+      .select(explode(array(
+        series("kinesis_alerts_consumer.log_volume_count", col("log_volume_count")),
+        series("kinesis_alerts_consumer.log_volume_size", col("log_volume_size"))
+      )).as("s"))
+      .select(col("s.metric").as("metric"), col("s.type").as("type"),
+        col("s.tags_str").as("tags_str"), col("s.point_ts").as("point_ts"),
+        col("s.point_value").as("point_value"))
   }
 
   /** The route-count series per (env,app,rule) group (`metrics.go:138-157`). */
