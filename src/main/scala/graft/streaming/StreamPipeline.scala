@@ -195,9 +195,11 @@ object StreamPipeline {
     * (`metrics.go:159-171`; meta metrics are never dead-lettered).
     * Returns the two writers (volume lane, route lane): Spark does not
     * union two streaming aggregations in one query, and the reference
-    * runs them as two independent map flushes anyway. Submission happens
-    * per partition on executors; the aggregate frames are
-    * bounded-keyspace tiny. */
+    * runs them as two independent map flushes anyway. Each writer is an
+    * independent streaming query over `raw` — use a replayable source
+    * (files/Kinesis); a test MemoryStream purges batches once any reader
+    * commits them. Submission happens per partition on executors; the
+    * aggregate frames are bounded-keyspace tiny. */
   def shipMetaSeries(
       raw: DataFrame,
       cfg: Config,

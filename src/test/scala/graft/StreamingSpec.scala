@@ -339,15 +339,23 @@ class StreamingSpec extends SparkSpec {
   test("meta-series shipping: volume and route series submitted under tag 'meta'") {
     implicit val sqlCtx = spark.sqlContext
     SinkState.reset()
-    val ms = MemoryStream[String]
-    val raw = ms.toDF().withColumnRenamed("value", "raw")
-    val (v, r) = StreamPipeline.shipMetaSeries(
-      raw, Config("test-env", triggerInterval = "1 seconds"), new TestSink)
+    val line =
+      """2017-08-15T18:39:07.000000+00:00 h production--app-c/arn[1]: {"_kvmeta":{"team":"tz","routes":[{"type":"analytics","series":"x","rule":"ana"}]}}"""
+    // one MemoryStream per lane: a MemoryStream purges batches once ANY
+    // reader commits them, so two queries sharing a source race for data
+    val msV = MemoryStream[String]
+    val msR = MemoryStream[String]
+    val (v, _) = StreamPipeline.shipMetaSeries(
+      msV.toDF().withColumnRenamed("value", "raw"),
+      Config("test-env", triggerInterval = "1 seconds"), new TestSink)
+    val (_, r) = StreamPipeline.shipMetaSeries(
+      msR.toDF().withColumnRenamed("value", "raw"),
+      Config("test-env", triggerInterval = "1 seconds"), new TestSink)
     val qv = v.start()
     val qr = r.start()
     try {
-      ms.addData(
-        """2017-08-15T18:39:07.000000+00:00 h production--app-c/arn[1]: {"_kvmeta":{"team":"tz","routes":[{"type":"analytics","series":"x","rule":"ana"}]}}""")
+      msV.addData(line)
+      msR.addData(line)
       qv.processAllAvailable()
       qr.processAllAvailable()
       val metrics = SinkState.deliveredMetrics.asScala.toSet
