@@ -141,44 +141,6 @@ object DedupQueries {
       jaccard(sh, pairs, 0.3)
     },
 
-    // The stop-shingle df cap — the standard lever when the inverted-index
-    // join's Σ df² grows: candidate pairs come only from shingles with
-    // document frequency ≤ 50 (frequent shingles are uninformative for
-    // near-dup detection and dominate the join cost), then exact Jaccard
-    // verifies on the FULL shingle sets via array_intersect — cheap now
-    // that candidates are few. Both engines apply the same cap.
-    q(
-      "q_dedup_ngram_capped",
-      s"""WITH $corpusSql, $shinglesSql,
-         |dfc AS (SELECT lang, s, count(*) AS df FROM sh GROUP BY lang, s),
-         |rare AS (SELECT sh.doc_id, sh.lang, sh.s FROM sh JOIN dfc USING (lang, s) WHERE dfc.df <= 50),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM rare a JOIN rare b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id),
-         |sarr AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(l) - 2), i -> l[i] || '_' || l[i+1] || '_' || l[i+2])) AS sa
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM corpus))
-         |SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
-         |  SELECT c.doc_a, c.doc_b,
-         |    len(list_intersect(x.sa, y.sa))::DOUBLE /
-         |      (len(x.sa) + len(y.sa) - len(list_intersect(x.sa, y.sa))) AS jac
-         |  FROM cands c JOIN sarr x ON x.doc_id = c.doc_a JOIN sarr y ON y.doc_id = c.doc_b)
-         |WHERE jac >= 0.3""".stripMargin
-    ) { (s, dir) =>
-      val sh = shingles(corpus(s, dir))
-      val dfc = sh.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("df"))
-      val rare = sh.join(dfc.filter(col("df") <= 50), Seq("lang", "s"))
-        .select(col("doc_id"), col("lang"), col("s"))
-      val cands = rare.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
-        .join(
-          rare.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b")),
-          col("s") === col("s_b") && col("lang") === col("lang_b") && col("doc_a") < col("doc_b")
-        )
-        .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardVerify(shingleArrays(corpus(s, dir)), cands, 0.3)
-    },
-
     // MinHash (8 string-min hashes over shingles) + LSH banding (4 bands of
     // 2): only pairs sharing a band bucket are candidates; candidates are
     // then verified with exact Jaccard. At scale the band join touches

@@ -29,7 +29,7 @@ class ShortDocSpec extends SparkSpec {
     "q_text_stats", "q_token_count", "q_token_bpe", "q_lang_id",
     "q_quality_score", "q_quality_repetition", "q_quality_stopword",
     "q_fingerprint", "q_string_funcs",
-    "q_dedup_ngram_jaccard", "q_dedup_ngram_capped", "q_dedup_minhash", "q_dedup_simhash"
+    "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash"
   )
 
   for (name <- queries)
