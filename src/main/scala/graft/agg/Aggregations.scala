@@ -49,59 +49,47 @@ object Aggregations {
       .groupBy(col("window_start"), col("env"), col("application"), col("route"))
       .agg(count(lit(1)).as("log_route_count"))
 
-  /** `shipMetrics` series projection (`metrics.go:91-157`): the volume and
-    * route-count aggregates as Datadog MetricSeries rows —
-    * `kinesis_alerts_consumer.log_volume_count` / `.log_volume_size` tagged
-    * env/application/team, and `.log_route_count` tagged
-    * env/application/route, all type "count". `point_ts` is the window
-    * start (the reference stamps flush time — `time.Now` at the tick; the
-    * window start is the deterministic batch analog). */
-  def metaSeries(volumes: DataFrame, routeCounts: DataFrame): DataFrame =
-    volumeSeries(volumes).unionByName(routeSeries(routeCounts))
+  /** Single-shuffle aggregation of the unified meta frame (columns: kind,
+    * window_start, env, application, grp, nbytes — see
+    * `FastKayvee.MetaRow`): ONE hash agg serves both of the reference's
+    * meta maps (`metrics.go:73-89` accumulates volumes AND route counts in
+    * one goroutine pass). `cnt` is log_volume_count for kind="vol" and
+    * log_route_count for kind="route"; `sz` is log_volume_size (0-sum for
+    * route rows). */
+  def metaCounts(meta: DataFrame): DataFrame =
+    meta
+      .groupBy(col("kind"), col("window_start"), col("env"), col("application"), col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("nbytes")).as("sz"))
 
-  /** The two volume series per (env,app,team) group (`metrics.go:104-136`).
-    * Emitted via a 2-element explode from ONE scan — a union of two
-    * selects would recompute the whole upstream aggregation (and its
-    * parse) once per branch. */
-  def volumeSeries(volumes: DataFrame): DataFrame = {
-    val eatTags = concat_ws(
+  /** `shipMetrics` series projection over the grouped unified meta frame
+    * ([[metaCounts]] output): vol groups fan into the two volume series
+    * (tags `env/application/team`), route groups into the route-count
+    * series (tags `env/application/route`) — `metrics.go:104-157`. One
+    * scan, one explode; same output schema as [[metaSeries]]. */
+  def metaSeriesUnified(grouped: DataFrame): DataFrame = {
+    val tagsStr = concat_ws(
       ",",
       concat(lit("env:"), col("env")),
       concat(lit("application:"), col("application")),
-      concat(lit("team:"), col("team"))
+      concat(when(col("kind") === "vol", lit("team:")).otherwise(lit("route:")), col("grp"))
     )
-    def series(metric: String, value: Column) = struct(
-      lit(metric).as("metric"),
+    def series(metric: Column, value: Column) = struct(
+      metric.as("metric"),
       lit("count").as("type"),
-      eatTags.as("tags_str"),
+      tagsStr.as("tags_str"),
       col("window_start").as("point_ts"),
       value.cast("double").as("point_value")
     )
-    volumes
-      .select(explode(array(
-        series("kinesis_alerts_consumer.log_volume_count", col("log_volume_count")),
-        series("kinesis_alerts_consumer.log_volume_size", col("log_volume_size"))
-      )).as("s"))
+    grouped
+      .select(explode(when(col("kind") === "vol", array(
+        series(lit("kinesis_alerts_consumer.log_volume_count"), col("cnt")),
+        series(lit("kinesis_alerts_consumer.log_volume_size"), col("sz"))
+      )).otherwise(array(
+        series(lit("kinesis_alerts_consumer.log_route_count"), col("cnt"))
+      ))).as("s"))
       .select(col("s.metric").as("metric"), col("s.type").as("type"),
         col("s.tags_str").as("tags_str"), col("s.point_ts").as("point_ts"),
         col("s.point_value").as("point_value"))
-  }
-
-  /** The route-count series per (env,app,rule) group (`metrics.go:138-157`). */
-  def routeSeries(routeCounts: DataFrame): DataFrame = {
-    val lrTags = concat_ws(
-      ",",
-      concat(lit("env:"), col("env")),
-      concat(lit("application:"), col("application")),
-      concat(lit("route:"), col("route"))
-    )
-    routeCounts.select(
-      lit("kinesis_alerts_consumer.log_route_count").as("metric"),
-      lit("count").as("type"),
-      lrTags.as("tags_str"),
-      col("window_start").as("point_ts"),
-      col("log_route_count").cast("double").as("point_value")
-    )
   }
 
   /** O17 — max pipeline delay vs an anchor instant (`delay.go:15-33`).

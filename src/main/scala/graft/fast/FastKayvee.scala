@@ -319,7 +319,9 @@ object FastKayvee {
       it.flatMap { line =>
         parseLine(line, deployEnv, mapper).map { p =>
           VolumeRow(
-            p.tsSec / 60 * 60,
+            // floorDiv: declarative date_trunc floors toward -inf, so
+            // pre-epoch timestamps must too (-61s → -120, not -60)
+            Math.floorDiv(p.tsSec, 60) * 60,
             Option(p.containerEnv).filter(_.nonEmpty).getOrElse("unknown"),
             Option(p.containerApp).filter(_.nonEmpty).getOrElse("unknown"),
             p.team.getOrElse("unknown"),
@@ -429,7 +431,51 @@ object FastKayvee {
           }
           val env = Option(p.containerEnv).filter(_.nonEmpty).getOrElse("unknown")
           val app = Option(p.containerApp).filter(_.nonEmpty).getOrElse("unknown")
-          names.map(n => RouteNameRow(p.tsSec / 60 * 60, env, app, n))
+          names.map(n => RouteNameRow(Math.floorDiv(p.tsSec, 60) * 60, env, app, n))
+        }
+      }
+    }
+  }
+
+  /** One row of the single-pass meta lane: the reference's ONE aggregator
+    * goroutine consumes each record once and feeds BOTH meta maps
+    * (`metrics.go:73-89`) — this row is that record's contribution to
+    * either map. `kind` = "vol" (one per record; `grp` = team, `nbytes` =
+    * codepoint size) or "route" (one per kvmeta route; `grp` = rule name,
+    * `nbytes` = 0). Group downstream on all of (kind, window_start, env,
+    * application, grp) — one parse, one shuffle for both aggregates. */
+  final case class MetaRow(
+      kind: String,
+      window_start: Long,
+      env: String,
+      application: String,
+      grp: String,
+      nbytes: Long
+  )
+
+  /** Single-pass meta lane (O16 + O16b fused): raw lines → one vol row plus
+    * one route row per kvmeta route, per ts-parseable record. Semantically
+    * `volume(raw) ∪ routeNames(raw)` but with ONE parse of the corpus
+    * (parity: FastKayveeParitySpec). */
+  def meta(raw: DataFrame, deployEnv: String): Dataset[MetaRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select(raw.columns.head).as[String].mapPartitions { it =>
+      val mapper = new ObjectMapper
+      it.flatMap { line =>
+        parseLine(line, deployEnv, mapper).toSeq.flatMap { p =>
+          val ws = Math.floorDiv(p.tsSec, 60) * 60
+          val env = Option(p.containerEnv).filter(_.nonEmpty).getOrElse("unknown")
+          val app = Option(p.containerApp).filter(_.nonEmpty).getOrElse("unknown")
+          val vol = MetaRow("vol", ws, env, app, p.team.getOrElse("unknown"),
+            line.codePointCount(0, line.length).toLong)
+          val names = ArrayBuffer.empty[String]
+          if (p.body != null) {
+            val routes = p.body.path("_kvmeta").path("routes")
+            if (routes.isArray)
+              routes.elements.asScala.foreach(r => names += r.path("rule").asText(null))
+          }
+          vol +: names.map(n => MetaRow("route", ws, env, app, n, 0L)).toSeq
         }
       }
     }

@@ -410,13 +410,11 @@ object KayveeQueries {
           "\"rule\":\"evt\"}]}}")
       )
       val raw = lines(s, dir, body)
-      val volumes = graft.fast.FastKayvee.volume(raw, "prod")
-        .groupBy(col("window_start"), col("env"), col("application"), col("team"))
-        .agg(count(lit(1)).as("log_volume_count"), sum(col("nbytes")).as("log_volume_size"))
-      val routes = graft.fast.FastKayvee.routeNames(raw, "prod")
-        .groupBy(col("window_start"), col("env"), col("application"), col("route"))
-        .agg(count(lit(1)).as("log_route_count"))
-      Aggregations.metaSeries(volumes, routes)
+      // single-pass meta lane: ONE FastKayvee parse + ONE hash agg feed
+      // both the volume and route-count series, like the reference's one
+      // aggregator goroutine (`metrics.go:73-89`)
+      Aggregations.metaSeriesUnified(
+        Aggregations.metaCounts(graft.fast.FastKayvee.meta(raw, "prod").toDF()))
     },
 
     // O17 — max pipeline delay vs a fixed anchor (2024-02-01T00:00:00Z),

@@ -79,11 +79,7 @@ object Delivery {
     def putMetricData(region: String, rows: Seq[Row]): Unit
   }
 
-  /** Schema of sink-stage dead letters: the full typed dd rows that
-    * exhausted retries, replayable through `BatchSink.submit` as-is (the
-    * reference spills the encoded output messages, `main.go:55`). */
-  val failedSchema: StructType = StructType(Seq(
-    StructField("tag", StringType),
+  private val ddStructType: StructType = StructType(Seq(
     StructField("record_id", LongType),
     StructField("metric", StringType),
     StructField("type", StringType),
@@ -91,6 +87,28 @@ object Delivery {
     StructField("point_ts", LongType),
     StructField("point_value", DoubleType),
     StructField("rule", StringType)
+  ))
+
+  private val cwStructType: StructType = StructType(Seq(
+    StructField("record_id", LongType),
+    StructField("metric_name", StringType),
+    StructField("dim_names", ArrayType(StringType)),
+    StructField("dim_values", ArrayType(StringType)),
+    StructField("value", DoubleType),
+    StructField("ts_sec", LongType),
+    StructField("storage_resolution", IntegerType)
+  ))
+
+  /** Schema of sink-stage dead letters: the failed records' FULL encoded
+    * output — their typed dd rows AND their cw datums — in the unified
+    * frame shape, so replay re-drives both lanes (the reference spills the
+    * whole `EncodeOutput`, DDMetrics + CWMetrics, to FailedLogsFile:
+    * `main.go:55`, `alerts_consumer.go:226-231`). */
+  val failedSchema: StructType = StructType(Seq(
+    StructField("kind", StringType), // "dd" | "cw"
+    StructField("tag", StringType),
+    StructField("dd", ddStructType),
+    StructField("cw", cwStructType)
   ))
 
   /** Declarative-lane unified frame from a statused (parse→route→status)
@@ -175,13 +193,21 @@ object Delivery {
 
   /** Executor-side delivery of one partition of unified rows.
     *
-    * Groups rows by tag, then by record within tag (order-preserving — the
-    * rows of one record are consecutive, routes explode narrowly), flushes
-    * ≤`batchCount`-record dd batches per tag with retry, and — only after a
+    * PRECONDITION: the partition is sorted by (tag, rid) — the caller's
+    * `sortWithinPartitions` — so a record's rows are consecutive and a
+    * tag's records are consecutive. The iterator is consumed streaming:
+    * only the current ≤`batchCount`-record flush group is buffered, so
+    * executor memory is O(batchCount), matching the reference's ≤100
+    * buffered records per batch (`main.go:56`) — never O(partition), which
+    * a hot micro-batch would blow through.
+    *
+    * Per flush group: submits the dd rows with retry, then — only after a
     * fully successful dd flush, mirroring the early return at
-    * `alerts_consumer.go:266-269` — submits the same records' CW datums
-    * when the tag is a configured region. Returns the dd rows that
-    * exhausted retries, flattened to [[failedSchema]].
+    * `alerts_consumer.go:266-269` — the same records' CW datums when the
+    * tag is a configured region (logged-not-retried). Rows of records
+    * whose dd rows exhausted retries are returned in [[failedSchema]]
+    * shape: their dd rows AND their cw datums, the replayable
+    * FailedLogsFile content.
     */
   def deliverPartition(
       rows: Iterator[Row],
@@ -192,54 +218,60 @@ object Delivery {
       batchCount: Int,
       cwRegions: Set[String]
   ): Iterator[Row] = {
-    // tag -> recordId -> (dd rows, cw rows), insertion-ordered
-    val byTag = mutable.LinkedHashMap
-      .empty[String, mutable.LinkedHashMap[Long, (mutable.ArrayBuffer[Row], mutable.ArrayBuffer[Row])]]
+    val failedOut = mutable.ArrayBuffer.empty[Row]
+    val ddBuf = mutable.ArrayBuffer.empty[Row] // current group's dd structs
+    val cwBuf = mutable.ArrayBuffer.empty[Row] // current group's cw structs
+    var curTag: String = null
+    var curRid = 0L
+    var haveRec = false
+    var recCount = 0
+
+    def flush(): Unit = {
+      if (recCount == 0) return
+      val notDelivered =
+        if (ddBuf.isEmpty) Nil
+        else submitWithRetry(sink, curTag, ddBuf.toSeq, attempts, baseMs)
+      if (notDelivered.nonEmpty) {
+        val failedRids = notDelivered.map(_.getLong(0)).toSet
+        failedOut ++= notDelivered.map(d => Row("dd", curTag, d, null))
+        // failed records' cw datums spill too — replay re-drives both lanes
+        failedOut ++= cwBuf.filter(c => failedRids.contains(c.getLong(0)))
+          .map(c => Row("cw", curTag, null, c))
+      }
+      if (notDelivered.isEmpty && cwBuf.nonEmpty && cwRegions.contains(curTag))
+        cwSink.foreach { cs =>
+          try cs.putMetricData(curTag, cwBuf.toSeq)
+          catch {
+            case e: Exception =>
+              // logged-not-retried (`alerts_consumer.go:278-280`)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.Delivery")
+                .warn(s"error-sending-to-cloudwatch region=$curTag: ${e.getMessage}")
+          }
+        }
+      ddBuf.clear(); cwBuf.clear(); recCount = 0
+    }
+
     var kindIdx, tagIdx, ddIdx, cwIdx = -1
     rows.foreach { r =>
       if (kindIdx < 0) {
         kindIdx = r.fieldIndex("kind"); tagIdx = r.fieldIndex("tag")
         ddIdx = r.fieldIndex("dd"); cwIdx = r.fieldIndex("cw")
       }
-      val recs = byTag.getOrElseUpdate(
-        r.getString(tagIdx),
-        mutable.LinkedHashMap.empty[Long, (mutable.ArrayBuffer[Row], mutable.ArrayBuffer[Row])])
-      r.getString(kindIdx) match {
-        case "dd" =>
-          val d = r.getStruct(ddIdx)
-          recs.getOrElseUpdate(d.getLong(0), (mutable.ArrayBuffer.empty[Row], mutable.ArrayBuffer.empty[Row]))._1 += d
-        case "cw" =>
-          val c = r.getStruct(cwIdx)
-          recs.getOrElseUpdate(c.getLong(0), (mutable.ArrayBuffer.empty[Row], mutable.ArrayBuffer.empty[Row]))._2 += c
-        case _ => // "dead" rows are written upstream, never delivered
-      }
-    }
-
-    val failedOut = mutable.ArrayBuffer.empty[Row]
-    byTag.foreach { case (tag, recs) =>
-      // ≤100 records per SendBatch (`main.go:56`, BatchCount)
-      recs.valuesIterator.grouped(batchCount).foreach { chunk =>
-        val ddRows = chunk.flatMap(_._1).toSeq
-        val cwRows = chunk.flatMap(_._2).toSeq
-        val notDelivered =
-          if (ddRows.isEmpty) Nil
-          else submitWithRetry(sink, tag, ddRows, attempts, baseMs)
-        failedOut ++= notDelivered.map { d =>
-          Row(tag, d.getLong(0), d.getString(1), d.getString(2),
-            d.getSeq[String](3), d.getLong(4), d.getDouble(5), d.getString(6))
+      val kind = r.getString(kindIdx)
+      if (kind != "dead") { // "dead" rows are written upstream, never delivered
+        val s = if (kind == "dd") r.getStruct(ddIdx) else r.getStruct(cwIdx)
+        val rid = s.getLong(0)
+        val tag = r.getString(tagIdx)
+        if (tag != curTag) { flush(); curTag = tag; haveRec = false }
+        if (!haveRec || rid != curRid) {
+          // record boundary: ≤batchCount records per SendBatch (`main.go:56`)
+          if (recCount >= batchCount) flush()
+          curRid = rid; haveRec = true; recCount += 1
         }
-        if (notDelivered.isEmpty && cwRows.nonEmpty && cwRegions.contains(tag))
-          cwSink.foreach { cs =>
-            try cs.putMetricData(tag, cwRows)
-            catch {
-              case e: Exception =>
-                // logged-not-retried (`alerts_consumer.go:278-280`)
-                org.slf4j.LoggerFactory.getLogger("graft.streaming.Delivery")
-                  .warn(s"error-sending-to-cloudwatch region=$tag: ${e.getMessage}")
-            }
-          }
+        if (kind == "dd") ddBuf += s else cwBuf += s
       }
     }
+    flush()
     failedOut.iterator
   }
 }

@@ -139,6 +139,10 @@ object StreamPipeline {
     val failed = cfg.deliveryPartitions
       .fold(deliverable.repartition(col("tag"), col("rid")))(
         n => deliverable.repartition(n, col("tag"), col("rid")))
+      // (tag, rid)-sorted partitions make each record's rows consecutive,
+      // letting deliverPartition stream the iterator with O(batchCount)
+      // memory instead of buffering the whole partition
+      .sortWithinPartitions(col("tag"), col("rid"))
       .mapPartitions { it =>
         Delivery.deliverPartition(
           it, sink, cwSink, cfg.retryAttempts, cfg.retryBaseMs, cfg.batchCount, cfg.cwRegions)
@@ -189,48 +193,77 @@ object StreamPipeline {
         col("log_route_count"))
   }
 
-  /** Streaming `shipMetrics` (`metrics.go:91-172`): the volume and
-    * route-count aggregates projected into DD series rows and submitted
-    * per trigger under tag "meta" — retried 5×, then logged-not-fatal
-    * (`metrics.go:159-171`; meta metrics are never dead-lettered).
-    * Returns the two writers (volume lane, route lane): Spark does not
-    * union two streaming aggregations in one query, and the reference
-    * runs them as two independent map flushes anyway. Each writer is an
-    * independent streaming query over `raw` — use a replayable source
-    * (files/Kinesis); a test MemoryStream purges batches once any reader
-    * commits them. Submission happens per partition on executors; the
-    * aggregate frames are bounded-keyspace tiny. */
+  /** O16+O16b streaming, fused: ONE watermarked 1-minute aggregation over
+    * ONE parse of the source feeds both the volume and route-count maps —
+    * the Spark shape of the reference's single aggregator goroutine
+    * (`metrics.go:73-89`, one channel consumer updating both hash maps).
+    * Each record contributes one "vol" row (grp = team, nbytes) plus one
+    * "route" row per kvmeta route (grp = rule, `metrics.go:63-67`), then a
+    * single hash agg on (window, kind, env, application, grp). Returns the
+    * grouped frame (window_start TimestampType). */
+  def metaAgg(raw: DataFrame, deployEnv: String, watermark: String = "2 minutes"): DataFrame = {
+    def unknown(c: org.apache.spark.sql.Column) =
+      coalesce(when(c =!= "", c), lit("unknown"))
+    val routed = RouteEngine.withRoutes(LogParse.parse(raw, deployEnv))
+      .withWatermark("ts", watermark)
+    val rows = routed.select(
+      col("ts"),
+      unknown(col("container_env")).as("env"),
+      unknown(col("container_app")).as("application"),
+      explode(concat(
+        array(struct(lit("vol").as("kind"), unknown(col("team")).as("grp"),
+          col("nbytes").as("nbytes"))),
+        transform(coalesce(col("rule_names"), array().cast("array<string>")),
+          r => struct(lit("route").as("kind"), r.as("grp"), lit(0L).as("nbytes")))
+      )).as("m")
+    )
+    rows
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("m.kind").as("kind"),
+        col("env"), col("application"), col("m.grp").as("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m.nbytes")).as("sz"))
+      .select(col("w.start").as("window_start"), col("kind"), col("env"),
+        col("application"), col("grp"), col("cnt"), col("sz"))
+  }
+
+  /** Streaming `shipMetrics` (`metrics.go:91-172`): the fused meta
+    * aggregate ([[metaAgg]] — one source reader, one parse, one shuffle)
+    * projected into DD series rows and submitted per trigger under tag
+    * "meta" — retried 5×, then logged-not-fatal (`metrics.go:159-171`;
+    * meta metrics are never dead-lettered). Update-mode note: a window
+    * touched by several triggers is re-shipped with its cumulative total
+    * under the same point_ts; the receiver is assumed last-write-wins on
+    * identical (metric, tags, ts) — Datadog count points at the same
+    * timestamp overwrite. The reference ships swap-reset deltas instead,
+    * but its in-memory maps drop data on restart; cumulative-LWW from the
+    * checkpointed state store is at least as accurate. Submission happens
+    * per partition on executors; the aggregate frame is
+    * bounded-keyspace tiny. */
   def shipMetaSeries(
       raw: DataFrame,
       cfg: Config,
       sink: BatchSink
-  ): (DataStreamWriter[Row], DataStreamWriter[Row]) = {
-    def shipper(series: DataFrame): DataStreamWriter[Row] =
-      series.writeStream
-        .outputMode("update")
-        .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val attempts = cfg.retryAttempts
-          val baseMs = cfg.retryBaseMs
-          batch.foreachPartition { (rows: Iterator[Row]) =>
-            val buf = rows.toSeq
-            if (buf.nonEmpty)
-              try withRetry(attempts, baseMs)(sink.submit("meta", buf))
-              catch {
-                case e: Exception =>
-                  org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamPipeline")
-                    .warn(s"failed-sending-volumes: ${e.getMessage}")
-              }
-          }
+  ): DataStreamWriter[Row] = {
+    val grouped = metaAgg(raw, cfg.deployEnv)
+      .select(unix_timestamp(col("window_start")).as("window_start"), col("kind"),
+        col("env"), col("application"), col("grp"), col("cnt"), col("sz"))
+    val series = graft.agg.Aggregations.metaSeriesUnified(grouped)
+    series.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val attempts = cfg.retryAttempts
+        val baseMs = cfg.retryBaseMs
+        batch.foreachPartition { (rows: Iterator[Row]) =>
+          val buf = rows.toSeq
+          if (buf.nonEmpty)
+            try withRetry(attempts, baseMs)(sink.submit("meta", buf))
+            catch {
+              case e: Exception =>
+                org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamPipeline")
+                  .warn(s"failed-sending-volumes: ${e.getMessage}")
+            }
         }
-    val volumes = volumeAgg(raw, cfg.deployEnv)
-      .select(unix_timestamp(col("window_start")).as("window_start"), col("env"),
-        col("application"), col("team"), col("log_volume_count"), col("log_volume_size"))
-    val routes = routeCountsAgg(raw, cfg.deployEnv)
-      .select(unix_timestamp(col("window_start")).as("window_start"), col("env"),
-        col("application"), col("route"), col("log_route_count"))
-    (shipper(graft.agg.Aggregations.volumeSeries(volumes)),
-      shipper(graft.agg.Aggregations.routeSeries(routes)))
+      }
   }
 
   /** O17 streaming: max pipeline delay per trigger via `observe` — the

@@ -214,6 +214,22 @@ class FastKayveeParitySpec extends SparkSpec {
     assert(fast.toSeq === slow.toSeq)
   }
 
+  test("fast single-pass meta lane ≡ declarative volume ∪ route-count aggregations") {
+    val raw = corpus.toDF("raw")
+    val parsed = LogParse.parse(raw, "test-env").filter(col("ts").isNotNull)
+    val wcol = unix_timestamp(date_trunc("minute", col("ts")))
+    val vol = graft.agg.Aggregations.volumeByEnvAppTeam(parsed, wcol)
+      .select(lit("vol").as("kind"), col("window_start"), col("env"), col("application"),
+        col("team").as("grp"), col("log_volume_count").as("cnt"), col("log_volume_size").as("sz"))
+    val rc = graft.agg.Aggregations.routeCounts(RouteEngine.withRoutes(parsed), wcol)
+      .select(lit("route").as("kind"), col("window_start"), col("env"), col("application"),
+        col("route").as("grp"), col("log_route_count").as("cnt"), lit(0L).as("sz"))
+    val slow = vol.unionByName(rc).collect().map(_.toString).sorted
+    val fast = graft.agg.Aggregations.metaCounts(FastKayvee.meta(raw, "test-env").toDF())
+      .collect().map(_.toString).sorted
+    assert(fast.toSeq === slow.toSeq)
+  }
+
   test("fast status lane ≡ declarative withStatus (title, status, err)") {
     val raw = corpus.toDF("raw")
     val title = {

@@ -114,11 +114,74 @@ class StreamingSpec extends SparkSpec {
     // fidelity: the spill is the full typed dd row, replayable through the
     // sink as-is (main.go:55 FailedLogsFile round-trip)
     val row = spilled.collect().head
-    assert(row.getAs[String]("metric") === "kv.oauth.login_start")
+    assert(row.getAs[String]("kind") === "dd")
     assert(row.getAs[String]("tag") === "default")
+    val dd = row.getAs[Row]("dd")
+    assert(dd.getAs[String]("metric") === "kv.oauth.login_start")
     SinkState.reset()
-    new TestSink().submit(row.getAs[String]("tag"), Seq(row))
+    new TestSink().submit(row.getAs[String]("tag"), Seq(dd))
     assert(SinkState.deliveredMetrics.asScala.toSeq === Seq("kv.oauth.login_start"))
+  }
+
+  test("sink-stage dead letters carry the failed records' CW datums for replay") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset(failures = 1000) // dd never succeeds
+    val dlq = Files.createTempDirectory("graft-dlq-cw").toString + "/failed"
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(
+        raw,
+        Config("test-env", triggerInterval = "1 seconds", retryAttempts = 2, retryBaseMs = 1,
+          deadLetterPath = Some(dlq)),
+        new TestSink, Some(new TestCwSink)
+      )
+      .start()
+    try {
+      ms.addData(regionLine) // allow-listed series + region → has a cw datum
+      q.processAllAvailable()
+    } finally q.stop()
+    // the reference spills the record's whole EncodeOutput (DDMetrics AND
+    // CWMetrics) to FailedLogsFile — both lanes must be re-drivable
+    val spilled = spark.read.parquet(dlq + "/sink").collect()
+    val byKind = spilled.groupBy(_.getAs[String]("kind"))
+    assert(byKind.keySet === Set("dd", "cw"))
+    assert(SinkState.cwDelivered.isEmpty) // cw never submitted after dd failure
+    val cw = byKind("cw").head
+    assert(cw.getAs[String]("tag") === "us-west-2")
+    assert(cw.getAs[Row]("cw").getAs[String]("metric_name") === "ContainerExitCount")
+    // replay both lanes from the spill
+    SinkState.reset()
+    byKind("dd").foreach(r => new TestSink().submit(r.getAs[String]("tag"), Seq(r.getAs[Row]("dd"))))
+    byKind("cw").foreach(r => new TestCwSink().putMetricData(r.getAs[String]("tag"), Seq(r.getAs[Row]("cw"))))
+    assert(SinkState.deliveredMetrics.asScala.toSeq === Seq("kv.ContainerExitCount"))
+    assert(SinkState.cwDelivered.asScala.toSeq === Seq(("us-west-2", 1)))
+  }
+
+  test("delivery flushes every batchCount records, never buffering the partition") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset()
+    val lines = (1 to 5).map { i =>
+      s"""2017-08-15T18:39:07.000000+00:00 h production--app/arn[$i]: {"district":"d$i","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"m$i","dimensions":["district"],"stat_type":"counter","value_field":"value","rule":"r"}]}}"""
+    }
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline
+      .deliver(raw,
+        Config("test-env", triggerInterval = "1 seconds", batchCount = 2,
+          // one partition: all 5 records hit one deliverPartition call
+          deliveryPartitions = Some(1)),
+        new TestSink)
+      .start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // 5 records / batchCount 2 → flush cadence 2,2,1 (incremental — the
+    // round-2 shape submitted one 5-record batch after buffering it all)
+    val sizes = SinkState.delivered.asScala.toSeq.map(_._2).sorted
+    assert(sizes === Seq(1, 2, 2))
+    assert(SinkState.deliveredMetrics.asScala.toSeq.sorted === (1 to 5).map(i => s"kv.m$i"))
   }
 
   test("parse/projection failures land under deadLetterPath/parse with the raw record") {
@@ -336,35 +399,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("meta-series shipping: volume and route series submitted under tag 'meta'") {
+  test("meta-series shipping: one query over one source ships volume AND route series") {
     implicit val sqlCtx = spark.sqlContext
     SinkState.reset()
     val line =
       """2017-08-15T18:39:07.000000+00:00 h production--app-c/arn[1]: {"_kvmeta":{"team":"tz","routes":[{"type":"analytics","series":"x","rule":"ana"}]}}"""
-    // one MemoryStream per lane: a MemoryStream purges batches once ANY
-    // reader commits them, so two queries sharing a source race for data
-    val msV = MemoryStream[String]
-    val msR = MemoryStream[String]
-    val (v, _) = StreamPipeline.shipMetaSeries(
-      msV.toDF().withColumnRenamed("value", "raw"),
-      Config("test-env", triggerInterval = "1 seconds"), new TestSink)
-    val (_, r) = StreamPipeline.shipMetaSeries(
-      msR.toDF().withColumnRenamed("value", "raw"),
-      Config("test-env", triggerInterval = "1 seconds"), new TestSink)
-    val qv = v.start()
-    val qr = r.start()
+    val noRoutes =
+      """2017-08-15T18:39:08.000000+00:00 h production--app-c/arn[2]: {"_kvmeta":{"team":"tz","routes":[]}}"""
+    val ms = MemoryStream[String]
+    // the fused lane: both series families from ONE streaming query (the
+    // round-2 shape ran two independent queries over the same source)
+    val q = StreamPipeline.shipMetaSeries(
+      ms.toDF().withColumnRenamed("value", "raw"),
+      Config("test-env", triggerInterval = "1 seconds"), new TestSink).start()
     try {
-      msV.addData(line)
-      msR.addData(line)
-      qv.processAllAvailable()
-      qr.processAllAvailable()
+      ms.addData(line, noRoutes)
+      q.processAllAvailable()
       val metrics = SinkState.deliveredMetrics.asScala.toSet
       assert(metrics === Set(
         "kinesis_alerts_consumer.log_volume_count",
         "kinesis_alerts_consumer.log_volume_size",
         "kinesis_alerts_consumer.log_route_count"))
       assert(SinkState.delivered.asScala.forall(_._1 == "meta"))
-    } finally { qv.stop(); qr.stop() }
+    } finally q.stop()
+  }
+
+  test("fused metaAgg ≡ separate volume + route-count aggregations") {
+    implicit val sqlCtx = spark.sqlContext
+    val lines = Seq(
+      """2017-08-15T18:39:07.000000+00:00 h production--app-c/arn[1]: {"_kvmeta":{"team":"tz","routes":[{"type":"analytics","series":"x","rule":"ana"},{"type":"alerts","series":"s","dimensions":[],"stat_type":"counter","value_field":"","rule":"al"}]}}""",
+      """2017-08-15T18:39:12.000000+00:00 h production--app-c/arn[2]: {"_kvmeta":{"team":"tz","routes":[]}}""",
+      """2017-08-15T18:40:03.000000+00:00 h standalone[1]: {"x":1}""" // unknown env/app, no kvmeta
+    )
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "raw")
+    val q = StreamPipeline.metaAgg(raw, "test-env").writeStream
+      .format("memory").queryName("meta_fused").outputMode("update").start()
+    try {
+      ms.addData(lines: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT kind, unix_timestamp(window_start) AS ws, env, application, grp, cnt, sz FROM meta_fused")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getString(4), r.getLong(5), r.getLong(6))).toSet
+      val t0 = 1502822340L // 18:39 bucket
+      val t1 = 1502822400L // 18:40 bucket
+      val sz0 = lines(0).length.toLong + lines(1).length.toLong
+      assert(got === Set(
+        ("vol", t0, "production", "app-c", "tz", 2L, sz0),
+        ("vol", t1, "unknown", "unknown", "unknown", 1L, lines(2).length.toLong),
+        ("route", t0, "production", "app-c", "ana", 1L, 0L),
+        ("route", t0, "production", "app-c", "al", 1L, 0L)))
+    } finally q.stop()
   }
 
   test("delay tracker emits inline under continuous traffic (timeout never fires)") {
