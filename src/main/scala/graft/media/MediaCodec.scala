@@ -1,0 +1,153 @@
+package graft.media
+
+import java.util.zip.CRC32
+
+/** Real media-container codec for the multimodal column lane — pure JVM,
+  * no codec library (SURVEY.md §2.1 multimodal; the reference has no media
+  * path, this is an engine-native extension).
+  *
+  * Decode side: honest header parsing — PNG by walking length-prefixed
+  * chunks to IHDR/IDAT (spec: 8-byte signature, big-endian u32 fields),
+  * JPEG by walking FF-marker segments to SOF0/1/2 (precision, height,
+  * width), sniffing unsupported containers (RIFF/WEBP) to None. Pixel
+  * decoding would need a codec; dimensions/bit-depth/data-section never do.
+  *
+  * Encode side: synthesizes structurally-valid containers around an
+  * arbitrary data payload (PNG chunk CRCs are real CRC32s; JPEG carries
+  * JFIF APP0 + SOF0) so tests and queries can build deterministic binary
+  * payloads from the test tables and cross-check the parser against the
+  * JDK's own ImageReader header path.
+  */
+object MediaCodec {
+
+  /** Parsed container metadata + location of the embedded data section. */
+  final case class MediaMeta(
+      format: String,
+      width: Int,
+      height: Int,
+      bitDepth: Int,
+      dataOffset: Int,
+      dataLength: Int
+  )
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+
+  private def readBe32(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  private def readBe16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
+  // --- encoders ----------------------------------------------------------
+
+  private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val t = tpe.getBytes("US-ASCII")
+    val crc = new CRC32
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** Container size: 8 (sig) + 25 (IHDR) + 12+N (IDAT) + 12 (IEND) = 57+N. */
+  def encodePng(width: Int, height: Int, bitDepth: Int, data: Array[Byte]): Array[Byte] = {
+    val ihdr = be32(width) ++ be32(height) ++
+      Array(bitDepth.toByte, 2.toByte /* truecolor */, 0.toByte, 0.toByte, 0.toByte)
+    pngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", data) ++ pngChunk("IEND", Array.empty)
+  }
+
+  /** SOI + JFIF APP0 (18) + SOF0 (19) + SOS (14) + data + EOI: size 55+N.
+    * The data payload rides as the entropy-coded section after SOS — the
+    * JDK's own JPEG header reader requires the SOS marker to be present. */
+  def encodeJpeg(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be16(72) ++ be16(72) ++ Array[Byte](0, 0)
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++
+      Array(8.toByte) ++ be16(height) ++ be16(width) ++ Array(3.toByte) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val sos = Array(0xff, 0xda).map(_.toByte) ++ be16(12) ++
+      Array(3.toByte) ++ Array[Byte](1, 0, 2, 0x11, 3, 0x11) ++
+      Array[Byte](0, 63, 0)
+    soi ++ app0 ++ sof0 ++ sos ++ data ++ Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  /** RIFF/WEBP shell — a format this engine's parser intentionally does
+    * not decode (the sniff-to-None path). */
+  def encodeWebp(data: Array[Byte]): Array[Byte] = {
+    val size = 4 + data.length
+    "RIFF".getBytes("US-ASCII") ++
+      Array(size.toByte, (size >>> 8).toByte, (size >>> 16).toByte, (size >>> 24).toByte) ++
+      "WEBP".getBytes("US-ASCII") ++ data
+  }
+
+  // --- decoder -----------------------------------------------------------
+
+  /** Sniff + parse container headers. None = unsupported/corrupt. */
+  def decode(p: Array[Byte]): Option[MediaMeta] =
+    if (p.length >= 8 && p.take(8).sameElements(pngSig)) decodePng(p)
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) decodeJpeg(p)
+    else None
+
+  /** Walk PNG chunks: IHDR carries the geometry, IDAT the data section. */
+  private def decodePng(p: Array[Byte]): Option[MediaMeta] = {
+    var off = 8
+    var width, height, bitDepth = -1
+    var dataOff, dataLen = -1
+    while (off + 8 <= p.length) {
+      val len = readBe32(p, off)
+      if (len < 0 || off + 12 + len > p.length) return None
+      val tpe = new String(p, off + 4, 4, "US-ASCII")
+      tpe match {
+        case "IHDR" =>
+          if (len < 13) return None
+          width = readBe32(p, off + 8)
+          height = readBe32(p, off + 12)
+          bitDepth = p(off + 16) & 0xff
+        case "IDAT" if dataOff < 0 =>
+          dataOff = off + 8; dataLen = len
+        case "IEND" =>
+          return if (width >= 0) Some(MediaMeta("png", width, height, bitDepth,
+            math.max(dataOff, 0), math.max(dataLen, 0))) else None
+        case _ =>
+      }
+      off += 12 + len
+    }
+    None
+  }
+
+  /** Walk JPEG marker segments: geometry from the first SOF (C0/C1/C2),
+    * data section = the entropy-coded span between SOS and EOI. */
+  private def decodeJpeg(p: Array[Byte]): Option[MediaMeta] = {
+    var off = 2
+    var width, height, precision = -1
+    while (off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff) return None
+      val marker = p(off + 1) & 0xff
+      val len = readBe16(p, off + 2)
+      if (len < 2 || off + 2 + len > p.length) return None
+      marker match {
+        case 0xc0 | 0xc1 | 0xc2 =>
+          if (len < 8) return None
+          precision = p(off + 4) & 0xff
+          height = readBe16(p, off + 5)
+          width = readBe16(p, off + 7)
+        case 0xda => // SOS: entropy data runs to EOI
+          if (width < 0) return None
+          val dataOff = off + 2 + len
+          val dataLen = math.max(p.length - dataOff - 2, 0) // strip EOI
+          return Some(MediaMeta("jpeg", width, height, precision, dataOff, dataLen))
+        case _ =>
+      }
+      off += 2 + len
+    }
+    // headers only, no scan: valid geometry, empty data section
+    if (width >= 0) Some(MediaMeta("jpeg", width, height, precision, p.length, 0)) else None
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.media.MediaCodec
+
+/** Header-parser correctness for the multimodal lane: round-trips through
+  * the synthesized containers, cross-validation against the JDK's own
+  * ImageReader header path (an independent parser), and corrupt-input
+  * robustness (a decoder on the executor hot path must sniff-and-skip,
+  * never throw). */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private val data = "hello media payload 0123456789 abcdefghijklmnop".getBytes("US-ASCII")
+
+  test("png round-trip: geometry, bit depth, and data section from a real chunk walk") {
+    val p = MediaCodec.encodePng(640, 480, 16, data)
+    assert(p.length === 57 + data.length)
+    val m = MediaCodec.decode(p).get
+    assert(m.format === "png")
+    assert(m.width === 640 && m.height === 480 && m.bitDepth === 16)
+    assert(java.util.Arrays.copyOfRange(p, m.dataOffset, m.dataOffset + m.dataLength)
+      .sameElements(data))
+  }
+
+  test("jpeg round-trip: geometry and precision from the SOF0 segment walk") {
+    val p = MediaCodec.encodeJpeg(1920, 1080, data)
+    assert(p.length === 55 + data.length)
+    val m = MediaCodec.decode(p).get
+    assert(m.format === "jpeg")
+    assert(m.width === 1920 && m.height === 1080 && m.bitDepth === 8)
+    assert(java.util.Arrays.copyOfRange(p, m.dataOffset, m.dataOffset + m.dataLength)
+      .sameElements(data))
+  }
+
+  test("synthesized containers agree with the JDK's own image header readers") {
+    val cases = Seq(
+      MediaCodec.encodePng(320, 200, 8, data) -> "png",
+      MediaCodec.encodeJpeg(320, 200, data) -> "jpeg"
+    )
+    cases.foreach { case (bytes, label) =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, s"JDK has no reader for synthesized $label")
+      val r = readers.next()
+      r.setInput(iis)
+      try {
+        assert(r.getWidth(0) === 320, label)
+        assert(r.getHeight(0) === 200, label)
+      } finally { r.dispose(); iis.close() }
+    }
+  }
+
+  test("unsupported and corrupt payloads sniff to None, never throw") {
+    assert(MediaCodec.decode(MediaCodec.encodeWebp(data)).isEmpty)
+    assert(MediaCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(MediaCodec.decode("not an image at all".getBytes("US-ASCII")).isEmpty)
+    val png = MediaCodec.encodePng(10, 10, 8, data)
+    (1 until 57 by 7).foreach(n => assert(MediaCodec.decode(png.take(n)).isEmpty))
+    val jpg = MediaCodec.encodeJpeg(10, 10, data)
+    (1 until 39 by 5).foreach(n => assert(MediaCodec.decode(jpg.take(n)).isEmpty))
+    // a PNG whose declared chunk length overruns the buffer
+    val bad = png.clone()
+    bad(8) = 0x7f.toByte // IHDR length hi byte → absurd length
+    assert(MediaCodec.decode(bad).isEmpty)
+  }
+
+  test("empty data section: zero-length IDAT / SOF-to-EOI span") {
+    val png = MediaCodec.decode(MediaCodec.encodePng(5, 5, 8, Array.empty)).get
+    assert(png.dataLength === 0)
+    val jpg = MediaCodec.decode(MediaCodec.encodeJpeg(5, 5, Array.empty)).get
+    assert(jpg.dataLength === 0)
+  }
+}
