@@ -16,15 +16,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSimilarity)
-    ext.injectFunction(GraftExtensions.dotProduct)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
   private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  /** Non-column arguments of the hash kernels (minhash k, SRP geometry)
+    * parameterize the expression itself, so they must be literal at
+    * analysis time — like the built-in `approx_percentile` accuracy arg. */
+  private def foldableInt(fn: String, arg: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue
+      case other     => throw new IllegalArgumentException(s"$fn: $arg must be integral, got $other")
+    }
+  }
 
   val cosineSimilarity: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_similarity"),
@@ -40,11 +49,42 @@ object GraftExtensions {
     (children: Seq[Expression]) => DotProduct(children(0), children(1))
   )
 
+  val simhash60: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash60"),
+    info(classOf[SimHash60], "simhash60",
+      "simhash60(tokens) - 60-bit SimHash signature of a string array"),
+    (children: Seq[Expression]) => SimHash60(children(0))
+  )
+
+  val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    info(classOf[MinHashSig], "minhash_sig",
+      "minhash_sig(shingles, k) - k md5 min-hashes of a shingle array; null for empty arrays"),
+    (children: Seq[Expression]) =>
+      MinHashSig(children(0), foldableInt("minhash_sig", "k", children(1)))
+  )
+
+  val srpBands: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("srp_bands"),
+    info(classOf[SrpBands], "srp_bands",
+      "srp_bands(vec, nPlanes, planesPerBand) - sign-random-projection LSH band signatures " +
+        "over the engine's deterministic md5-parity hyperplanes"),
+    (children: Seq[Expression]) => {
+      val nPlanes = foldableInt("srp_bands", "nPlanes", children(1))
+      val perBand = foldableInt("srp_bands", "planesPerBand", children(2))
+      require(nPlanes > 0 && perBand > 0 && nPlanes % perBand == 0,
+        s"srp_bands: nPlanes ($nPlanes) must be a positive multiple of planesPerBand ($perBand)")
+      SrpBands(children(0), VectorExpressions.srpPlaneWeights(nPlanes), perBand)
+    }
+  )
+
+  /** Every engine-native SQL function, in registration order. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(cosineSimilarity, dotProduct, simhash60, minhashSig, srpBands)
+
   /** Registers on an already-built session (tests, driver-contract runs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineSimilarity, dotProduct).foreach { case (id, i, builder) =>
-      reg.registerFunction(id, i, builder)
-    }
+    all.foreach { case (id, i, builder) => reg.registerFunction(id, i, builder) }
   }
 }

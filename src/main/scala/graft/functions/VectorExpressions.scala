@@ -160,4 +160,19 @@ object VectorExpressions {
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
   def srpBands(e: Column, planes: Array[Array[Double]], planesPerBand: Int): Column =
     GraftShims.column(SrpBands(GraftShims.expression(e), planes, planesPerBand))
+
+  /** Deterministic ±1 SRP hyperplane weights: parity of the first hex char
+    * of md5("p<plane>d<dim>"). Engine-wide canonical generator — the SQL
+    * `srp_bands(vec, nPlanes, planesPerBand)` registration and the query
+    * lanes must agree on the planes bit-for-bit (the DuckDB oracles embed
+    * the same weights as literals). */
+  def srpPlaneWeights(n: Int, dims: Int = 64): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(n, dims) { (p, d) =>
+      md.reset()
+      val hex = md.digest(s"p${p}d${d + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val firstHexChar = f"${(hex(0) & 0xff)}%02x".charAt(0)
+      if (firstHexChar.toInt % 2 == 1) 1.0 else -1.0
+    }
+  }
 }

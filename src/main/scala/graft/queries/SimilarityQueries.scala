@@ -30,18 +30,12 @@ object SimilarityQueries {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Deterministic ±1 hyperplane weights: parity of the first hex char of
-    * md5("p<plane>d<dim>") — reproduced verbatim in the SQL oracle (as
+  /** Deterministic ±1 hyperplane weights (canonical generator:
+    * `VectorExpressions.srpPlaneWeights`, parity of the first hex char of
+    * md5("p<plane>d<dim>")) — reproduced verbatim in the SQL oracle (as
     * generated literals for large n). */
-  private[queries] def planeWeights(n: Int = 8): Array[Array[Double]] = {
-    val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(n, 64) { (p, d) =>
-      md.reset()
-      val hex = md.digest(s"p${p}d${d + 1}".getBytes(StandardCharsets.UTF_8))
-      val firstHexChar = f"${(hex(0) & 0xff)}%02x".charAt(0)
-      if (firstHexChar.toInt % 2 == 1) 1.0 else -1.0
-    }
-  }
+  private[queries] def planeWeights(n: Int = 8): Array[Array[Double]] =
+    graft.functions.VectorExpressions.srpPlaneWeights(n)
 
   /** The same weights as a DuckDB VALUES literal `(p, w)` — evaluating the
     * md5 construction per (row, plane, dim) inside the oracle would be

@@ -34,4 +34,49 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("c") === 1.0)
     assert(r.getAs[Double]("d") === 11.0)
   }
+
+  test("hash kernels reachable from SQL: simhash60 / minhash_sig / srp_bands") {
+    GraftExtensions.register(spark)
+    // SQL results must agree bit-for-bit with the Column API the query
+    // lanes use (same Expression underneath)
+    val df = Seq(
+      (Seq("the", "quick", "brown", "fox"), Seq(0.5, -1.5, 2.0, 0.25)),
+      (Seq("lorem", "ipsum"), Seq(-0.75, 0.1, -0.2, 3.0))
+    ).toDF("tokens", "vec").withColumn("vec", expr("transform(vec, x -> cast(x as double))"))
+    df.createOrReplaceTempView("hash_kernel_probe")
+    val viaSql = spark.sql(
+      """SELECT simhash60(tokens) AS sh, minhash_sig(tokens, 4) AS mh,
+        |  srp_bands(vec, 16, 8) AS srp FROM hash_kernel_probe""".stripMargin).collect()
+    val viaCol = df.select(
+      graft.functions.TextHashExpressions.simHash(col("tokens")).as("sh"),
+      graft.functions.TextHashExpressions.minHash(col("tokens"), 4).as("mh"),
+      graft.functions.VectorExpressions.srpBands(
+        col("vec"), graft.functions.VectorExpressions.srpPlaneWeights(16), 8).as("srp")
+    ).collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getLong(0) === c.getLong(0))
+      assert(s.getSeq[String](1) === c.getSeq[String](1))
+      assert(s.getSeq[Int](2) === c.getSeq[Int](2))
+    }
+    // null semantics: empty shingle array → null signature
+    assert(spark.sql("SELECT minhash_sig(array(), 4) IS NULL AS n").head.getBoolean(0))
+  }
+
+  test("non-literal kernel parameters are rejected at analysis time") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), cast(rand() * 4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("DESCRIBE FUNCTION documents the registered kernels") {
+    GraftExtensions.register(spark)
+    Seq("cosine_similarity", "dot_product", "simhash60", "minhash_sig", "srp_bands")
+      .foreach { fn =>
+        val desc = spark.sql(s"DESCRIBE FUNCTION $fn").collect().map(_.getString(0)).mkString("\n")
+        assert(desc.contains(s"Function: $fn"), desc)
+        assert(desc.toLowerCase.contains(s"usage: $fn("), desc)
+      }
+  }
 }
