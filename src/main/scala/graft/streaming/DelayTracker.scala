@@ -28,13 +28,18 @@ object DelayTracker {
     *    so relying on it silenced the gauge exactly when it mattered;
     *  - the processing-time timeout, which catches the traffic-went-quiet
     *    tail and flushes the last accumulated max.
-    * A key with no state emits nothing (deviation from the reference,
-    * which logs 0-gauges forever; unbounded-state-free). `nowSec` is
+    * Idle behavior is flag-gated: by default a key whose state flushed
+    * emits nothing until traffic returns (bounded state, no dead-key
+    * ticks); with `alwaysEmit` the timeout keeps re-arming after each
+    * flush, ticking 0-gauges through data silence exactly like the
+    * reference's unconditional 15-second ticker (`delay.go:35-39`) — at
+    * the cost of one state entry per ever-seen key. `nowSec` is
     * injectable for deterministic tests. */
   def track(
       points: DataFrame,
       intervalMs: Long = 15000,
-      nowSec: () => Long = () => System.currentTimeMillis() / 1000
+      nowSec: () => Long = () => System.currentTimeMillis() / 1000,
+      alwaysEmit: Boolean = false
   ): Dataset[DelayGauge] = {
     val spark = points.sparkSession
     import spark.implicits._
@@ -48,7 +53,12 @@ object DelayTracker {
         if (state.hasTimedOut) {
           // silence tick: emit the gauge and swap-reset (delay.go:35-39)
           val gauge = DelayGauge(key, state.getOption.map(_.maxDelaySec).getOrElse(0L))
-          state.remove()
+          if (alwaysEmit) {
+            // reference parity: the ticker never stops — re-arm and keep
+            // emitting 0-gauges while idle
+            state.update(DelayState(0L, nowSec()))
+            state.setTimeoutDuration(intervalMs)
+          } else state.remove()
           Iterator(gauge)
         } else {
           val now = nowSec()

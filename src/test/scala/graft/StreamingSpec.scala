@@ -19,6 +19,8 @@ import graft.streaming.StreamPipeline.{BatchSink, Config}
 object SinkState {
   val delivered = new ConcurrentLinkedQueue[(String, Int)]()
   val deliveredMetrics = new ConcurrentLinkedQueue[String]()
+  // meta-series submissions with values: (metric, tags_str, point_ts, point_value)
+  val seriesPoints = new ConcurrentLinkedQueue[(String, String, Long, Double)]()
   val threads = new ConcurrentLinkedQueue[String]()
   val attempts = new AtomicInteger(0)
   val failuresToInject = new AtomicInteger(0)
@@ -28,7 +30,7 @@ object SinkState {
   val cwAttempts = new AtomicInteger(0)
   val cwFail = new AtomicInteger(0)
   def reset(failures: Int = 0, partial: Int = 0, cwFailures: Int = 0): Unit = {
-    delivered.clear(); deliveredMetrics.clear(); threads.clear()
+    delivered.clear(); deliveredMetrics.clear(); seriesPoints.clear(); threads.clear()
     attempts.set(0); failuresToInject.set(failures); partialFailures.set(partial)
     cwDelivered.clear(); cwAttempts.set(0); cwFail.set(cwFailures)
   }
@@ -49,6 +51,10 @@ class TestSink extends BatchSink {
       throw new graft.streaming.Delivery.PartialSendBatchError("partial", Seq(rows.last))
     }
     rows.foreach(r => SinkState.deliveredMetrics.add(r.getAs[String]("metric")))
+    rows.filter(r => r.schema != null && r.schema.fieldNames.contains("tags_str")).foreach { r =>
+      SinkState.seriesPoints.add((r.getAs[String]("metric"), r.getAs[String]("tags_str"),
+        r.getAs[Long]("point_ts"), r.getAs[Double]("point_value")))
+    }
     SinkState.delivered.add((tag, rows.size))
   }
 }
@@ -381,6 +387,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("always-emit delay tracker keeps ticking 0-gauges through data silence") {
+    implicit val sqlCtx = spark.sqlContext
+    val anchor = 1700000000L
+    val ms = MemoryStream[(String, Long)]
+    val points = ms.toDF().toDF("key", "point_ts")
+    val gauges = graft.streaming.DelayTracker
+      .track(points, intervalMs = 100, nowSec = () => anchor + 5, alwaysEmit = true)
+    val q = gauges.writeStream.format("memory").queryName("delays_idle")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      ms.addData(("app", anchor)) // delay 5, then silence
+      val deadline = System.currentTimeMillis() + 60000
+      def rows() = spark.sql("SELECT max_delay_sec FROM delays_idle").collect().map(_.getLong(0))
+      // reference parity (delay.go:35-39): the ticker keeps firing while
+      // idle — the accumulated 5, then 0-gauges forever
+      while (rows().length < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val got = rows()
+      assert(got.count(_ == 5L) === 1, got.mkString(","))
+      assert(got.count(_ == 0L) >= 2, got.mkString(","))
+    } finally q.stop()
+  }
+
   test("watermarked 1-minute route-count aggregation counts ALL kvmeta route types") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
@@ -482,6 +512,40 @@ class StreamingSpec extends SparkSpec {
       assert(rows().head.getString(0) === "app")
       assert(rows().head.getLong(1) === 10L) // max over the elapsed interval
     } finally q.stop()
+  }
+
+  test("meta lane checkpoint restart: volume buckets resume, not reset or double-counted") {
+    val dir = Files.createTempDirectory("graft-meta-restart")
+    val srcDir = dir.resolve("src").toString
+    val ckpt = dir.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    def line(sec: Int) =
+      f"""2017-08-15T18:39:$sec%02d.000000+00:00 h production--app-m/arn[$sec]: {"_kvmeta":{"team":"tm","routes":[{"type":"analytics","series":"x","rule":"ana"}]}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name), lines.mkString("\n").getBytes)
+    def volCounts() = SinkState.seriesPoints.asScala.toSeq
+      .filter { case (m, t, _, _) =>
+        m == "kinesis_alerts_consumer.log_volume_count" && t.contains("application:app-m")
+      }
+      .map(_._4)
+
+    SinkState.reset()
+    writeFile("a.txt", Seq(line(1), line(2)))
+    def startQuery() = StreamPipeline.shipMetaSeries(
+      spark.readStream.text(srcDir).withColumnRenamed("value", "raw"),
+      Config("test-env", triggerInterval = "1 seconds", checkpointLocation = Some(ckpt)),
+      new TestSink).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(volCounts().max === 2.0)
+
+    writeFile("b.txt", Seq(line(30))) // same 1-minute bucket, after restart
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    // state-store recovery: the bucket RESUMES at 2+1=3 — a reset would
+    // re-emit 1 (lost records), a source replay would reach 4 (duplicates)
+    assert(volCounts().max === 3.0, volCounts().mkString(","))
+    assert(!volCounts().contains(1.0) && !volCounts().contains(4.0), volCounts().mkString(","))
   }
 
   test("checkpointed restart does not reprocess delivered records") {
