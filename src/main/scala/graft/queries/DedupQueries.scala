@@ -59,15 +59,13 @@ object DedupQueries {
     df.withColumn("l", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), shingleArray.as("sarr"))
 
-  /** One row per distinct word-3-gram: (doc_id, lang, s). */
-  private def shingles(df: DataFrame): DataFrame =
-    df.withColumn("l", split(col("text"), " "))
-      .select(col("doc_id"), col("lang"), explode(shingleArray).as("s"))
-
   /** Exact-Jaccard verify over candidate (doc_a, doc_b) pairs via
     * array_intersect on per-doc shingle arrays — candidates are few after
     * LSH blocking, so two array joins beat re-shuffling the whole exploded
-    * shingle index. */
+    * shingle index. (For UNfiltered any-shared-shingle candidate sets this
+    * shape shipped two full shingle arrays per pair and measured 3×
+    * slower — the ngram query verifies from index-join intersection counts
+    * instead.) */
   private def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
     cands
       .join(sarr.select(col("doc_id").as("doc_a"), col("sarr").as("sa")), "doc_a")
@@ -76,24 +74,6 @@ object DedupQueries {
       .withColumn("jac", col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
-
-  /** Exact Jaccard over candidate pairs given (doc,shingle) rows and
-    * per-pair intersection counts; emits doc_a/doc_b/jac ≥ threshold.
-    * This is the HIGH-candidate-cardinality verify: `pairs` already
-    * carries intersection counts from the index join, and only tiny
-    * per-doc count rows join in. (`jaccardVerify` — array_intersect over
-    * per-doc shingle arrays — wins when an LSH prefilter has already cut
-    * candidates to a small set; with ngram's any-shared-shingle candidate
-    * set it shipped two full shingle arrays per pair and was 3× slower.) */
-  private def jaccard(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val sc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    pairs
-      .join(sc.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sc.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
-  }
 
   // --- shared SQL fragments ---------------------------------------------
 
@@ -132,13 +112,26 @@ object DedupQueries {
          |  GROUP BY 1, 2)
          |${jaccardSql("pairs", 0.3)}""".stripMargin
     ) { (s, dir) =>
-      val sh = shingles(corpus(s, dir))
+      // the shingle computation feeds FOUR consumers (both self-join sides
+      // + both count joins); materialize the per-doc shingle ARRAYS once
+      // (one row per doc — far smaller than the exploded index) and derive
+      // everything from the cache: counts become size(sarr) (no 20M-row
+      // count shuffle), the index sides explode off the cached arrays
+      val sa = shingleArrays(corpus(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = sa.select(col("doc_id"), size(col("sarr")).as("n"))
+      val sh = sa.select(col("doc_id"), col("lang"), explode(col("sarr")).as("s"))
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
       val pairs = a
         .join(b, col("s") === col("s_b") && col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      jaccard(sh, pairs, 0.3)
+      pairs
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
     },
 
     // MinHash (8 string-min hashes over shingles) + LSH banding (4 bands of
@@ -165,7 +158,10 @@ object DedupQueries {
          |  GROUP BY 1, 2)
          |${jaccardSql("pairs", 0.3)}""".stripMargin
     ) { (s, dir) =>
+      // three consumers (signature pass + both verify joins) — cache the
+      // per-doc arrays once, like the ngram index
       val sarr = shingleArrays(corpus(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 8 min-hashes in ONE fused MinHashSig pass over the per-doc shingle
       // array — no explode and no aggregation shuffle for the signature
       // (the round-1 shape grouped 8 min-aggregates over exploded rows)
