@@ -225,6 +225,20 @@ object StreamPipeline {
         col("application"), col("grp"), col("cnt"), col("sz"))
   }
 
+  /** [[metaAgg]] over the imperative `FastKayvee.meta` parse (~8× the
+    * declarative per-line throughput; parity: FastKayveeParitySpec). The
+    * meta rows arrive minute-bucketed already, so the 1-minute window over
+    * the bucket timestamp is the bucket itself — same grouped schema. */
+  def metaAggFast(raw: DataFrame, deployEnv: String, watermark: String = "2 minutes"): DataFrame =
+    graft.fast.FastKayvee.meta(raw, deployEnv).toDF()
+      .withColumn("ts", col("window_start").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("kind"),
+        col("env"), col("application"), col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("nbytes")).as("sz"))
+      .select(col("w.start").as("window_start"), col("kind"), col("env"),
+        col("application"), col("grp"), col("cnt"), col("sz"))
+
   /** Streaming `shipMetrics` (`metrics.go:91-172`): the fused meta
     * aggregate ([[metaAgg]] — one source reader, one parse, one shuffle)
     * projected into DD series rows and submitted per trigger under tag
@@ -243,7 +257,8 @@ object StreamPipeline {
       cfg: Config,
       sink: BatchSink
   ): DataStreamWriter[Row] = {
-    val grouped = metaAgg(raw, cfg.deployEnv)
+    val agg = if (cfg.fastLane) metaAggFast(raw, cfg.deployEnv) else metaAgg(raw, cfg.deployEnv)
+    val grouped = agg
       .select(unix_timestamp(col("window_start")).as("window_start"), col("kind"),
         col("env"), col("application"), col("grp"), col("cnt"), col("sz"))
     val series = graft.agg.Aggregations.metaSeriesUnified(grouped)

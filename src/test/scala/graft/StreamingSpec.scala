@@ -387,6 +387,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fast-lane metaAgg produces the same grouped frame as the declarative lane") {
+    implicit val sqlCtx = spark.sqlContext
+    val lines = Seq(
+      """2017-08-15T18:39:07.000000+00:00 h production--app-f/arn[1]: {"_kvmeta":{"team":"tf","routes":[{"type":"analytics","series":"x","rule":"ana"},{"type":"alerts","series":"s","dimensions":[],"stat_type":"counter","value_field":"","rule":"al"}]}}""",
+      """2017-08-15T18:40:02.000000+00:00 h standalone[1]: {"x":1}"""
+    )
+    def run(queryName: String, agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[String] = {
+      val ms = MemoryStream[String]
+      val q = agg(ms.toDF().withColumnRenamed("value", "raw")).writeStream
+        .format("memory").queryName(queryName).outputMode("update").start()
+      try {
+        ms.addData(lines: _*)
+        q.processAllAvailable()
+        spark.sql(s"SELECT kind, unix_timestamp(window_start), env, application, grp, cnt, sz FROM $queryName")
+          .collect().map(_.toString).toSet
+      } finally q.stop()
+    }
+    val slow = run("meta_slow", raw => StreamPipeline.metaAgg(raw, "test-env"))
+    val fast = run("meta_fast", raw => StreamPipeline.metaAggFast(raw, "test-env"))
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+  }
+
   test("always-emit delay tracker keeps ticking 0-gauges through data silence") {
     implicit val sqlCtx = spark.sqlContext
     val anchor = 1700000000L
