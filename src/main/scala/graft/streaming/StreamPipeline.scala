@@ -243,19 +243,27 @@ object StreamPipeline {
     * aggregate ([[metaAgg]] — one source reader, one parse, one shuffle)
     * projected into DD series rows and submitted per trigger under tag
     * "meta" — retried 5×, then logged-not-fatal (`metrics.go:159-171`;
-    * meta metrics are never dead-lettered). Update-mode note: a window
-    * touched by several triggers is re-shipped with its cumulative total
-    * under the same point_ts; the receiver is assumed last-write-wins on
-    * identical (metric, tags, ts) — Datadog count points at the same
-    * timestamp overwrite. The reference ships swap-reset deltas instead,
-    * but its in-memory maps drop data on restart; cumulative-LWW from the
-    * checkpointed state store is at least as accurate. Submission happens
-    * per partition on executors; the aggregate frame is
-    * bounded-keyspace tiny. */
+    * meta metrics are never dead-lettered).
+    *
+    * Emission semantics, chosen by `exactlyOnce`:
+    *  - false (default, update mode): a window touched by several
+    *    triggers is re-shipped with its cumulative total under the same
+    *    point_ts; the receiver is assumed last-write-wins on identical
+    *    (metric, tags, ts) — Datadog count points at the same timestamp
+    *    overwrite. Low latency (first totals within a trigger).
+    *  - true (append mode): each 1-minute window ships EXACTLY ONCE with
+    *    its final total, after the watermark passes — the Spark analog of
+    *    the reference's ship-once-per-tick swap-reset deltas
+    *    (`metrics.go:92-96`); latency is the watermark delay.
+    * Either way the checkpointed state store beats the reference's
+    * in-memory maps, which drop data on restart. Submission happens per
+    * partition on executors; the aggregate frame is bounded-keyspace
+    * tiny. */
   def shipMetaSeries(
       raw: DataFrame,
       cfg: Config,
-      sink: BatchSink
+      sink: BatchSink,
+      exactlyOnce: Boolean = false
   ): DataStreamWriter[Row] = {
     val agg = if (cfg.fastLane) metaAggFast(raw, cfg.deployEnv) else metaAgg(raw, cfg.deployEnv)
     val grouped = agg
@@ -263,7 +271,7 @@ object StreamPipeline {
         col("env"), col("application"), col("grp"), col("cnt"), col("sz"))
     val series = graft.agg.Aggregations.metaSeriesUnified(grouped)
     series.writeStream
-      .outputMode("update")
+      .outputMode(if (exactlyOnce) "append" else "update")
       .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val attempts = cfg.retryAttempts

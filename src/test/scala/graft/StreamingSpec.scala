@@ -477,6 +477,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once meta shipping: a closed window ships once with its final total") {
+    implicit val sqlCtx = spark.sqlContext
+    SinkState.reset()
+    def line(min: Int, sec: Int, n: Int) =
+      f"""2017-08-15T18:$min%02d:$sec%02d.000000+00:00 h production--app-x/arn[$n]: {"_kvmeta":{"team":"tx","routes":[]}}"""
+    val ms = MemoryStream[String]
+    val q = StreamPipeline.shipMetaSeries(
+      ms.toDF().withColumnRenamed("value", "raw"),
+      Config("test-env", triggerInterval = "1 seconds"), new TestSink,
+      exactlyOnce = true).start()
+    def countsFor(minuteTs: Long) = SinkState.seriesPoints.asScala.toSeq
+      .filter(p => p._1 == "kinesis_alerts_consumer.log_volume_count" && p._3 == minuteTs)
+      .map(_._4)
+    val m39 = 1502822340L // 18:39:00
+    try {
+      ms.addData(line(39, 1, 1), line(39, 2, 2), line(39, 3, 3))
+      q.processAllAvailable()
+      // window still open (watermark 2 min hasn't passed 18:40) → nothing
+      assert(countsFor(m39).isEmpty)
+      ms.addData(line(43, 0, 4)) // advances watermark past 18:41
+      q.processAllAvailable()
+      assert(countsFor(m39) === Seq(3.0)) // shipped once, final total
+      ms.addData(line(44, 0, 5)) // later traffic must not re-ship 18:39
+      q.processAllAvailable()
+      assert(countsFor(m39) === Seq(3.0))
+    } finally q.stop()
+  }
+
   test("fused metaAgg ≡ separate volume + route-count aggregations") {
     implicit val sqlCtx = spark.sqlContext
     val lines = Seq(
