@@ -98,6 +98,37 @@ object PipelineQueries {
           countDistinct(col("eval_id")).as("n_eval_docs"))
     },
 
+    // ★ Composite corpus filter: the keep/drop decision layer a training
+    // pipeline runs over its cheap per-doc signals — first failing rule
+    // wins, and the reason column makes the drop auditable (the shape
+    // every curation run needs for its retention report). Pure per-row
+    // array math, no shuffle at any scale.
+    q(
+      "q_corpus_filter",
+      """SELECT doc_id,
+        |  CASE WHEN n_tokens < 20 THEN 'drop' WHEN uniq_ratio < 0.3 THEN 'drop'
+        |       ELSE 'keep' END AS verdict,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN uniq_ratio < 0.3 THEN 'low_diversity' ELSE '' END AS reason
+        |FROM (
+        |  SELECT doc_id, len(l) AS n_tokens,
+        |    len(list_distinct(l))::DOUBLE / len(l) AS uniq_ratio
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir).documents
+        .withColumn("l", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("l")).as("n_tokens"),
+          (size(array_distinct(col("l"))).cast("double") / size(col("l"))).as("uniq_ratio"))
+      base.select(
+        col("doc_id"),
+        when(col("n_tokens") < 20, "drop")
+          .when(col("uniq_ratio") < 0.3, "drop").otherwise("keep").as("verdict"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("uniq_ratio") < 0.3, "low_diversity").otherwise("").as("reason"))
+    },
+
     // ★ PII scrub: inject deterministic emails/IPv4s, then extract-count
     // and redact them; md5 of the scrubbed text pins the whole rewritten
     // output, not just the counts. Pure per-row regex work — narrow at

@@ -341,6 +341,35 @@ class StreamingSpec extends SparkSpec {
     assert(byTag.values.flatten.map(_._2).sum === 2)
   }
 
+  test("streaming session windows merge within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val t = 1700000000L
+    val events = ms.toDF().toDF("user", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+      .withWatermark("ts", "1 minute")
+    val agg = events
+      .groupBy(session_window(col("ts"), "10 seconds").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), unix_timestamp(col("w.start")).as("ws"),
+        unix_timestamp(col("w.end")).as("we"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two sessions for u1 (gap 25 s > 10 s), one for u2
+      ms.addData(("u1", t), ("u1", t + 5), ("u1", t + 30), ("u2", t + 2))
+      q.processAllAvailable()
+      ms.addData(("u2", t + 300)) // advances the watermark, closing all three
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, ws, we, n FROM sessions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        ("u1", t, t + 15, 2L),      // [t, last(t+5)+gap)
+        ("u1", t + 30, t + 40, 1L), // split: 25 s silence > 10 s gap
+        ("u2", t + 2, t + 12, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup with watermark drops duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
