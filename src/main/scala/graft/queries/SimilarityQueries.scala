@@ -48,7 +48,7 @@ object SimilarityQueries {
   private val dotSqlLambda =
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
-  def defs: Seq[QueryDef] = base :+ ivf :+ quantize :+ kmeansStep
+  def defs: Seq[QueryDef] = base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -205,6 +205,66 @@ object SimilarityQueries {
     val queries = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
     assign.join(broadcast(queries), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** IVF with multiprobe (nprobe=2): each query searches its TWO nearest
+    * centroid cells — the canonical IVF recall knob (a query near a cell
+    * boundary misses neighbors assigned across it at nprobe=1; probing
+    * the runner-up cell recovers them at 2× the candidate cost, still
+    * O(corpus/cells) per query, never a full scan). Corpus assignment
+    * stays single-cell; only the tiny query side fans out, broadcast. */
+  val ivfProbe2: QueryDef = q(
+    "q_similarity_ivf_probe2",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+      |assign AS (
+      |  SELECT vec_id, e, nrm, c_id FROM (
+      |    SELECT a.vec_id, a.e, a.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+      |        c.c_id) AS rn
+      |    FROM n a CROSS JOIN c) WHERE rn = 1),
+      |qcells AS (
+      |  SELECT vec_id AS q_id, e AS qe, nrm AS qn, c_id AS qc FROM (
+      |    SELECT a.vec_id, a.e, a.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+      |        c.c_id) AS rn
+      |    FROM n a CROSS JOIN c WHERE a.vec_id < 8) WHERE rn <= 2)
+      |SELECT q_id, vec_id, rank, round(cos, 4) AS cos FROM (
+      |  SELECT qc.q_id, b.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY qc.q_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) DESC,
+      |      b.vec_id) AS rank
+      |  FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id)
+      |WHERE rank <= 3""".stripMargin
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val assign = v.crossJoin(broadcast(
+      v.filter(col("vec_id") % 251 === 0)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))))
+      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id"))
+    val q2 = v.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(
+        v.filter(col("vec_id") % 251 === 0)
+          .select(col("vec_id").as("c_id"), col("e").as("ce"))))
+      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
+    assign.join(broadcast(q2), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
