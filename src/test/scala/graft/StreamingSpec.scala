@@ -628,6 +628,23 @@ class StreamingSpec extends SparkSpec {
     assert(!volCounts().contains(1.0) && !volCounts().contains(4.0), volCounts().mkString(","))
   }
 
+  test("rate-limited ingest: maxFilesPerTrigger bounds each micro-batch (READ_RATE_LIMIT analog)") {
+    val dir = Files.createTempDirectory("graft-rate")
+    (1 to 3).foreach { i =>
+      Files.write(dir.resolve(s"f$i.txt"), Seq(golden).mkString("\n").getBytes)
+    }
+    val raw = graft.streaming.Sources.fileLines(spark, dir.toString, maxFilesPerTrigger = 1)
+    val q = raw.writeStream.format("memory").queryName("rated").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM rated").head.getLong(0) === 3)
+      // one file (= 1 record here) per micro-batch, never a catch-up gulp
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 3, batches.map(_.numInputRows).mkString(","))
+      assert(batches.forall(_.numInputRows === 1))
+    } finally q.stop()
+  }
+
   test("checkpointed restart does not reprocess delivered records") {
     val dir = Files.createTempDirectory("graft-restart")
     val srcDir = dir.resolve("src").toString
