@@ -111,6 +111,47 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
     },
 
+    // Full cube — the remaining grouping-sets shape (adds the
+    // second-column-only slices rollup lacks); Catalyst expands to one
+    // Expand + hash agg, shuffle stays O(groups).
+    q(
+      "q_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // Banded range join: events of the same user within the following
+    // 60 seconds. Spark has no native range-join optimization, so the
+    // scale shape is BANDING: bucket both sides by the band width, fan
+    // the probe side to its two candidate buckets, equi-join on
+    // (user, bucket) — one bounded shuffle, never a per-user cross
+    // product — then apply the exact range predicate.
+    q(
+      "q_join_range",
+      """WITH e AS (
+        |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS s FROM events)
+        |SELECT a.event_id, count(*) AS n_follow
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.s > a.s AND b.s <= a.s + 60
+        |GROUP BY a.event_id""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("s"))
+      val probe = e
+        .withColumn("bucket", explode(array(expr("s div 60"), expr("s div 60 + 1"))))
+      val build = e.select(col("user_id").as("u2"), col("s").as("s2"),
+        expr("s div 60").as("b2"))
+      probe
+        .join(build, col("user_id") === col("u2") && col("bucket") === col("b2") &&
+          col("s2") > col("s") && col("s2") <= col("s") + 60)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
+    },
+
     // Broadcast join: customer is the small build side — no shuffle of
     // orders at any scale (dim tables stay broadcastable at 100 TB fact
     // scale).
