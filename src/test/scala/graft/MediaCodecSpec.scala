@@ -66,6 +66,22 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decode(bad).isEmpty)
   }
 
+  test("property: round-trip holds across random payloads and geometries") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(65535)
+      val h = 1 + rnd.nextInt(65535)
+      val payload = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+      val bd = if (rnd.nextBoolean()) 8 else 16
+      val pm = MediaCodec.decode(MediaCodec.encodePng(w, h, bd, payload)).get
+      assert((pm.width, pm.height, pm.bitDepth) === ((w, h, bd)))
+      assert(pm.dataLength === payload.length)
+      val jm = MediaCodec.decode(MediaCodec.encodeJpeg(w, h, payload)).get
+      assert((jm.width, jm.height) === ((w, h)))
+      assert(jm.dataLength === payload.length)
+    }
+  }
+
   test("empty data section: zero-length IDAT / SOF-to-EOI span") {
     val png = MediaCodec.decode(MediaCodec.encodePng(5, 5, 8, Array.empty)).get
     assert(png.dataLength === 0)

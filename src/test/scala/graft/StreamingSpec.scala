@@ -370,6 +370,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: alerts match events within their time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = 1700000000L
+    val msEvents = MemoryStream[(String, Long, Long)] // (host, event_id, sec)
+    val msAlerts = MemoryStream[(String, String, Long)] // (host, alert_id, sec)
+    val events = msEvents.toDF().toDF("ehost", "event_id", "esec")
+      .withColumn("ets", col("esec").cast("timestamp")).withWatermark("ets", "1 minute")
+    val alerts = msAlerts.toDF().toDF("ahost", "alert_id", "asec")
+      .withColumn("ats", col("asec").cast("timestamp")).withWatermark("ats", "1 minute")
+    // each alert matches its HOST's events in the 10 s before it — the
+    // equi-key Spark requires for stream-stream joins, plus the interval
+    // bound that (with both watermarks) makes join state evictable
+    val joined = alerts.join(
+      events,
+      col("ahost") === col("ehost") &&
+        col("ets") <= col("ats") && col("ets") >= col("ats") - expr("INTERVAL 10 seconds"))
+      .select(col("alert_id"), col("event_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      msEvents.addData(("h1", 1L, t), ("h1", 2L, t + 8), ("h1", 3L, t + 30), ("h2", 4L, t + 8))
+      msAlerts.addData(("h1", "a", t + 9)) // events 1 (9 s before) + 2 (1 s before); not h2's
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      msEvents.addData(("hx", 99L, t + 300)); msAlerts.addData(("hx", "z", t + 300))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT alert_id, event_id FROM ss_join WHERE alert_id = 'a'")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // event 3 is outside the time bound, event 4 is another host
+      assert(got === Set(("a", 1L), ("a", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup with watermark drops duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
