@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -127,6 +128,50 @@ object PipelineQueries {
           .when(col("uniq_ratio") < 0.3, "drop").otherwise("keep").as("verdict"),
         when(col("n_tokens") < 20, "too_short")
           .when(col("uniq_ratio") < 0.3, "low_diversity").otherwise("").as("reason"))
+    },
+
+    // ★ Stratified sampling: per-language keep quotas via a deterministic
+    // multiplicative integer hash — the downsample-by-domain step of a
+    // corpus mix. Pure integer arithmetic so both engines agree exactly
+    // (no float RNG to reconcile); narrow filter, no shuffle, and the
+    // same rows are kept at any parallelism or scale.
+    q(
+      "q_sample_stratified",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |  CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .filter(expr("(doc_id * 2654435761) % 100") <
+          when(col("lang") === "en", 10).otherwise(50))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // ★ Sequence packing: assign documents to fixed token-budget bins
+    // (2048) by a running token sum — the packing step before
+    // tokenization. Packed per language PARTITION so the window state
+    // shards instead of funneling the corpus through one global-order
+    // task (the per-shard packing every distributed pipeline does).
+    q(
+      "q_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 2048 AS bin FROM c""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2048").as("bin"))
     },
 
     // ★ PII scrub: inject deterministic emails/IPv4s, then extract-count
