@@ -242,7 +242,10 @@ object DedupQueries {
       "q_dedup_embed",
       dedupEmbedSql
     ) { (s, dir) =>
+      // four consumers of the corpus (banding both sides + verify both
+      // sides): cache it once, like the shingle frames above
       val n = embedCorpus(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = embedCandidates(n)
       val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"))
       val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"))
@@ -285,6 +288,9 @@ object DedupQueries {
       col("vec_id"), col("label"),
       posexplode(graft.functions.VectorExpressions.srpBands(col("e"), planes, embedPlanesPerBand))
     ).toDF("vec_id", "label", "b", "bv")
+      // both sides of the bucket self-join read this; one SRP pass, cached
+      // (bands × corpus rows — small at any SF)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.select(col("vec_id").as("vec_a"), col("label"), col("b"), col("bv"))
       .join(
         banded.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("b").as("b2"), col("bv").as("bv2")),
