@@ -48,6 +48,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # The driver fetches oracle results via pandas/arrow, where HUGEINT
+        # (e.g. an uncast sum()) and DECIMAL become float64 and stringify as
+        # "0.0" vs Spark's "0" — fetchall() here hides that. Fail any oracle
+        # whose result schema contains those types so the class can't slip.
+        wide = [(c, t) for c, t, *_ in con.execute(f"DESCRIBE {sql}").fetchall()
+                if "HUGEINT" in t or "DECIMAL" in t]
+        if wide:
+            print(f"FAIL {name}: driver-unsafe oracle column types {wide} "
+                  f"(cast to BIGINT/DOUBLE in the oracle SQL)")
+            n_fail += 1
+            continue
         gc, gt = table(got, got_cols)
         ec, et = table(exp, exp_cols)
         if gc != ec:

@@ -162,7 +162,8 @@ object PipelineQueries {
         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |                        ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
-        |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 2048 AS bin FROM c""".stripMargin
+        |SELECT doc_id, lang, n_tokens,
+        |  ((cum - n_tokens) // 2048)::BIGINT AS bin FROM c""".stripMargin
     ) { (s, dir) =>
       Tables(s, dir).documents
         .select(col("doc_id"), col("lang"),
