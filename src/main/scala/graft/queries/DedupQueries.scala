@@ -200,33 +200,59 @@ object DedupQueries {
     q(
       "q_dedup_simhash",
       simhashSql
+    ) { (s, dir) => simhashPairs(s, dir) },
+
+    // ★ Near-dup clustering: connected components over the SimHash edge
+    // set — the step that turns pairwise near-dup hits into "keep one per
+    // cluster" groups (pairs alone over-delete when A~B and B~C but A≁C).
+    // Distributed min-label propagation: every node starts as its own
+    // component, each round pushes the smaller label across every edge,
+    // fixpoint when the global label sum stops falling — O(diameter)
+    // rounds of one join + one min-agg each, never any per-component
+    // driver work (the convergence check is a scalar aggregate). Near-dup
+    // graphs have tiny-diameter components (planted chains here converge
+    // in 3 rounds), so at 100 TB this is a handful of shuffles over an
+    // edge set that LSH already bounded.
+    q(
+      "q_dedup_cluster",
+      clusterSql
     ) { (s, dir) =>
-      // ONE fused SimHash60 pass per document (one md5 per token, 4 bits
-      // per hex char, strict per-bit majority) — the round-1 shape
-      // exploded tokens into 60 bit-sum aggregates, paying a shuffle plus
-      // 60 interpreted aggregate updates per token for the same signature
-      val sig = corpus(s, dir).select(
-        col("doc_id"), col("lang"),
-        // fenced like `hs` below: 5 downstream references (4 band shifts +
-        // the signature column itself)
-        graft.plans.OptimizerBarrier.once(
-          graft.functions.TextHashExpressions.simHash(split(col("text"), " "))).as("sig")
-      )
-      val banded = sig.select(
-        col("doc_id"), col("lang"), col("sig"),
-        explode(array((0 to 3).map(b =>
-          struct(lit(b).as("b"), shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)).as("band")
-      ).select(col("doc_id"), col("lang"), col("sig"), col("band.b").as("b"), col("band.bv").as("bv"))
-      val cands = banded.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"), col("b"), col("bv"))
-        .join(
-          banded.select(col("doc_id").as("doc_b"), col("lang").as("lang2"), col("sig").as("sig_b"), col("b").as("b2"), col("bv").as("bv2")),
-          col("lang") === col("lang2") && col("b") === col("b2") && col("bv") === col("bv2") && col("doc_a") < col("doc_b")
-        )
-        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
-      cands
-        .withColumn("ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-        .filter(col("ham") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("ham"))
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .persist(MEMORY_AND_DISK)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(MEMORY_AND_DISK)
+      var labels = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .select(col("doc_id"), col("doc_id").as("comp"))
+        .persist(MEMORY_AND_DISK)
+      var sum = labels.agg(org.apache.spark.sql.functions.sum(col("comp"))).head.getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) { // cap >> any realistic diameter
+        val prop = edges
+          .join(labels.select(col("doc_id").as("src"), col("comp")), "src")
+          .select(col("dst").as("doc_id"), col("comp"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+          .persist(MEMORY_AND_DISK)
+        val nextSum = next.agg(org.apache.spark.sql.functions.sum(col("comp"))).head.getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == sum // min-label sums strictly fall until fixpoint
+        sum = nextSum
+        rounds += 1
+      }
+      labels
+        .withColumn("csize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+        .select(
+          col("doc_id"),
+          col("comp").as("cluster_id"),
+          col("csize"),
+          (col("doc_id") === col("comp")).as("is_rep"))
     },
 
     // Embedding-cosine near-dup against a corpus with planted perturbed
@@ -256,6 +282,56 @@ object DedupQueries {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     }
   )
+
+  /** SimHash near-dup pairs (doc_a, doc_b, ham ≤ 3) — the q_dedup_simhash
+    * body, shared with q_dedup_cluster as its edge set. ONE fused SimHash60
+    * pass per document (one md5 per token, 4 bits per hex char, strict
+    * per-bit majority) — the round-1 shape exploded tokens into 60 bit-sum
+    * aggregates, paying a shuffle plus 60 interpreted aggregate updates
+    * per token for the same signature. */
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = corpus(s, dir).select(
+      col("doc_id"), col("lang"),
+      // fenced like `hs` above: 5 downstream references (4 band shifts +
+      // the signature column itself)
+      graft.plans.OptimizerBarrier.once(
+        graft.functions.TextHashExpressions.simHash(split(col("text"), " "))).as("sig")
+    )
+    val banded = sig.select(
+      col("doc_id"), col("lang"), col("sig"),
+      explode(array((0 to 3).map(b =>
+        struct(lit(b).as("b"), shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)).as("band")
+    ).select(col("doc_id"), col("lang"), col("sig"), col("band.b").as("b"), col("band.bv").as("bv"))
+    val cands = banded.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"), col("b"), col("bv"))
+      .join(
+        banded.select(col("doc_id").as("doc_b"), col("lang").as("lang2"), col("sig").as("sig_b"), col("b").as("b2"), col("bv").as("bv2")),
+        col("lang") === col("lang2") && col("b") === col("b2") && col("bv") === col("bv2") && col("doc_a") < col("doc_b")
+      )
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+    cands
+      .withColumn("ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("ham") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
+  }
+
+  /** Cluster oracle: transitive closure of the SimHash edge set via a
+    * recursive CTE carrying every reachable label; min per node ≡ the
+    * component minimum the Spark propagation converges to. */
+  private lazy val clusterSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($simhashSql)),
+       |nodes AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, comp) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS csize,
+       |  doc_id = cluster_id AS is_rep
+       |FROM lab""".stripMargin
 
   /** embeddings ∪ perturbed copy (vec_id+1000000, dim 1 + 0.1), with norm.
     * `e` is fenced: the banding projection references it 128 times (one per

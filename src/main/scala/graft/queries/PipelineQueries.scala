@@ -175,6 +175,70 @@ object PipelineQueries {
           expr("(cum - n_tokens) div 2048").as("bin"))
     },
 
+    // ★ Deterministic training-order shuffle: every epoch of a training
+    // run needs the corpus in a reproducible pseudo-random order. Key each
+    // doc by a seeded md5, derive its shard from the first hex digit, and
+    // number positions per shard — a global permutation without a global
+    // sort: the only ordering work is S independent per-shard windows, so
+    // at 100 TB each shard sorts its own slice in parallel (and a writer
+    // would emit shard files directly). md5 is the one hash both engines
+    // share; hex-string ordering is plain ASCII so both sort identically.
+    q(
+      "q_shuffle_order",
+      """SELECT doc_id, shard, row_number() OVER (PARTITION BY shard ORDER BY h) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shuf42#' || doc_id), 1, 1))::BIGINT % 8 AS shard,
+        |    md5('shuf42#' || doc_id) AS h
+        |  FROM documents)""".stripMargin
+    ) { (s, dir) =>
+      val h = md5(concat(lit("shuf42#"), col("doc_id").cast("string")))
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          (conv(substring(h, 1, 1), 16, 10).cast("long") % 8).as("shard"),
+          h.as("h"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
+    // ★ Corpus mixing: rebalance the language mix by capping every
+    // language at 2× the smallest language's count — quotas are
+    // DATA-DERIVED (unlike q_sample_stratified's fixed rates), so this is
+    // the two-pass shape: a tiny per-lang count aggregate, broadcast back,
+    // then keep the quota's worth of docs chosen by seeded-hash rank.
+    // Scale notes: the quota table is |langs| rows (always broadcast);
+    // per-lang ranking shards the sort by language — skewed corpora would
+    // swap the window for a hash-threshold cutoff (rank r ≙ r-th smallest
+    // hash) found via approx quantile, trading exactness for no sort.
+    q(
+      "q_corpus_mix",
+      """WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |quota AS (SELECT lang, least(n, 2 * (SELECT min(n) FROM counts)) AS cap FROM counts),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5('mix42#' || doc_id)) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk FROM ranked r
+        |JOIN quota q ON r.lang = q.lang WHERE r.rk <= q.cap""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val quota = counts
+        .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
+        .select(col("lang"), least(col("n"), lit(2) * col("mn")).as("cap"))
+      val ranked = docs
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("mix42#"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"))).cast("long"))
+      ranked
+        .join(broadcast(quota), "lang")
+        .filter(col("rk") <= col("cap"))
+        .select(col("doc_id"), col("lang"), col("rk"))
+    },
+
     // ★ PII scrub: inject deterministic emails/IPv4s, then extract-count
     // and redact them; md5 of the scrubbed text pins the whole rewritten
     // output, not just the counts. Pure per-row regex work — narrow at

@@ -236,6 +236,51 @@ object TextQueries {
       )
     },
 
+    // ★ Token-distribution entropy: Shannon entropy of the per-doc unigram
+    // distribution plus its ln(n)-normalized form — the information-density
+    // quality signal (boilerplate and keyword-stuffed docs score low
+    // without needing a model). Per-row imperative lane (one TreeMap pass
+    // per doc, the sanctioned shape for >3-ops-per-token loops); entropy
+    // folds token counts in sorted-token order so the oracle's
+    // list(cnt ORDER BY t) fold replays the identical IEEE sequence, and
+    // the floor(×1e6) + 0.0 guard absorbs formatting and -0.0 drift.
+    q(
+      "q_quality_entropy",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+        |l AS (SELECT doc_id, list(cnt ORDER BY t) AS cl, sum(cnt)::BIGINT AS n,
+        |        count(*)::BIGINT AS nd
+        |      FROM c GROUP BY doc_id),
+        |e AS (SELECT doc_id, n, nd,
+        |        list_sum(list_transform(cl, c -> (c::DOUBLE / n) * ln(c::DOUBLE / n))) AS sacc
+        |      FROM l)
+        |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+        |  floor(-sacc * 1e6) / 1e6 + 0.0 AS ent,
+        |  CASE WHEN n > 1 THEN floor((-sacc / ln(n::DOUBLE)) * 1e6) / 1e6 + 0.0
+        |       ELSE 0.0 END AS ent_norm
+        |FROM e""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tok = text.split(' ')
+          val n = tok.length
+          val counts = new java.util.TreeMap[String, Int]()
+          tok.foreach(t => counts.put(t, counts.getOrDefault(t, 0) + 1))
+          var sAcc = 0.0
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val p = it.next().toDouble / n
+            sAcc += p * math.log(p)
+          }
+          val ent = math.floor(-sAcc * 1e6) / 1e6 + 0.0
+          val entNorm =
+            if (n > 1) math.floor((-sAcc / math.log(n.toDouble)) * 1e6) / 1e6 + 0.0 else 0.0
+          (id, n.toLong, counts.size.toLong, ent, entNorm)
+        }
+        .toDF("doc_id", "n_tokens", "n_distinct", "ent", "ent_norm")
+    },
+
     // Document fingerprints: exact (md5 of text) and canonical (md5 of the
     // sorted distinct token set — order/duplication-insensitive).
     q(
