@@ -406,20 +406,19 @@ object DedupQueries {
     * distinct pairs. */
   private[graft] def embedCandidates(n: DataFrame): DataFrame = {
     val planes = SimilarityQueries.planeWeights(embedBands * embedPlanesPerBand)
+    val s = n.sparkSession
+    // bucket posting lists instead of a banded self-join: one SRP pass and
+    // one exchange to group by (label, band, bucket) — the join shape
+    // shuffled the banded frame twice and needed it persisted to avoid a
+    // second SRP evaluation
     val banded = n.select(
       col("vec_id"), col("label"),
       posexplode(graft.functions.VectorExpressions.srpBands(col("e"), planes, embedPlanesPerBand))
     ).toDF("vec_id", "label", "b", "bv")
-      // both sides of the bucket self-join read this; one SRP pass, cached
-      // (bands × corpus rows — small at any SF)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.select(col("vec_id").as("vec_a"), col("label"), col("b"), col("bv"))
-      .join(
-        banded.select(col("vec_id").as("vec_b"), col("label").as("label2"), col("b").as("b2"), col("bv").as("bv2")),
-        col("label") === col("label2") && col("b") === col("b2") && col("bv") === col("bv2") &&
-          col("vec_a") < col("vec_b")
-      )
-      .select(col("vec_a"), col("vec_b")).distinct()
+    postingPairs(s,
+      banded.groupBy(col("label"), col("b"), col("bv")).agg(collect_list(col("vec_id")).as("ds")))
+      .toDF("vec_a", "vec_b")
+      .distinct()
   }
 
   /** Embed-dedup oracle: identical LSH banding with the plane weights

@@ -48,7 +48,7 @@ object SimilarityQueries {
   private val dotSqlLambda =
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
-  def defs: Seq[QueryDef] = base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep
+  def defs: Seq[QueryDef] = base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -323,6 +323,115 @@ object SimilarityQueries {
        |SELECT a.c_id, a.n_members, round(sqrt($move), 6) AS movement
        |FROM agg a JOIN c ON a.c_id = c.c_id""".stripMargin
   }
+
+  /** Product quantization ANN: split each 64-dim vector into 8 blocks of
+    * 8, encode every block as its nearest codebook entry (codebook = the
+    * subvectors of vec_id 0..3 — a deterministic stand-in for the k-means
+    * trainer, see q_kmeans_step), reconstruct from codes, and rank by
+    * asymmetric (query-vs-reconstruction) squared L2. This is the
+    * memory-compression ANN family: at 100 TB the corpus shrinks from
+    * 64 floats to 8 codes per vector, the 32-entry codebook broadcasts,
+    * encoding is one windowed argmin over blocks×codes (linear), and
+    * search touches codes, never raw vectors. Distances use the
+    * |q|²+|x̂|²−2·q·x̂ identity so both engines build them from the same
+    * three ascending-fold sums (codegen DotProduct on the Spark side). */
+  val pq: QueryDef = q(
+    "q_similarity_pq",
+    pqSql
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.dotProduct
+    import graft.plans.OptimizerBarrier
+    // e feeds 8 block slices — fence it or the float→double transform
+    // re-inlines per block
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+    val blocks = v.select(
+      col("vec_id"),
+      explode(array((0 until 8).map(m =>
+        struct(lit(m).as("m"), slice(col("e"), m * 8 + 1, 8).as("sub"))): _*)).as("blk")
+    ).select(col("vec_id"), col("blk.m").as("m"),
+      OptimizerBarrier.once(col("blk.sub")).as("sub"))
+    val cb = blocks.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("k"), col("m").as("cm"), col("sub").as("csub"),
+        dotProduct(col("sub"), col("sub")).as("cn2"))
+    val assign = blocks
+      .withColumn("sn2", dotProduct(col("sub"), col("sub")))
+      .join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("bdist",
+        col("sn2") + col("cn2") - lit(2.0) * dotProduct(col("sub"), col("csub")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m")).orderBy(col("bdist"), col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("csub"))
+    // stitch the chosen codebook blocks back into x̂ in block order; x̂
+    // feeds its own norm and the per-query dot, so fence it
+    val xhat = assign.groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("csub")))),
+        x => x.getField("csub"))).as("xh0"))
+      .select(col("vec_id"), OptimizerBarrier.once(col("xh0")).as("xh"))
+      .withColumn("xn2", dotProduct(col("xh"), col("xh")))
+    val queries = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        dotProduct(col("e"), col("e")).as("qn2"))
+    val scored = xhat.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        col("qn2") + col("xn2") - lit(2.0) * dotProduct(col("qe"), col("xh")))
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    // two-phase top-k, same shape as q_similarity_topk: local per-partition
+    // top-5 so no task sorts a whole query's corpus, then merge ≤ 5·P rows
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        (floor(col("adc") * 1e6) / 1e6 + 0.0).as("adc"))
+  }
+
+  /** PQ oracle: identical block slicing, argmin encode, ordered-list
+    * reconstruction, and the same three-sum distance identity. */
+  private lazy val pqSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |blocks AS (
+      |  SELECT vec_id, m,
+      |    list_transform(generate_series(1, 8), i -> e[m * 8 + i]) AS sub
+      |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+      |cb AS (
+      |  SELECT vec_id AS k, m AS cm, sub AS csub,
+      |    list_sum(list_transform(sub, x -> x * x)) AS cn2
+      |  FROM blocks WHERE vec_id < 4),
+      |assign AS (
+      |  SELECT vec_id, m, csub FROM (
+      |    SELECT b.vec_id, b.m, c.csub,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+      |        list_sum(list_transform(b.sub, x -> x * x)) + c.cn2 -
+      |          2.0 * list_sum(list_transform(generate_series(1, 8), i -> b.sub[i] * c.csub[i])),
+      |        c.k) AS rn
+      |    FROM blocks b JOIN cb c ON b.m = c.cm) WHERE rn = 1),
+      |xhat AS (
+      |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS xh
+      |  FROM assign GROUP BY vec_id),
+      |xn AS (SELECT vec_id, xh, list_sum(list_transform(xh, x -> x * x)) AS xn2 FROM xhat),
+      |qs AS (
+      |  SELECT vec_id AS q_id, e AS qe, list_sum(list_transform(e, x -> x * x)) AS qn2
+      |  FROM v WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.q_id, x.vec_id,
+      |    q.qn2 + x.xn2 -
+      |      2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])) AS adc
+      |  FROM xn x CROSS JOIN qs q WHERE x.vec_id <> q.q_id)
+      |SELECT q_id, vec_id, rank, floor(adc * 1e6) / 1e6 + 0.0 AS adc FROM (
+      |  SELECT q_id, vec_id, adc,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
 
   /** cosine with precomputed norms. */
   private def cosine2(a: Column, na: Column, b: Column, nb: Column): Column =
