@@ -26,6 +26,19 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    // Queries persist/localCheckpoint frames internally and a single JVM
+    // runs all 69 back to back; without inter-query cleanup the storage
+    // pool fills and a full-GC pause lands on whichever query happens to
+    // be running (observed as a roving 10-15 s spike on an otherwise
+    // ~1 s query). Cleanup runs OUTSIDE the timed region — each query is
+    // measured cold and independent.
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     // a failed query records -1 (not its fast wall time to the throw) and
     // is listed in "failed" — a regression must look broken, not quick
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -37,7 +50,9 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
