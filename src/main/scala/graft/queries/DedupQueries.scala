@@ -223,42 +223,7 @@ object DedupQueries {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(MEMORY_AND_DISK)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist(MEMORY_AND_DISK)
-      // localCheckpoint (not persist) each round: an iteration's plan embeds
-      // the previous one, so without lineage truncation the logical plan —
-      // and every plan-string the cache manager builds — doubles per round
-      // (OOMed at sf0.1). Same reason GraphX/ALS checkpoint their loops.
-      var labels = pairs
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-        .select(col("doc_id"), col("doc_id").as("comp"))
-        .localCheckpoint(true)
-      var sum = labels.agg(org.apache.spark.sql.functions.sum(col("comp"))).head.getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) { // cap >> any realistic log-diameter
-        val prop = edges
-          .join(labels.select(col("doc_id").as("src"), col("comp")), "src")
-          .select(col("dst").as("doc_id"), col("comp"))
-        // pointer jumping: also relax through the current parent's label
-        // (comp ← comp[comp]), halving the remaining diameter each round —
-        // O(log d) rounds instead of O(d) on chain-shaped components
-        val jump = labels.select(col("doc_id").as("j_id"), col("comp").as("j_comp"))
-          .join(labels.select(col("doc_id").as("p_id"), col("comp").as("p_comp")),
-            col("j_comp") === col("p_id"))
-          .select(col("j_id").as("doc_id"), col("p_comp").as("comp"))
-        val next = labels.unionByName(prop).unionByName(jump)
-          .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint(true)
-        val nextSum = next.agg(org.apache.spark.sql.functions.sum(col("comp"))).head.getLong(0)
-        labels = next
-        converged = nextSum == sum // min-label sums strictly fall until fixpoint
-        sum = nextSum
-        rounds += 1
-      }
-      labels
+      connectedComponents(s, pairs)
         .withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
         .select(
@@ -295,6 +260,110 @@ object DedupQueries {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     }
   )
+
+  /** Connected components over an undirected edge set (doc_a, doc_b) →
+    * (doc_id, comp) where comp is the component's minimum member. Hybrid,
+    * like GraphFrames' CC with its broadcastThreshold endgame:
+    *
+    *  - Scale path: distributed min-label propagation with pointer jumping
+    *    (comp ← comp[comp]) — O(log diameter) rounds of one join + one
+    *    min-agg, convergence checked by a scalar label-sum aggregate, never
+    *    any per-component driver work. Each round localCheckpoints: an
+    *    iteration's plan embeds the previous one, so without lineage
+    *    truncation the logical plan doubles per round (OOMed at sf0.1) —
+    *    same reason GraphX/ALS checkpoint their loops.
+    *  - Endgame: once the edge set is at-or-below `localThreshold` (LSH
+    *    already bounded it to verified near-dup pairs, so at small SF this
+    *    hits immediately), one single-task executor-side union-find
+    *    finishes the job — the distributed loop's per-round fixed cost
+    *    (plan + codegen + 2 actions) dwarfs a linear α(n) scan there.
+    *
+    * The loop also re-checks the threshold each round: components only
+    * condense, so a big graph falls through to the endgame as soon as its
+    * active frontier shrinks under the bound. */
+  private[graft] def connectedComponents(
+      s: SparkSession, pairs: DataFrame,
+      localThreshold: Long = 4000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import s.implicits._
+
+    def unionFindLocal(df: DataFrame): DataFrame =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent.getOrDefault(x, x)
+            while (p != x) { // path halving
+              val gp = parent.getOrDefault(p, p)
+              parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+            val ra = find(a); val rb = find(b)
+            // union by min so the root IS the component minimum
+            if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+          }
+          val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+          keys.iterator.map(k => (k.longValue(), find(k.longValue())))
+        }
+        .toDF("doc_id", "comp")
+
+    if (pairs.count() <= localThreshold) unionFindLocal(pairs)
+    else {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(MEMORY_AND_DISK)
+      var labels = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .select(col("doc_id"), col("doc_id").as("comp"))
+        .localCheckpoint(true)
+      var sum = labels.agg(org.apache.spark.sql.functions.sum(col("comp"))).head.getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) { // cap >> any realistic log-diameter
+        val prop = edges
+          .join(labels.select(col("doc_id").as("src"), col("comp")), "src")
+          .select(col("dst").as("doc_id"), col("comp"))
+        val jump = labels.select(col("doc_id").as("j_id"), col("comp").as("j_comp"))
+          .join(labels.select(col("doc_id").as("p_id"), col("comp").as("p_comp")),
+            col("j_comp") === col("p_id"))
+          .select(col("j_id").as("doc_id"), col("p_comp").as("comp"))
+        val next = labels.unionByName(prop).unionByName(jump)
+          .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint(true)
+        val nextSum = next.agg(org.apache.spark.sql.functions.sum(col("comp"))).head.getLong(0)
+        labels = next
+        converged = nextSum == sum // min-label sums strictly fall until fixpoint
+        sum = nextSum
+        rounds += 1
+        if (!converged) {
+          // endgame switch: project the residual graph onto current labels
+          // (edges inside a settled component collapse to self-loops and
+          // drop); if what's left is small, finish it locally and compose
+          val resid = edges
+            .join(labels.select(col("doc_id").as("src"), col("comp").as("ca")), "src")
+            .join(labels.select(col("doc_id").as("dst"), col("comp").as("cb")), "dst")
+            .filter(col("ca") =!= col("cb"))
+            .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+            .distinct()
+            .localCheckpoint(true)
+          if (resid.count() <= localThreshold) {
+            val root = unionFindLocal(resid)
+              .select(col("doc_id").as("comp"), col("comp").as("root"))
+            return labels
+              .join(root, Seq("comp"), "left")
+              .select(col("doc_id"), coalesce(col("root"), col("comp")).as("comp"))
+          }
+        }
+      }
+      labels
+    }
+  }
 
   /** Ordered (doc_a < doc_b) pairs from per-bucket posting lists: input
     * must have a `ds ARRAY<BIGINT>` column (one row per bucket). Quadratic

@@ -39,6 +39,17 @@ class CorpusOpsSpec extends SparkSpec {
     } finally { labels.unpersist(); () }
   }
 
+  test("connected components: distributed label-propagation path agrees with union-find endgame") {
+    val pairs = DedupQueries.simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    try {
+      val local = DedupQueries.connectedComponents(spark, pairs) // endgame path
+      val dist = DedupQueries.connectedComponents(spark, pairs, 0L) // forced loop path
+      assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty,
+        "loop and union-find component labelings differ")
+    } finally { pairs.unpersist(); () }
+  }
+
   test("shuffle_order: 8 shards, contiguous 1..k positions, deterministic") {
     val a = run("q_shuffle_order").cache()
     try {
