@@ -205,6 +205,50 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_mktsegment"))
     },
 
+    // Semi join — EXISTS as a join operator: keep each customer once if
+    // any qualifying order exists. left_semi never duplicates the probe
+    // side and never materializes build columns, so the shuffle carries
+    // only the filtered build keys at any scale.
+    q(
+      "q_join_semi",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi"
+        )
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    // Per-group mode (most frequent value) with a total tiebreak — built
+    // as count + rank rather than any engine mode() builtin, whose tie
+    // behavior is unspecified in both engines. Two hash aggs with map-side
+    // combine; the window runs over group×value cardinality (tiny), never
+    // over rows.
+    q(
+      "q_agg_mode",
+      """SELECT l_returnflag, l_linestatus, l_shipmode AS mode_shipmode, n FROM (
+        |  SELECT l_returnflag, l_linestatus, l_shipmode, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |                       ORDER BY count(*) DESC, l_shipmode) AS rn
+        |  FROM lineitem GROUP BY 1, 2, 3) WHERE rn = 1""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipmode"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+            .orderBy(col("n").desc, col("l_shipmode"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_shipmode").as("mode_shipmode"), col("n"))
+    },
+
     // As-of join — an operator Spark lacks natively (DuckDB has ASOF JOIN):
     // for each event, the latest order of that customer at or before the
     // event time. Composed from built-ins: tag both sides, union, one

@@ -48,7 +48,8 @@ object SimilarityQueries {
   private val dotSqlLambda =
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
-  def defs: Seq[QueryDef] = base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq
+  def defs: Seq[QueryDef] =
+    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ annRecall
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -436,6 +437,98 @@ object SimilarityQueries {
   /** cosine with precomputed norms. */
   private def cosine2(a: Column, na: Column, b: Column, nb: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v) / (na * nb)
+
+  /** ★ ANN evaluation harness: recall@5 of the SRP-LSH candidate set
+    * against the exact brute-force top-5, per query — "measure, don't
+    * guess" as an operator, the loop you run whenever LSH parameters
+    * change. Ground truth uses the same two-phase top-k shape as
+    * q_similarity_topk (no task ever sorts a whole query's corpus);
+    * candidates come from the same bucket join as q_similarity_lsh; the
+    * scoring join is per-(q_id, vec_id) on two already-small frames.
+    * recall = n_hit/5.0 is the same double division in both engines. */
+  val annRecall: QueryDef = q(
+    "q_ann_recall",
+    annRecallSql
+  ) { (s, dir) =>
+    val planes = planeWeights()
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+    val sig = v.withColumn(
+      "sig",
+      concat((0 until 8).map { p =>
+        val dotP = graft.functions.VectorExpressions
+          .dotProduct(col("e"), lit(planes(p)).cast("array<double>"))
+        when(dotP > 0, "1").otherwise("0")
+      }: _*))
+    val queries = sig.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
+    // exact ground truth: two-phase top-5 per query
+    val scored = v.crossJoin(broadcast(queries.select(col("q_id"), col("qe"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("lrank") <= 5)
+    val exact = local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    // LSH candidates: bucket-mates of each query signature
+    val cand = sig
+      .join(broadcast(queries.select(col("q_id"), col("qsig"))),
+        col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    exact
+      .join(cand, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .join(nCand, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hit"),
+        (col("n_hit") / lit(5.0)).as("recall"))
+  }
+
+  /** Recall oracle: same sig construction as the LSH oracle, exact top-5
+    * CTE, left-join overlap count. */
+  private lazy val annRecallSql: String = {
+    val sigTerms = (0 until 8).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |  d -> e[d] * (CASE WHEN ascii(md5('p$p' || 'd' || d)[1]) % 2 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |  THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" || ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+       |    $sigTerms AS sig
+       |  FROM v),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        $dotSqlLambda / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |    FROM sig a JOIN sig b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+       |  WHERE rank <= 5),
+       |cand AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id
+       |  FROM sig a JOIN sig b
+       |    ON a.vec_id < 8 AND a.sig = b.sig AND b.vec_id <> a.vec_id),
+       |cn AS (SELECT q_id, count(*) AS n_cand FROM cand GROUP BY q_id)
+       |SELECT e.q_id,
+       |  coalesce(cn.n_cand, 0) AS n_cand,
+       |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+       |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall
+       |FROM exact e
+       |LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+       |LEFT JOIN cn ON e.q_id = cn.q_id
+       |GROUP BY e.q_id, cn.n_cand""".stripMargin
+  }
 
   /** LSH oracle: hyperplane weights from the same md5-parity construction. */
   private lazy val lshSql: String = {

@@ -281,6 +281,71 @@ object TextQueries {
         .toDF("doc_id", "n_tokens", "n_distinct", "ent", "ent_norm")
     },
 
+    // ★ TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df). The df table is the vocabulary — potentially large at
+    // corpus scale, so it joins sort-merge on token (both sides hash-
+    // partitioned), never broadcast; N rides along as a 1-row broadcast
+    // cross join. Java Math.log and DuckDB ln agree bit-for-bit (libm),
+    // and the floor guard pins the product against engine rounding drift.
+    q(
+      "q_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    floor(tf.tf * ln(n.n_docs::DOUBLE / df.df) * 1e6) / 1e6 AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, score, rnk FROM (
+        |  SELECT doc_id, token, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, token) AS rnk
+        |  FROM scored) WHERE rnk <= 3""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6) / 1e6)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rnk"))
+    },
+
+    // ★ Text normalization — the canonical pre-dedup cleanup: lowercase,
+    // non-alphanumerics to spaces, whitespace collapsed, trimmed; plus the
+    // md5 fingerprint of the normalized form (what exact dedup would key
+    // on) and a changed flag. Pure per-row string ops, no shuffle.
+    q(
+      "q_text_normalize",
+      """SELECT doc_id,
+        |  md5(norm) AS norm_fp, length(norm) AS n_chars_norm,
+        |  (norm <> text) AS changed
+        |FROM (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm
+        |FROM documents)""".stripMargin
+    ) { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables(s, dir).documents
+        .withColumn("norm", norm)
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("norm_fp"),
+          length(col("norm")).as("n_chars_norm"),
+          (col("norm") =!= col("text")).as("changed"))
+    },
+
     // Document fingerprints: exact (md5 of text) and canonical (md5 of the
     // sorted distinct token set — order/duplication-insensitive).
     q(
