@@ -8,6 +8,20 @@ import org.apache.spark.sql.SparkSession
   * JVM startup effects.
   */
 object Bench {
+
+  /** Inter-query cleanup (also asserted by DeclareGateSpec): queries
+    * persist/localCheckpoint frames internally and a single JVM runs all
+    * declared queries back to back; without this the storage pool fills
+    * and a full-GC pause lands on whichever query happens to be running
+    * (the round-4 roving 10-15 s spikes). Runs OUTSIDE the timed region.
+    */
+  def cleanup(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,19 +40,6 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // Queries persist/localCheckpoint frames internally and a single JVM
-    // runs all 69 back to back; without inter-query cleanup the storage
-    // pool fills and a full-GC pause lands on whichever query happens to
-    // be running (observed as a roving 10-15 s spike on an otherwise
-    // ~1 s query). Cleanup runs OUTSIDE the timed region — each query is
-    // measured cold and independent.
-    def cleanup(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-    }
-
     // a failed query records -1 (not its fast wall time to the throw) and
     // is listed in "failed" — a regression must look broken, not quick
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -51,7 +52,7 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      cleanup()
+      cleanup(spark)
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

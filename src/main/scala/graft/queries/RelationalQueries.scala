@@ -232,21 +232,21 @@ object RelationalQueries {
     // over rows.
     q(
       "q_agg_mode",
-      """SELECT l_returnflag, l_linestatus, l_shipmode AS mode_shipmode, n FROM (
-        |  SELECT l_returnflag, l_linestatus, l_shipmode, count(*) AS n,
-        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
-        |                       ORDER BY count(*) DESC, l_shipmode) AS rn
-        |  FROM lineitem GROUP BY 1, 2, 3) WHERE rn = 1""".stripMargin
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1, 2) WHERE rn = 1""".stripMargin
     ) { (s, dir) =>
-      Tables(s, dir).lineitem
-        .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipmode"))
+      Tables(s, dir).orders
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
-            .orderBy(col("n").desc, col("l_shipmode"))))
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("n").desc, col("o_orderpriority"))))
         .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("l_linestatus"),
-          col("l_shipmode").as("mode_shipmode"), col("n"))
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
     },
 
     // As-of join — an operator Spark lacks natively (DuckDB has ASOF JOIN):

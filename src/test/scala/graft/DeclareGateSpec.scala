@@ -1,0 +1,41 @@
+package graft
+
+/** The declare gate: every query in `SparkEntry.allQueries` must at least
+  * pass Catalyst analysis against the real fixture schemas. Round 5 shipped
+  * a declared query (`q_agg_mode`) that referenced a column the fixture
+  * `lineitem` doesn't have — it failed analysis in BOTH engines, yet
+  * `sbt test` was green because no spec forced analysis of the full
+  * inventory. This spec makes that class of failure impossible to commit:
+  * analysis resolves every column reference and function signature without
+  * executing anything, so the whole sweep is cheap.
+  */
+class DeclareGateSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every declared query passes analysis at sf0.001") {
+    val failures = SparkEntry.allQueries.flatMap { d =>
+      try { d.fn(spark, sfDir).queryExecution.analyzed; None }
+      catch { case e: Throwable => Some(s"${d.name}: ${e.getClass.getSimpleName}: ${e.getMessage.takeWhile(_ != '\n')}") }
+    }
+    assert(failures.isEmpty, s"\nunanalyzable declared queries:\n  ${failures.mkString("\n  ")}")
+    Bench.cleanup(spark)
+  }
+
+  test("oracle keys are a subset of declared query names, with no dup names") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names declared")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+  }
+
+  // Root cause of the round-4 phantom bench regressions: internal
+  // persist/localCheckpoint leakage across 69 back-to-back queries filled
+  // the storage pool. Bench.cleanup is the fix; pin its contract here with
+  // a query known to persist internally (the cached shingle frame).
+  test("Bench.cleanup releases every persisted RDD and cached frame") {
+    SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir).count()
+    Bench.cleanup(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "persistent RDDs leaked past Bench.cleanup")
+  }
+}
