@@ -49,7 +49,8 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ annRecall
+    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ annRecall :+
+      annRecallIvf :+ annRecallPq
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -336,10 +337,11 @@ object SimilarityQueries {
     * search touches codes, never raw vectors. Distances use the
     * |q|²+|x̂|²−2·q·x̂ identity so both engines build them from the same
     * three ascending-fold sums (codegen DotProduct on the Spark side). */
-  val pq: QueryDef = q(
-    "q_similarity_pq",
-    pqSql
-  ) { (s, dir) =>
+  /** Shared PQ construction (codebook encode → x̂ reconstruction → ADC
+    * scores): returns (corpus v with fenced double e, query frame
+    * (q_id, qe, qn2), scored adc frame (q_id, vec_id, adc)). Used by both
+    * q_similarity_pq and its recall harness so the two can never drift. */
+  private def pqAdc(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.dotProduct
     import graft.plans.OptimizerBarrier
     // e feeds 8 block slices — fence it or the float→double transform
@@ -380,6 +382,14 @@ object SimilarityQueries {
       .withColumn("adc",
         col("qn2") + col("xn2") - lit(2.0) * dotProduct(col("qe"), col("xh")))
       .select(col("q_id"), col("vec_id"), col("adc"))
+    (v, queries, scored)
+  }
+
+  val pq: QueryDef = q(
+    "q_similarity_pq",
+    pqSql
+  ) { (s, dir) =>
+    val (_, _, scored) = pqAdc(s, dir)
     // two-phase top-k, same shape as q_similarity_topk: local per-partition
     // top-5 so no task sorts a whole query's corpus, then merge ≤ 5·P rows
     val local = scored
@@ -529,6 +539,206 @@ object SimilarityQueries {
        |LEFT JOIN cn ON e.q_id = cn.q_id
        |GROUP BY e.q_id, cn.n_cand""".stripMargin
   }
+
+  /** ★ IVF recall harness: recall@5 of the IVF candidate set vs the exact
+    * cosine top-5, at BOTH nprobe=1 and nprobe=2 in one pass — the
+    * side-by-side that shows the multiprobe recall knob paying for its 2×
+    * candidate cost. Corpus cell assignment is computed once; only the
+    * 8-row query side fans to 2 cells. A corpus vector lives in exactly
+    * one cell, so each (q_id, vec_id) candidate appears once, tagged with
+    * the probe rank of the cell that contains it: nprobe=1 metrics filter
+    * probe=1, nprobe=2 metrics take all. Same 100-TB shape as
+    * q_similarity_ivf — broadcast centroids + cell-partitioned join,
+    * never a full scan (the brute-force ground truth is the evaluation
+    * harness's cost, paid on a sampled query set, not the serving path). */
+  val annRecallIvf: QueryDef = q(
+    "q_ann_recall_ivf",
+    annRecallIvfSql
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.cosineSimilarity
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+    val cents = v.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    def cellRank(in: DataFrame): DataFrame = in.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+    val assign = cellRank(v).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val qcells = cellRank(v.filter(col("vec_id") < 8)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("qc"), col("rn").as("probe"))
+    // exact ground truth: two-phase brute-force cosine top-5 per query
+    val queries = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val scored = v.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val exact = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val cand = assign
+      .join(broadcast(qcells), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("probe"))
+    val candCounts = cand.groupBy(col("q_id")).agg(
+      sum(when(col("probe") === 1, 1L).otherwise(0L)).as("n_cand_p1"),
+      count(lit(1)).as("n_cand_p2"))
+    exact
+      .join(cand, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("probe") === 1, 1L).otherwise(0L)).as("n_hit_p1"),
+        sum(when(col("probe").isNotNull, 1L).otherwise(0L)).as("n_hit_p2"))
+      .join(candCounts, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand_p1"), lit(0L)).as("n_cand_p1"),
+        col("n_hit_p1"), (col("n_hit_p1") / lit(5.0)).as("recall_p1"),
+        coalesce(col("n_cand_p2"), lit(0L)).as("n_cand_p2"),
+        col("n_hit_p2"), (col("n_hit_p2") / lit(5.0)).as("recall_p2"))
+  }
+
+  /** IVF recall oracle: same assignment/probe CTEs as the IVF oracles,
+    * exact top-5 CTE, probe-tagged overlap counts. */
+  private lazy val annRecallIvfSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+      |assign AS (
+      |  SELECT vec_id, c_id FROM (
+      |    SELECT a.vec_id, c.c_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+      |        c.c_id) AS rn
+      |    FROM n a CROSS JOIN c) WHERE rn = 1),
+      |qcells AS (
+      |  SELECT vec_id AS q_id, c_id AS qc, rn AS probe FROM (
+      |    SELECT a.vec_id, c.c_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+      |        c.c_id) AS rn
+      |    FROM n a CROSS JOIN c WHERE a.vec_id < 8) WHERE rn <= 2),
+      |exact AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) DESC,
+      |        b.vec_id) AS rank
+      |    FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+      |cand AS (
+      |  SELECT qc.q_id, s.vec_id, qc.probe
+      |  FROM assign s JOIN qcells qc ON s.c_id = qc.qc AND s.vec_id <> qc.q_id),
+      |cc AS (
+      |  SELECT q_id,
+      |    sum(CASE WHEN probe = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cand_p1,
+      |    count(*) AS n_cand_p2
+      |  FROM cand GROUP BY q_id)
+      |SELECT e.q_id,
+      |  coalesce(cc.n_cand_p1, 0) AS n_cand_p1,
+      |  sum(CASE WHEN c.probe = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hit_p1,
+      |  sum(CASE WHEN c.probe = 1 THEN 1 ELSE 0 END) / 5.0 AS recall_p1,
+      |  coalesce(cc.n_cand_p2, 0) AS n_cand_p2,
+      |  sum(CASE WHEN c.probe IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit_p2,
+      |  sum(CASE WHEN c.probe IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall_p2
+      |FROM exact e
+      |LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+      |LEFT JOIN cc ON e.q_id = cc.q_id
+      |GROUP BY e.q_id, cc.n_cand_p1, cc.n_cand_p2""".stripMargin
+
+  /** ★ PQ recall harness: recall@5 of the ADC (asymmetric
+    * query-vs-reconstruction) ranking against the exact squared-L2 top-5
+    * on the raw vectors — what an 8×-compressed index actually costs in
+    * ranking fidelity. Both rankings use the |q|²+|x|²−2·q·x identity and
+    * the same two-phase top-k; the PQ side reuses pqAdc verbatim, so the
+    * harness measures exactly what q_similarity_pq serves. */
+  val annRecallPq: QueryDef = q(
+    "q_ann_recall_pq",
+    annRecallPqSql
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.dotProduct
+    val (v, queries, scored) = pqAdc(s, dir)
+    def top5(in: DataFrame, dist: String): DataFrame = in
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col(dist), col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col(dist), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val cand = top5(scored, "adc")
+    val exactScored = v
+      .withColumn("vn2", dotProduct(col("e"), col("e")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2",
+        col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("l2"))
+    top5(exactScored, "l2")
+      .join(cand.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"), (col("n_hit") / lit(5.0)).as("recall"))
+  }
+
+  /** PQ recall oracle: the q_similarity_pq CTE chain for the ADC top-5,
+    * an exact-L2 top-5 CTE on raw vectors, overlap count. */
+  private lazy val annRecallPqSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |blocks AS (
+      |  SELECT vec_id, m,
+      |    list_transform(generate_series(1, 8), i -> e[m * 8 + i]) AS sub
+      |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+      |cb AS (
+      |  SELECT vec_id AS k, m AS cm, sub AS csub,
+      |    list_sum(list_transform(sub, x -> x * x)) AS cn2
+      |  FROM blocks WHERE vec_id < 4),
+      |assign AS (
+      |  SELECT vec_id, m, csub FROM (
+      |    SELECT b.vec_id, b.m, c.csub,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+      |        list_sum(list_transform(b.sub, x -> x * x)) + c.cn2 -
+      |          2.0 * list_sum(list_transform(generate_series(1, 8), i -> b.sub[i] * c.csub[i])),
+      |        c.k) AS rn
+      |    FROM blocks b JOIN cb c ON b.m = c.cm) WHERE rn = 1),
+      |xhat AS (
+      |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS xh
+      |  FROM assign GROUP BY vec_id),
+      |xn AS (SELECT vec_id, xh, list_sum(list_transform(xh, x -> x * x)) AS xn2 FROM xhat),
+      |qs AS (
+      |  SELECT vec_id AS q_id, e AS qe, list_sum(list_transform(e, x -> x * x)) AS qn2
+      |  FROM v WHERE vec_id < 8),
+      |cand AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.q_id, x.vec_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        q.qn2 + x.xn2 -
+      |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])),
+      |        x.vec_id) AS rank
+      |    FROM xn x CROSS JOIN qs q WHERE x.vec_id <> q.q_id) WHERE rank <= 5),
+      |vn AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS vn2 FROM v),
+      |exact AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.q_id, b.vec_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        q.qn2 + b.vn2 -
+      |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])),
+      |        b.vec_id) AS rank
+      |    FROM vn b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5)
+      |SELECT e.q_id,
+      |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+      |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall
+      |FROM exact e
+      |LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+      |GROUP BY e.q_id""".stripMargin
 
   /** LSH oracle: hyperplane weights from the same md5-parity construction. */
   private lazy val lshSql: String = {
