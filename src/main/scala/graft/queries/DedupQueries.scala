@@ -246,20 +246,70 @@ object DedupQueries {
       "q_dedup_embed",
       dedupEmbedSql
     ) { (s, dir) =>
-      // four consumers of the corpus (banding both sides + verify both
-      // sides): cache it once, like the shingle frames above
-      val n = embedCorpus(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = embedCandidates(n)
-      val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"))
-      val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"))
-      cands
-        .join(a, "vec_a").join(b, "vec_b")
-        .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.98)
+      embedDupPairs(s, dir)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+    },
+
+    // ★ Embedding near-dup CLUSTERING: the verified cosine edge set fed
+    // through the same hybrid connected-components as q_dedup_cluster —
+    // the embed lane's pair output becomes cluster→canonical assignments
+    // (keep the minimum vec_id per component), which is what a dedup
+    // pipeline actually consumes. Same 100-TB shape end to end: LSH bounds
+    // the edges, CC is O(log diameter) rounds or the bounded local
+    // endgame; nothing here scans pairs beyond the verified edge set.
+    q(
+      "q_dedup_embed_cluster",
+      dedupEmbedClusterSql
+    ) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = embedDupPairs(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .persist(MEMORY_AND_DISK)
+      connectedComponents(s, pairs)
+        .withColumn("csize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+        .select(
+          col("doc_id").as("vec_id"),
+          col("comp").as("cluster_id"),
+          col("csize"),
+          (col("doc_id") === col("comp")).as("is_rep"))
     }
   )
+
+  /** Verified embedding near-dup pairs (vec_a < vec_b, cos ≥ 0.98) — the
+    * q_dedup_embed body, shared with q_dedup_embed_cluster as its edge
+    * set. Four consumers of the corpus (banding both sides + verify both
+    * sides): cache it once, like the shingle frames above. */
+  private def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val n = embedCorpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = embedCandidates(n)
+    val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    cands
+      .join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.98)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Embed-cluster oracle: transitive closure of the verified embed edge
+    * set (same recursive-CTE shape as clusterSql). */
+  private lazy val dedupEmbedClusterSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT vec_a, vec_b FROM ($dedupEmbedSql)),
+       |nodes AS (SELECT DISTINCT vec_id FROM (
+       |  SELECT vec_a AS vec_id FROM pairs UNION SELECT vec_b FROM pairs)),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION SELECT vec_b, vec_a FROM pairs),
+       |reach(node, comp) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+       |SELECT vec_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS csize,
+       |  vec_id = cluster_id AS is_rep
+       |FROM lab""".stripMargin
 
   /** Connected components over an undirected edge set (doc_a, doc_b) →
     * (doc_id, comp) where comp is the component's minimum member. Hybrid,
