@@ -36,4 +36,48 @@ class PlanGuardSpec extends SparkSpec {
     val plan = planOf("q_similarity_topk")
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
+
+  test("q_tfidf vocabulary join degrades to sort-merge when broadcast is off the table") {
+    // the df table IS the vocabulary. At fixture scale Catalyst correctly
+    // broadcasts it (stats-based); at corpus scale the size estimate is
+    // huge and the SAME query must plan a sort-merge join — never a
+    // nested-loop — which we pin by planning with broadcast disabled.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf("q_tfidf")
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      // the 1-row N cross join is the only nested-loop allowed
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnl <= 1, s"unexpected nested-loop joins:\n${plan.take(3000)}")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q_agg_mode keeps map-side partial aggregation") {
+    val plan = planOf("q_agg_mode")
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("q_similarity_pq two-phase top-k keeps the partition-local group limit") {
+    val plan = planOf("q_similarity_pq")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("connected-components endgame runs executor-side, not driver-materialized") {
+    // the union-find endgame must stay a plan over the distributed edge
+    // frame (mapPartitions → SerializeFromObject); a driver collect would
+    // re-enter Spark as LocalTableScan / parallelized rows
+    // distributed input (Range source, not driver-local rows): a chain
+    // 0-1-2-3-4 plus an island 10-11
+    val pairs = spark.range(0, 4).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+      .unionAll(spark.range(10, 11).selectExpr("id AS doc_a", "id + 1 AS doc_b"))
+    val cc = graft.queries.DedupQueries.connectedComponents(spark, pairs)
+    val plan = cc.queryExecution.executedPlan.toString
+    assert(plan.contains("SerializeFromObject"), plan.take(3000))
+    assert(!plan.contains("LocalTableScan"), plan.take(3000))
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L))
+  }
 }
