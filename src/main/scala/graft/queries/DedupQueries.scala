@@ -75,6 +75,59 @@ object DedupQueries {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
 
+  /** Exact n-gram Jaccard pairs (doc_a, doc_b, jac ≥ 0.3) off a cached
+    * shingle-array frame — the q_dedup_ngram_jaccard body, shared with the
+    * MinHash recall harness as its ground truth. Per-shingle posting lists
+    * instead of an index self-join: one exchange to group by (lang,
+    * shingle), pairs emitted imperatively from each posting list, one
+    * exchange to count — the join shape shuffled the exploded index TWICE
+    * (both aliases) plus the pair agg, for the same Σ df² pair stream
+    * (measured 2.79 → 1.91 s at sf0.1). */
+  private def ngramJaccardFrom(s: SparkSession, sa: DataFrame): DataFrame = {
+    val counts = sa.select(col("doc_id"), size(col("sarr")).as("n"))
+    val sh = sa.select(col("doc_id"), col("lang"), explode(col("sarr")).as("s"))
+    postingPairs(s,
+      sh.groupBy(col("lang"), col("s")).agg(collect_list(col("doc_id")).as("ds")))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.3)
+  }
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct) off a cached
+    * shingle-array frame — the q_dedup_minhash blocking stage, shared with
+    * the recall harness. 8 min-hashes in ONE fused MinHashSig pass over
+    * the per-doc shingle array — no explode and no aggregation shuffle for
+    * the signature (the round-1 shape grouped 8 min-aggregates over
+    * exploded rows). */
+  private def minhashCandsFrom(s: SparkSession, sarr: DataFrame): DataFrame = {
+    val minh = sarr
+      .select(
+        col("doc_id"),
+        // fence: `hs` is referenced 9× downstream (8 band element_ats +
+        // the null filter); unfenced, CollapseProject re-inlines the
+        // whole signature loop into every reference (measured 8×)
+        graft.plans.OptimizerBarrier.once(
+          graft.functions.TextHashExpressions.minHash(col("sarr"), 8)).as("hs")
+      )
+      .filter(col("hs").isNotNull) // zero-shingle docs had no aggregate row
+    val bands = minh.select(
+      col("doc_id"),
+      explode(array((0 to 3).map(b =>
+        struct(
+          lit(b).as("b"),
+          md5(concat(element_at(col("hs"), 2 * b + 1), element_at(col("hs"), 2 * b + 2))).as("bv")
+        )): _*)).as("band")
+    ).select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
+    // band-bucket posting lists, not a self-join — same 2-exchanges-not-3
+    // shape as the ngram index (pairs colliding in several bands dedup in
+    // the distinct)
+    postingPairs(s,
+      bands.groupBy(col("b"), col("bv")).agg(collect_list(col("doc_id")).as("ds")))
+      .distinct()
+  }
+
   // --- shared SQL fragments ---------------------------------------------
 
   private val corpusSql =
@@ -119,21 +172,7 @@ object DedupQueries {
       // count shuffle), the index sides explode off the cached arrays
       val sa = shingleArrays(corpus(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = sa.select(col("doc_id"), size(col("sarr")).as("n"))
-      val sh = sa.select(col("doc_id"), col("lang"), explode(col("sarr")).as("s"))
-      // per-shingle posting lists instead of an index self-join: one
-      // exchange to group by (lang, shingle), pairs emitted imperatively
-      // from each posting list, one exchange to count — the join shape
-      // shuffled the exploded index TWICE (both aliases) plus the pair agg,
-      // for the same Σ df² pair stream (measured 2.79 → 1.91 s at sf0.1)
-      val pairs = postingPairs(s,
-        sh.groupBy(col("lang"), col("s")).agg(collect_list(col("doc_id")).as("ds")))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      pairs
-        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jac") >= 0.3)
+      ngramJaccardFrom(s, sa)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
     },
 
@@ -165,34 +204,32 @@ object DedupQueries {
       // per-doc arrays once, like the ngram index
       val sarr = shingleArrays(corpus(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // 8 min-hashes in ONE fused MinHashSig pass over the per-doc shingle
-      // array — no explode and no aggregation shuffle for the signature
-      // (the round-1 shape grouped 8 min-aggregates over exploded rows)
-      val minh = sarr
-        .select(
-          col("doc_id"),
-          // fence: `hs` is referenced 9× downstream (8 band element_ats +
-          // the null filter); unfenced, CollapseProject re-inlines the
-          // whole signature loop into every reference (measured 8×)
-          graft.plans.OptimizerBarrier.once(
-            graft.functions.TextHashExpressions.minHash(col("sarr"), 8)).as("hs")
-        )
-        .filter(col("hs").isNotNull) // zero-shingle docs had no aggregate row
-      val bands = minh.select(
-        col("doc_id"),
-        explode(array((0 to 3).map(b =>
-          struct(
-            lit(b).as("b"),
-            md5(concat(element_at(col("hs"), 2 * b + 1), element_at(col("hs"), 2 * b + 2))).as("bv")
-          )): _*)).as("band")
-      ).select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
-      // band-bucket posting lists, not a self-join — same 2-exchanges-not-3
-      // shape as the ngram index (pairs colliding in several bands dedup in
-      // the distinct)
-      val cands = postingPairs(s,
-        bands.groupBy(col("b"), col("bv")).agg(collect_list(col("doc_id")).as("ds")))
-        .distinct()
-      jaccardVerify(sarr, cands, 0.3)
+      jaccardVerify(sarr, minhashCandsFrom(s, sarr), 0.3)
+    },
+
+    // ★ Dedup-family evaluation harness (the q_ann_recall of fuzzy dedup):
+    // recall of the MinHash-LSH candidate set against exact-Jaccard ≥ 0.3
+    // ground truth — the loop you run whenever band/row LSH parameters
+    // change. Ground truth and candidates are the production shapes
+    // (ngramJaccardFrom / minhashCandsFrom) off ONE cached shingle frame,
+    // so the harness measures exactly what the dedup queries serve. One
+    // summary row: |truth|, |candidates|, overlap, recall.
+    q(
+      "q_dedup_minhash_recall",
+      minhashRecallSql
+    ) { (s, dir) =>
+      val sa = shingleArrays(corpus(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = ngramJaccardFrom(s, sa).select(col("doc_a"), col("doc_b"))
+      val cands = minhashCandsFrom(s, sa)
+      val nCand = cands.agg(count(lit(1)).as("n_cand"))
+      truth
+        .join(cands.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .crossJoin(broadcast(nCand))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"))
     },
 
     // SimHash: 60-bit integer signature from per-token md5-hex-char
@@ -292,6 +329,39 @@ object DedupQueries {
       .filter(col("cos") >= 0.98)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** MinHash recall oracle: the ngram ground-truth CTEs + the minhash
+    * band CTEs (verbatim from those oracles), left-join overlap count. */
+  private lazy val minhashRecallSql: String =
+    s"""WITH $corpusSql, $shinglesSql,
+       |tp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
+       |    FROM tp p JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
+       |  WHERE jac >= 0.3),
+       |minh AS (
+       |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+       |  GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, j // 2 AS b,
+       |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
+       |  FROM minh GROUP BY doc_id, j // 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |cc AS (SELECT count(*) AS n_cand FROM cands)
+       |SELECT count(*) AS n_truth, cc.n_cand,
+       |  sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+       |  round(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS recall
+       |FROM truth t
+       |LEFT JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |CROSS JOIN cc
+       |GROUP BY cc.n_cand""".stripMargin
 
   /** Embed-cluster oracle: transitive closure of the verified embed edge
     * set (same recursive-CTE shape as clusterSql). */

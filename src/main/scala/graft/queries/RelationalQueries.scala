@@ -249,6 +249,74 @@ object RelationalQueries {
           col("o_orderpriority").as("mode_priority"), col("n"))
     },
 
+    // ★ Single-pass multi-column mode: stack the target columns into
+    // (group, col, val) rows, one count agg, then max(struct(n, val)) per
+    // (group, col) — mode of ANY number of columns in two hash aggs and
+    // zero window passes (q_agg_mode's count+row_number shape pays a sort
+    // per mode column). The struct max is lexicographic in both engines,
+    // so ties break deterministically toward the larger value.
+    q(
+      "q_agg_mode_multi",
+      """WITH stacked AS (
+        |  SELECT o_orderstatus, 'priority' AS col, o_orderpriority AS val FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'year', CAST(year(o_orderdate) AS VARCHAR) FROM orders),
+        |counted AS (
+        |  SELECT o_orderstatus, col, val, count(*) AS n FROM stacked GROUP BY 1, 2, 3)
+        |SELECT o_orderstatus, col,
+        |  max(struct_pack(n := n, v := val)).v AS mode_val,
+        |  max(struct_pack(n := n, v := val)).n AS n
+        |FROM counted GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val stacked = o.select(col("o_orderstatus"), lit("priority").as("col"),
+          col("o_orderpriority").as("val"))
+        .unionByName(o.select(col("o_orderstatus"), lit("year").as("col"),
+          year(col("o_orderdate")).cast("string").as("val")))
+      stacked
+        .groupBy(col("o_orderstatus"), col("col"), col("val"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"), col("col"))
+        .agg(max(struct(col("n"), col("val"))).as("m"))
+        .select(col("o_orderstatus"), col("col"),
+          col("m.val").as("mode_val"), col("m.n").as("n"))
+    },
+
+    // ★ Event funnel: users progressing view → click → purchase, each
+    // stage strictly after the previous one and within a 24 h conversion
+    // window — the standard product-analytics operator (150→60→25 on the
+    // fixture). Three min-aggs chained by joins, ALL keyed on user_id: one
+    // shuffle key end to end, so every stage reuses the same hash
+    // partitioning (ENSURE_REQUIREMENTS inserts no extra exchange) — at
+    // 100 TB this is one shuffle of the events table, not three.
+    q(
+      "q_event_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS s FROM events),
+        |v AS (SELECT user_id, min(s) AS vt FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.s) AS ct FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.s > v.vt AND e.s <= v.vt + 86400 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.s) AS pt FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.s > c.ct AND e.s <= c.ct + 86400 GROUP BY 1)
+        |SELECT 'view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 'click', count(*) FROM c
+        |UNION ALL SELECT 'purchase', count(*) FROM p""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("s"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("s")).as("vt"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("s") > col("vt") && col("s") <= col("vt") + 86400)
+        .groupBy(col("user_id")).agg(min(col("s")).as("ct"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("s") > col("ct") && col("s") <= col("ct") + 86400)
+        .groupBy(col("user_id")).agg(min(col("s")).as("pt"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users")).select(lit("click").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users")).select(lit("purchase").as("stage"), col("n_users")))
+    },
+
     // As-of join — an operator Spark lacks natively (DuckDB has ASOF JOIN):
     // for each event, the latest order of that customer at or before the
     // event time. Composed from built-ins: tag both sides, union, one
