@@ -16,7 +16,7 @@ object SparkEntry {
   val allQueries: Seq[QueryDef] =
     RelationalQueries.defs ++ KayveeQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      FunctionQueries.defs ++ PipelineQueries.defs
+      FunctionQueries.defs ++ PipelineQueries.defs ++ AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef.q
+
+/** Analytics operators beyond the rollup/cube/window basics (SURVEY.md
+  * §2.1 ★): arbitrary grouping sets, ntile/distribution window functions,
+  * value histograms, cohort retention, and per-key anomaly scoring — the
+  * event-analytics shapes the reference's consumers compute downstream of
+  * the metrics it ships (e.g. Datadog dashboards over the shipped series).
+  *
+  * Scale notes are per query; every plan is one-or-two hash-aggregate
+  * shuffles with bounded output — no global sorts, no driver collects.
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Arbitrary GROUPING SETS — the grouping-set shape rollup/cube can't
+    // express (disjoint single-column slices + grand total, no pair
+    // slice). Catalyst plans one Expand (3× row fan-out, bounded by the
+    // set count) + one hash agg; shuffle stays O(groups) at any scale.
+    q(
+      "q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus")
+        )
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // ntile + distribution window functions, partitioned by priority class
+    // so each window is a per-group sort (shuffle by o_orderpriority, sort
+    // within partition) — NOT a global single-partition ORDER BY, which
+    // would serialize 100 TB through one task. Global quantiles at scale
+    // are q_agg_percentile's job (approx_percentile, mergeable sketches).
+    q(
+      "q_window_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist")
+      )
+    },
+
+    // Fixed-bound value histogram via the native width_bucket expression
+    // (codegen'd): bucket 0 = below range, 13 = at/above range, 1..12 the
+    // uniform bins. One partial-aggregated shuffle of O(buckets) rows —
+    // the 100 TB histogram is as cheap as the 100 MB one. The oracle
+    // spells width_bucket's clamp semantics with CASE (DuckDB 1.0 lacks
+    // the function).
+    q(
+      "q_histogram",
+      """SELECT (CASE WHEN o_totalprice < 0 THEN 0
+        |        WHEN o_totalprice >= 600000 THEN 13
+        |        ELSE 1 + floor(o_totalprice / 50000) END)::BIGINT AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(width_bucket(col("o_totalprice"), lit(0d), lit(600000d), lit(12L))
+          .cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi")
+        )
+    },
+
+    // Weekly cohort retention over events: a user's cohort is their first
+    // active ISO week; active_users counts distinct users per (cohort,
+    // week offset). ONE shuffle by user builds cohort + the user's
+    // distinct-week set (collect_set bounded by weeks-in-corpus, not
+    // events); the explode emits one row per user-week, so the final
+    // count is a plain count(*), never a countDistinct re-shuffle.
+    q(
+      "q_retention_cohort",
+      """WITH ue AS (
+        |  SELECT user_id, floor(epoch(date_trunc('week', ts)))::BIGINT AS wk FROM events
+        |), per_user AS (
+        |  SELECT user_id, min(wk) AS cohort_wk, list_distinct(list(wk)) AS wks
+        |  FROM ue GROUP BY user_id
+        |)
+        |SELECT cohort_wk, ((wk - cohort_wk) / 604800)::BIGINT AS week_offset,
+        |  count(*) AS active_users
+        |FROM (SELECT user_id, cohort_wk, unnest(wks) AS wk FROM per_user)
+        |GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val perUser = Tables(s, dir).events
+        // events.ts is parquet TIMESTAMP(NANOS) → epoch-nano BIGINT in Spark
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("week", timestamp_micros(expr("ts div 1000")))).as("wk"))
+        .groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
+      perUser
+        .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+        .groupBy(col("cohort_wk"),
+          ((col("wk") - col("cohort_wk")) / 604800).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("active_users"))
+    },
+
+    // Per-key anomaly scoring: daily event counts z-scored against the
+    // key's own mean/stddev (population — defined even for 1-day keys).
+    // Plan: one hash agg to daily grain, then a window partitioned by
+    // event_type — partitions are bounded by days-per-key, so no task
+    // ever sees more than one key's daily series. The 100 TB version
+    // shuffles O(keys × days) pre-aggregated rows, not raw events.
+    q(
+      "q_anomaly_zscore",
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+        |  round((n - avg(n) OVER w) / nullif(stddev_pop(n) OVER w, 0), 4) AS z
+        |FROM daily WINDOW w AS (PARTITION BY event_type)""".stripMargin
+    ) { (s, dir) =>
+      val daily = Tables(s, dir).events
+        // events.ts is parquet TIMESTAMP(NANOS) → epoch-nano BIGINT in Spark
+        .groupBy(col("event_type"),
+          date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+      daily.select(
+        col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        round((col("n") - avg(col("n")).over(w)) /
+          when(stddev_pop(col("n")).over(w) === 0d, lit(null))
+            .otherwise(stddev_pop(col("n")).over(w)), 4).as("z")
+      )
+    }
+  )
+}

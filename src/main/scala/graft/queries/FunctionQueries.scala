@@ -125,6 +125,31 @@ object FunctionQueries {
           (floor(percentile(col("l_extendedprice"), lit(0.95)) * 100) / 100).as("p95"),
           (floor(percentile(col("l_quantity"), lit(0.25)) * 100) / 100).as("q1_qty")
         )
+    },
+
+    // Higher-order array functions — filter/transform/aggregate lambdas
+    // over the token array (DuckDB: list_filter/list_transform/
+    // list_aggregate). All codegen'd per-row expressions, zero shuffle;
+    // identical sum/len arithmetic on both engines.
+    q(
+      "q_array_funcs",
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) > 4))::BIGINT AS n_long,
+        |  list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::BIGINT AS total_chars,
+        |  round(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::DOUBLE
+        |        / len(string_split(text, ' ')), 4) AS avg_len
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      val ts = split(col("text"), " ")
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(ts).cast("long").as("n_tokens"),
+        size(filter(ts, t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(ts), 4).as("avg_len")
+      )
     }
   )
 }

@@ -268,6 +268,37 @@ object PipelineQueries {
         md5(regexp_replace(regexp_replace(t, emailPat, "<EMAIL>"), ipPat, "<IP>"))
           .as("scrubbed_fp")
       )
+    },
+
+    // ★ Document chunking — the context-window splitter every training
+    // pipeline runs before tokenized packing: 64-token chunks at stride
+    // 48 (16-token overlap so no boundary n-gram is lost). chunk i covers
+    // tokens [i*48, i*48+64); the last chunk may be short. Pure per-row
+    // explode — narrow, shuffle-free, linear in corpus tokens at any
+    // scale (q_pack_sequences handles the downstream bin packing).
+    q(
+      "q_chunk_documents",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id,
+        |        unnest(generate_series(0, (len(ts) - 1) // 48)) AS chunk_id, ts
+        |      FROM toks)
+        |SELECT doc_id, chunk_id::INT AS chunk_id,
+        |  array_to_string(list_slice(ts, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+        |  len(list_slice(ts, chunk_id * 48 + 1, chunk_id * 48 + 64))::INT AS n_tokens
+        |FROM c""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(ts) - 1) div 48), " +
+            "i -> named_struct('chunk_id', i, 'chunk', slice(ts, i * 48 + 1, 64)))"
+        )).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.chunk_id").cast("int").as("chunk_id"),
+          concat_ws(" ", col("c.chunk")).as("chunk_text"),
+          size(col("c.chunk")).cast("int").as("n_tokens")
+        )
     }
   )
 }

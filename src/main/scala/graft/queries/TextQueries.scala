@@ -359,6 +359,32 @@ object TextQueries {
         md5(col("text")).as("fp"),
         md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("canon_fp")
       )
+    },
+
+    // ★ Corpus n-gram frequency — top-50 bigrams. The explode is linear in
+    // corpus tokens, the count is one partial-aggregated shuffle of
+    // O(distinct bigrams), and the top-k is TakeOrderedAndProject
+    // (per-partition heaps, never a global sort). Deterministic at the
+    // rank-50 boundary via the (n DESC, bigram) total order.
+    q(
+      "q_ngram_freq",
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |         i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+        |       FROM toks WHERE len(ts) >= 2)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"
+        )).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
     }
   )
 }

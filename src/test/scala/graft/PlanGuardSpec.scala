@@ -80,4 +80,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
       10L -> 10L, 11L -> 10L))
   }
+
+  test("q_chunk_documents is shuffle-free (narrow explode, no Exchange)") {
+    // chunking is a per-row transform; any Exchange here would shuffle
+    // the full corpus text for nothing
+    val plan = planOf("q_chunk_documents")
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("q_ngram_freq top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_ngram_freq")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q_window_ntile partitions its window (no single-partition global sort)") {
+    // a global ORDER BY window serializes the table through one task;
+    // the ntile demo must keep the priority-class partitioning
+    val plan = planOf("q_window_ntile")
+    assert(!plan.toLowerCase.contains("singlepartition"), plan.take(3000))
+  }
+
+  test("q_histogram aggregates with map-side partials (O(buckets) shuffle)") {
+    val plan = planOf("q_histogram")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      plan.take(3000))
+  }
 }
