@@ -150,6 +150,40 @@ object FunctionQueries {
         round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
           size(ts), 4).as("avg_len")
       )
+    },
+
+    // JSON path functions over the raw `props` payload plus a synthesized
+    // nested document (built with engine-portable string concat): scalar
+    // extract, nested-object extract, 0-based array index, array length.
+    // get_json_object is the portable JSONPath surface (from_json's typed
+    // structs are the Spark-native path, exercised by q_parse_enrich).
+    // Per-row expressions, zero shuffle.
+    q(
+      "q_json_funcs",
+      """WITH j AS (
+        |  SELECT event_id, props,
+        |    '{"meta":{"type":"' || event_type || '","vals":[' ||
+        |      (event_id % 5) || ',' || (event_id % 7) || ']}}' AS doc
+        |  FROM events)
+        |SELECT event_id,
+        |  json_extract_string(props, '$.k')::BIGINT AS k,
+        |  json_extract_string(doc, '$.meta.type') AS mtype,
+        |  json_extract(doc, '$.meta.vals[1]')::BIGINT AS v1,
+        |  json_array_length(doc, '$.meta.vals')::BIGINT AS n_vals
+        |FROM j""".stripMargin
+    ) { (s, dir) =>
+      val doc = concat(
+        lit("{\"meta\":{\"type\":\""), col("event_type"), lit("\",\"vals\":["),
+        col("event_id") % 5, lit(","), col("event_id") % 7, lit("]}}"))
+      Tables(s, dir).events
+        .withColumn("doc", doc)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          get_json_object(col("doc"), "$.meta.type").as("mtype"),
+          get_json_object(col("doc"), "$.meta.vals[1]").cast("long").as("v1"),
+          json_array_length(get_json_object(col("doc"), "$.meta.vals")).cast("long").as("n_vals")
+        )
     }
   )
 }
