@@ -42,17 +42,20 @@ object Bench {
 
     // a failed query records -1 (not its fast wall time to the throw) and
     // is listed in "failed" — a regression must look broken, not quick.
-    // Each query runs twice and records the MIN: this host shows bursty
-    // hypervisor CPU steal (a rep can measure 10-40× its true cost), and
-    // min-of-2 keeps one stolen burst from poisoning a query's number.
-    // Cold-cache per rep (cleanup between), so the min is still a real
-    // uncached run, not a warmed rerun.
+    // Each query runs in TWO interleaved full rounds and records the MIN:
+    // this host shows bursty hypervisor CPU steal (a rep can measure
+    // 10-40× its true cost), and interleaving decorrelates the rounds so
+    // one multi-second burst can't poison both reps of the same query
+    // (back-to-back reps both landed inside a single burst). Cold-cache
+    // per rep (cleanup between), so the min is a real uncached run.
     val reps = 2
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val timesByName = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
           catch {
             case e: Throwable =>
               System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -60,10 +63,13 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         cleanup(spark)
-        if (ok) dt else -1.0
+        timesByName(name) = (if (ok) dt else -1.0) :: timesByName.getOrElse(name, Nil)
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val results = names.map { name =>
+      val ts = timesByName(name)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -150,6 +150,57 @@ object AnalyticsQueries {
           when(stddev_pop(col("n")).over(w) === 0d, lit(null))
             .otherwise(stddev_pop(col("n")).over(w)), 4).as("z")
       )
+    },
+
+    // Bivariate statistical aggregates — correlation, sample/population
+    // covariance, and the least-squares fit (regr_slope/intercept), all
+    // single-pass mergeable co-moment aggregates: the shuffle carries one
+    // co-moment tuple per (group, partition), so the 100 TB regression
+    // costs the same shuffle as a count. Rounded because partial-merge
+    // order differs between engines at ~1e-12 relative.
+    q(
+      "q_agg_corr",
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 5) AS r,
+        |  round(covar_samp(l_extendedprice, l_quantity), 3) AS cov_s,
+        |  round(covar_pop(l_extendedprice, l_quantity), 3) AS cov_p,
+        |  round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 5).as("r"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 3).as("cov_s"),
+          round(covar_pop(col("l_extendedprice"), col("l_quantity")), 3).as("cov_p"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 5).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 3).as("icept"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // Ordered-set string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP)
+    // over a broadcast dim join — deterministic because the within-group
+    // order is total. Output is O(groups); safe at any fact scale when
+    // the per-group member list is bounded (here: nations per region).
+    q(
+      "q_agg_listagg",
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*)::BIGINT AS n
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.nation
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n")
+        )
     }
   )
 }
