@@ -201,6 +201,57 @@ object AnalyticsQueries {
           expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
           count(lit(1)).as("n")
         )
+    },
+
+    // RANGE window frame — a value-based sliding window (trailing 30 days
+    // per customer), the frame shape q_window_frame's ROWS frame can't
+    // express: ties on the order value share one frame, so the result is
+    // deterministic under any intra-key row order. Shuffle by customer,
+    // sort within partition — never a global sort.
+    q(
+      "q_window_range_frame",
+      """SELECT o_orderkey, o_custkey,
+        |  floor(epoch(o_orderdate))::BIGINT AS od,
+        |  count(*) OVER w AS n_30d,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY floor(epoch(o_orderdate))::BIGINT
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin
+    ) { (s, dir) =>
+      val od = unix_timestamp(col("o_orderdate").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("od"))
+        .rangeBetween(-2592000L, 0L)
+      Tables(s, dir).orders
+        .withColumn("od", od)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("od"),
+          count(lit(1)).over(w).as("n_30d"),
+          round(sum(col("o_totalprice")).over(w), 2).as("spend_30d")
+        )
+    },
+
+    // Map construction + access functions (DuckDB: map literal, [k][1]
+    // scalar extraction, cardinality, map_keys). Per-row expressions,
+    // zero shuffle; insertion order of literal maps is preserved by both
+    // engines, so keys_csv is deterministic.
+    q(
+      "q_map_funcs",
+      """SELECT doc_id,
+        |  m['lang'][1] AS m_lang,
+        |  cardinality(m)::INT AS m_size,
+        |  array_to_string(map_keys(m), ',') AS keys_csv
+        |FROM (SELECT doc_id,
+        |        map(['lang','source'], [lang, source]) AS m
+        |      FROM documents)""".stripMargin
+    ) { (s, dir) =>
+      val m = map(lit("lang"), col("lang"), lit("source"), col("source"))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        element_at(m, "lang").as("m_lang"),
+        size(m).cast("int").as("m_size"),
+        concat_ws(",", map_keys(m)).as("keys_csv")
+      )
     }
   )
 }
