@@ -169,6 +169,44 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
     },
 
+    // Six-table star join (TPC-H Q5 shape): the local-supplier revenue
+    // query. Fact chain lineitem⋈orders shuffles on the order key once;
+    // supplier/nation/region are explicit broadcasts (dims stay
+    // broadcastable at 100 TB fact scale); customer joins on o_custkey —
+    // left to the planner, which broadcasts at fixture scale and AQE
+    // re-plans to a shuffle when customer outgrows the threshold. The
+    // date filter pushes to the orders scan before any join.
+    q(
+      "q_join_star",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY n_name""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val asiaNations = t.nation
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+      t.lineitem
+        .join(t.orders.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n")
+        )
+    },
+
     // Shuffle (sort-merge) join on the two big tables — both sides hash-
     // partitioned on the key; AQE handles skew at scale.
     q(

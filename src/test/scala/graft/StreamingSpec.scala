@@ -403,6 +403,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming facts enrich against a static broadcast dim") {
+    // the streaming analog of the allow-list join (O13): each micro-batch
+    // joins against a STATIC frame — stateless (no join state store, no
+    // watermark needed), re-planned per batch so the dim broadcasts
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)] // (id, team)
+    val dim = spark.createDataFrame(Seq(
+      ("eng-team", "infra"), ("web-team", "product"))).toDF("team", "org")
+    val joined = ms.toDF().toDF("id", "team")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("team"))
+      .select(col("id"), col("org"))
+    val q = joined.writeStream.format("memory").queryName("sb_join")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "eng-team"), (2L, "web-team"), (3L, "unknown-team"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, org FROM sb_join")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // inner join: the unmatched team drops, matched rows carry the dim
+      assert(got === Set((1L, "infra"), (2L, "product")))
+    } finally q.stop()
+  }
+
   test("streaming dedup with watermark drops duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
