@@ -252,6 +252,31 @@ object AnalyticsQueries {
         size(m).cast("int").as("m_size"),
         concat_ws(",", map_keys(m)).as("keys_csv")
       )
+    },
+
+    // UNPIVOT (melt) — the inverse of q_pivot: wide measure columns to
+    // (measure, value) rows. Catalyst plans an Expand over the aggregated
+    // frame, so the row fan-out is O(groups × measures), not O(input).
+    q(
+      "q_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_extendedprice), 2) AS price,
+        |    round(sum(l_discount), 2) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, val
+        |FROM wide UNPIVOT (val FOR measure IN (qty, price, disc))""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          round(sum(col("l_discount")), 2).as("disc")
+        )
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price"), col("disc")),
+          "measure", "val")
     }
   )
 }
