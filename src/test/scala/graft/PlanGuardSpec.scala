@@ -105,4 +105,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_min"),
       plan.take(3000))
   }
+
+  test("q_join_star broadcasts the dims and pushes the date filter to the orders scan") {
+    val plan = planOf("q_join_star")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins (supplier/nation-region/customer), got $bhj:\n${plan.take(3000)}")
+    // the o_orderdate predicate must reach the parquet reader, not sit
+    // above the join
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
+  }
 }
