@@ -8,6 +8,13 @@ object Verify {
     // args: sfDir outDir [onlyQuery...] — the optional names restrict the
     // dump to those queries (local iteration; the driver passes none)
     val (Array(sfDir, outDir), only) = args.splitAt(2)
+    // Refuse an output dir whose basename collides with a declared query:
+    // `runMain graft.Verify sf0.01 q_agg_mode` once committed a stray
+    // `q_agg_mode/oracle_sql.json` at the repo root (round-6 verdict item).
+    val outBase = Paths.get(outDir).getFileName.toString
+    require(!SparkEntry.queries.contains(outBase),
+      s"output dir '$outDir' collides with declared query '$outBase' — " +
+        "pass a dedicated directory (e.g. /tmp/out)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -171,11 +171,13 @@ object RelationalQueries {
 
     // Six-table star join (TPC-H Q5 shape): the local-supplier revenue
     // query. Fact chain lineitem⋈orders shuffles on the order key once;
-    // supplier/nation/region are explicit broadcasts (dims stay
-    // broadcastable at 100 TB fact scale); customer joins on o_custkey —
-    // left to the planner, which broadcasts at fixture scale and AQE
-    // re-plans to a shuffle when customer outgrows the threshold. The
-    // date filter pushes to the orders scan before any join.
+    // only nation/region are explicit broadcasts — they are genuinely
+    // fixed-size (25/5 rows at every SF). supplier and customer scale
+    // linearly with SF (~10k/150k rows per SF), so both are left to the
+    // planner: it broadcasts them while they fit the threshold and AQE
+    // re-plans to a shuffle join when they outgrow it (an explicit hint
+    // would bypass that fallback and OOM at large scale — round-6
+    // advice). The date filter pushes to the orders scan before any join.
     q(
       "q_join_star",
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -197,7 +199,7 @@ object RelationalQueries {
         .join(t.orders.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.supplier),
+        .join(t.supplier,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))

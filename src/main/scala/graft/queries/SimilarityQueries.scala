@@ -37,6 +37,25 @@ object SimilarityQueries {
   private[queries] def planeWeights(n: Int = 8): Array[Array[Double]] =
     graft.functions.VectorExpressions.srpPlaneWeights(n)
 
+  /** Corpus→centroid cell assignment as ONE map-side-combinable hash agg:
+    * `max(struct(ccos, -c_id))` picks the same cell as the old
+    * `row_number` window ordered by (ccos DESC, c_id ASC) at rn = 1 —
+    * struct comparison is lexicographic, so the max has the highest ccos
+    * and, on ties, the lowest c_id — without the sort-per-vector the
+    * window paid over n×k rows (round-6 verdict item). Carried columns
+    * are constant within a vec_id group (they come from the corpus row),
+    * so `first()` is deterministic. */
+  private def assignCells(v: DataFrame, cents: DataFrame,
+                          carry: Seq[String]): DataFrame = {
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("c_id")).as("nc"))).as("best"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select(col("vec_id") +: carry.map(col) :+ (-col("best.nc")).as("c_id"): _*)
+  }
+
   /** The same weights as a DuckDB VALUES literal `(p, w)` — evaluating the
     * md5 construction per (row, plane, dim) inside the oracle would be
     * millions of hashes; literals keep the oracle list-math only. */
@@ -199,11 +218,7 @@ object SimilarityQueries {
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
     val cents = v.filter(col("vec_id") % 251 === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val assign = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("c_id"))
+    val assign = assignCells(v, cents, Seq("e", "nrm"))
     val queries = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
     assign.join(broadcast(queries), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
@@ -251,13 +266,12 @@ object SimilarityQueries {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
-    val assign = v.crossJoin(broadcast(
+    val assign = assignCells(v,
       v.filter(col("vec_id") % 251 === 0)
-        .select(col("vec_id").as("c_id"), col("e").as("ce"))))
-      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("c_id"))
+        .select(col("vec_id").as("c_id"), col("e").as("ce")),
+      Seq("e", "nrm"))
+    // query side keeps its window: 8 rows × centroids, and nprobe=2 needs
+    // the runner-up cell, not just the max
     val q2 = v.filter(col("vec_id") < 8)
       .crossJoin(broadcast(
         v.filter(col("vec_id") % 251 === 0)
@@ -288,11 +302,7 @@ object SimilarityQueries {
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
     val cents = v.filter(col("vec_id") % 251 === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val assign = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("c_id"))
+    val assign = assignCells(v, cents, Seq("e"))
     val meanAggs = count(lit(1)).as("n_members") +:
       (0 until 64).map(d => avg(col("e").getItem(d)).as(s"m$d"))
     val means = assign.groupBy(col("c_id")).agg(meanAggs.head, meanAggs.tail: _*)
@@ -560,13 +570,16 @@ object SimilarityQueries {
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
     val cents = v.filter(col("vec_id") % 251 === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    def cellRank(in: DataFrame): DataFrame = in.crossJoin(broadcast(cents))
+    // corpus assignment: one hash agg (assignCells); the probe-ranked
+    // window survives only on the 8-row query side, where nprobe=2 needs
+    // the runner-up cell
+    val assign = assignCells(v, cents, Seq.empty)
+      .select(col("vec_id"), col("c_id"))
+    val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
       .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-    val assign = cellRank(v).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"))
-    val qcells = cellRank(v.filter(col("vec_id") < 8)).filter(col("rn") <= 2)
+      .filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("c_id").as("qc"), col("rn").as("probe"))
     // exact ground truth: two-phase brute-force cosine top-5 per query
     val queries = v.filter(col("vec_id") < 8)

@@ -94,10 +94,33 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q_window_ntile partitions its window (no single-partition global sort)") {
-    // a global ORDER BY window serializes the table through one task;
-    // the ntile demo must keep the priority-class partitioning
+    // a global ORDER BY window serializes the table through one task; the
+    // ntile demo must keep the priority-class partitioning. Positive
+    // assertion (round-6 advice): a renamed single-partition exchange
+    // can't make this pass vacuously.
     val plan = planOf("q_window_ntile")
+    assert(plan.contains("hashpartitioning(o_orderpriority"), plan.take(3000))
     assert(!plan.toLowerCase.contains("singlepartition"), plan.take(3000))
+  }
+
+  test("q_kmeans_step cell assignment is a hash agg, not a per-vector sort window") {
+    // the round-6 shape ranked n×k (vector, centroid) rows with a
+    // row_number window partitioned by vec_id — a sort per vector; the
+    // max(struct(ccos, -c_id)) agg does one map-side-combinable pass.
+    // k-means has no other window, so the whole plan must be window- and
+    // sort-free up to the final tiny join.
+    val plan = planOf("q_kmeans_step")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_max") || plan.contains("partial_first"),
+      plan.take(3000))
+  }
+
+  test("q_similarity_ivf corpus assignment has no window over vec_id") {
+    // the only windows left in the IVF plan rank the 8-row query side
+    // (partitioned by q_id); the corpus side must assign cells via the
+    // hash agg
+    val plan = planOf("q_similarity_ivf")
+    assert(!plan.contains("windowspecdefinition(vec_id"), plan.take(3000))
   }
 
   test("q_histogram aggregates with map-side partials (O(buckets) shuffle)") {
