@@ -310,6 +310,66 @@ object DedupQueries {
           col("comp").as("cluster_id"),
           col("csize"),
           (col("doc_id") === col("comp")).as("is_rep"))
+    },
+
+    // ★ Exact SUBSTRING dedup — the third canonical training-data dedup
+    // family alongside whole-document exact (q_dedup_exact) and fuzzy
+    // near-dup (minhash/simhash/ngram): cross-document repeated
+    // token-window detection, the suffix-array-style span dedup of LLM
+    // corpus pipelines. Every stride-1 token window is fingerprinted
+    // (md5 of the joined window; a rolling hash makes each fingerprint
+    // O(1) instead of O(w) without changing the dataflow) and windows
+    // shared across doc_ids become pair evidence. Window w = 20 tokens at
+    // fixture scale — the corpus averages 55 tokens/doc (the canonical 50
+    // of production substring dedup is just this parameter turned up).
+    // The planted duplicate is a PREFIX-TRIMMED copy (doc_id+1000000,
+    // first 7 tokens dropped): whole-doc hashing misses it entirely and
+    // the fuzzy corpus' every-7th-token mutation can't match exactly, but
+    // it shares every interior window with its original — exactly the
+    // cross-document repeated-span case this family exists for.
+    // Scale: per-doc fingerprints are a linear explode (O(tokens) windows
+    // per doc); pair generation is the same bounded posting-list shape as
+    // the ngram index — one exchange to group by fingerprint, O(Σ df²)
+    // pairs emitted per bucket, one exchange to count — never O(n²) docs.
+    // At 100 TB a df cap on fingerprint buckets (boilerplate spans) bounds
+    // the worst bucket, the same stop-list trick as common shingles.
+    q(
+      "q_dedup_substring",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[8:], ' ')
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(l) - 19),
+        |    i -> md5(array_to_string(l[i:i+19], ' '))))) AS fp
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM corpus))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        |FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val w = 20
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val sub = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(split(col("text"), " "), lit(8), size(split(col("text"), " ")))).as("text")))
+      // distinct per doc: a window repeated inside one doc is one posting
+      // entry, same semantics as the shingle index
+      val fps = sub
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            // ANSI guard: sequence(1, n-19) turns DESCENDING for short
+            // docs; they contribute zero windows (same as shingleArray)
+            when(size(col("l")) >= w, sequence(lit(1), size(col("l")) - (w - 1)))
+              .otherwise(array().cast("array<int>")),
+            i => md5(concat_ws(" ", slice(col("l"), i, lit(w))))))).as("fp"))
+      postingPairs(s,
+        fps.groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ds")))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
     }
   )
 
