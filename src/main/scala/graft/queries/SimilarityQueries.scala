@@ -68,8 +68,8 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ annRecall :+
-      annRecallIvf :+ annRecallPq
+    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ ivfpq :+
+      annRecall :+ annRecallIvf :+ annRecallPq :+ annRecallIvfpq
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -347,11 +347,12 @@ object SimilarityQueries {
     * search touches codes, never raw vectors. Distances use the
     * |q|²+|x̂|²−2·q·x̂ identity so both engines build them from the same
     * three ascending-fold sums (codegen DotProduct on the Spark side). */
-  /** Shared PQ construction (codebook encode → x̂ reconstruction → ADC
-    * scores): returns (corpus v with fenced double e, query frame
-    * (q_id, qe, qn2), scored adc frame (q_id, vec_id, adc)). Used by both
-    * q_similarity_pq and its recall harness so the two can never drift. */
-  private def pqAdc(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  /** Shared PQ index construction (codebook encode → x̂ reconstruction):
+    * returns (corpus v with fenced double e, query frame (q_id, qe, qn2),
+    * xhat frame (vec_id, xh, xn2)). Used by pqAdc (full-scan ADC) and the
+    * IVF×PQ composition (cell-restricted ADC) so the codebook path can
+    * never drift between the two. */
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.dotProduct
     import graft.plans.OptimizerBarrier
     // e feeds 8 block slices — fence it or the float→double transform
@@ -387,8 +388,49 @@ object SimilarityQueries {
     val queries = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         dotProduct(col("e"), col("e")).as("qn2"))
+    (v, queries, xhat)
+  }
+
+  /** Full-scan ADC scores off the shared PQ index: (v, queries, scored
+    * (q_id, vec_id, adc)). Used by q_similarity_pq and its recall harness
+    * so the two can never drift. */
+  private def pqAdc(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorExpressions.dotProduct
+    val (v, queries, xhat) = pqIndex(s, dir)
     val scored = xhat.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        col("qn2") + col("xn2") - lit(2.0) * dotProduct(col("qe"), col("xh")))
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    (v, queries, scored)
+  }
+
+  /** IVF×PQ composition — the production big-index serving shape: IVF
+    * cell pruning (broadcast centroids; corpus assigned via the
+    * assignCells hash agg, queries probe their top-2 cells) bounds the
+    * candidate set, then PQ ADC ranks INSIDE the probed cells using the
+    * shared codebook path (pqIndex — the same x̂ q_similarity_pq serves).
+    * Returns (v, queries, scored (q_id, vec_id, adc) restricted to probed
+    * cells). At 100 TB: codes + cell ids are the only per-vector state
+    * (8 bytes + a key vs 256 bytes of floats), the search join touches
+    * O(nprobe · corpus/cells) rows per query, and nothing scans the full
+    * corpus — the two halves compose without a new shuffle beyond the
+    * cell-key join. */
+  private def ivfpqScored(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorExpressions.{cosineSimilarity, dotProduct}
+    val (v, queries, xhat) = pqIndex(s, dir)
+    val cents = v.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val cells = assignCells(v, cents, Seq.empty)
+    val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("qc"))
+    val qside = qcells.join(queries, Seq("q_id"))
+    val scored = xhat.join(cells, "vec_id")
+      .join(broadcast(qside), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
       .withColumn("adc",
         col("qn2") + col("xn2") - lit(2.0) * dotProduct(col("qe"), col("xh")))
       .select(col("q_id"), col("vec_id"), col("adc"))
@@ -453,6 +495,153 @@ object SimilarityQueries {
       |  SELECT q_id, vec_id, adc,
       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** ★ IVF×PQ serving query: top-5 by ADC inside the query's two probed
+    * cells — cell pruning bounds the candidates, codes bound the bytes.
+    * The ranking window partitions by q_id over an already-cell-pruned
+    * candidate set (O(nprobe · corpus/cells) rows per query), the same
+    * bounded shape as q_similarity_ivf's final ranking. */
+  val ivfpq: QueryDef = q(
+    "q_similarity_ivfpq",
+    ivfpqCandSql +
+      """
+        |SELECT q_id, vec_id, rank, floor(adc * 1e6) / 1e6 + 0.0 AS adc FROM (
+        |  SELECT q_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+        |  FROM cand) WHERE rank <= 5""".stripMargin
+  ) { (s, dir) =>
+    val (_, _, scored) = ivfpqScored(s, dir)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        (floor(col("adc") * 1e6) / 1e6 + 0.0).as("adc"))
+  }
+
+  /** ★ IVF×PQ recall harness: recall@5 of the served (cell-pruned,
+    * ADC-ranked) top-5 against the exact squared-L2 top-5 on raw vectors —
+    * the compounded fidelity cost of BOTH approximations (cells can prune
+    * a true neighbor away; codes can misrank inside a cell). Candidates
+    * and ranking reuse ivfpqScored verbatim, so the harness measures
+    * exactly what q_similarity_ivfpq serves; n_cand is the probed-cell
+    * candidate count the ADC stage actually paid for. */
+  val annRecallIvfpq: QueryDef = q(
+    "q_ann_recall_ivfpq",
+    ivfpqCandSql +
+      """,
+        |c5 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+        |    FROM cand) WHERE rank <= 5),
+        |cnt AS (SELECT q_id, count(*) AS n_cand FROM cand GROUP BY q_id),
+        |vn AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS vn2 FROM v),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, b.vec_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        q.qn2 + b.vn2 -
+        |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])),
+        |        b.vec_id) AS rank
+        |    FROM vn b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5)
+        |SELECT e.q_id,
+        |  coalesce(cnt.n_cand, 0) AS n_cand,
+        |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+        |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall
+        |FROM exact e
+        |LEFT JOIN c5 c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+        |LEFT JOIN cnt ON e.q_id = cnt.q_id
+        |GROUP BY e.q_id, cnt.n_cand""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.dotProduct
+    val (v, queries, scored) = ivfpqScored(s, dir)
+    val cand5 = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val nCand = scored.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    val exactScored = v
+      .withColumn("vn2", dotProduct(col("e"), col("e")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2",
+        col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("l2"))
+    val exact = exactScored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("l2"), col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    exact
+      .join(cand5, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .join(nCand, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hit"), (col("n_hit") / lit(5.0)).as("recall"))
+  }
+
+  /** Shared IVF×PQ oracle prefix: IVF cell CTEs (cells/qcells — same
+    * assignment construction as the IVF oracles) + the PQ codebook chain
+    * (same as the PQ oracles) + `cand` = ADC scores restricted to each
+    * query's two probed cells. */
+  private lazy val ivfpqCandSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+      |cells AS (
+      |  SELECT vec_id, c_id FROM (
+      |    SELECT a.vec_id, cc.c_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * cc.ce[i])) / (a.nrm * cc.cn) DESC,
+      |        cc.c_id) AS rn
+      |    FROM n a CROSS JOIN c cc) WHERE rn = 1),
+      |qcells AS (
+      |  SELECT vec_id AS q_id, c_id AS qc FROM (
+      |    SELECT a.vec_id, cc.c_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * cc.ce[i])) / (a.nrm * cc.cn) DESC,
+      |        cc.c_id) AS rn
+      |    FROM n a CROSS JOIN c cc WHERE a.vec_id < 8) WHERE rn <= 2),
+      |blocks AS (
+      |  SELECT vec_id, m,
+      |    list_transform(generate_series(1, 8), i -> e[m * 8 + i]) AS sub
+      |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+      |cb AS (
+      |  SELECT vec_id AS k, m AS cm, sub AS csub,
+      |    list_sum(list_transform(sub, x -> x * x)) AS cn2
+      |  FROM blocks WHERE vec_id < 4),
+      |code AS (
+      |  SELECT vec_id, m, csub FROM (
+      |    SELECT b.vec_id, b.m, cc.csub,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+      |        list_sum(list_transform(b.sub, x -> x * x)) + cc.cn2 -
+      |          2.0 * list_sum(list_transform(generate_series(1, 8), i -> b.sub[i] * cc.csub[i])),
+      |        cc.k) AS rn
+      |    FROM blocks b JOIN cb cc ON b.m = cc.cm) WHERE rn = 1),
+      |xhat AS (
+      |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS xh
+      |  FROM code GROUP BY vec_id),
+      |xn AS (SELECT vec_id, xh, list_sum(list_transform(xh, x -> x * x)) AS xn2 FROM xhat),
+      |qs AS (
+      |  SELECT vec_id AS q_id, e AS qe, list_sum(list_transform(e, x -> x * x)) AS qn2
+      |  FROM v WHERE vec_id < 8),
+      |cand AS (
+      |  SELECT qc.q_id, x.vec_id,
+      |    q.qn2 + x.xn2 -
+      |      2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])) AS adc
+      |  FROM xn x
+      |  JOIN cells s ON x.vec_id = s.vec_id
+      |  JOIN qcells qc ON s.c_id = qc.qc AND x.vec_id <> qc.q_id
+      |  JOIN qs q ON q.q_id = qc.q_id)""".stripMargin
 
   /** cosine with precomputed norms. */
   private def cosine2(a: Column, na: Column, b: Column, nb: Column): Column =
