@@ -321,6 +321,61 @@ object TextQueries {
         .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rnk"))
     },
 
+    // ★ Unigram-LM perplexity quality filter — the standard model-based
+    // quality signal the ratio features can't give: train the unigram LM
+    // on the corpus itself (one token-count agg), score every doc by mean
+    // negative logprob and its exp (perplexity). High-ppl docs are
+    // out-of-distribution (gibberish, wrong language, binary junk); the
+    // classic CCNet/Gopher filter thresholds on exactly this. Scale shape
+    // = q_tfidf's: the token-count table IS the vocabulary, so its join
+    // back to the (doc, token) stream is left to the planner (sort-merge
+    // once the vocabulary outgrows broadcast — q_tfidf's plan guard pins
+    // that degradation path); the corpus total rides as a 1-row broadcast.
+    // Determinism: per-doc logprob contributions fold in sorted-token
+    // order (same trick as q_quality_entropy), so both engines replay the
+    // identical IEEE sum; ln/exp agree bit-for-bit (libm) and the
+    // floor(×1e6 / ×1e4) guards absorb formatting drift.
+    q(
+      "q_quality_perplexity",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT token, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM cnt),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    tf.tf * ln(cnt.cnt::DOUBLE / tot.total) AS contrib, tf.tf
+        |  FROM tf JOIN cnt USING (token) CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id, list(contrib ORDER BY token) AS cl, sum(tf)::BIGINT AS n_tokens
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  floor((-list_sum(cl) / n_tokens) * 1e6) / 1e6 + 0.0 AS nll,
+        |  floor(exp(-list_sum(cl) / n_tokens) * 1e4) / 1e4 + 0.0 AS ppl
+        |FROM d""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val cnt = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+      val tot = cnt.agg(sum(col("cnt")).as("total"))
+      tf.join(cnt, "token")
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib",
+          col("tf") * log(col("cnt").cast("double") / col("total")))
+        .groupBy(col("doc_id"))
+        .agg(
+          sort_array(collect_list(struct(col("token"), col("contrib")))).as("cl"),
+          sum(col("tf")).as("n_tokens"))
+        .withColumn("sacc",
+          aggregate(col("cl"), lit(0.0), (a, x) => a + x.getField("contrib")))
+        .select(col("doc_id"), col("n_tokens"),
+          (floor((-col("sacc") / col("n_tokens")) * 1e6) / 1e6 + 0.0).as("nll"),
+          (floor(exp(-col("sacc") / col("n_tokens")) * 1e4) / 1e4 + 0.0).as("ppl"))
+    },
+
     // ★ Text normalization — the canonical pre-dedup cleanup: lowercase,
     // non-alphanumerics to spaces, whitespace collapsed, trimmed; plus the
     // md5 fingerprint of the normalized form (what exact dedup would key

@@ -28,8 +28,9 @@ class ShortDocSpec extends SparkSpec {
   private val queries = Seq(
     "q_text_stats", "q_token_count", "q_token_bpe", "q_lang_id",
     "q_quality_score", "q_quality_repetition", "q_quality_stopword",
-    "q_fingerprint", "q_string_funcs",
-    "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash"
+    "q_quality_perplexity", "q_fingerprint", "q_string_funcs",
+    "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_substring"
   )
 
   for (name <- queries)
@@ -43,6 +44,21 @@ class ShortDocSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup2_ratio")).toMap
     assert(rows(2L) === 0.0)
     assert(rows(5L) > 0.5) // the all-same-token doc is maximally repetitive
+  }
+
+  test("q_quality_perplexity: 0/1-token docs score finite nll/ppl, no divide-by-zero") {
+    val rows = SparkEntry.queries("q_quality_perplexity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("nll"), r.getAs[Double]("ppl"))).toMap
+    // "" splits to a single empty token: n_tokens = 1, never 0
+    assert(rows(1L)._1 === 1L)
+    rows.values.foreach { case (n, nll, ppl) =>
+      assert(n >= 1L)
+      assert(!nll.isNaN && !nll.isInfinite && nll >= 0.0)
+      assert(!ppl.isNaN && !ppl.isInfinite && ppl >= 1.0)
+    }
+    // the all-same-token doc is the most predictable → lowest perplexity
+    assert(rows(5L)._3 === rows.values.map(_._3).min)
   }
 
   test("q_string_funcs: missing second token yields NULL-propagated columns") {
