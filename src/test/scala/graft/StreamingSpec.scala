@@ -684,6 +684,65 @@ class StreamingSpec extends SparkSpec {
     assert(!volCounts().contains(1.0) && !volCounts().contains(4.0), volCounts().mkString(","))
   }
 
+  test("delay tracker checkpoint restart: accumulated max + interval start survive (idle-emit mode)") {
+    // The one streaming lane whose restart wasn't exercised: the
+    // flatMapGroupsWithState delay gauge with idle-emit (alwaysEmit) on.
+    // Phase 1 accumulates max 7 into state WITHOUT emitting (60-s interval
+    // stays open), stops. Phase 2 restarts from the checkpoint 120 s later
+    // with one low-delay row: the inline swap-reset path must flush the
+    // RESTORED interval — gauge 7 proves both the stored max (a fresh
+    // state would emit 3's interval instead: nothing, since its start
+    // would be now) and the stored interval start survived the state-store
+    // round trip. Source replay would instead produce 127 (recomputed
+    // delay of the old row under the new clock).
+    val dir = Files.createTempDirectory("graft-delay-restart")
+    val srcDir = dir.resolve("src").toString
+    val ckpt = dir.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    val anchor = 1700000000L
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name), lines.mkString("\n").getBytes)
+    // memory sink can't recover from a checkpoint — collect via
+    // foreachBatch into a static buffer instead (TestSink's approach)
+    DelayRestartBuf.rows.clear()
+    def startQuery(now: Long) = {
+      val points = spark.readStream.text(srcDir)
+        .selectExpr("split(value, ',')[0] AS key",
+          "CAST(split(value, ',')[1] AS LONG) AS point_ts")
+      graft.streaming.DelayTracker
+        .track(points, intervalMs = 60000, nowSec = () => now, alwaysEmit = true)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.DelayTracker.DelayGauge], _: Long) =>
+            batch.collect().foreach(g => DelayRestartBuf.rows.add(g.key -> g.max_delay_sec))
+        }
+        .start()
+    }
+
+    writeFile("a.txt", Seq(s"app,${anchor - 7}"))
+    val q1 = startQuery(anchor)
+    try {
+      // poll progress, not processAllAvailable (armed timeout never settles)
+      val d1 = System.currentTimeMillis() + 30000
+      while (q1.recentProgress.map(_.numInputRows).sum < 1 && System.currentTimeMillis() < d1)
+        Thread.sleep(100)
+      assert(q1.recentProgress.map(_.numInputRows).sum >= 1)
+      // interval still open: the max sits in state only
+      assert(DelayRestartBuf.rows.isEmpty)
+    } finally q1.stop()
+
+    writeFile("b.txt", Seq(s"app,${anchor + 120 - 3}"))
+    val q2 = startQuery(anchor + 120)
+    try {
+      def rows() = DelayRestartBuf.rows.asScala.toSeq
+      val d2 = System.currentTimeMillis() + 30000
+      while (rows().isEmpty && System.currentTimeMillis() < d2) Thread.sleep(100)
+      assert(rows() === Seq("app" -> 7L), rows().mkString(","))
+    } finally q2.stop()
+  }
+
   test("rate-limited ingest: maxFilesPerTrigger bounds each micro-batch (READ_RATE_LIMIT analog)") {
     val dir = Files.createTempDirectory("graft-rate")
     (1 to 3).foreach { i =>
@@ -733,4 +792,11 @@ class StreamingSpec extends SparkSpec {
     // (DynamoDB-lease-table analog) prevents reprocessing a.txt
     assert(SinkState.delivered.asScala.map(_._2).sum === 3)
   }
+}
+
+/** Cross-restart gauge buffer for the delay-tracker checkpoint test —
+  * object-static so the foreachBatch closure reaches it from executor
+  * threads in both query incarnations. */
+object DelayRestartBuf {
+  val rows = new ConcurrentLinkedQueue[(String, Long)]()
 }
