@@ -123,6 +123,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(vec_id"), plan.take(3000))
   }
 
+  test("q_dedup_substring keeps the 2-exchange posting-list shape (no self-join)") {
+    // one exchange groups fingerprints into posting lists, one counts the
+    // emitted pairs; an index self-join would add a third exchange and a
+    // SortMergeJoin over the exploded window index
+    val plan = planOf("q_dedup_substring")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges, found $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_similarity_ivfpq: cell-pruned ADC search, no unbounded cartesian") {
+    // the only nested-loop joins are the broadcast centroid/total cross
+    // joins; the code↔cell↔query composition must be key joins
+    val plan = planOf("q_similarity_ivfpq")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // PQ encode + final top-k keep their partition-local group limits
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("q_histogram aggregates with map-side partials (O(buckets) shuffle)") {
     val plan = planOf("q_histogram")
     assert(plan.contains("partial_count") || plan.contains("partial_min"),
