@@ -228,6 +228,35 @@ object RelationalQueries {
         )
     },
 
+    // ★ Salted skew join — the manual skew fallback for when AQE's
+    // skew-join split can't apply (aggregation-free row joins, stateful
+    // streaming joins, pre-AQE engines): at 100 TB a hot l_suppkey
+    // funnels one sort-merge task; salting splits every key into 8
+    // sub-keys — the fact side gets a deterministic per-row salt, the dim
+    // side replicates ×8 — so the hottest key's rows spread over 8 tasks
+    // at the cost of 8× the (small) dim shuffle. The oracle is the
+    // UNsalted join: salting must be semantically invisible, and the
+    // hash-match proves it.
+    q(
+      "q_join_salted",
+      """SELECT s_name, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val salts = 8
+      val fact = t.lineitem.withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int"))
+      val dim = t.supplier.withColumn("salt",
+        explode(array((0 until salts).map(lit): _*)))
+      fact.join(dim,
+        col("l_suppkey") === col("s_suppkey") && fact("salt") === dim("salt"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+
     // Anti join — the rdsadmin-exclusion pattern as a relational operator.
     q(
       "q_join_anti",

@@ -150,6 +150,20 @@ class PlanGuardSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q_join_salted joins on the salt key (skew split survives the optimizer)") {
+    // with broadcast off (the at-scale shape), the sort-merge join must
+    // key on (suppkey, salt) — an optimizer that drops the salt conjunct
+    // would silently restore the skew funnel
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf("q_join_salted")
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert("SortMergeJoin \\[[^\\]]*salt".r.findFirstIn(plan).isDefined, plan.take(3000))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q_join_star broadcasts the dims and pushes the date filter to the orders scan") {
     val plan = planOf("q_join_star")
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
