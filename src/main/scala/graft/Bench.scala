@@ -34,6 +34,23 @@ object Bench {
       if (f.length > 8) f(8).toLong else 0L
     } catch { case _: Throwable => 0L }
 
+  /** Fixed single-thread CPU probe (~0.2 s on an unloaded core): measures
+    * the machine's scalar speed at bench time. Steal counters catch
+    * bursty hypervisor preemption, but a SUSTAINED whole-run slowdown
+    * (frequency scaling, co-tenant memory bandwidth) inflates every rep
+    * equally and is invisible to /proc/stat — the calibration ratio
+    * between two runs is the normalizer for their totals. Emitted twice
+    * (before warm-up, after the last rep) so drift within a run is
+    * visible too. */
+  def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L
+    var i = 0
+    while (i < 200000000) { x += i * 2654435761L; i += 1 }
+    if (x == 42) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Inter-query cleanup (also asserted by DeclareGateSpec): queries
     * persist/localCheckpoint frames internally and a single JVM runs all
     * declared queries back to back; without this the storage pool fills
@@ -89,6 +106,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val calibPre = calibrate()
+
     // warm-up (not timed): smallest sf exercises the same code paths
     val warmDir = "/root/testdata/sf0.001"
     Seq("q_dim_project", "q_tag_batch", "q1_agg", "q_similarity_topk").foreach { n =>
@@ -135,7 +154,8 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":2,"agg":"min","rep_times":$repTimes,"rep_steal":$repSteal,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"sf":"$sfDir"}""")
+    val calibPost = calibrate()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":2,"agg":"min","rep_times":$repTimes,"rep_steal":$repSteal,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"calib_pre":${f"$calibPre%.4f"},"calib_post":${f"$calibPost%.4f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
