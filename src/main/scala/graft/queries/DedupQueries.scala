@@ -340,36 +340,62 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[8:], ' ')
         |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
         |w AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(l) - 19),
-        |    i -> md5(array_to_string(l[i:i+19], ' '))))) AS fp
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM corpus))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
-        |FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  SELECT doc_id, unnest(generate_series(1, len(l) - 19)) AS pos, l
+        |  FROM tok),
+        |wf AS (SELECT doc_id, pos, md5(array_to_string(l[pos:pos+19], ' ')) AS fp FROM w),
+        |wmin AS (SELECT doc_id, fp, min(pos) AS pos FROM wf GROUP BY 1, 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared,
+        |  min(a.pos)::BIGINT AS first_pos_a, min(b.pos)::BIGINT AS first_pos_b
+        |FROM wmin a JOIN wmin b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
+      import s.implicits._
       val w = 20
       val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
       val sub = d.unionByName(d.select(
         (col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ",
           slice(split(col("text"), " "), lit(8), size(split(col("text"), " ")))).as("text")))
-      // distinct per doc: a window repeated inside one doc is one posting
-      // entry, same semantics as the shingle index
+      // every window with its 1-based start position (posexplode is
+      // 0-based over the array; the sequence starts at 1)
       val fps = sub
         .withColumn("l", split(col("text"), " "))
         .select(col("doc_id"),
-          explode(array_distinct(transform(
+          posexplode(transform(
             // ANSI guard: sequence(1, n-19) turns DESCENDING for short
             // docs; they contribute zero windows (same as shingleArray)
             when(size(col("l")) >= w, sequence(lit(1), size(col("l")) - (w - 1)))
               .otherwise(array().cast("array<int>")),
-            i => md5(concat_ws(" ", slice(col("l"), i, lit(w))))))).as("fp"))
-      postingPairs(s,
-        fps.groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ds")))
+            i => md5(concat_ws(" ", slice(col("l"), i, lit(w)))))))
+        .toDF("doc_id", "p0", "fp")
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
+      // posting lists carry (doc_id, pos); per-bucket emission dedups each
+      // doc to its FIRST occurrence (sorted order makes that the head),
+      // then pairs — same bounded O(Σ df²) shape, still 2 exchanges
+      val pairs = fps
+        .groupBy(col("fp"))
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
+        .select(col("ds")).as[Seq[(Long, Long)]]
+        .flatMap { ds0 =>
+          val ds = ds0.sorted
+          val uniq = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var last = Long.MinValue
+          ds.foreach { case (doc, p) =>
+            if (doc != last) { uniq += ((doc, p)); last = doc }
+          }
+          if (uniq.length < 2) Iterator.empty
+          else uniq.indices.iterator.flatMap(i =>
+            (i + 1 until uniq.length).iterator.map(j =>
+              (uniq(i)._1, uniq(j)._1, uniq(i)._2, uniq(j)._2)))
+        }
+        .toDF("doc_a", "doc_b", "pos_a", "pos_b")
+      pairs
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"),
+          min(col("pos_a")).as("first_pos_a"),
+          min(col("pos_b")).as("first_pos_b"))
     }
   )
 
