@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Parity between the two delay-tracker formulations: the classic
+  * `flatMapGroupsWithState` (`DelayTracker`) and Spark 4's
+  * `transformWithState` (`DelayTrackerTws`) must emit the same gauges
+  * for the same deterministic scenario — the inline swap-reset path
+  * under continuous traffic (timeout/timer never fires, so the test is
+  * clock-exact). TWS runs on the RocksDB state store provider.
+  */
+class TwsDelaySpec extends SparkSpec {
+  import SharedSpark.spark.implicits._
+
+  private val anchor = 1700000000L
+
+  /** Runs one tracker impl through the inline-emission scenario and
+    * returns the emitted (key, max_delay_sec) rows. */
+  private def run(
+      name: String,
+      track: (org.apache.spark.sql.DataFrame, Long, () => Long) =>
+        org.apache.spark.sql.Dataset[graft.streaming.DelayTracker.DelayGauge]
+  ): Seq[(String, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val clock = new java.util.concurrent.atomic.AtomicLong(anchor)
+    val ms = MemoryStream[(String, Long)]
+    val points = ms.toDF().toDF("key", "point_ts")
+    // 5-s interval >> test wall time: emission must come from the inline
+    // elapsed-interval path, deterministic under the injected clock
+    val gauges = track(points, 5000L, () => clock.get())
+    val q = gauges.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      def deadline = System.currentTimeMillis() + 30000
+      ms.addData(("app", anchor - 10)) // delay 10 at t=anchor
+      val d1 = deadline
+      while (q.recentProgress.map(_.numInputRows).sum < 1 && System.currentTimeMillis() < d1)
+        Thread.sleep(100)
+      clock.set(anchor + 6) // interval elapsed, traffic continues
+      ms.addData(("app", anchor - 3)) // delay 9 at t=anchor+6
+      def rows() = spark.sql(s"SELECT key, max_delay_sec FROM $name").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val d2 = deadline
+      while (rows().isEmpty && System.currentTimeMillis() < d2) Thread.sleep(100)
+      rows()
+    } finally q.stop()
+  }
+
+  test("transformWithState delay tracker matches the flatMapGroupsWithState formulation") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val fmgws = run("tws_parity_classic",
+      (df, i, now) => graft.streaming.DelayTracker.track(df, i, now))
+    val tws =
+      try {
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        run("tws_parity_new",
+          (df, i, now) => graft.streaming.DelayTrackerTws.track(df, i, now))
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    assert(fmgws === Seq("app" -> 10L), fmgws.mkString(","))
+    assert(tws === fmgws, s"tws=$tws fmgws=$fmgws")
+  }
+}
