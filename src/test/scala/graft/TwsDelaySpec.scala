@@ -64,4 +64,39 @@ class TwsDelaySpec extends SparkSpec {
     assert(fmgws === Seq("app" -> 10L), fmgws.mkString(","))
     assert(tws === fmgws, s"tws=$tws fmgws=$fmgws")
   }
+
+  test("TWS timer path: always-emit keeps ticking 0-gauges through data silence") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ms = MemoryStream[(String, Long)]
+      // local copy: a closure over the spec's `anchor` field would drag
+      // the (unserializable) suite instance into the task
+      val fixedNow = anchor + 5
+      val gauges = graft.streaming.DelayTrackerTws.track(
+        ms.toDF().toDF("key", "point_ts"),
+        intervalMs = 100, nowSec = () => fixedNow, alwaysEmit = true)
+      val q = gauges.writeStream.format("memory").queryName("tws_idle")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      try {
+        ms.addData(("app", anchor)) // delay 5, then silence
+        val deadline = System.currentTimeMillis() + 60000
+        def rows() = spark.sql("SELECT max_delay_sec FROM tws_idle").collect().map(_.getLong(0))
+        // handleExpiredTimer: the accumulated 5 flushes on the first
+        // expiry, then re-armed timers tick 0-gauges forever (delay.go:35-39)
+        while (rows().length < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        val got = rows()
+        assert(got.count(_ == 5L) === 1, got.mkString(","))
+        assert(got.count(_ == 0L) >= 2, got.mkString(","))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
