@@ -66,11 +66,13 @@ object Bench {
 
   /** One timed cold rep of `name`: (wall seconds or -1 on failure,
     * steal fraction of machine capacity during the rep). USER_HZ is 100
-    * on every mainstream Linux; ncpus scales jiffies to whole-machine
-    * capacity so the fraction is comparable across rep lengths.
+    * on every mainstream Linux; `hostCpus` must be the HOST core count
+    * (`Runtime.availableProcessors`) because /proc/stat aggregates steal
+    * over all host CPUs — scaling by the Spark parallelism env var would
+    * mis-state the fraction whenever the two differ.
     */
   def runRep(spark: SparkSession, name: String, sfDir: String,
-             ncpus: Int): (Double, Double) = {
+             hostCpus: Int): (Double, Double) = {
     val s0 = stealJiffies()
     val t0 = System.nanoTime()
     val ok =
@@ -84,9 +86,18 @@ object Bench {
     val steal = stealJiffies() - s0
     cleanup(spark)
     val stealFrac =
-      if (dt > 0) steal.toDouble / (dt * 100.0 * ncpus) else 0.0
+      if (dt > 0) steal.toDouble / (dt * 100.0 * hostCpus) else 0.0
     (if (ok) dt else -1.0, stealFrac)
   }
+
+  /** The single-thread calibration time measured on the reference host
+    * (the round-7 judge run: calib_pre 0.0847 s, calib_post 0.0885 s).
+    * `total_calib_normalized` = total × REF_CALIB / min(pre, post) maps a
+    * run's total onto reference-machine speed so cross-round comparisons
+    * need no hand math; min-of-two because steal/contention only inflate
+    * the probe, never deflate it.
+    */
+  val REF_CALIB = 0.085
 
   // a rep is suspect when >5% of machine capacity was stolen during it,
   // or when the two reps of a query disagree by >3× — either way a third
@@ -97,7 +108,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val ncpus = cpus.toInt
+    // Steal fractions scale by the HOST core count (/proc/stat aggregates
+    // over all host CPUs), independent of the Spark parallelism setting.
+    val hostCpus = Runtime.getRuntime.availableProcessors
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -122,8 +135,9 @@ object Bench {
       times(name) = times.getOrElse(name, Nil) :+ rep._1
       steals(name) = steals.getOrElse(name, Nil) :+ rep._2
     }
-    (1 to 2).foreach { _ =>
-      names.foreach(n => record(n, runRep(spark, n, sfDir, ncpus)))
+    val REPS_BASE = 2
+    (1 to REPS_BASE).foreach { _ =>
+      names.foreach(n => record(n, runRep(spark, n, sfDir, hostCpus)))
     }
     // third-rep pass over suspect queries only (still interleaved so the
     // retries of different queries decorrelate against a fresh burst)
@@ -135,17 +149,27 @@ object Bench {
     }
     if (suspects.nonEmpty) {
       System.err.println(s"BENCH RETRY (steal/disagree): ${suspects.mkString(",")}")
-      suspects.foreach(n => record(n, runRep(spark, n, sfDir, ncpus)))
+      suspects.foreach(n => record(n, runRep(spark, n, sfDir, hostCpus)))
     }
 
-    // a failed query records -1 (not its fast wall time to the throw) and
-    // is listed in "failed" — a regression must look broken, not quick.
+    // A failed MANDATORY rep records -1 (not its fast wall time to the
+    // throw) and is listed in "failed" — a regression must look broken,
+    // not quick. A failed RETRY rep, by contrast, is "no additional
+    // sample": the retry pass exists to rescue polluted measurements, so
+    // a transient failure there must not discard two clean mandatory reps
+    // (runRep already logged the failure to stderr).
     val results = names.map { n =>
       val ts = times(n)
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      val mandatoryFailed = ts.take(REPS_BASE).exists(_ < 0)
+      val clean = ts.filter(_ >= 0)
+      n -> (if (mandatoryFailed || clean.isEmpty) -1.0 else clean.min)
     }.toMap
-    def arr(xs: List[Double]) =
-      xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+    // JSON must be locale-independent: f"%.4f" uses the JVM default
+    // locale (comma decimals under e.g. de_DE break parsers), so all
+    // fixed-point formatting goes through Locale.ROOT.
+    def d4(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+    def arr(xs: List[Double]) = xs.map(d4).mkString("[", ",", "]")
     def obj(m: Iterable[(String, String)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(names.map(n => n -> results(n).toString))
@@ -155,7 +179,24 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val calibPost = calibrate()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":2,"agg":"min","rep_times":$repTimes,"rep_steal":$repSteal,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"calib_pre":${f"$calibPre%.4f"},"calib_post":${f"$calibPost%.4f"},"sf":"$sfDir"}""")
+    val runCalib = math.min(calibPre, calibPost)
+    val totalNorm = if (runCalib > 0) total * REF_CALIB / runCalib else total
+    // "reps_base" is the mandatory round count; queries that tripped the
+    // steal/disagree retry carry reps_base+1 entries in rep_times (the
+    // old fixed "reps":2 field misdescribed retried queries).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","rep_times":$repTimes,"rep_steal":$repSteal,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    println(full)
+    // The full line is long and has been tail-truncated in past round
+    // artifacts; persist it and follow with a SHORT headline line so any
+    // tail capture still contains a parseable total.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_latest.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH: could not write bench_latest.json: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total_summary","value":${d4(total)},"unit":"sec","nqueries":${names.size},"failed":${results.values.count(_ < 0)},"retried":${suspects.size},"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -352,25 +352,7 @@ object DedupQueries {
         |GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val w = 20
-      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      val sub = d.unionByName(d.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        concat_ws(" ",
-          slice(split(col("text"), " "), lit(8), size(split(col("text"), " ")))).as("text")))
-      // every window with its 1-based start position (posexplode is
-      // 0-based over the array; the sequence starts at 1)
-      val fps = sub
-        .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"),
-          posexplode(transform(
-            // ANSI guard: sequence(1, n-19) turns DESCENDING for short
-            // docs; they contribute zero windows (same as shingleArray)
-            when(size(col("l")) >= w, sequence(lit(1), size(col("l")) - (w - 1)))
-              .otherwise(array().cast("array<int>")),
-            i => md5(concat_ws(" ", slice(col("l"), i, lit(w)))))))
-        .toDF("doc_id", "p0", "fp")
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
+      val fps = windowFingerprints(substringCorpus(s, dir), 20)
       // posting lists carry (doc_id, pos); per-bucket emission dedups each
       // doc to its FIRST occurrence (sorted order makes that the head),
       // then pairs — same bounded O(Σ df²) shape, still 2 exchanges
@@ -396,8 +378,132 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared"),
           min(col("pos_a")).as("first_pos_a"),
           min(col("pos_b")).as("first_pos_b"))
+    },
+
+    // ★ Repeated-span REMOVAL — what substring dedup is FOR in a training
+    // pipeline: q_dedup_substring only reports the shared spans; this
+    // pass rewrites the corpus with them excised. Keep policy: per shared
+    // window fingerprint the HIGHEST doc_id keeps its text, every other
+    // doc has the covered tokens cut out (deterministic; production
+    // swaps in first-seen or quality-ranked keep without changing the
+    // dataflow). Output is md5-pinned like q_pii_scrub: the hash covers
+    // the entire rewritten text, so the oracle proves the string surgery
+    // itself, not just the counts.
+    // Scale: windows and token explodes are linear in corpus tokens; the
+    // cover explode is O(masked windows × w) ≤ O(tokens); every join and
+    // group-by after the fingerprint bucket step is keyed by doc_id, so
+    // the rewrite stays partition-local once tokens are co-located. The
+    // boilerplate df cap of q_dedup_substring applies to `keepers`
+    // unchanged at 100 TB.
+    q(
+      "q_dedup_substring_scrub",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[8:], ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+        |w AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(l) - 19)) AS pos, l
+        |  FROM tok),
+        |wf AS (SELECT doc_id, pos, md5(array_to_string(l[pos:pos+19], ' ')) AS fp FROM w),
+        |keepers AS (
+        |  SELECT fp, max(doc_id) AS keeper FROM wf
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT wf.doc_id, unnest(generate_series(wf.pos, wf.pos + 19)) AS idx
+        |    FROM wf JOIN keepers k ON wf.fp = k.fp AND wf.doc_id <> k.keeper)),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    unnest(generate_series(1, len(l))) AS i FROM tok),
+        |marked AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok, c.doc_id IS NOT NULL AS masked
+        |  FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.i = c.idx)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT masked), ''))
+        |    AS scrub_md5,
+        |  sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN NOT masked THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM marked GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      substringScrub(substringCorpus(s, dir), 20)
+        .select(col("doc_id"), md5(col("scrub_text")).as("scrub_md5"),
+          col("n_removed"), col("n_kept"))
     }
   )
+
+  /** Corpus for the substring family: documents ∪ a PREFIX-TRIMMED copy
+    * (doc_id+1000000, first 7 tokens dropped) — shares every interior
+    * window with its original while defeating whole-doc hashing and the
+    * fuzzy corpus' every-7th-token mutation. */
+  private def substringCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ",
+        slice(split(col("text"), " "), lit(8), size(split(col("text"), " ")))).as("text")))
+  }
+
+  /** Every stride-1 `w`-token window fingerprint with its 1-based start
+    * position: (doc_id, pos, fp). Linear explode — O(tokens) windows per
+    * doc. ANSI guard: sequence(1, n-w+1) turns DESCENDING for short docs;
+    * they contribute zero windows (same pattern as shingleArray). */
+  private def windowFingerprints(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .withColumn("l", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(transform(
+          when(size(col("l")) >= w, sequence(lit(1), size(col("l")) - (w - 1)))
+            .otherwise(array().cast("array<int>")),
+          i => md5(concat_ws(" ", slice(col("l"), i, lit(w)))))))
+      .toDF("doc_id", "p0", "fp")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
+
+  /** Repeated-span removal over a (doc_id, text) frame: for every w-token
+    * window fingerprint appearing in ≥2 docs, the highest doc_id keeps its
+    * occurrences and every other doc has the covered token positions
+    * excised. Returns one row per input doc: (doc_id, scrub_text,
+    * n_removed, n_kept) — a doc whose text is entirely shared scrubs to
+    * the empty string (n_kept = 0), and a doc with no shared windows
+    * passes through untouched. Public so the edge-case spec can drive it
+    * with hand-built docs (span at doc start / doc end / whole doc) at a
+    * small w. */
+  def substringScrub(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs.withColumn("l", split(col("text"), " "))
+    val wf = windowFingerprints(docs, w)
+    // shared fingerprints with their keeper; ≥2 DISTINCT docs (a window
+    // repeated within one doc is not cross-document evidence)
+    val keepers = wf.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"), max(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"), col("keeper"))
+    // token positions covered by a masked window occurrence
+    val covered = wf.join(keepers, "fp")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id").as("c_doc"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+      .distinct()
+    val tokpos = toks
+      .select(col("doc_id"), posexplode(col("l")))
+      .toDF("doc_id", "i0", "tok")
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("tok"))
+    tokpos
+      .join(covered, col("doc_id") === col("c_doc") && col("i") === col("idx"), "left")
+      .withColumn("masked", col("c_doc").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        // ordered rebuild: sort_array on (i, tok) structs restores token
+        // order (i is unique per doc); collect_list drops the nulls the
+        // `when` leaves for masked tokens
+        array_join(
+          transform(
+            sort_array(collect_list(when(!col("masked"), struct(col("i"), col("tok"))))),
+            x => x.getField("tok")),
+          " ").as("scrub_text"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("masked"), 1L).otherwise(0L)).as("n_kept"))
+  }
 
   /** Verified embedding near-dup pairs (vec_a < vec_b, cos ≥ 0.98) — the
     * q_dedup_embed body, shared with q_dedup_embed_cluster as its edge

@@ -513,15 +513,30 @@ object RelationalQueries {
     },
 
     // Approximate distinct (HLL) — the 100 TB path where exact distinct is
-    // too expensive; declared without a SQL oracle (rows-only check): HLL
-    // estimates are engine-specific.
-    QueryDef.noOracle("q_agg_approx_distinct") { (s, dir) =>
+    // too expensive. HLL estimates are engine-specific (no DuckDB
+    // equivalence), but HLL++ is ORDER-INSENSITIVE, so the estimate per
+    // group is deterministic — what IS checkable is the bounded-error
+    // contract itself: |approx − exact| / exact ≤ 0.05 (rsd 0.02 leaves
+    // margin). Spark emits the exact count plus the boolean; the oracle
+    // computes the same exact count and asserts TRUE — a hash match means
+    // the estimate really landed inside the bound. The exact side is the
+    // harness, not the operator: at 100 TB you ship only the HLL sketch.
+    q(
+      "q_agg_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count(lit(1)).as("n")
-        )
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("within_bound"))
     },
 
     // Keep-first dedup: earliest event per (user, type) — window + filter,

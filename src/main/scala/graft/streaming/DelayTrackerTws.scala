@@ -13,9 +13,21 @@ import org.apache.spark.sql.streaming._
   * replaces the timer (delete + register — TWS timers are absolute
   * timestamps, not durations, and don't overwrite).
   *
-  * Requires the RocksDB state store provider (the TWS backend) — set
-  * `spark.sql.streaming.stateStore.providerClass` to
-  * `...state.RocksDBStateStoreProvider` before starting the query.
+  * Requires the RocksDB state store provider (the TWS backend) —
+  * [[track]] verifies `spark.sql.streaming.stateStore.providerClass` up
+  * front and fails with the exact conf to set, instead of the opaque
+  * `STATE_STORE_INVALID_PROVIDER`-style error the query would otherwise
+  * die with at start.
+  *
+  * Emission semantics (same contract as the classic lane,
+  * `StreamPipeline.scala` meta-series doc): gauges are APPEND-mode —
+  * each emitted row covers exactly one closed interval, never revised.
+  * After a checkpoint restart the last in-flight interval's batch
+  * replays, so the gauge for that interval can ship twice with the same
+  * (key, value); the downstream receiver is assumed last-write-wins on
+  * identical (metric, tags, ts) — Datadog gauge points at the same
+  * timestamp overwrite, making the replay idempotent (`delay.go:15-39`
+  * has the same property: the ticker re-reads whatever the atomic held).
   */
 object DelayTrackerTws {
   import DelayTracker.{DelayGauge, DelayState}
@@ -75,7 +87,16 @@ object DelayTrackerTws {
     }
   }
 
-  /** Same surface as `DelayTracker.track`. */
+  val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Same surface as `DelayTracker.track`. Fails fast (with the conf to
+    * set) when the session isn't on the RocksDB state store provider —
+    * checking here is deliberate: the conf is read at query START, so a
+    * check at track() time is both early enough to be friendly and late
+    * enough to see the session the query will actually run on.
+    */
   def track(
       points: DataFrame,
       intervalMs: Long = 15000,
@@ -84,6 +105,16 @@ object DelayTrackerTws {
   ): Dataset[DelayGauge] = {
     val spark = points.sparkSession
     import spark.implicits._
+    val provider = spark.conf.getOption(ProviderConfKey).getOrElse("")
+    require(
+      provider.contains("RocksDBStateStoreProvider"),
+      s"DelayTrackerTws.track runs on transformWithState, which requires the " +
+        s"RocksDB state store provider. Before starting the query, set\n" +
+        s"""  spark.conf.set("$ProviderConfKey",\n    "$RocksDbProvider")\n""" +
+        s"(current: ${if (provider.isEmpty) "<unset, default HDFS-backed>" else provider}). " +
+        s"Alternatively use graft.streaming.DelayTracker.track — the " +
+        s"flatMapGroupsWithState formulation with identical semantics — " +
+        s"which runs on the default provider.")
     points
       .select(col("key").cast("string"), col("point_ts").cast("long"))
       .as[(String, Long)]

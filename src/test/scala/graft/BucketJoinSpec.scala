@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Bucketing as the co-located-join technique: two tables bucketed (and
@@ -38,14 +40,28 @@ class BucketJoinSpec extends SparkSpec {
         .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
-      val plan = joined.queryExecution.executedPlan.toString
+      val executed = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val plan = executed.toString
       // bucketing IS the exchange, paid once at write: the join itself
       // must not reshuffle either side (only the final tiny group-by
       // exchange remains)
-      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-      assert(exchanges === 1, s"expected only the agg exchange, got $exchanges:\n${plan.take(3000)}")
+      val exchanges = executed.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.size === 1, s"expected only the agg exchange, got ${exchanges.size}:\n${plan.take(3000)}")
       assert(plan.contains("SortMergeJoin"), plan.take(3000))
       assert(plan.contains("SelectedBucketsCount"), plan.take(3000))
+      // structurally: NO shuffle anywhere below the join node itself —
+      // both inputs must come straight off the co-bucketed scans
+      val joinNodes = executed.collect {
+        case j if j.nodeName.contains("SortMergeJoin") || j.nodeName.contains("ShuffledHashJoin") => j
+      }
+      assert(joinNodes.nonEmpty, plan.take(3000))
+      joinNodes.foreach { j =>
+        assert(j.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+          s"join input should be co-bucketed, not shuffled:\n${plan.take(3000)}")
+      }
 
       // co-location must be semantically invisible: same result as the
       // plain shuffled join

@@ -25,9 +25,13 @@ class TwsDelaySpec extends SparkSpec {
     val clock = new java.util.concurrent.atomic.AtomicLong(anchor)
     val ms = MemoryStream[(String, Long)]
     val points = ms.toDF().toDF("key", "point_ts")
-    // 5-s interval >> test wall time: emission must come from the inline
-    // elapsed-interval path, deterministic under the injected clock
-    val gauges = track(points, 5000L, () => clock.get())
+    // 10-MINUTE interval >> any plausible wall-time stall: the real
+    // processing-time timer cannot fire inside the 30-s poll windows, so
+    // emission can only come from the inline elapsed-interval path,
+    // deterministic under the injected clock (a 5-s interval could let
+    // the timer path win on a stalled host, silently changing which code
+    // path the parity assertion exercises)
+    val gauges = track(points, 600000L, () => clock.get())
     val q = gauges.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -36,8 +40,8 @@ class TwsDelaySpec extends SparkSpec {
       val d1 = deadline
       while (q.recentProgress.map(_.numInputRows).sum < 1 && System.currentTimeMillis() < d1)
         Thread.sleep(100)
-      clock.set(anchor + 6) // interval elapsed, traffic continues
-      ms.addData(("app", anchor - 3)) // delay 9 at t=anchor+6
+      clock.set(anchor + 601) // interval (600 s) elapsed, traffic continues
+      ms.addData(("app", anchor + 592)) // delay 9 at t=anchor+601
       def rows() = spark.sql(s"SELECT key, max_delay_sec FROM $name").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toSeq
       val d2 = deadline
@@ -63,6 +67,26 @@ class TwsDelaySpec extends SparkSpec {
       }
     assert(fmgws === Seq("app" -> 10L), fmgws.mkString(","))
     assert(tws === fmgws, s"tws=$tws fmgws=$fmgws")
+  }
+
+  test("TWS tracker fails fast with the conf to set when RocksDB provider is absent") {
+    val key = graft.streaming.DelayTrackerTws.ProviderConfKey
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key) // back to the default HDFS-backed provider
+      val points = Seq(("app", anchor)).toDF("key", "point_ts")
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.DelayTrackerTws.track(points)
+      }
+      // actionable: names the conf key, the provider class to set, and
+      // the classic-lane alternative
+      assert(e.getMessage.contains(key), e.getMessage)
+      assert(e.getMessage.contains(graft.streaming.DelayTrackerTws.RocksDbProvider), e.getMessage)
+      assert(e.getMessage.contains("DelayTracker.track"), e.getMessage)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("TWS timer path: always-emit keeps ticking 0-gauges through data silence") {
