@@ -69,7 +69,8 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ ivfpq :+
-      annRecall :+ annRecallIvf :+ annRecallPq :+ annRecallIvfpq
+      annRecall :+ annRecallIvf :+ annRecallPq :+ annRecallIvfpq :+
+      annRecallPqTrained
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -941,6 +942,279 @@ object SimilarityQueries {
       |FROM exact e
       |LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
       |GROUP BY e.q_id""".stripMargin
+
+  // --- trained-PQ codebook experiment (round 8) ---------------------------
+
+  /** Deterministic ±1 anchor vectors for the CLUSTERED ANN fixture: parity
+    * of the first hex char of md5("a<k>d<d>") — the same construction
+    * family as `srpPlaneWeights`, own key prefix. The oracle rebuilds them
+    * in-query (4096 md5 calls — cheap, unlike the per-row plane case). */
+  private[queries] def pqAnchors(n: Int, dims: Int = 64): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(n, dims) { (k, d) =>
+      md.reset()
+      val hex = md.digest(s"a${k}d${d + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val firstHexChar = f"${(hex(0) & 0xff)}%02x".charAt(0)
+      if (firstHexChar.toInt % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  /** ★ Trained-vs-stand-in PQ codebook recall — the follow-up experiment
+    * the round-7 null result (codebook SIZE doesn't move recall on the
+    * uniform fixture) left open: does TRAINING move it? Setup: a
+    * deterministic CLUSTERED fixture built in-query (64 md5-parity ±1
+    * anchors; each vector = its anchor + 0.5 × its real embedding as
+    * noise; anchor chosen by 6 md5 parity bits of the vec_id), a K=16
+    * per-block stand-in codebook (subvectors of vec_id 0..15 — exactly the
+    * q_similarity_pq construction, K turned up), and a TRAINED codebook:
+    * the same init pushed through 3 Lloyd rounds per 8-dim block (the
+    * q_kmeans_step machinery — min-struct hash-agg assignment, no
+    * per-vector window, ordered-fold means for cross-engine IEEE
+    * determinism; empty clusters keep their previous centroid). Output per
+    * query: recall@5 for BOTH codebooks plus corpus-level quantization MSE
+    * for both, so the artifact records what training moved (MSE) alongside
+    * what it didn't (recall) — measured result in docs/SCALING.md.
+    * Scale: training cost is 3 × (corpus blocks × K) narrow rows — at
+    * 100 TB you train on a SAMPLE (codebooks need ~100K vectors, not the
+    * corpus) and broadcast the result; encode stays the one
+    * blocks-×-codebook join PQ always pays. The ordered-fold mean is the
+    * fixture-scale determinism device; a production trainer uses the
+    * partial-agg mean of q_kmeans_step. */
+  val annRecallPqTrained: QueryDef = q(
+    "q_ann_recall_pq_trained",
+    annRecallPqTrainedSql
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorExpressions.dotProduct
+    import graft.plans.OptimizerBarrier
+    val K = 16
+    val rounds = 3
+    // clustered fixture: anchor (by 6 parity bits) + 0.5 × real embedding
+    val aF = broadcast(
+      pqAnchors(64).zipWithIndex.map { case (w, k) => (k, w.toSeq) }.toSeq
+        .toDF("a_id", "aw"))
+    val h = md5(concat(lit("v"), col("vec_id").cast("string")))
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e0"))
+      .withColumn("a_id",
+        (0 until 6).map(j => (ascii(substring(h, j + 1, 1)) % 2) * lit(1 << j))
+          .reduce(_ + _))
+      .join(aF, "a_id")
+      .select(col("vec_id"),
+        OptimizerBarrier.once(
+          zip_with(col("aw"), col("e0"), (a, x) => a + lit(0.5) * x)).as("e"))
+    val blocks = v.select(
+        col("vec_id"),
+        explode(array((0 until 8).map(m =>
+          struct(lit(m).as("m"), slice(col("e"), m * 8 + 1, 8).as("sub"))): _*)).as("blk"))
+      .select(col("vec_id"), col("blk.m").as("m"),
+        OptimizerBarrier.once(col("blk.sub")).as("sub"))
+      .withColumn("sn2", dotProduct(col("sub"), col("sub")))
+      // consumed by the stand-in slice, every Lloyd assignment round, and
+      // both encodes — cache once (Bench.cleanup unpersists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def withCn2(cb: DataFrame): DataFrame =
+      cb.withColumn("cn2", dotProduct(col("csub"), col("csub")))
+    val standin = withCn2(blocks.filter(col("vec_id") < K)
+      .select(col("m").as("cm"), col("vec_id").as("k"), col("sub").as("csub")))
+    // Lloyd: assignment as ONE min-struct hash agg (no per-vector window),
+    // means as vec_id-ordered folds so Spark and DuckDB add in the same
+    // IEEE order; an emptied cluster keeps its previous centroid
+    var trained = standin
+    for (_ <- 1 to rounds) {
+      val assign = blocks
+        .join(broadcast(trained), col("m") === col("cm"))
+        .withColumn("bdist",
+          col("sn2") + col("cn2") - lit(2.0) * dotProduct(col("sub"), col("csub")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("bdist"), col("k"))).as("best"), first(col("sub")).as("sub"))
+        .select(col("vec_id"), col("m"), col("best.k").as("k"), col("sub"))
+      val upd = assign.groupBy(col("m"), col("k"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("lst"))
+        .select(col("m").as("cm"), col("k"),
+          transform(sequence(lit(1), lit(8)), i =>
+            aggregate(col("lst"), lit(0.0),
+              (acc, x) => acc + element_at(x.getField("sub"), i)) / size(col("lst"))
+          ).as("ucsub"))
+      trained = withCn2(
+        trained.select(col("cm"), col("k"), col("csub").as("ocsub"))
+          .join(upd, Seq("cm", "k"), "left")
+          .select(col("cm"), col("k"), coalesce(col("ucsub"), col("ocsub")).as("csub")))
+    }
+    // encode a codebook into x̂ (min-struct picks (bdist, k) like rn=1)
+    def xhatOf(cb: DataFrame): DataFrame = blocks
+      .join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("bdist",
+        col("sn2") + col("cn2") - lit(2.0) * dotProduct(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("bdist"), col("k"), col("csub"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.csub").as("csub"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("csub")))),
+        x => x.getField("csub"))).as("xh0"))
+      .select(col("vec_id"), OptimizerBarrier.once(col("xh0")).as("xh"))
+      .withColumn("xn2", dotProduct(col("xh"), col("xh")))
+    val queries = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        dotProduct(col("e"), col("e")).as("qn2"))
+    def top5(in: DataFrame, dist: String): DataFrame = in
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col(dist), col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col(dist), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    def adcTop5(xhat: DataFrame): DataFrame = top5(
+      xhat.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adc",
+          col("qn2") + col("xn2") - lit(2.0) * dotProduct(col("qe"), col("xh")))
+        .select(col("q_id"), col("vec_id"), col("adc")),
+      "adc")
+    // corpus-level quantization MSE, vec_id-ordered fold (cross-engine
+    // deterministic at fixture scale; production uses a rounded avg)
+    def mseOf(xhat: DataFrame, name: String): DataFrame = v.join(xhat, "vec_id")
+      .select(col("vec_id"),
+        (aggregate(zip_with(col("e"), col("xh"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) / 64.0).as("err"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("err")))).as("lst"))
+      .select((floor(
+        aggregate(col("lst"), lit(0.0), (acc, x) => acc + x.getField("err"))
+          / size(col("lst")) * 1e6) / 1e6 + 0.0).as(name))
+    val exactScored = v
+      .withColumn("vn2", dotProduct(col("e"), col("e")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2",
+        col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("l2"))
+    val exact = top5(exactScored, "l2")
+    def hitsOf(cand: DataFrame, name: String): DataFrame = exact
+      .join(cand.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as(name))
+    // each x̂ feeds its ADC top-5 AND its MSE (and the trained one sits on
+    // a 3-round lineage): cache both, like the shared shingle frames in
+    // DedupQueries — Bench.cleanup unpersists between queries
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val xhStandin = xhatOf(standin).persist(MEMORY_AND_DISK)
+    val xhTrained = xhatOf(trained).persist(MEMORY_AND_DISK)
+    hitsOf(adcTop5(xhStandin), "n_hit_standin")
+      .join(hitsOf(adcTop5(xhTrained), "n_hit_trained"), "q_id")
+      .crossJoin(mseOf(xhStandin, "mse_standin"))
+      .crossJoin(mseOf(xhTrained, "mse_trained"))
+      .select(col("q_id"),
+        col("n_hit_standin"), (col("n_hit_standin") / lit(5.0)).as("recall_standin"),
+        col("n_hit_trained"), (col("n_hit_trained") / lit(5.0)).as("recall_trained"),
+        col("mse_standin"), col("mse_trained"))
+  }
+
+  /** Trained-PQ oracle: the identical fixture (in-query md5-parity anchors
+    * + parity-bit assignment), stand-in codebook, 3 unrolled Lloyd rounds
+    * with list(... ORDER BY vec_id) + list_sum replaying the Spark
+    * ordered folds, both encodes, both ADC top-5s, both MSEs. */
+  private lazy val annRecallPqTrainedSql: String = {
+    val aidBits = (1 to 6).map(j =>
+      s"${1 << (j - 1)} * (CASE WHEN ascii(md5('v' || vec_id)[$j]) % 2 = 1 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val dist8 = (b: String, c: String) =>
+      s"$b.sn2 + $c.cn2 - 2.0 * list_sum(list_transform(generate_series(1, 8), i -> $b.sub[i] * $c.csub[i]))"
+    // one Lloyd round: hash-agg-equivalent rn=1 assignment, ordered-fold
+    // means, empty clusters keep the previous centroid
+    def round(t: Int): String = {
+      val prev = if (t == 1) "cb0" else s"cb${t - 1}"
+      s"""assign$t AS (
+         |  SELECT vec_id, m, k, sub FROM (
+         |    SELECT b.vec_id, b.m, c.k, b.sub,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY ${dist8("b", "c")}, c.k) AS rn
+         |    FROM blocks b JOIN $prev c ON b.m = c.cm) WHERE rn = 1),
+         |upd$t AS (
+         |  SELECT m AS cm, k,
+         |    list_transform(generate_series(1, 8), i ->
+         |      list_sum(list_transform(lst, s -> s[i])) / len(lst)) AS csub
+         |  FROM (SELECT m, k, list(sub ORDER BY vec_id) AS lst FROM assign$t GROUP BY m, k)),
+         |cb$t AS (
+         |  SELECT c.cm, c.k, coalesce(u.csub, c.csub) AS csub,
+         |    list_sum(list_transform(coalesce(u.csub, c.csub), x -> x * x)) AS cn2
+         |  FROM $prev c LEFT JOIN upd$t u ON c.cm = u.cm AND c.k = u.k)""".stripMargin
+    }
+    def encode(cb: String, tag: String): String =
+      s"""enc_$tag AS (
+         |  SELECT vec_id, m, csub FROM (
+         |    SELECT b.vec_id, b.m, c.csub,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY ${dist8("b", "c")}, c.k) AS rn
+         |    FROM blocks b JOIN $cb c ON b.m = c.cm) WHERE rn = 1),
+         |xhat_$tag AS (
+         |  SELECT vec_id, xh, list_sum(list_transform(xh, x -> x * x)) AS xn2 FROM (
+         |    SELECT vec_id, flatten(list(csub ORDER BY m)) AS xh
+         |    FROM enc_$tag GROUP BY vec_id)),
+         |cand_$tag AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, x.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        q.qn2 + x.xn2 -
+         |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])),
+         |        x.vec_id) AS rank
+         |    FROM xhat_$tag x CROSS JOIN qs q WHERE x.vec_id <> q.q_id) WHERE rank <= 5),
+         |mse_$tag AS (
+         |  SELECT floor(list_sum(lst) / len(lst) * 1e6) / 1e6 AS m FROM (
+         |    SELECT list(err ORDER BY vec_id) AS lst FROM (
+         |      SELECT v.vec_id,
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> (v.e[i] - x.xh[i]) * (v.e[i] - x.xh[i]))) / 64.0 AS err
+         |      FROM cv v JOIN xhat_$tag x ON v.vec_id = x.vec_id)))""".stripMargin
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e0 FROM embeddings),
+       |anchors AS (
+       |  SELECT g.a_id, list_transform(generate_series(1, 64), d ->
+       |    CASE WHEN ascii(md5('a' || g.a_id || 'd' || d)[1]) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS aw
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS a_id) g),
+       |cv AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), i -> a.aw[i] + 0.5 * w.e0[i]) AS e
+       |  FROM (SELECT vec_id, e0, $aidBits AS a_id FROM v0) w
+       |  JOIN anchors a ON w.a_id = a.a_id),
+       |blocks AS (
+       |  SELECT vec_id, m,
+       |    list_transform(generate_series(1, 8), i -> e[m * 8 + i]) AS sub,
+       |    list_sum(list_transform(list_transform(generate_series(1, 8), i -> e[m * 8 + i]), x -> x * x)) AS sn2
+       |  FROM cv CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+       |cb0 AS (
+       |  SELECT m AS cm, vec_id AS k, sub AS csub, sn2 AS cn2
+       |  FROM blocks WHERE vec_id < 16),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |qs AS (
+       |  SELECT vec_id AS q_id, e AS qe, list_sum(list_transform(e, x -> x * x)) AS qn2
+       |  FROM cv WHERE vec_id < 8),
+       |${encode("cb0", "standin")},
+       |${encode("cb3", "trained")},
+       |vn AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS vn2 FROM cv),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        q.qn2 + b.vn2 -
+       |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])),
+       |        b.vec_id) AS rank
+       |    FROM vn b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5)
+       |SELECT e.q_id,
+       |  sum(CASE WHEN cs.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit_standin,
+       |  sum(CASE WHEN cs.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall_standin,
+       |  sum(CASE WHEN ct.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit_trained,
+       |  sum(CASE WHEN ct.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall_trained,
+       |  first(ms.m) AS mse_standin,
+       |  first(mt.m) AS mse_trained
+       |FROM exact e
+       |LEFT JOIN cand_standin cs ON e.q_id = cs.q_id AND e.vec_id = cs.vec_id
+       |LEFT JOIN cand_trained ct ON e.q_id = ct.q_id AND e.vec_id = ct.vec_id
+       |CROSS JOIN mse_standin ms CROSS JOIN mse_trained mt
+       |GROUP BY e.q_id""".stripMargin
+  }
 
   /** LSH oracle: hyperplane weights from the same md5-parity construction. */
   private lazy val lshSql: String = {
