@@ -61,6 +61,22 @@ object MediaCodec {
     pngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", data) ++ pngChunk("IEND", Array.empty)
   }
 
+  /** RE-WRAPPED PNG: the same pixel payload in a different container
+    * layout — a tEXt ancillary chunk (keyword "Comment") rides between
+    * IHDR and IDAT, so the data section is byte-identical to
+    * [[encodePng]]'s while its offset, the chunk sequence, and the
+    * container size all differ. Size: 57 + N + 12 + (8 + comment bytes).
+    * This is the multimodal near-dup case: fixed-offset slicing sees two
+    * different blobs, honest chunk walking recovers identical frames. */
+  def encodePngRewrapped(width: Int, height: Int, bitDepth: Int,
+                         data: Array[Byte], comment: String): Array[Byte] = {
+    val ihdr = be32(width) ++ be32(height) ++
+      Array(bitDepth.toByte, 2.toByte /* truecolor */, 0.toByte, 0.toByte, 0.toByte)
+    val text = ("Comment\u0000" + comment).getBytes("ISO-8859-1")
+    pngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("tEXt", text) ++
+      pngChunk("IDAT", data) ++ pngChunk("IEND", Array.empty)
+  }
+
   /** SOI + JFIF APP0 (18) + SOF0 (19) + SOS (14) + data + EOI: size 55+N.
     * The data payload rides as the entropy-coded section after SOS — the
     * JDK's own JPEG header reader requires the SOS marker to be present. */

@@ -98,6 +98,82 @@ object MultimodalQueries {
           }
         }
         .toDF("doc_id", "format", "width", "height", "bit_depth", "n_bytes")
+    },
+
+    // ★ Multimodal near-dup: recover payloads whose PIXEL DATA is
+    // byte-identical although the CONTAINERS differ — the planted
+    // duplicates (doc_id+1000000 for doc_id % 5 = 0) are re-wrapped PNGs:
+    // same IDAT, but a tEXt metadata chunk shifts the data offset and
+    // changes the container size, so whole-file hashing and fixed-offset
+    // slicing both miss them. The lane is the same signature→bucket→
+    // verify shape as every dedup family: block on the PARSED frame-0
+    // fingerprint (first 32 data-section bytes at the chunk-walked
+    // offset — q_multimodal_frames' slice), then verify candidates by the
+    // md5 of the FULL parsed data section; n_bytes_a ≠ n_bytes_b on every
+    // planted pair is the visible proof the containers differ. The oracle
+    // rebuilds both fingerprints from the text the payloads embed and the
+    // encoders' size arithmetic — a mis-parsed offset breaks every pair.
+    // Scale: decode + fingerprint are one narrow mapPartitions pass; the
+    // bucket join is O(Σ df²) over frame-fingerprint posting lists (df
+    // cap on boilerplate intros at 100 TB, as with text substring dedup);
+    // nothing compares full payloads across the corpus.
+    q(
+      "q_multimodal_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text, (57 + length(text))::BIGINT AS n_bytes
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text,
+        |    (83 + length(text) + length(CAST(doc_id AS VARCHAR)))::BIGINT AS n_bytes
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, md5(a.text) AS data_fp,
+        |  a.n_bytes AS n_bytes_a, b.n_bytes AS n_bytes_b
+        |FROM corpus a JOIN corpus b
+        |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val fps = Tables(s, dir).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, data) =>
+          val w = (32 + id % 1920).toInt
+          val h = (32 + id % 1080).toInt
+          val orig = (id, MediaCodec.encodePng(w, h, 8, data))
+          if (id % 5 == 0)
+            Iterator(orig,
+              (id + 1000000L, MediaCodec.encodePngRewrapped(w, h, 8, data, s"rewrap$id")))
+          else Iterator.single(orig)
+        }
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, payload) =>
+            MediaCodec.decode(payload).map { m =>
+              val f0End = m.dataOffset + math.min(32, m.dataLength)
+              md.reset()
+              val f0 = hex(md.digest(
+                java.util.Arrays.copyOfRange(payload, m.dataOffset, f0End)))
+              md.reset()
+              val full = hex(md.digest(java.util.Arrays.copyOfRange(
+                payload, m.dataOffset, m.dataOffset + m.dataLength)))
+              (id, f0, full, payload.length.toLong)
+            }
+          }
+        }
+        .toDF("doc_id", "f0", "data_fp", "n_bytes")
+      // posting-list pairs per frame-0 bucket; full-data-section hash is
+      // the verify step (blocking is lossless: identical data ⇒ identical
+      // first frame, so no true pair escapes its bucket)
+      fps.groupBy(col("f0"))
+        .agg(collect_list(struct(col("doc_id"), col("data_fp"), col("n_bytes"))).as("ds"))
+        .select(col("ds")).as[Seq[(Long, String, Long)]]
+        .flatMap { ds0 =>
+          val ds = ds0.sortBy(_._1)
+          ds.indices.iterator.flatMap(i =>
+            (i + 1 until ds.length).iterator
+              .filter(j => ds(i)._2 == ds(j)._2)
+              .map(j => (ds(i)._1, ds(j)._1, ds(i)._2, ds(i)._3, ds(j)._3)))
+        }
+        .toDF("doc_a", "doc_b", "data_fp", "n_bytes_a", "n_bytes_b")
     }
   )
 }

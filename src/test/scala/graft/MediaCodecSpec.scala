@@ -88,4 +88,24 @@ class MediaCodecSpec extends AnyFunSuite {
     val jpg = MediaCodec.decode(MediaCodec.encodeJpeg(5, 5, Array.empty)).get
     assert(jpg.dataLength === 0)
   }
+
+  test("re-wrapped png: same data section at a shifted offset, bigger container") {
+    val data = "pixel payload bytes".getBytes("UTF-8")
+    val plain = MediaCodec.encodePng(40, 30, 8, data)
+    val rewrap = MediaCodec.encodePngRewrapped(40, 30, 8, data, "copy-1")
+    val pm = MediaCodec.decode(plain).get
+    val rm = MediaCodec.decode(rewrap).get
+    // identical parsed geometry and data-section BYTES...
+    assert((rm.format, rm.width, rm.height, rm.bitDepth) ===
+      (("png", 40, 30, 8)))
+    assert(rm.dataLength === pm.dataLength)
+    assert(
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(plain, pm.dataOffset, pm.dataOffset + pm.dataLength),
+        java.util.Arrays.copyOfRange(rewrap, rm.dataOffset, rm.dataOffset + rm.dataLength)))
+    // ...but a different container: tEXt shifts the offset by 12 + 8 + 6
+    assert(rm.dataOffset === pm.dataOffset + 12 + 8 + "copy-1".length)
+    assert(rewrap.length === plain.length + 12 + 8 + "copy-1".length)
+    assert(!java.util.Arrays.equals(plain, rewrap))
+  }
 }
