@@ -70,7 +70,7 @@ object SimilarityQueries {
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallPq :+ annRecallIvfpq :+
-      annRecallPqTrained
+      annRecallPqTrained :+ annRecallPqRerank
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -942,6 +942,145 @@ object SimilarityQueries {
       |FROM exact e
       |LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
       |GROUP BY e.q_id""".stripMargin
+
+  /** ★ PQ shortlist + exact rerank — the PRODUCTION answer to the two PQ
+    * null results (codebook size r7, codebook training r8): on isotropic
+    * residuals the recall knob is CANDIDATE-SET SIZE with raw-vector
+    * reranking, and this harness measures that knob directly. For each
+    * shortlist size L ∈ {5, 20, 50, 100}: ADC-rank the corpus (the same
+    * pqAdc scores q_similarity_pq serves), keep the top L, rerank just
+    * those candidates by exact L2 on raw vectors, take the top 5, report
+    * recall@5. Exact rerank can never lose a shortlisted true neighbor,
+    * so the reported recall IS the shortlist recall — the artifact shows
+    * the full L→recall curve (measured 0.15 → 0.70 at sf0.01).
+    * Scale: the shortlist is the only thing reranked — L × queries rows
+    * fetch raw vectors by key, so the rerank cost is O(L) per query
+    * against a code-only index scan; this two-stage shape is how a
+    * PQ-compressed 100-TB index actually serves top-k. */
+  val annRecallPqRerank: QueryDef = q(
+    "q_ann_recall_pq_rerank",
+    annRecallPqRerankSql
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.dotProduct
+    val (v, queries, scored) = pqAdc(s, dir)
+    val Ls = Seq(5, 20, 50, 100)
+    val maxL = Ls.max
+    // two-phase ADC top-maxL; keep the ADC rank so one shortlist serves
+    // the whole L sweep
+    val shortlist = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("lrank") <= maxL)
+      .withColumn("ar", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("ar") <= maxL)
+      .select(col("q_id"), col("vec_id"), col("ar"))
+    // exact distances for CANDIDATE rows only — the rerank fetches raw
+    // vectors by key, it never scans the corpus (4 L-slices consume it)
+    val rr = shortlist
+      .join(v.withColumn("vn2", dotProduct(col("e"), col("e"))), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("l2",
+        col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("ar"), col("l2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactScored = v
+      .withColumn("vn2", dotProduct(col("e"), col("e")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2",
+        col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("l2"))
+    val exact = exactScored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("l2"), col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    Ls.map { l =>
+      val re5 = rr.filter(col("ar") <= l)
+        .withColumn("rr", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("l2"), col("vec_id"))))
+        .filter(col("rr") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      exact
+        .join(re5.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("q_id"), lit(l).cast("long").as("shortlist_l"),
+          col("n_hit"), (col("n_hit") / lit(5.0)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Rerank oracle: the q_similarity_pq codebook chain for ADC ranks, an
+    * exact-L2 CTE over candidate rows, one UNION ALL branch per shortlist
+    * size. */
+  private lazy val annRecallPqRerankSql: String = {
+    val perL = Seq(5, 20, 50, 100).map { l =>
+      s"""SELECT e.q_id, ${l}::BIGINT AS shortlist_l,
+         |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+         |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall
+         |FROM exact e
+         |LEFT JOIN (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rr
+         |    FROM cand WHERE ar <= $l) WHERE rr <= 5) c
+         |ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+         |GROUP BY e.q_id""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |blocks AS (
+       |  SELECT vec_id, m,
+       |    list_transform(generate_series(1, 8), i -> e[m * 8 + i]) AS sub
+       |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
+       |cb AS (
+       |  SELECT vec_id AS k, m AS cm, sub AS csub,
+       |    list_sum(list_transform(sub, x -> x * x)) AS cn2
+       |  FROM blocks WHERE vec_id < 4),
+       |assign AS (
+       |  SELECT vec_id, m, csub FROM (
+       |    SELECT b.vec_id, b.m, c.csub,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+       |        list_sum(list_transform(b.sub, x -> x * x)) + c.cn2 -
+       |          2.0 * list_sum(list_transform(generate_series(1, 8), i -> b.sub[i] * c.csub[i])),
+       |        c.k) AS rn
+       |    FROM blocks b JOIN cb c ON b.m = c.cm) WHERE rn = 1),
+       |xhat AS (
+       |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS xh
+       |  FROM assign GROUP BY vec_id),
+       |xn AS (SELECT vec_id, xh, list_sum(list_transform(xh, x -> x * x)) AS xn2 FROM xhat),
+       |qs AS (
+       |  SELECT vec_id AS q_id, e AS qe, list_sum(list_transform(e, x -> x * x)) AS qn2
+       |  FROM v WHERE vec_id < 8),
+       |vn AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS vn2 FROM v),
+       |adcr AS (
+       |  SELECT q_id, vec_id, ar FROM (
+       |    SELECT q.q_id, x.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        q.qn2 + x.xn2 -
+       |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])),
+       |        x.vec_id) AS ar
+       |    FROM xn x CROSS JOIN qs q WHERE x.vec_id <> q.q_id) WHERE ar <= 100),
+       |cand AS (
+       |  SELECT a.q_id, a.vec_id, a.ar,
+       |    q.qn2 + b.vn2 -
+       |      2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])) AS l2
+       |  FROM adcr a JOIN vn b ON a.vec_id = b.vec_id JOIN qs q ON a.q_id = q.q_id),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        q.qn2 + b.vn2 -
+       |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])),
+       |        b.vec_id) AS rank
+       |    FROM vn b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5)$perL""".stripMargin
+  }
 
   // --- trained-PQ codebook experiment (round 8) ---------------------------
 
