@@ -172,4 +172,36 @@ class PlanGuardSpec extends SparkSpec {
     // above the join
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
   }
+
+  test("q_dedup_substring_scrub: no cartesian, doc-keyed joins after the fingerprint bucket") {
+    // the scrub consumes posting lists, never a pairwise self-join: no
+    // cartesian anywhere, and the rewrite joins are plain key joins
+    // (tokpos⋈covered on (doc_id, idx)) — an optimizer that loses the
+    // equi-keys would plan a nested loop over tokens × covered positions
+    val plan = planOf("q_dedup_substring_scrub")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q_multimodal_dedup: single fingerprint-bucket exchange, no payload self-join") {
+    // decode + fingerprint are one narrow pass; the ONLY exchange groups
+    // frame-0 fingerprints into posting lists (pair emission and verify
+    // happen inside the bucket) — a whole-payload self-join would add a
+    // join exchange pair and a SortMergeJoin
+    val plan = planOf("q_multimodal_dedup")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, found $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_ann_recall_pq_rerank: shortlist windows keep partition-local limits, no cartesian") {
+    // the two-phase ADC top-L must keep its WindowGroupLimit (no task
+    // sorts a whole query's corpus), and the rerank is a key join on the
+    // shortlist — the only nested-loop joins are the bounded broadcast
+    // query-frame cross joins
+    val plan = planOf("q_ann_recall_pq_rerank")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
