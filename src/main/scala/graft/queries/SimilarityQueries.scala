@@ -1168,13 +1168,18 @@ object SimilarityQueries {
         .groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("bdist"), col("k"))).as("best"), first(col("sub")).as("sub"))
         .select(col("vec_id"), col("m"), col("best.k").as("k"), col("sub"))
+      // ONE ordered pass accumulating all 8 dims (zip_with adds dim i of
+      // member j as the j-th addition of dim i — the same IEEE sequence
+      // as the oracle's per-dim list_sum over the vec_id-ordered list,
+      // without re-traversing the member list once per dim)
       val upd = assign.groupBy(col("m"), col("k"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("lst"))
         .select(col("m").as("cm"), col("k"),
-          transform(sequence(lit(1), lit(8)), i =>
-            aggregate(col("lst"), lit(0.0),
-              (acc, x) => acc + element_at(x.getField("sub"), i)) / size(col("lst"))
-          ).as("ucsub"))
+          transform(
+            aggregate(col("lst"),
+              array((0 until 8).map(_ => lit(0.0)): _*),
+              (acc, x) => zip_with(acc, x.getField("sub"), (a, b) => a + b)),
+            s => s / size(col("lst"))).as("ucsub"))
       trained = withCn2(
         trained.select(col("cm"), col("k"), col("csub").as("ocsub"))
           .join(upd, Seq("cm", "k"), "left")
