@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** O1 as a REAL Spark source — `kinesis-lite`, a DataSource V2
+  * micro-batch stream that emulates the Kinesis/KCL consumption model the
+  * reference runs on (`run_kcl.sh`, `consumer.properties.template`,
+  * `main.go:54-59`) inside the zero-egress sandbox:
+  *
+  *  - a "stream" is a directory; each shard is a line file
+  *    (`shard-0.txt`, `shard-1.txt`, …) whose 0-based line number is the
+  *    record's SEQUENCE NUMBER within the shard — append-only, like a
+  *    shard's record log;
+  *  - offsets are per-shard sequence maps, serialized into Spark's
+  *    checkpoint exactly where the KCL keeps its DynamoDB lease table —
+  *    restart resumes from the committed sequences (at-least-once, the
+  *    KCL contract);
+  *  - `startingPosition` = TRIM_HORIZON (sequence 0 everywhere) or
+  *    LATEST (current end of every shard), the two positions the
+  *    reference template allows;
+  *  - `maxRecordsPerFetch` caps how far each shard advances per
+  *    micro-batch via `SupportsAdmissionControl` — the GetRecords fetch
+  *    limit (`maxRecords` in the template, default 10000);
+  *  - `planInputPartitions` emits ONE partition per shard — the
+  *    shard-to-worker assignment of the KCL, so per-shard ordering is
+  *    preserved end-to-end while shards read in parallel.
+  *
+  * Schema: (raw STRING, shard_id STRING, sequence LONG). The production
+  * deployment swaps this format for the real connector
+  * ([[Sources.kinesis]]); everything downstream is source-agnostic.
+  */
+final class KinesisLiteSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kinesis-lite"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KinesisLiteSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KinesisLiteTable(properties.asScala.toMap)
+}
+
+object KinesisLiteSource {
+  val schema: StructType = new StructType()
+    .add("raw", StringType)
+    .add("shard_id", StringType)
+    .add("sequence", LongType)
+
+  /** Shard files of a stream dir, sorted by name for stable shard ids. */
+  def shardFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isFile && f.getName.startsWith("shard-"))
+      .sortBy(_.getName)
+  }
+
+  /** Current record count (= next sequence) of one shard file. */
+  def shardEnd(f: java.io.File): Long = {
+    if (!f.exists()) return 0L
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().size.toLong finally src.close()
+  }
+}
+
+final class KinesisLiteTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"kinesis-lite:${properties.getOrElse("path", "")}"
+  override def schema(): StructType = KinesisLiteSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = KinesisLiteSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new KinesisLiteStream(
+            properties.getOrElse("path",
+              throw new IllegalArgumentException("kinesis-lite requires option path=<stream dir>")),
+            properties.getOrElse("startingPosition", "LATEST").toUpperCase(java.util.Locale.ROOT),
+            properties.getOrElse("maxRecordsPerFetch", "10000").toInt)
+      }
+    }
+}
+
+/** Per-shard sequence map — the checkpointed offset (lease-table analog). */
+final case class KinesisLiteOffset(shards: Map[String, Long]) extends Offset {
+  // stable key order so the checkpoint JSON is deterministic
+  override def json(): String =
+    shards.toSeq.sortBy(_._1)
+      .map { case (s, n) => "\"" + s + "\":" + n }
+      .mkString("{", ",", "}")
+}
+
+object KinesisLiteOffset {
+  def fromJson(json: String): KinesisLiteOffset = {
+    // {"shard-0.txt":12,...} — flat string->long, parsed without a json lib
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    val m =
+      if (body.isEmpty) Map.empty[String, Long]
+      else body.split(",").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+      }.toMap
+    KinesisLiteOffset(m)
+  }
+}
+
+final class KinesisLiteStream(dir: String, startingPosition: String, maxRecords: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  require(Set("TRIM_HORIZON", "LATEST").contains(startingPosition),
+    s"startingPosition must be TRIM_HORIZON or LATEST, got $startingPosition")
+
+  private def available(): Map[String, Long] =
+    KinesisLiteSource.shardFiles(dir)
+      .map(f => f.getName -> KinesisLiteSource.shardEnd(f)).toMap
+
+  override def initialOffset(): Offset =
+    if (startingPosition == "TRIM_HORIZON")
+      KinesisLiteOffset(available().map { case (s, _) => s -> 0L })
+    else KinesisLiteOffset(available())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRecords.toLong)
+
+  /** GetRecords semantics: each shard advances at most `maxRecords` per
+    * fetch; a shard file that appeared after start (reshard) begins at 0. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KinesisLiteOffset].shards
+    KinesisLiteOffset(available().map { case (shard, end) =>
+      val from = s.getOrElse(shard, 0L)
+      shard -> math.min(end, from + maxRecords)
+    })
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KinesisLiteOffset].shards
+    val e = end.asInstanceOf[KinesisLiteOffset].shards
+    e.toSeq.sortBy(_._1).flatMap { case (shard, endSeq) =>
+      val startSeq = s.getOrElse(shard, 0L)
+      if (endSeq > startSeq)
+        Some(KinesisLiteShardPartition(new java.io.File(dir, shard).getPath, shard, startSeq, endSeq))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[KinesisLiteShardPartition]
+        new KinesisLiteShardReader(p)
+      }
+    }
+
+  override def deserializeOffset(json: String): Offset = KinesisLiteOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class KinesisLiteShardPartition(
+    path: String, shardId: String, startSeq: Long, endSeq: Long) extends InputPartition
+
+/** Reads lines [startSeq, endSeq) of one shard file, in order. */
+final class KinesisLiteShardReader(p: KinesisLiteShardPartition)
+    extends PartitionReader[InternalRow] {
+  private val src = scala.io.Source.fromFile(p.path, "UTF-8")
+  private val it = src.getLines().zipWithIndex
+    .dropWhile(_._2 < p.startSeq)
+    .takeWhile(_._2 < p.endSeq)
+  private var current: (String, Int) = _
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+  override def get(): InternalRow =
+    InternalRow(
+      UTF8String.fromString(current._1),
+      UTF8String.fromString(p.shardId),
+      current._2.toLong)
+  override def close(): Unit = src.close()
+}

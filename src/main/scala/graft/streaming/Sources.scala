@@ -25,8 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The zero-egress build has no Kinesis connector jar, so the production
   * source is constructed by format name (resolved at runtime when the
-  * connector is on the cluster classpath); tests and local runs use the
-  * file/memory sources below — the pipeline itself is source-agnostic.
+  * connector is on the cluster classpath). The consumption SEMANTICS are
+  * implemented and tested in-sandbox by [[KinesisLiteSource]] — a DSv2
+  * micro-batch source (format `kinesis-lite`) with per-shard sequence
+  * offsets, TRIM_HORIZON/LATEST, the GetRecords per-fetch cap, and
+  * checkpoint-resume (KinesisLiteSpec); tests and local runs may also
+  * use the plain file/memory sources below — the pipeline itself is
+  * source-agnostic.
   */
 object Sources {
 
