@@ -67,6 +67,36 @@ class KinesisLiteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kinesis-lite feeds the full kayvee delivery pipeline end-to-end (O1→O15)") {
+    // the complete reference path with the emulated source in the O1
+    // slot: shard files → kinesis-lite → parse → route → project →
+    // per-tag delivery — the same golden lines StreamingSpec drives
+    // through MemoryStream, now entering through a real DSv2 source
+    val golden =
+      """2017-08-15T18:39:07.000000+00:00 my-hostname production--my-app/arn[3337]: {"district":"ddd","_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"oauth.login_start","dimensions":["district"],"stat_type":"counter","value_field":"value","rule":"login-start"}]}}"""
+    val regionLine =
+      """2017-08-15T18:39:07.000000+00:00 my-hostname production--my-app/arn[3337]: {"dim1":"d","region":"us-west-2","value":1,"_kvmeta":{"team":"t","routes":[{"type":"alerts","series":"ContainerExitCount","dimensions":["dim1"],"stat_type":"counter","value_field":"value","rule":"exit"}]}}"""
+    SinkState.reset(failures = 0)
+    val dir = Files.createTempDirectory("klite-pipe").toString
+    writeShard(dir, 0, Seq(golden))
+    writeShard(dir, 1, Seq(regionLine))
+    val raw = spark.readStream.format("kinesis-lite")
+      .option("path", dir)
+      .option("startingPosition", "TRIM_HORIZON")
+      .load()
+      .select(org.apache.spark.sql.functions.col("raw"))
+    val q = graft.streaming.StreamPipeline
+      .deliver(raw,
+        graft.streaming.StreamPipeline.Config("test-env",
+          triggerInterval = "1 seconds", retryBaseMs = 5),
+        new TestSink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val byTag = SinkState.delivered.asScala.toSeq.groupBy(_._1)
+    assert(byTag.keySet === Set("default", "us-west-2"), byTag.toString)
+  }
+
   test("LATEST skips history; checkpoint restart resumes from committed sequences") {
     KinesisLiteBuffers.rows.clear(); KinesisLiteBuffers.batchSizes.clear()
     val dir = Files.createTempDirectory("klite").toString
