@@ -97,6 +97,33 @@ class KinesisLiteSpec extends SparkSpec {
     assert(byTag.keySet === Set("default", "us-west-2"), byTag.toString)
   }
 
+  test("reshard: a shard appearing mid-stream is picked up from sequence 0") {
+    KinesisLiteBuffers.rows.clear(); KinesisLiteBuffers.batchSizes.clear()
+    val dir = Files.createTempDirectory("klite-reshard").toString
+    writeShard(dir, 0, Seq("s0-a", "s0-b"))
+    val q = spark.readStream.format("kinesis-lite")
+      .option("path", dir)
+      .option("startingPosition", "TRIM_HORIZON")
+      .load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          KinesisLiteBuffers.rows.add((r.getString(0), r.getString(1), r.getLong(2))))
+      }
+      .start()
+    try {
+      drainTo(2)
+      writeShard(dir, 1, Seq("s1-a", "s1-b", "s1-c")) // the reshard
+      drainTo(5)
+      import scala.jdk.CollectionConverters._
+      val rows = KinesisLiteBuffers.rows.asScala.toSeq
+      val s1 = rows.filter(_._2 == "shard-1.txt").sortBy(_._3)
+      assert(s1.map(_._1) === Seq("s1-a", "s1-b", "s1-c"), rows.mkString(","))
+      assert(s1.map(_._3) === Seq(0L, 1L, 2L), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("LATEST skips history; checkpoint restart resumes from committed sequences") {
     KinesisLiteBuffers.rows.clear(); KinesisLiteBuffers.batchSizes.clear()
     val dir = Files.createTempDirectory("klite").toString
