@@ -80,10 +80,13 @@ class KinesisLiteSpec extends SparkSpec {
     val dir = Files.createTempDirectory("klite-pipe").toString
     writeShard(dir, 0, Seq(golden))
     writeShard(dir, 1, Seq(regionLine))
-    val raw = spark.readStream.format("kinesis-lite")
-      .option("path", dir)
-      .option("startingPosition", "TRIM_HORIZON")
-      .load()
+    // through the SAME KCL envelope the production reader uses — config
+    // parity and the emulated source exercised together
+    val cfg = graft.streaming.Sources.KclConfig(
+      streamName = "local", regionName = "us-west-2",
+      applicationName = "graft-test",
+      initialPositionInStream = "TRIM_HORIZON")
+    val raw = graft.streaming.Sources.kinesisLite(spark, cfg, dir)
       .select(org.apache.spark.sql.functions.col("raw"))
     val q = graft.streaming.StreamPipeline
       .deliver(raw,
