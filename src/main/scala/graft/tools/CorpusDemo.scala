@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Drives the LLM training-data lane end-to-end over the `documents` /
+  * `embeddings` tables — the corpus counterpart of [[PipelineDemo]]'s
+  * kayvee drive. Each stage IS a declared query (`SparkEntry.queries`),
+  * so the demo exercises exactly what the correctness gate checks, in the
+  * order a corpus-preparation pipeline composes them:
+  *
+  *   hygiene:    corpus_filter → pii_scrub → decontaminate
+  *   dedup:      exact → minhash pairs → substring spans → span scrub
+  *               → multimodal re-wraps
+  *   mixing:     corpus_mix → pack_sequences → shuffle_order
+  *   similarity: brute-force top-k → PQ shortlist+rerank recall
+  *
+  * Usage: `sbt "runMain graft.tools.CorpusDemo [sfDir] [rowsToShow]"`
+  */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val show = if (args.length > 1) args(1).toInt else 3
+    val spark = GraftSession.local("graft-corpus-demo")
+
+    val stages = Seq(
+      ("q_corpus_filter", "quality gate: keep/drop verdicts with first-failing-rule reasons"),
+      ("q_pii_scrub", "PII redaction: email/IPv4 extract-count + md5-pinned rewrite"),
+      ("q_decontaminate", "benchmark leak detection vs broadcast eval shingle index"),
+      ("q_dedup_exact", "exact dedup: distinct value tuples"),
+      ("q_dedup_minhash", "fuzzy dedup: MinHash+LSH banded candidate pairs"),
+      ("q_dedup_substring", "exact substring dedup: shared 20-token spans w/ positions"),
+      ("q_dedup_substring_scrub", "span removal: shared windows excised from non-keepers"),
+      ("q_multimodal_dedup", "multimodal near-dup: re-wrapped containers by parsed-frame hash"),
+      ("q_corpus_mix", "language re-weighting: data-derived quotas"),
+      ("q_pack_sequences", "context-window packing: token-budget bins per language"),
+      ("q_shuffle_order", "reproducible training-order shuffle"),
+      ("q_similarity_topk", "exact embedding top-k (two-phase)"),
+      ("q_ann_recall_pq_rerank", "PQ shortlist + exact rerank: the L→recall curve")
+    )
+
+    stages.foreach { case (name, what) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
+      println(s"== $name — $what")
+      println(s"   rows: $n")
+      df.show(show, truncate = 60)
+      graft.Bench.cleanup(spark)
+    }
+    spark.stop()
+  }
+}
