@@ -51,6 +51,29 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Whole-machine probe: the same loop on every core at once (wall time
+    * of the slowest thread). The single-thread probe misses co-tenant
+    * MULTI-CORE pressure — an observed run was uniformly ~20% slow with
+    * retried=2 and a FAST scalar calib; only an all-cores probe sees that
+    * mode. `calib_par / calib` ≈ 1 on an idle host; >1 means the cores
+    * are contended and the run's totals are inflated beyond what
+    * `total_calib_normalized` corrects. */
+  def calibratePar(): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        var x = 0L
+        var i = 0
+        while (i < 200000000) { x += i * 2654435761L; i += 1 }
+        if (x == 42) System.err.println("")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Inter-query cleanup (also asserted by DeclareGateSpec): queries
     * persist/localCheckpoint frames internally and a single JVM runs all
     * declared queries back to back; without this the storage pool fills
@@ -120,6 +143,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val calibPre = calibrate()
+    val calibParPre = calibratePar()
 
     // warm-up (not timed): smallest sf exercises the same code paths.
     // q_ann_recall_pq_trained is included because its first execution
@@ -185,12 +209,13 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val calibPost = calibrate()
+    val calibParPost = calibratePar()
     val runCalib = math.min(calibPre, calibPost)
     val totalNorm = if (runCalib > 0) total * REF_CALIB / runCalib else total
     // "reps_base" is the mandatory round count; queries that tripped the
     // steal/disagree retry carry reps_base+1 entries in rep_times (the
     // old fixed "reps":2 field misdescribed retried queries).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","rep_times":$repTimes,"rep_steal":$repSteal,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","rep_times":$repTimes,"rep_steal":$repSteal,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
     println(full)
     // The full line is long and has been tail-truncated in past round
     // artifacts; persist it and follow with a SHORT headline line so any
