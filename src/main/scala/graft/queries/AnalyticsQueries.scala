@@ -277,6 +277,167 @@ object AnalyticsQueries {
         )
         .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price"), col("disc")),
           "measure", "val")
+    },
+
+    // ★ SCD2 merge — slowly-changing-dimension versioning, the batch
+    // upsert shape behind every dimension table a warehouse maintains:
+    // collapse each user's event stream into consecutive-run versions
+    // (gaps-and-islands: change flag via lag, running sum numbers the
+    // island) with [valid_from, valid_to) intervals and an is_current
+    // flag. Every window is partitioned by user_id — the whole query is
+    // one shuffle on the natural key and scales embarrassingly; the
+    // second (per-version) window reuses the same partitioning so AQE
+    // plans no extra exchange.
+    q(
+      "q_scd2_merge",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |marked AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |ver AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    (sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS UNBOUNDED PRECEDING))::BIGINT AS version_no
+        |  FROM marked),
+        |v AS (
+        |  SELECT user_id, version_no, event_type,
+        |    min(ts_us) AS valid_from_us, count(*) AS n_events
+        |  FROM ver GROUP BY 1, 2, 3)
+        |SELECT user_id, version_no, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER wv AS valid_to_us,
+        |  (lead(valid_from_us) OVER wv IS NULL) AS is_current, n_events
+        |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY version_no)""".stripMargin
+    ) { (s, dir) =>
+      val wRow = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wVer = Window.partitionBy(col("user_id")).orderBy(col("version_no"))
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("event_id"))
+      e.withColumn("chg",
+          when(not(lag(col("event_type"), 1).over(wRow) <=> col("event_type")), 1)
+            .otherwise(0))
+        .withColumn("version_no",
+          sum(col("chg")).over(wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("version_no"), col("event_type"))
+        .agg(min(col("ts_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"), col("version_no"), col("event_type"), col("valid_from_us"),
+          lead(col("valid_from_us"), 1).over(wVer).as("valid_to_us"),
+          lead(col("valid_from_us"), 1).over(wVer).isNull.as("is_current"),
+          col("n_events"))
+    },
+
+    // ★ Time-series gap fill — materialize the missing days of each
+    // user's daily activity as explicit zero rows (the densification
+    // step every downstream window/forecast op assumes). The spine is
+    // generated per-user from its own [min_day, max_day] span via
+    // sequence+explode — fan-out is O(span), computed from an O(users)
+    // agg, never a calendar cross join — and the left join back to the
+    // daily counts is a natural-key join on (user_id, d). All shuffles
+    // are on user_id / (user_id, d); nothing global.
+    q(
+      "q_gapfill",
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+        |  FROM span)
+        |SELECT s.user_id, floor(epoch(s.d))::BIGINT AS d_sec,
+        |  coalesce(daily.cnt, 0)::BIGINT AS cnt,
+        |  daily.cnt IS NULL AS filled
+        |FROM spine s LEFT JOIN daily
+        |  ON s.user_id = daily.user_id AND s.d = daily.d""".stripMargin
+    ) { (s, dir) =>
+      val daily = Tables(s, dir).events
+        .select(col("user_id"),
+          date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("d"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = daily
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select(
+          col("user_id"),
+          unix_timestamp(col("d")).as("d_sec"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("cnt").isNull.as("filled"))
+    },
+
+    // ★ Forward fill (last observation carried forward) — the second
+    // half of time-series repair: at every event, the user's most
+    // recent purchase amount, nulls carried forward via
+    // last(ignoreNulls) over a user-partitioned running frame. One
+    // shuffle on the natural key; the frame is ROWS-bounded so state
+    // per partition is O(1). Values are copied, not computed, so the
+    // oracle matches bit-for-bit with no float guard.
+    q(
+      "q_fill_forward",
+      """SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS v
+        |  FROM events)""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+          when(col("event_type") === "purchase", col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          last(col("v"), ignoreNulls = true).over(w).as("last_purchase"))
+    },
+
+    // ★ Z-order layout key — multi-dimensional data clustering for the
+    // write path: interleave the bits of two dimensions (user bucket ×
+    // day-of-month) so one range-partitioned sort gives parquet row-group
+    // min/max locality on BOTH columns. The key is pure per-row integer
+    // arithmetic inside whole-stage codegen (zero shuffle to compute); at
+    // scale the layout pass is repartitionByRange(zkey) +
+    // sortWithinPartitions before write. The query verifies the property
+    // that makes z-order work — each contiguous z-range covers a BOUNDED
+    // (x, y) rectangle — by aggregating per-bucket spans.
+    {
+      // Bit-interleave, generated once and spliced into BOTH engines so
+      // the arithmetic is literally identical: 10 bits of x (even
+      // positions) and 5 of y (odd positions).
+      val zTerms = (0 until 10).map { i =>
+        val xe = s"(((x >> $i) & 1) << ${2 * i})"
+        if (i < 5) s"$xe + (((y >> $i) & 1) << ${2 * i + 1})" else xe
+      }.mkString(" + ")
+      q(
+        "q_zorder_key",
+        s"""WITH b AS (
+           |  SELECT user_id % 1024 AS x, day(ts)::BIGINT AS y FROM events),
+           |z AS (SELECT x, y, ($zTerms) AS zkey FROM b)
+           |SELECT zkey >> 12 AS bucket, count(*) AS cnt,
+           |  count(DISTINCT x) AS n_x, count(DISTINCT y) AS n_y,
+           |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+           |FROM z GROUP BY 1""".stripMargin
+      ) { (s, dir) =>
+        Tables(s, dir).events
+          .select(
+            (col("user_id") % 1024).as("x"),
+            dayofmonth(timestamp_micros(expr("ts div 1000"))).cast("long").as("y"))
+          .withColumn("zkey", expr(zTerms))
+          .groupBy(expr("zkey >> 12").as("bucket"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            countDistinct(col("x")).as("n_x"),
+            countDistinct(col("y")).as("n_y"),
+            (max(col("x")) - min(col("x"))).as("x_span"),
+            (max(col("y")) - min(col("y"))).as("y_span"))
+      }
     }
   )
 }

@@ -555,6 +555,66 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"))
+    },
+
+    // ★ Approximate quantile sketch — the 100 TB path where the exact
+    // median's full sort is too expensive. Same bounded-error-contract
+    // shape as q_agg_approx_distinct: percentile_approx (GK sketch,
+    // mergeable across partitions, rank error ≤ 1/accuracy = 0.1%) must
+    // land within a tenth of the exact p10–p90 spread of the exact
+    // median. Spark emits the exact side + the boolean; DuckDB recomputes
+    // the exact side and asserts TRUE — a hash match means the sketch
+    // really landed inside the bound. At 100 TB you ship only the sketch;
+    // the exact columns here are the harness.
+    q(
+      "q_agg_approx_quantile",
+      """SELECT event_type,
+        |  floor(quantile_cont(value, 0.5) * 1e6) / 1e6 AS exact_median,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5d)").as("exact_raw"),
+          expr("percentile_approx(value, 0.5d, 1000)").as("approx_median"),
+          expr("percentile(value, 0.1d)").as("p10"),
+          expr("percentile(value, 0.9d)").as("p90"))
+        .select(
+          col("event_type"),
+          (floor(col("exact_raw") * 1e6) / 1e6).as("exact_median"),
+          (abs(col("approx_median") - col("exact_raw")) <=
+            (col("p90") - col("p10")) * 0.1).as("within_bound"))
+    },
+
+    // ★ Heavy hitters — tokens appearing in more than 30% of documents
+    // (the support-threshold frequent-items query behind stopword-list
+    // induction and boilerplate detection). Exact and scale-correct as-is:
+    // one linear explode, one hash agg with map-side partials whose output
+    // is bounded by vocabulary size, a 1-row broadcast for the total, and
+    // a post-agg threshold filter. The streaming counterpart is a
+    // count-min/Misra-Gries sketch; in batch the exact agg IS the right
+    // plan because the shuffle is O(vocab), not O(corpus).
+    q(
+      "q_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, df, floor(df::DOUBLE / n_docs * 1e6) / 1e6 AS share
+        |FROM df CROSS JOIN n WHERE df > 0.3 * n_docs""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val dfT = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      dfT.crossJoin(broadcast(n))
+        .filter(col("df") > col("n_docs") * 0.3)
+        .select(
+          col("token"), col("df"),
+          (floor(col("df").cast("double") / col("n_docs") * 1e6) / 1e6).as("share"))
     }
   )
 }

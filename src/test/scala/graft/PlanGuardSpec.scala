@@ -204,4 +204,73 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q_bm25: broadcast stats, distributed top-10, no unbounded nested loop") {
+    // df (3 rows) and the corpus stats (1 row) ride as broadcasts; the
+    // dl join is a key join; the final top-10 must be
+    // TakeOrderedAndProject (per-partition heaps), never a global sort
+    val plan = planOf("q_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 1, s"only the 1-row stats cross join may nested-loop:\n${plan.take(3000)}")
+  }
+
+  test("q_heavy_hitters: one agg exchange, threshold applied post-agg, no extra shuffle") {
+    // the shuffle is O(vocab) from the df agg; the 1-row total must ride
+    // as a broadcast, not induce another exchange
+    val plan = planOf("q_heavy_hitters")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("q_scd2_merge: ONE natural-key exchange feeds both windows and the agg") {
+    // the islands window, the version agg, and the interval window all
+    // partition on user_id — Catalyst must plan exactly one
+    // hashpartitioning(user_id) exchange and reuse it; a lost partition
+    // key would show up as Exchange SinglePartition (global-sort window)
+    val plan = planOf("q_scd2_merge")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in SCD2 plan:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("q_zorder_key: interleave key shuffle-free; only the distinct-agg exchanges remain") {
+    val plan = planOf("q_zorder_key")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the key is per-row arithmetic: the only exchanges belong to the
+    // two-phase Expand multi-distinct aggregation (2), never a third for
+    // the key itself
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 agg exchanges, found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("q_gapfill: spine generation is an explode off the span agg, join stays keyed") {
+    // the per-user day spine must come from sequence+explode over the
+    // O(users) span aggregate — a calendar cross join would plan a
+    // nested loop over users × days
+    val plan = planOf("q_gapfill")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("Generate explode"), plan.take(3000))
+  }
+
+  test("q_fill_forward: single user-partitioned window, no global sort") {
+    val plan = planOf("q_fill_forward")
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
+    // percentile + percentile_approx per group plan as ONE (sort/object)
+    // aggregate pair — a second scan or a join between the exact and
+    // approx sides would double the cost of the harness
+    val plan = planOf("q_agg_approx_quantile")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected 1 parquet scan, found $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }
