@@ -330,6 +330,69 @@ object AnalyticsQueries {
           col("n_events"))
     },
 
+    // ★ Table profiling — the "analyze my table" data-quality pass every
+    // ingest pipeline runs first: per-column row count, null count,
+    // distinct count, min/max, all in ONE scan. The single wide agg
+    // (multi-column distinct → one Expand) is exploded into one row per
+    // column afterwards, so adding columns widens the agg instead of
+    // adding scans (plan guard pins scan count = 1). At 100 TB the
+    // distinct counts switch to approx_count_distinct — same plan minus
+    // the Expand; the exact version here is the oracle-checkable shape.
+    q(
+      "q_profile_table",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+        |    floor(min(l_quantity) * 1e6) / 1e6 AS min_q,
+        |    floor(max(l_quantity) * 1e6) / 1e6 AS max_q,
+        |    count(l_extendedprice) AS nn_p, count(DISTINCT l_extendedprice) AS nd_p,
+        |    floor(min(l_extendedprice) * 1e6) / 1e6 AS min_p,
+        |    floor(max(l_extendedprice) * 1e6) / 1e6 AS max_p,
+        |    count(l_returnflag) AS nn_f, count(DISTINCT l_returnflag) AS nd_f,
+        |    min(l_returnflag) AS sm_f, max(l_returnflag) AS sx_f
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS column_name, n, n - nn_q AS n_null,
+        |  nd_q AS n_distinct, min_q AS min_num, max_q AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', n, n - nn_p, nd_p, min_p, max_p,
+        |  NULL::VARCHAR, NULL::VARCHAR FROM a
+        |UNION ALL
+        |SELECT 'l_returnflag', n, n - nn_f, nd_f,
+        |  NULL::DOUBLE, NULL::DOUBLE, sm_f, sx_f FROM a""".stripMargin
+    ) { (s, dir) =>
+      val a = Tables(s, dir).lineitem.agg(
+        count(lit(1)).as("n"),
+        count(col("l_quantity")).as("nn_q"),
+        countDistinct(col("l_quantity")).as("nd_q"),
+        (floor(min(col("l_quantity")) * 1e6) / 1e6).as("min_q"),
+        (floor(max(col("l_quantity")) * 1e6) / 1e6).as("max_q"),
+        count(col("l_extendedprice")).as("nn_p"),
+        countDistinct(col("l_extendedprice")).as("nd_p"),
+        (floor(min(col("l_extendedprice")) * 1e6) / 1e6).as("min_p"),
+        (floor(max(col("l_extendedprice")) * 1e6) / 1e6).as("max_p"),
+        count(col("l_returnflag")).as("nn_f"),
+        countDistinct(col("l_returnflag")).as("nd_f"),
+        min(col("l_returnflag")).as("sm_f"),
+        max(col("l_returnflag")).as("sx_f"))
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      a.select(explode(array(
+          struct(lit("l_quantity").as("column_name"), col("n"),
+            (col("n") - col("nn_q")).as("n_null"), col("nd_q").as("n_distinct"),
+            col("min_q").as("min_num"), col("max_q").as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("l_extendedprice").as("column_name"), col("n"),
+            (col("n") - col("nn_p")).as("n_null"), col("nd_p").as("n_distinct"),
+            col("min_p").as("min_num"), col("max_p").as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("l_returnflag").as("column_name"), col("n"),
+            (col("n") - col("nn_f")).as("n_null"), col("nd_f").as("n_distinct"),
+            nullD.as("min_num"), nullD.as("max_num"),
+            col("sm_f").as("min_str"), col("sx_f").as("max_str")))).as("p"))
+        .select(col("p.*"))
+    },
+
     // ★ Time-series gap fill — materialize the missing days of each
     // user's daily activity as explicit zero rows (the densification
     // step every downstream window/forecast op assumes). The spine is

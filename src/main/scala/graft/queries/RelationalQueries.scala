@@ -587,6 +587,67 @@ object RelationalQueries {
             (col("p90") - col("p10")) * 0.1).as("within_bound"))
     },
 
+    // ★ CDC apply (MERGE INTO semantics) — compact a change log to
+    // last-op-per-key, then merge it into a snapshot: U on existing key
+    // updates, U on unknown key inserts, D deletes, untouched rows are
+    // kept. The changelog is derived deterministically from `orders`
+    // (urgent-priority last orders delete, every 7th order key lands on
+    // a fresh key to exercise inserts). Scale shape: compaction is one
+    // key-partitioned row_number window (WindowGroupLimit prunes to the
+    // newest op per key before the full sort), the apply is ONE
+    // full-outer key join — the exact dataflow of a warehouse MERGE,
+    // with file-level pruning delegated to layout (see q_zorder_key /
+    // RuntimeFilterSpec). Balances are copied, never computed, so the
+    // oracle needs no float guard.
+    q(
+      "q_cdc_apply",
+      """WITH chg AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal, o_orderdate, o_orderkey
+        |  FROM orders),
+        |last_chg AS (
+        |  SELECT k, op, new_bal FROM (
+        |    SELECT k, op, new_bal,
+        |      row_number() OVER (PARTITION BY k
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM chg) WHERE rn = 1),
+        |snap AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer)
+        |SELECT coalesce(snap.k, last_chg.k) AS k,
+        |  coalesce(snap.c_name, '(new)') AS name,
+        |  coalesce(last_chg.new_bal, snap.c_acctbal) AS bal,
+        |  CASE WHEN last_chg.op IS NULL THEN 'kept'
+        |       WHEN snap.k IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS status
+        |FROM snap FULL OUTER JOIN last_chg ON snap.k = last_chg.k
+        |WHERE last_chg.op IS DISTINCT FROM 'D'""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val chg = t.orders.select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("k"),
+        when(col("o_orderpriority") === "1-URGENT", "D").otherwise("U").as("op"),
+        col("o_totalprice").as("new_bal"), col("o_orderdate"), col("o_orderkey"))
+      val lastChg = chg
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"))
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("op"), col("new_bal"))
+      val snap = t.customer
+        .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal"))
+      snap.join(lastChg, Seq("k"), "full_outer")
+        .filter(not(col("op") <=> "D"))
+        .select(
+          col("k"),
+          coalesce(col("c_name"), lit("(new)")).as("name"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("bal"),
+          when(col("op").isNull, "kept")
+            .when(col("c_name").isNull, "inserted")
+            .otherwise("updated").as("status"))
+    },
+
     // ★ Heavy hitters — tokens appearing in more than 30% of documents
     // (the support-threshold frequent-items query behind stopword-list
     // induction and boilerplate detection). Exact and scale-correct as-is:

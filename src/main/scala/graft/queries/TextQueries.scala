@@ -442,6 +442,68 @@ object TextQueries {
         .limit(50)
     },
 
+    // ★ PMI collocations — pointwise-mutual-information association
+    // scores over token pairs co-occurring within a 2-token window: the
+    // classic phrase/collocation detector (word2vec-era preprocessing,
+    // boilerplate phrase mining). score = ln(c_ab · T / (c_a · c_b))
+    // with T the corpus token total. Pair fan-out is ≤ 2 rows per token
+    // (distances 1 and 2) — linear, never the O(len²) all-pairs within a
+    // document; the ≥20-count HAVING keeps the scored pair table tiny;
+    // the two unigram-count joins are vocabulary joins left to the
+    // planner (q_tfidf precedent); T rides as a 1-row broadcast. Top-50
+    // via TakeOrderedAndProject on the already-floored score.
+    q(
+      "q_pmi_cooccur",
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT unnest(ts) AS t FROM toks),
+        |ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT sum(c)::DOUBLE AS tt FROM ucnt),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |           i -> ts[i] || '|' || ts[i + 1])) AS ab
+        |  FROM toks WHERE len(ts) >= 2
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+        |           i -> ts[i] || '|' || ts[i + 2])) AS ab
+        |  FROM toks WHERE len(ts) >= 3),
+        |pcnt AS (SELECT ab, count(*) AS n_ab FROM pairs
+        |         GROUP BY 1 HAVING count(*) >= 20),
+        |sp AS (SELECT ab, string_split(ab, '|')[1] AS a,
+        |         string_split(ab, '|')[2] AS b, n_ab FROM pcnt)
+        |SELECT sp.ab AS pair, sp.n_ab,
+        |  floor(ln(sp.n_ab * tot.tt / (ca.c * cb.c)) * 1e6) / 1e6 AS pmi
+        |FROM sp JOIN ucnt ca ON sp.a = ca.t JOIN ucnt cb ON sp.b = cb.t
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, pair LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir).documents.select(split(col("text"), " ").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("t"))
+      val ucnt = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = ucnt.agg(sum(col("c")).cast("double").as("tt"))
+      val near = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], '|', ts[i + 1]))"
+        )).as("ab"))
+      val skip = toks.filter(size(col("ts")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 3), i -> concat(ts[i], '|', ts[i + 2]))"
+        )).as("ab"))
+      val pcnt = near.unionAll(skip)
+        .groupBy(col("ab")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 20)
+      val sp = pcnt.select(col("ab"),
+        substring_index(col("ab"), "|", 1).as("a"),
+        substring_index(col("ab"), "|", -1).as("b"), col("n_ab"))
+      sp.join(ucnt.withColumnRenamed("t", "a").withColumnRenamed("c", "ca"), "a")
+        .join(ucnt.withColumnRenamed("t", "b").withColumnRenamed("c", "cb"), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("ab").as("pair"), col("n_ab"),
+          (floor(log(col("n_ab") * col("tt") / (col("ca") * col("cb"))) * 1e6) / 1e6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("pair"))
+        .limit(50)
+    },
+
     // ★ BM25 retrieval scoring — the ranking function TF-IDF feeds in a
     // real retrieval stack (and the standard relevance filter for
     // query-targeted corpus construction). Okapi BM25 with k1=1.2, b=0.75

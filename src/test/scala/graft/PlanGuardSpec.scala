@@ -264,6 +264,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 exchange, found $exchanges:\n${plan.take(3000)}")
   }
 
+  test("q_cdc_apply: changelog compaction keeps WindowGroupLimit, merge is one key join") {
+    val plan = planOf("q_cdc_apply")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q_profile_table: every per-column stat comes from ONE scan") {
+    val plan = planOf("q_profile_table")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected 1 parquet scan, found $scans:\n${plan.take(3000)}")
+  }
+
+  test("q_pmi_cooccur: distributed top-50, only the 1-row total may nested-loop") {
+    val plan = planOf("q_pmi_cooccur")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 1, s"only the 1-row total cross join may nested-loop:\n${plan.take(3000)}")
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and

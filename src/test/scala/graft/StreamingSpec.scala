@@ -403,6 +403,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched alerts after watermark expiry") {
+    // the outer side of a stream-stream join can only emit its
+    // null-extended rows once the watermark proves no future match can
+    // arrive — the subtle half of interval-join semantics the inner test
+    // above doesn't cover
+    implicit val sqlCtx = spark.sqlContext
+    val t = 1700000000L
+    val msEvents = MemoryStream[(String, Long, Long)]
+    val msAlerts = MemoryStream[(String, String, Long)]
+    val events = msEvents.toDF().toDF("ehost", "event_id", "esec")
+      .withColumn("ets", col("esec").cast("timestamp")).withWatermark("ets", "1 minute")
+    val alerts = msAlerts.toDF().toDF("ahost", "alert_id", "asec")
+      .withColumn("ats", col("asec").cast("timestamp")).withWatermark("ats", "1 minute")
+    val joined = alerts.join(
+      events,
+      col("ahost") === col("ehost") &&
+        col("ets") <= col("ats") && col("ets") >= col("ats") - expr("INTERVAL 10 seconds"),
+      "left_outer")
+      .select(col("alert_id"), col("event_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode("append").start()
+    try {
+      msEvents.addData(("h1", 1L, t))
+      // alert "m" matches event 1; alert "u" has no event in its window
+      msAlerts.addData(("h1", "m", t + 5), ("h1", "u", t + 30))
+      q.processAllAvailable()
+      // push both watermarks far past the alerts so the unmatched row's
+      // join state expires and the null-extended row finalizes
+      msEvents.addData(("hx", 99L, t + 300)); msAlerts.addData(("hx", "z", t + 300))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = spark.sql(
+        "SELECT alert_id, event_id FROM ss_left_join WHERE alert_id IN ('m','u')")
+        .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+      // outer-row emission can trail the watermark by a micro-batch: poll
+      var got = rows()
+      while (got.size < 2 && System.currentTimeMillis() < deadline) {
+        msEvents.addData(("hy", 98L, t + 400)); msAlerts.addData(("hy", "y", t + 400))
+        q.processAllAvailable()
+        got = rows()
+      }
+      assert(got === Set(("m", Some(1L)), ("u", None)))
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming facts enrich against a static broadcast dim") {
     // the streaming analog of the allow-list join (O13): each micro-batch
     // joins against a STATIC frame — stateless (no join state store, no
