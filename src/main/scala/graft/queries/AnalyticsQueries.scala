@@ -461,6 +461,94 @@ object AnalyticsQueries {
           last(col("v"), ignoreNulls = true).over(w).as("last_purchase"))
     },
 
+    // ★ Feature scaling — z-score and min-max standardization, the last
+    // hop before numeric features feed a trainer. Global stats come from
+    // ONE single-pass agg (mergeable moments: avg/stddev_pop/min/max),
+    // ride to every row as a 1-row broadcast (BroadcastNestedLoopJoin of
+    // a single row — constant cost at any scale), and the per-row scaling
+    // is pure codegen arithmetic. Verified through order-insensitive
+    // per-group aggregates (counts + floored min/max) so the oracle
+    // needs no float-fold ordering tricks; the |z|>2 outlier threshold
+    // sits far from any attainable knife-edge (quantities are small
+    // integers).
+    q(
+      "q_feature_scale",
+      """WITH st AS (
+        |  SELECT avg(l_quantity) AS mq, stddev_pop(l_quantity) AS sq,
+        |    min(l_extendedprice) AS mnp, max(l_extendedprice) AS mxp
+        |  FROM lineitem),
+        |sc AS (
+        |  SELECT l_returnflag AS flag,
+        |    (l_quantity - mq) / sq AS z,
+        |    (l_extendedprice - mnp) / (mxp - mnp) AS mm
+        |  FROM lineitem CROSS JOIN st)
+        |SELECT flag, count(*) AS n,
+        |  sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END)::BIGINT AS n_outlier,
+        |  floor(min(z) * 1e6) / 1e6 + 0.0 AS min_z,
+        |  floor(max(z) * 1e6) / 1e6 + 0.0 AS max_z,
+        |  floor(min(mm) * 1e6) / 1e6 + 0.0 AS min_mm,
+        |  floor(max(mm) * 1e6) / 1e6 + 0.0 AS max_mm
+        |FROM sc GROUP BY flag""".stripMargin
+    ) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val st = li.agg(
+        avg(col("l_quantity")).as("mq"),
+        stddev_pop(col("l_quantity")).as("sq"),
+        min(col("l_extendedprice")).as("mnp"),
+        max(col("l_extendedprice")).as("mxp"))
+      li.crossJoin(broadcast(st))
+        .select(
+          col("l_returnflag").as("flag"),
+          ((col("l_quantity") - col("mq")) / col("sq")).as("z"),
+          ((col("l_extendedprice") - col("mnp")) / (col("mxp") - col("mnp"))).as("mm"))
+        .groupBy(col("flag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_outlier"),
+          (floor(min(col("z")) * 1e6) / 1e6 + 0.0).as("min_z"),
+          (floor(max(col("z")) * 1e6) / 1e6 + 0.0).as("max_z"),
+          (floor(min(col("mm")) * 1e6) / 1e6 + 0.0).as("min_mm"),
+          (floor(max(col("mm")) * 1e6) / 1e6 + 0.0).as("max_mm"))
+    },
+
+    // ★ PageRank step — one damped iteration over the supplier→part
+    // bipartite graph distilled from lineitem (distinct edges), the
+    // weighted-iterative-compute family that the connected-components
+    // dedup lane (pure label min) doesn't cover. Shapes per iteration:
+    // one distinct (edge shuffle), one out-degree agg, one key join, one
+    // destination agg — all key-partitioned, output O(nodes); iterating
+    // re-runs join+agg with the ranks frame checkpointed every few
+    // rounds exactly like the dedup CC lane's lineage bound. Per-node
+    // contribution sums fold in sorted source order (ordered-list
+    // aggregate) so both engines replay the same IEEE sum; top-25 via
+    // TakeOrderedAndProject on the floored score.
+    q(
+      "q_pagerank_step",
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |od AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+        |contrib AS (
+        |  SELECT e.p, e.s, 1.0 / od.deg AS c FROM e JOIN od USING (s)),
+        |r AS (SELECT p, list(c ORDER BY s) AS cl FROM contrib GROUP BY p)
+        |SELECT p AS partkey,
+        |  floor((0.15 + 0.85 * list_sum(cl)) * 1e6) / 1e6 + 0.0 AS pr
+        |FROM r ORDER BY pr DESC, partkey LIMIT 25""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir).lineitem
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val od = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      e.join(od, "s")
+        .select(col("p"), col("s"), (lit(1.0) / col("deg")).as("c"))
+        .groupBy(col("p"))
+        .agg(sort_array(collect_list(struct(col("s"), col("c")))).as("cl"))
+        .select(
+          col("p").as("partkey"),
+          (floor((lit(0.15) + lit(0.85) *
+            aggregate(col("cl"), lit(0.0), (a, x) => a + x.getField("c"))) * 1e6) / 1e6
+            + 0.0).as("pr"))
+        .orderBy(col("pr").desc, col("partkey"))
+        .limit(25)
+    },
+
     // ★ Z-order layout key — multi-dimensional data clustering for the
     // write path: interleave the bits of two dimensions (user bucket ×
     // day-of-month) so one range-partitioned sort gives parquet row-group

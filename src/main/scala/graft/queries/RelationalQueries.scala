@@ -648,6 +648,58 @@ object RelationalQueries {
             .otherwise("updated").as("status"))
     },
 
+    // ★ Snapshot diff — the data-versioning primitive behind dataset
+    // release notes and incremental re-training: given two materialized
+    // snapshots of the same table, emit exactly what changed (added /
+    // removed / changed keys; unchanged rows drop out). Snapshot B is
+    // derived deterministically from A: every 13th key deleted, every
+    // 10th rebalanced, every 11th re-appears on a fresh key. Scale
+    // shape: ONE full-outer key join, no window, no sort; at 100 TB the
+    // field-by-field compare collapses to an xxhash64 row digest
+    // compared once per key, and z-order/partition layout (q_zorder_key)
+    // prunes untouched files before the join ever reads them.
+    q(
+      "q_snapshot_diff",
+      """WITH a AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+        |b AS (
+        |  SELECT k, name,
+        |    CASE WHEN k % 10 = 0 THEN k::DOUBLE ELSE bal END AS bal
+        |  FROM a WHERE k % 13 != 0
+        |  UNION ALL
+        |  SELECT k + 3000000, '(new)', bal FROM a WHERE k % 11 = 0)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN a.k IS NULL THEN 'added'
+        |       WHEN b.k IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  a.bal AS old_bal, b.bal AS new_bal
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL
+        |   OR a.name IS DISTINCT FROM b.name
+        |   OR a.bal IS DISTINCT FROM b.bal""".stripMargin
+    ) { (s, dir) =>
+      val a = Tables(s, dir).customer.select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+      val b = a.filter(col("k") % 13 =!= 0)
+        .select(col("k"), col("name"),
+          when(col("k") % 10 === 0, col("k").cast("double"))
+            .otherwise(col("bal")).as("bal"))
+        .unionAll(a.filter(col("k") % 11 === 0)
+          .select(col("k") + 3000000, lit("(new)"), col("bal")))
+      a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .filter(
+          col("a.k").isNull || col("b.k").isNull ||
+            not(col("a.name") <=> col("b.name")) ||
+            not(col("a.bal") <=> col("b.bal")))
+        .select(
+          coalesce(col("a.k"), col("b.k")).as("k"),
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .otherwise("changed").as("status"),
+          col("a.bal").as("old_bal"), col("b.bal").as("new_bal"))
+    },
+
     // ★ Heavy hitters — tokens appearing in more than 30% of documents
     // (the support-threshold frequent-items query behind stopword-list
     // induction and boilerplate detection). Exact and scale-correct as-is:

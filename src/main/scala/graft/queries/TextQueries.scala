@@ -504,6 +504,45 @@ object TextQueries {
         .limit(50)
     },
 
+    // ★ BPE training step — the pair-statistics half of a byte-pair-
+    // encoding tokenizer-training iteration (q_token_bpe APPLIES a
+    // merge table; this derives the next rule). Adjacent-character pair
+    // counts are computed over the word-frequency table, not the raw
+    // corpus — the classic BPE trick that bounds the explode at
+    // O(vocab × word_len) instead of O(corpus): first an O(vocab) word
+    // hash agg (map-side partials shrink it to distinct words per
+    // partition), then a ≤(len−1) per-word pair fan-out weighted by word
+    // count, then an O(pairs) agg. The argmax row IS the merge rule
+    // learned this iteration; training loops by re-deriving stats over
+    // merged symbol sequences, same shapes each round. Top-20 by
+    // weighted count via TakeOrderedAndProject — integer counts, fully
+    // deterministic with the pair tie-break.
+    q(
+      "q_bpe_train_step",
+      """WITH w AS (
+        |  SELECT word, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+        |           i -> substr(word, i, 2))) AS pair, wc
+        |  FROM w),
+        |pc AS (SELECT pair, sum(wc)::BIGINT AS n FROM p GROUP BY 1)
+        |SELECT pair, n FROM pc ORDER BY n DESC, pair LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val words = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+        )).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // ★ BM25 retrieval scoring — the ranking function TF-IDF feeds in a
     // real retrieval stack (and the standard relevance filter for
     // query-targeted corpus construction). Okapi BM25 with k1=1.2, b=0.75

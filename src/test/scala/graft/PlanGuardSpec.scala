@@ -285,6 +285,38 @@ class PlanGuardSpec extends SparkSpec {
     assert(bnl <= 1, s"only the 1-row total cross join may nested-loop:\n${plan.take(3000)}")
   }
 
+  test("q_snapshot_diff: one key join, never a nested-loop compare") {
+    val plan = planOf("q_snapshot_diff")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).length
+    assert(joins === 1, s"expected 1 key join, found $joins:\n${plan.take(3000)}")
+  }
+
+  test("q_feature_scale: stats ride as a 1-row broadcast, rows never shuffle for them") {
+    val plan = planOf("q_feature_scale")
+    // the only nested-loop is the single-row stats frame joined to the rows
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl === 1, s"expected exactly the 1-row stats broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_bpe_train_step: two vocab-bounded aggs, a local top-k, and no join") {
+    val plan = planOf("q_bpe_train_step")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct)".r
+      .findAllIn(plan).hasNext, plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges (word agg, pair agg):\n${plan.take(3000)}")
+  }
+
+  test("q_pagerank_step: key-partitioned join + agg, distributed top-25") {
+    val plan = planOf("q_pagerank_step")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and
