@@ -232,6 +232,56 @@ object DedupQueries {
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
     },
 
+    // ★ Edit-distance verify — the character-level near-dup family:
+    // MinHash-LSH candidates (the standard blocking pass, shared with
+    // q_dedup_minhash) verified by full Levenshtein distance instead of
+    // set Jaccard, keeping pairs at ≥0.6 normalized similarity. Edit
+    // distance is O(len²) per pair — exactly why it NEVER runs as a
+    // self-join: the signature→bucket→verify shape bounds it to the
+    // candidate set (O(n·bands) bucket rows), and per-pair cost is
+    // capped by document length, not corpus size. sim = 1 − lev/max_len
+    // is one subtract + one divide off integer inputs, IEEE-identical
+    // across engines; the 0.6 threshold never sits at a knife edge.
+    q(
+      "q_dedup_edit_verify",
+      s"""WITH $corpusSql, $shinglesSql,
+         |minh AS (
+         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS b,
+         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
+         |  FROM minh GROUP BY doc_id, j // 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |ed AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    levenshtein(x.text, y.text)::BIGINT AS lev,
+         |    greatest(length(x.text), length(y.text)) AS mx
+         |  FROM cands c JOIN corpus x ON x.doc_id = c.doc_a
+         |               JOIN corpus y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, lev,
+         |  floor((1.0 - lev::DOUBLE / mx) * 1e6) / 1e6 + 0.0 AS sim
+         |FROM ed WHERE 1.0 - lev::DOUBLE / mx >= 0.6""".stripMargin
+    ) { (s, dir) =>
+      // corpus text feeds three consumers (shingles + both pair sides)
+      val c = corpus(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = minhashCandsFrom(s, shingleArrays(c))
+      val x = c.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val y = c.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      val sim = lit(1.0) - col("lev").cast("double") / col("mx")
+      cands.join(x, "doc_a").join(y, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+          greatest(length(col("ta")), length(col("tb"))).as("mx"))
+        .filter(sim >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("lev"),
+          (floor(sim * 1e6) / 1e6 + 0.0).as("sim"))
+    },
+
     // SimHash: 60-bit integer signature from per-token md5-hex-char
     // parities (two md5 streams), majority vote per bit; banded (4×15 bits)
     // LSH join; candidates kept at Hamming ≤ 3 via xor+bit_count.

@@ -147,6 +147,36 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ★ Weighted sampling without replacement — Efraimidis–Spirakis A-ES:
+    // top-k documents by u^(1/w) ⟺ top-k by ln(u)/w, here with weight =
+    // n_chars so longer documents are proportionally likelier (the
+    // standard length-weighted corpus draw). The "uniform" u is derived
+    // from the same Knuth multiplicative hash q_sample_stratified seeds
+    // with, so the draw is REPRODUCIBLE across reruns and engines — the
+    // property a training pipeline needs from its sampler. One pass, one
+    // TakeOrderedAndProject (per-partition top-k then a k-row merge);
+    // never a global sort. Ordering happens on the floored key with a
+    // doc_id tie-break so both engines agree at ulp boundaries.
+    q(
+      "q_sample_weighted",
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln(((doc_id * 2654435761) % 1000000 + 0.5) / 1e6)
+        |      / greatest(n_chars, 1) AS key
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  floor(key * 1e9) / 1e9 + 0.0 AS skey
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 30""".stripMargin
+    ) { (s, dir) =>
+      val key = log(((col("doc_id") * lit(2654435761L)) % 1000000 + 0.5) / 1e6) /
+        greatest(col("n_chars"), lit(1))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (floor(key * 1e9) / 1e9 + 0.0).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(30)
+    },
+
     // ★ Sequence packing: assign documents to fixed token-budget bins
     // (2048) by a running token sum — the packing step before
     // tokenization. Packed per language PARTITION so the window state

@@ -317,6 +317,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q_dedup_edit_verify: Levenshtein runs on LSH candidates, never a pair scan") {
+    val plan = planOf("q_dedup_edit_verify")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q_sample_weighted: one pass, local top-k, zero shuffles") {
+    val plan = planOf("q_sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges === 0, s"A-ES sampling must not shuffle:\n${plan.take(3000)}")
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and
