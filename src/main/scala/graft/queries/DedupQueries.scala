@@ -272,12 +272,23 @@ object DedupQueries {
       val cands = minhashCandsFrom(s, shingleArrays(c))
       val x = c.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val y = c.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      val withLev = cands.join(x, "doc_a").join(y, "doc_b")
+        .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+        // lev ≥ |len(a) − len(b)|: a pair whose length gap already exceeds
+        // 0.4·mx can't reach sim ≥ 0.6 — prune before any DP runs
+        .filter(abs(length(col("ta")) - length(col("tb"))) <= lit(0.4) * col("mx"))
+        .select(col("doc_a"), col("doc_b"), col("mx"),
+          // banded Levenshtein (O(len·t), not O(len²)): docs cap at 577
+          // chars, so any surviving pair has lev ≤ 0.4·578 < 300 — the
+          // band returns the exact distance for every pair the sim filter
+          // could keep and −1 (dropped below) otherwise. Fenced: `lev`
+          // feeds the −1 filter, the sim filter, and the output — unfenced
+          // the DP would re-run per consumer after CollapseProject.
+          graft.plans.OptimizerBarrier.once(
+            levenshtein(col("ta"), col("tb"), 300).cast("long")).as("lev"))
+        .filter(col("lev") >= 0)
       val sim = lit(1.0) - col("lev").cast("double") / col("mx")
-      cands.join(x, "doc_a").join(y, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
-          greatest(length(col("ta")), length(col("tb"))).as("mx"))
-        .filter(sim >= 0.6)
+      withLev.filter(sim >= 0.6)
         .select(col("doc_a"), col("doc_b"), col("lev"),
           (floor(sim * 1e6) / 1e6 + 0.0).as("sim"))
     },

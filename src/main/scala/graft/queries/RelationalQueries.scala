@@ -539,6 +539,46 @@ object RelationalQueries {
             col("exact_parts") * 0.05).as("within_bound"))
     },
 
+    // ★ Sketch re-aggregation — the property that makes approximate
+    // distincts FREE at 100 TB: HLL sketches are mergeable, so per-day
+    // partial sketches (the stored artifact) roll up to any coarser
+    // range by pure sketch UNION without ever touching raw events again.
+    // Here: hll_sketch_agg per (event_type, day) → hll_union_agg per
+    // (event_type, week) → estimate, under the same bounded-error
+    // contract as q_agg_approx_distinct (Spark emits exact + boolean,
+    // DuckDB recomputes exact and asserts TRUE; a hash match proves the
+    // DAY-SKETCH UNION landed within 5% — not just a direct estimate).
+    // Shuffle bytes for the roll-up are sketch-sized (≤ KBs/day),
+    // independent of user cardinality; union is associative and
+    // commutative, so arbitrary date ranges compose from the same
+    // partials.
+    q(
+      "q_sketch_union",
+      """SELECT event_type,
+        |  strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir).events.select(
+        col("user_id"), col("event_type"),
+        date_trunc("week", timestamp_micros(expr("ts div 1000"))).as("w"),
+        date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("d"))
+      val daily = ev.groupBy(col("event_type"), col("w"), col("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily.groupBy(col("event_type"), col("w"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = ev.groupBy(col("event_type"), col("w"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(weekly, Seq("event_type", "w"))
+        .select(
+          col("event_type"),
+          date_format(col("w"), "yyyy-MM-dd").as("week"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_bound"))
+    },
+
     // Keep-first dedup: earliest event per (user, type) — window + filter,
     // with WindowGroupLimit pruning rows before the full sort at scale.
     q(

@@ -14,6 +14,10 @@ import org.apache.spark.sql.streaming.Trigger
 object KinesisLiteBuffers {
   val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
   val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  // foreachBatch is at-least-once: stop() can race the WAL commit, and the
+  // restart then replays the uncommitted batch with the SAME batchId. The
+  // documented idempotent-sink pattern keys side effects on batchId.
+  val seenBatches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 }
 
 class KinesisLiteSpec extends SparkSpec {
@@ -129,6 +133,7 @@ class KinesisLiteSpec extends SparkSpec {
 
   test("LATEST skips history; checkpoint restart resumes from committed sequences") {
     KinesisLiteBuffers.rows.clear(); KinesisLiteBuffers.batchSizes.clear()
+    KinesisLiteBuffers.seenBatches.clear()
     val dir = Files.createTempDirectory("klite").toString
     val ckpt = Files.createTempDirectory("klite-ckpt").toString
     writeShard(dir, 0, Seq("old0", "old1")) // history LATEST must skip
@@ -140,9 +145,12 @@ class KinesisLiteSpec extends SparkSpec {
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        df.collect().foreach(r =>
-          KinesisLiteBuffers.rows.add((r.getString(0), r.getString(1), r.getLong(2))))
+      // idempotent on batchId: a replay of the batch stop() interrupted
+      // must not double-count (exactly-once = at-least-once + idempotence)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (KinesisLiteBuffers.seenBatches.add(batchId))
+          df.collect().foreach(r =>
+            KinesisLiteBuffers.rows.add((r.getString(0), r.getString(1), r.getLong(2))))
       }
       .start()
     val q1 = startQuery()

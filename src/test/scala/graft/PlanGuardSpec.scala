@@ -330,6 +330,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges === 0, s"A-ES sampling must not shuffle:\n${plan.take(3000)}")
   }
 
+  test("q_sketch_union: day partials roll up via sketch-union aggregation") {
+    val plan = planOf("q_sketch_union")
+    // HLL sketch agg/union are object-hash aggregates; both levels present
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("hll_union_agg"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and
