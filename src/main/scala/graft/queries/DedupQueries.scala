@@ -278,14 +278,18 @@ object DedupQueries {
         // 0.4·mx can't reach sim ≥ 0.6 — prune before any DP runs
         .filter(abs(length(col("ta")) - length(col("tb"))) <= lit(0.4) * col("mx"))
         .select(col("doc_a"), col("doc_b"), col("mx"),
-          // banded Levenshtein (O(len·t), not O(len²)): docs cap at 577
-          // chars, so any surviving pair has lev ≤ 0.4·578 < 300 — the
-          // band returns the exact distance for every pair the sim filter
-          // could keep and −1 (dropped below) otherwise. Fenced: `lev`
-          // feeds the −1 filter, the sim filter, and the output — unfenced
-          // the DP would re-run per consumer after CollapseProject.
+          // banded Levenshtein (O(len·t), not O(len²)) with the band
+          // DERIVED from the pair: t = ceil(0.4·mx), the exact cutoff the
+          // sim ≥ 0.6 filter implies (sim ≥ 0.6 ⇔ lev ≤ 0.4·mx) — so the
+          // band is lossless at ANY document length, not just this
+          // corpus's 577-char cap. The expression returns the exact
+          // distance for every pair the sim filter could keep and −1
+          // (dropped below) otherwise. Fenced: `lev` feeds the −1 filter,
+          // the sim filter, and the output — unfenced the DP would re-run
+          // per consumer after CollapseProject.
           graft.plans.OptimizerBarrier.once(
-            levenshtein(col("ta"), col("tb"), 300).cast("long")).as("lev"))
+            expr("levenshtein(ta, tb, cast(ceil(0.4 * mx) as int))")
+              .cast("long")).as("lev"))
         .filter(col("lev") >= 0)
       val sim = lit(1.0) - col("lev").cast("double") / col("mx")
       withLev.filter(sim >= 0.6)
@@ -685,12 +689,17 @@ object DedupQueries {
         }
         .toDF("doc_id", "comp")
 
-    if (pairs.count() <= localThreshold) unionFindLocal(pairs)
+    // Materialize the edge frame ONCE before branching: the threshold
+    // count otherwise re-runs the whole upstream LSH candidate pipeline
+    // for the count AND again for whichever path wins (Bench.cleanup
+    // unpersists between queries).
+    val pairsC = pairs.persist(MEMORY_AND_DISK)
+    if (pairsC.count() <= localThreshold) unionFindLocal(pairsC)
     else {
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val edges = pairsC.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairsC.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist(MEMORY_AND_DISK)
-      var labels = pairs
+      var labels = pairsC
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
         .select(col("doc_id"), col("doc_id").as("comp"))

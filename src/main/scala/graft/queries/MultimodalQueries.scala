@@ -33,11 +33,16 @@ object MultimodalQueries {
     // come from the chunk walk, so a mis-parse shifts every fingerprint.
     q(
       "q_multimodal_frames",
+      // The Spark side slices BYTES of the parsed data section; the oracle's
+      // substr slices characters. strlen pins the length arithmetic to bytes;
+      // the substr slice itself is byte==char only because the documents
+      // fixture is ASCII (asserted: strlen(text)=length(text) for all rows
+      // at every SF) — a non-ASCII corpus would need blob substr here.
       """SELECT doc_id, (32 + doc_id % 1920)::BIGINT AS width,
         |  (32 + doc_id % 1080)::BIGINT AS height,
         |  i AS frame_idx, md5(substr(text, (i * 32 + 1)::INT, 32)) AS frame_fp
         |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
-        |WHERE i * 32 < length(text)""".stripMargin
+        |WHERE i * 32 < strlen(text)""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -73,7 +78,7 @@ object MultimodalQueries {
         |  (32 + doc_id % 1920)::BIGINT AS width,
         |  (32 + doc_id % 1080)::BIGINT AS height,
         |  (CASE WHEN doc_id % 3 = 0 THEN 8 WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)::BIGINT AS bit_depth,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 55 ELSE 57 END + length(text))::BIGINT AS n_bytes
+        |  (CASE WHEN doc_id % 3 = 0 THEN 55 ELSE 57 END + strlen(text))::BIGINT AS n_bytes
         |FROM documents WHERE doc_id % 3 <> 2""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
@@ -120,11 +125,11 @@ object MultimodalQueries {
     q(
       "q_multimodal_dedup",
       """WITH corpus AS (
-        |  SELECT doc_id, text, (57 + length(text))::BIGINT AS n_bytes
+        |  SELECT doc_id, text, (57 + strlen(text))::BIGINT AS n_bytes
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text,
-        |    (83 + length(text) + length(CAST(doc_id AS VARCHAR)))::BIGINT AS n_bytes
+        |    (83 + strlen(text) + strlen(CAST(doc_id AS VARCHAR)))::BIGINT AS n_bytes
         |  FROM documents WHERE doc_id % 5 = 0)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, md5(a.text) AS data_fp,
         |  a.n_bytes AS n_bytes_a, b.n_bytes AS n_bytes_b

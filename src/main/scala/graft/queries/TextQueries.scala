@@ -491,9 +491,12 @@ object TextQueries {
       val pcnt = near.unionAll(skip)
         .groupBy(col("ab")).agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 20)
+      // split identically to the oracle's string_split(ab,'|')[1]/[2]
+      // (segment 1 and segment 2) so a corpus token containing '|' can't
+      // make the two engines disagree about which half is which
       val sp = pcnt.select(col("ab"),
-        substring_index(col("ab"), "|", 1).as("a"),
-        substring_index(col("ab"), "|", -1).as("b"), col("n_ab"))
+        element_at(split(col("ab"), "\\|"), 1).as("a"),
+        element_at(split(col("ab"), "\\|"), 2).as("b"), col("n_ab"))
       sp.join(ucnt.withColumnRenamed("t", "a").withColumnRenamed("c", "ca"), "a")
         .join(ucnt.withColumnRenamed("t", "b").withColumnRenamed("c", "cb"), "b")
         .crossJoin(broadcast(tot))
