@@ -55,7 +55,7 @@ object DedupQueries {
     )
 
   /** (doc_id, lang, sarr): per-doc distinct shingle array. */
-  private def shingleArrays(df: DataFrame): DataFrame =
+  private[queries] def shingleArrays(df: DataFrame): DataFrame =
     df.withColumn("l", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), shingleArray.as("sarr"))
 
@@ -66,7 +66,7 @@ object DedupQueries {
     * shape shipped two full shingle arrays per pair and measured 3×
     * slower — the ngram query verifies from index-join intersection counts
     * instead.) */
-  private def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
+  private[queries] def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
     cands
       .join(sarr.select(col("doc_id").as("doc_a"), col("sarr").as("sa")), "doc_a")
       .join(sarr.select(col("doc_id").as("doc_b"), col("sarr").as("sb")), "doc_b")
@@ -101,7 +101,7 @@ object DedupQueries {
     * the per-doc shingle array — no explode and no aggregation shuffle for
     * the signature (the round-1 shape grouped 8 min-aggregates over
     * exploded rows). */
-  private def minhashCandsFrom(s: SparkSession, sarr: DataFrame): DataFrame = {
+  private[queries] def minhashCandsFrom(s: SparkSession, sarr: DataFrame): DataFrame = {
     val minh = sarr
       .select(
         col("doc_id"),

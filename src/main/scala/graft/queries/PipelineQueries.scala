@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +23,29 @@ object PipelineQueries {
   // whatever occurs naturally.
   private val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Distinct word-8-grams, imperatively: the declarative HOF shape
+    * (transform + 8 element_ats + concat_ws per shingle) evaluates
+    * interpreted and measured ~8 s at sf0.1; this per-partition loop is
+    * the codebase's sanctioned row-imperative lane (~4×). Per-doc dedup
+    * via HashSet ≡ array_distinct, so pairs come out unique. Shared by
+    * q_decontaminate and the q_corpus_pipeline decontamination stage. */
+  private def grams8(s: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import s.implicits._
+    df.as[(Long, String)].flatMap { case (id, text) =>
+      val tok = text.split(' ')
+      if (tok.length < 8) Iterator.empty
+      else {
+        val seen = new java.util.HashSet[String]((tok.length - 7) * 2)
+        (0 to tok.length - 8).iterator.map { i =>
+          val sb = new java.lang.StringBuilder(64)
+          var j = 0
+          while (j < 8) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
+          sb.toString
+        }.filter(seen.add).map(sh => (id, sh))
+      }
+    }.toDF(idCol, "s")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -62,28 +86,8 @@ object PipelineQueries {
          |FROM trs t JOIN evs e ON t.s = e.s
          |GROUP BY t.doc_id""".stripMargin
     ) { (s, dir) =>
-      import s.implicits._
       val d = Tables(s, dir).documents
-      // Distinct word-8-grams, imperatively: the declarative HOF shape
-      // (transform + 8 element_ats + concat_ws per shingle) evaluates
-      // interpreted and measured ~8 s at sf0.1; this per-partition loop
-      // is the codebase's sanctioned row-imperative lane (~4×). Per-doc
-      // dedup via HashSet ≡ array_distinct, so pairs come out unique.
-      def grams8(df: org.apache.spark.sql.DataFrame, idCol: String) =
-        df.as[(Long, String)].flatMap { case (id, text) =>
-          val tok = text.split(' ')
-          if (tok.length < 8) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[String]((tok.length - 7) * 2)
-            (0 to tok.length - 8).iterator.map { i =>
-              val sb = new java.lang.StringBuilder(64)
-              var j = 0
-              while (j < 8) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
-              sb.toString
-            }.filter(seen.add).map(sh => (id, sh))
-          }
-        }.toDF(idCol, "s")
-      val evalShingles = grams8(
+      val evalShingles = grams8(s,
         d.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")), "eval_id")
       val train = d.filter(col("doc_id") % evalMod =!= 0)
         .select(col("doc_id"), col("text"))
@@ -92,11 +96,171 @@ object PipelineQueries {
             (col("doc_id") + 2000000L).as("doc_id"),
             concat_ws(" ", filter(split(col("text"), " "), (_, i) => i % 13 =!= 0)).as("text")
           ))
-      grams8(train, "doc_id")
+      grams8(s, train, "doc_id")
         .join(broadcast(evalShingles), "s") // eval index is the small fixed side
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("s")).as("n_shared"),
           countDistinct(col("eval_id")).as("n_eval_docs"))
+    },
+
+    // ★ End-to-end corpus pipeline — the product story in ONE declared,
+    // oracle-checked query: ingest (documents + planted near-dup variants)
+    // → composite filter → exact dedup (keep-first) → MinHash-LSH near-dup
+    // dedup (signature→bucket→verify, greedy keep-lowest-id) →
+    // benchmark decontamination (shared word-8-gram vs the eval slice) →
+    // data-derived corpus mix (cap every language at 2× the smallest) →
+    // sequence packing (2048-token bins per language). Every stage is a
+    // declared lane elsewhere (q_corpus_filter, q_dedup_keep_first,
+    // q_dedup_minhash, q_decontaminate, q_corpus_mix, q_pack_sequences);
+    // this proves they COMPOSE under one optimizer pass — the place where
+    // operator-fusion regressions would hide.
+    //
+    // Scale design: the documents parquet is read ONCE into a persisted
+    // base frame (plan-guarded: every scan in the plan sits behind the
+    // cache); the variant corpus is built by a per-row explode, not a
+    // second scan; each multi-consumer stage output (exact-dedup
+    // survivors, shingle arrays, near-dup survivors, decontaminated set)
+    // is persisted exactly like the standalone lanes do — at 100 TB these
+    // become checkpointed stage tables, which is how a production corpus
+    // run materializes anyway. The only quadratic work is the per-bucket
+    // posting-pair emission the LSH bound (Σ df²); the eval 8-gram index
+    // broadcasts (benchmarks stay thousands of docs at any corpus size);
+    // the mix quota is |langs| rows; packing windows shard by language.
+    q(
+      "q_corpus_pipeline",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang,
+         |    array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 7 != 1), ' ')
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang, text, len(l)::BIGINT AS n_tokens
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS l FROM corpus)
+         |  WHERE len(l) >= 20 AND len(list_distinct(l))::DOUBLE / len(l) >= 0.3),
+         |e AS (
+         |  SELECT doc_id, lang, text, n_tokens FROM (
+         |    SELECT f.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM f) WHERE rn = 1),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(l) - 2), i -> l[i] || '_' || l[i+1] || '_' || l[i+2]))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM e)),
+         |sc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |minh AS (
+         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS b,
+         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
+         |  FROM minh GROUP BY doc_id, j // 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a
+         |               JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT DISTINCT p.doc_b AS doc_id
+         |  FROM pairs p JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id
+         |  WHERE p.inter::DOUBLE / (x.n + y.n - p.inter) >= 0.3),
+         |m AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |evs AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(l) - 7),
+         |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+         |         l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))) AS s
+         |  FROM (SELECT string_split(text, ' ') AS l FROM documents
+         |        WHERE doc_id % $evalMod = 0)),
+         |contaminated AS (
+         |  SELECT DISTINCT t.doc_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, len(l) - 7),
+         |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+         |           l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))) AS s
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM m)) t
+         |  JOIN evs ev ON t.s = ev.s),
+         |d AS (
+         |  SELECT * FROM m WHERE doc_id % $evalMod <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |counts AS (SELECT lang, count(*)::BIGINT AS n FROM d GROUP BY lang),
+         |quota AS (SELECT lang, least(n, 2 * (SELECT min(n) FROM counts)) AS cap FROM counts),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY md5('mix42#' || doc_id)) AS rk
+         |  FROM d),
+         |mixed AS (
+         |  SELECT r.doc_id, r.lang, r.n_tokens FROM ranked r
+         |  JOIN quota q ON r.lang = q.lang WHERE r.rk <= q.cap),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM mixed)
+         |SELECT doc_id, lang, n_tokens, ((cum - n_tokens) // 2048)::BIGINT AS bin
+         |FROM c""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // ONE parquet scan: every stage derives from this persisted base
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("text"))
+        .persist(MEMORY_AND_DISK)
+      // ingest — corpus = originals + planted near-dup variants via a
+      // per-row explode (no second scan of documents)
+      val corpus0 = base.select(explode(array(
+          struct(col("doc_id"), col("lang"), col("text")),
+          struct((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            concat_ws(" ", filter(split(col("text"), " "), (_, i) => i % 7 =!= 0)).as("text"))
+        )).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"), col("r.text").as("text"))
+      // stage 1 — composite filter (q_corpus_filter's keep rules)
+      val f = corpus0.withColumn("l", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("l")).cast("long"))
+        .filter(col("n_tokens") >= 20 &&
+          size(array_distinct(col("l"))).cast("double") / col("n_tokens") >= 0.3)
+        .drop("l")
+      // stage 2 — exact dedup, keep-first by content hash
+      val e = f.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+        .persist(MEMORY_AND_DISK) // feeds shingles, anti-join, output lineage
+      // stage 3 — MinHash-LSH near-dup dedup: candidates off the cached
+      // shingle frame, exact-Jaccard verify, greedy keep-lowest-id
+      val sa = DedupQueries.shingleArrays(e).persist(MEMORY_AND_DISK)
+      val pairs = DedupQueries.jaccardVerify(sa, DedupQueries.minhashCandsFrom(s, sa), 0.3)
+      val m = e.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .persist(MEMORY_AND_DISK) // feeds the contamination grams + survivor side
+      // stage 4 — decontaminate: drop the eval slice itself plus any
+      // survivor sharing a word-8-gram with it (eval index broadcasts)
+      val evalG = grams8(s,
+        base.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")),
+        "eval_id")
+      val contaminated = grams8(s, m.select(col("doc_id"), col("text")), "doc_id")
+        .join(broadcast(evalG.select(col("s")).distinct()), "s")
+        .select(col("doc_id")).distinct()
+      val d = m.filter(col("doc_id") % evalMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(MEMORY_AND_DISK) // feeds the quota agg + the ranked side
+      // stage 5 — corpus mix: data-derived per-language quota (2× min)
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val quota = counts
+        .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
+        .select(col("lang"), least(col("n"), lit(2) * col("mn")).as("cap"))
+      val mixed = d.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(md5(concat(lit("mix42#"), col("doc_id").cast("string"))))).cast("long"))
+        .join(broadcast(quota), "lang")
+        .filter(col("rk") <= col("cap"))
+      // stage 6 — sequence packing: 2048-token bins per language
+      mixed.withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2048").as("bin"))
     },
 
     // ★ Composite corpus filter: the keep/drop decision layer a training

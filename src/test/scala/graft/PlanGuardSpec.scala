@@ -338,6 +338,52 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q_corpus_pipeline: documents parquet planned for reading exactly once " +
+    "across all six composed stages") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // Unique physical plans across the cache closure: the pipeline hides
+    // each stage behind a persist, so the top plan alone would only show
+    // the final window over the cached survivor set — descend into every
+    // cached relation's plan (deduped by reference: the base cache is
+    // referenced from several stages but must be COUNTED once).
+    def closure(root: SparkPlan): Seq[SparkPlan] = {
+      val seen = new java.util.IdentityHashMap[SparkPlan, Unit]()
+      def walk(p: SparkPlan): Unit = {
+        val expanded = p match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case other => other
+        }
+        if (!seen.containsKey(expanded)) {
+          seen.put(expanded, ())
+          expanded.collect { case t: InMemoryTableScanExec => t.relation.cachedPlan }
+            .foreach(walk)
+        }
+      }
+      walk(root)
+      import scala.jdk.CollectionConverters._
+      seen.keySet().asScala.toSeq
+    }
+
+    val plans = closure(
+      SparkEntry.queries("q_corpus_pipeline")(spark, sf).queryExecution.executedPlan)
+    val fileScans = plans.flatMap(_.collect { case f: FileSourceScanExec => f })
+    assert(fileScans.length === 1,
+      s"expected documents scanned once across the whole pipeline, found " +
+        s"${fileScans.length}: ${fileScans.map(_.relation.location.rootPaths.mkString).mkString("; ")}")
+    assert(fileScans.head.relation.location.rootPaths.mkString.contains("documents"))
+    // stage count pinned: exact-dedup rn + mix rk + pack cum = 3 windows
+    val windows = plans.flatMap(_.collect { case w: WindowExec => w })
+    assert(windows.length === 3, s"stage window count drifted: ${windows.length}")
+    // never an unbounded pair scan anywhere in the closure
+    plans.foreach { p =>
+      assert(!p.toString.contains("CartesianProduct"), p.toString.take(2000))
+    }
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and
