@@ -508,6 +508,100 @@ object TextQueries {
     },
 
     // ★ BPE training step — the pair-statistics half of a byte-pair-
+    // ★ BPE merge APPLICATION — the other half of the tokenizer loop
+    // (q_bpe_train_step derives the rules; this applies them): the top-8
+    // trained character-pair merges re-tokenize the corpus in priority
+    // order, greedy left-to-right, symbol-aware (a character already
+    // merged into a symbol can never half-match a later rule — the fold
+    // compares WHOLE symbols, not substrings). Each rule application is
+    // one ordered fold over the symbol list: acc[-1]=a ∧ x=b → replace
+    // the tail symbol with the merged pair, else append. Spark runs the
+    // rule loop as ONE outer aggregate over the broadcast 8-rule array
+    // (rules are lambda variables, so the plan stays linear — no 3^8
+    // textual blowup); DuckDB has no heterogeneous list_reduce, so the
+    // oracle unrolls the same fold as 8 chained CTE stages.
+    //
+    // Scale design (the classic BPE trick, same as the trainer): merges
+    // run over the DISTINCT-word vocabulary, never the corpus — O(vocab ×
+    // len × rules) fold work — then a vocabulary join (planner's choice,
+    // q_tfidf precedent) maps per-word symbol counts back to documents.
+    // The rule table rides as a 1-row broadcast. Output compares BPE
+    // symbol counts to the GPT-2-style regex pre-tokenizer per document;
+    // docs/SCALING.md records the measured compression.
+    q(
+      "q_bpe_apply", {
+        val stages = (1 to 8).map { k =>
+          s"""v$k AS (SELECT word, list_reduce(list_transform(L, s -> [s]),
+             |  (acc, x) -> CASE WHEN acc[-1] = substr(rs[$k],1,1) AND x[1] = substr(rs[$k],2,1)
+             |              THEN list_slice(acc, 1, len(acc)-1) || [rs[$k]]
+             |              ELSE acc || x END) AS L
+             |  FROM v${k - 1} CROSS JOIN rules)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH dw AS (
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE length(word) >= 1),
+           |w AS (SELECT word, count(*) AS wc FROM dw WHERE length(word) >= 2 GROUP BY 1),
+           |p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+           |        i -> substr(word, i, 2))) AS pair, wc FROM w),
+           |pc AS (SELECT pair, sum(wc)::BIGINT AS n FROM p GROUP BY 1),
+           |rules AS (SELECT list(pair ORDER BY n DESC, pair) AS rs FROM
+           |  (SELECT pair, n FROM pc ORDER BY n DESC, pair LIMIT 8)),
+           |v0 AS (SELECT word,
+           |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS L
+           |  FROM (SELECT DISTINCT word FROM dw)),
+           |$stages,
+           |rx AS (SELECT doc_id,
+           |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_regex
+           |  FROM documents),
+           |out AS (SELECT dw.doc_id, dw.word, len(v8.L) AS n_sym FROM dw JOIN v8 USING (word))
+           |SELECT o.doc_id, count(*)::BIGINT AS n_ws, sum(length(o.word))::BIGINT AS n_chars,
+           |  sum(o.n_sym)::BIGINT AS n_bpe, max(r.n_regex)::BIGINT AS n_regex,
+           |  floor(sum(length(o.word))::DOUBLE / sum(o.n_sym) * 1e6) / 1e6 + 0.0 AS cpt_bpe
+           |FROM out o JOIN rx r USING (doc_id) GROUP BY o.doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val pat = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+      val dw = Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_regex"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      val words = dw.filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      val pairCounts = words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+        )).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      // 1-row frame holding the priority-ordered rule array
+      val rules = pairCounts.orderBy(col("n").desc, col("pair")).limit(8)
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(-n AS negn, pair AS pair))), s -> s.pair)"
+        ).as("rs"))
+      // symbol-level merge fold per DISTINCT word: outer loop over rules,
+      // inner greedy left-to-right fold over the current symbol list
+      val vocab = dw.select(col("word")).distinct()
+        .crossJoin(broadcast(rules))
+        .select(col("word"), expr(
+          """size(aggregate(rs,
+            |  transform(sequence(1, length(word)), i -> substring(word, i, 1)),
+            |  (L, r) -> aggregate(slice(L, 2, size(L)), slice(L, 1, 1),
+            |    (acc, x) -> if(element_at(acc, -1) = substring(r, 1, 1)
+            |                   AND x = substring(r, 2, 1),
+            |                concat(slice(acc, 1, size(acc) - 1), array(r)),
+            |                concat(acc, array(x))))))""".stripMargin
+        ).as("n_sym"))
+      dw.join(vocab, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ws"),
+          sum(length(col("word"))).as("n_chars"),
+          sum(col("n_sym")).as("n_bpe"),
+          max(col("n_regex")).cast("long").as("n_regex"))
+        .select(col("doc_id"), col("n_ws"), col("n_chars"), col("n_bpe"), col("n_regex"),
+          (floor(col("n_chars").cast("double") / col("n_bpe") * 1e6) / 1e6 + 0.0).as("cpt_bpe"))
+    },
+
     // encoding tokenizer-training iteration (q_token_bpe APPLIES a
     // merge table; this derives the next rule). Adjacent-character pair
     // counts are computed over the word-frequency table, not the raw
