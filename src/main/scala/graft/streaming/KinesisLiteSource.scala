@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,19 +58,75 @@ object KinesisLiteSource {
     .add("shard_id", StringType)
     .add("sequence", LongType)
 
+  // Strict shard-file name pattern: the checkpoint offset JSON is keyed by
+  // file name, so names are confined to [-\d.a-z] — a file named e.g.
+  // "shard-a,b.txt" could otherwise silently corrupt the hand-parsed
+  // offset map on restart.
+  private val ShardName = "shard-\\d+\\.txt".r
+
   /** Shard files of a stream dir, sorted by name for stable shard ids. */
   def shardFiles(dir: String): Seq[java.io.File] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isFile && f.getName.startsWith("shard-"))
+      .filter(f => f.isFile && ShardName.matches(f.getName))
       .sortBy(_.getName)
   }
 
-  /** Current record count (= next sequence) of one shard file. */
+  /** Incremental scan state of one shard file: how many bytes have been
+    * consumed into the newline count, and whether the last byte seen was a
+    * newline (an unterminated trailing line still counts as a record). */
+  private final case class ShardScanState(
+      scannedBytes: Long, newlines: Long, endsWithNewline: Boolean)
+
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardScanState]()
+
+  /** Total bytes read by [[shardEnd]] across the JVM — spec
+    * instrumentation for the no-rescan-on-idle-trigger contract. */
+  val bytesScanned = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Current record count (= next sequence) of one shard file.
+    *
+    * Incremental: the driver calls this for EVERY shard on EVERY trigger
+    * (`initialOffset`/`latestOffset`), so a full-file line count would be
+    * O(total stream bytes) of driver I/O per micro-batch, forever — the
+    * round-8 shape did exactly that. The cache keys on consumed byte
+    * count; an idle trigger compares file length to the cache and reads
+    * NOTHING, an appended shard reads only the appended suffix. A file
+    * that shrank (fixture reset — impossible in the append-only shard
+    * model) falls back to a full rescan. */
   def shardEnd(f: java.io.File): Long = {
     if (!f.exists()) return 0L
-    val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().size.toLong finally src.close()
+    val path = f.getAbsolutePath
+    val len = f.length()
+    val prev = Option(scanCache.get(path))
+      .filter(_.scannedBytes <= len)
+      .getOrElse(ShardScanState(0L, 0L, endsWithNewline = true))
+    val st =
+      if (len == prev.scannedBytes) prev
+      else {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(prev.scannedBytes)
+          val buf = new Array[Byte](64 * 1024)
+          var nl = prev.newlines
+          var endNl = prev.endsWithNewline
+          var scanned = prev.scannedBytes
+          var read = raf.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i < read) { if (buf(i) == '\n') nl += 1; i += 1 }
+            endNl = buf(read - 1) == '\n'
+            scanned += read
+            bytesScanned.addAndGet(read.toLong)
+            read = raf.read(buf)
+          }
+          val next = ShardScanState(scanned, nl, endNl)
+          scanCache.put(path, next)
+          next
+        } finally raf.close()
+      }
+    st.newlines + (if (!st.endsWithNewline && st.scannedBytes > 0) 1L else 0L)
   }
 }
 
@@ -131,15 +187,32 @@ final class KinesisLiteStream(dir: String, startingPosition: String, maxRecords:
       KinesisLiteOffset(available().map { case (s, _) => s -> 0L })
     else KinesisLiteOffset(available())
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRecords.toLong)
+  /** Advertised batch-wide budget = per-shard GetRecords cap × shard
+    * count, so Spark's admission-control accounting matches what
+    * `latestOffset` can actually admit (the round-8 shape advertised the
+    * per-shard cap as if it were batch-wide). */
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxRecords.toLong * math.max(1, KinesisLiteSource.shardFiles(dir).size))
 
   /** GetRecords semantics: each shard advances at most `maxRecords` per
-    * fetch; a shard file that appeared after start (reshard) begins at 0. */
+    * fetch (the KCL per-call cap), further narrowed by the PASSED batch
+    * budget split evenly across backlogged shards — every backlogged
+    * shard gets ≥1 record so a tiny budget still makes progress (bounded
+    * overrun ≤ #shards, the same rounding Kafka's rate limit accepts).
+    * A shard file that appeared after start (reshard) begins at 0. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KinesisLiteOffset].shards
-    KinesisLiteOffset(available().map { case (shard, end) =>
+    val avail = available()
+    val backlogged = avail.count { case (shard, end) => end > s.getOrElse(shard, 0L) }
+    val perShard: Long = limit match {
+      case _: ReadAllAvailable => Long.MaxValue // Trigger.AvailableNow: page to end
+      case r: ReadMaxRows if backlogged > 0 =>
+        math.min(maxRecords.toLong, math.max(1L, r.maxRows / backlogged))
+      case _ => maxRecords.toLong
+    }
+    KinesisLiteOffset(avail.map { case (shard, end) =>
       val from = s.getOrElse(shard, 0L)
-      shard -> math.min(end, from + maxRecords)
+      shard -> (if (perShard == Long.MaxValue) end else math.min(end, from + perShard))
     })
   }
 

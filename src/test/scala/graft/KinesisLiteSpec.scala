@@ -131,6 +131,68 @@ class KinesisLiteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shardEnd counts lines incrementally: appended bytes only, partial trailing line counted") {
+    import graft.streaming.KinesisLiteSource
+    val dir = Files.createTempDirectory("klite-inc").toString
+    val f = Paths.get(dir, "shard-0.txt")
+    def append(s: String): Unit =
+      Files.write(f, s.getBytes("UTF-8"), StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    def delta[A](body: => A): (A, Long) = {
+      val before = KinesisLiteSource.bytesScanned.get()
+      val r = body
+      (r, KinesisLiteSource.bytesScanned.get() - before)
+    }
+    append("a\nb\n")
+    val (n1, d1) = delta(KinesisLiteSource.shardEnd(f.toFile))
+    assert(n1 === 2L && d1 === 4L, s"full first scan: n=$n1 bytes=$d1")
+    // idle re-check: NOTHING is read
+    val (n2, d2) = delta(KinesisLiteSource.shardEnd(f.toFile))
+    assert(n2 === 2L && d2 === 0L, s"idle re-check must read 0 bytes, read $d2")
+    // unterminated trailing line is a record; only the 1 new byte is read
+    append("c")
+    val (n3, d3) = delta(KinesisLiteSource.shardEnd(f.toFile))
+    assert(n3 === 3L && d3 === 1L, s"n=$n3 bytes=$d3")
+    // terminating it + one more line reads only the 3 appended bytes
+    append("\nd\n")
+    val (n4, d4) = delta(KinesisLiteSource.shardEnd(f.toFile))
+    assert(n4 === 4L && d4 === 3L, s"n=$n4 bytes=$d4")
+  }
+
+  test("idle triggers re-read no shard bytes (driver I/O is O(appended), not O(stream))") {
+    import graft.streaming.KinesisLiteSource
+    KinesisLiteBuffers.rows.clear(); KinesisLiteBuffers.batchSizes.clear()
+    val dir = Files.createTempDirectory("klite-idle").toString
+    writeShard(dir, 0, (0 until 50).map(i => s"r$i"))
+    val q = spark.readStream.format("kinesis-lite")
+      .option("path", dir)
+      .option("startingPosition", "TRIM_HORIZON")
+      .load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          KinesisLiteBuffers.rows.add((r.getString(0), r.getString(1), r.getLong(2))))
+      }
+      .start()
+    try {
+      drainTo(50)
+      assert(KinesisLiteBuffers.rows.size === 50)
+      // several idle triggers: the driver must not re-scan the shard file
+      // (the executor-side reader still reads its assigned range — only
+      // driver offset resolution is instrumented, and nothing is planned
+      // on an idle trigger)
+      val before = KinesisLiteSource.bytesScanned.get()
+      Thread.sleep(1500)
+      val idleBytes = KinesisLiteSource.bytesScanned.get() - before
+      assert(idleBytes === 0L, s"idle triggers scanned $idleBytes bytes")
+      // an append is charged only its own bytes ("x0\n" = 3)
+      writeShard(dir, 0, Seq("x0"))
+      drainTo(51)
+      val appendBytes = KinesisLiteSource.bytesScanned.get() - before
+      assert(appendBytes === 3L, s"append scanned $appendBytes bytes, expected 3")
+    } finally q.stop()
+  }
+
   test("LATEST skips history; checkpoint restart resumes from committed sequences") {
     KinesisLiteBuffers.rows.clear(); KinesisLiteBuffers.batchSizes.clear()
     KinesisLiteBuffers.seenBatches.clear()
