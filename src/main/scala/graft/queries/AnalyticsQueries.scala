@@ -393,6 +393,62 @@ object AnalyticsQueries {
         .select(col("p.*"))
     },
 
+    // ★ Approximate one-scan profiler — the 100-TB variant of
+    // q_profile_table: the exact profiler's multi-column count(DISTINCT)
+    // plans an Expand (one row copy per distinct column — 3× the scan
+    // feeding the aggregate), which is exactly what a wide-table profile
+    // job cannot afford at scale. Here every distinct count is an HLL++
+    // `approx_count_distinct` (rsd 0.02): ONE pass, NO Expand, per-column
+    // sketch buffers merging map-side — profile cost becomes independent
+    // of column cardinality. Verified under the same bounded-error
+    // contract as q_agg_approx_distinct: the query also carries the exact
+    // counts (via collect_set size — an object hash agg, still no
+    // Expand, still one scan; it's the HARNESS, dropped at 100 TB where
+    // only the sketches ship) and emits |approx − exact| / exact ≤ 0.05
+    // booleans the oracle asserts TRUE — a hash match proves every
+    // column's estimate landed in the bound. Plan guard pins: no Expand,
+    // exactly one scan.
+    q(
+      "q_profile_table_approx",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+        |    count(l_extendedprice) AS nn_p, count(DISTINCT l_extendedprice) AS nd_p,
+        |    count(l_returnflag) AS nn_f, count(DISTINCT l_returnflag) AS nd_f
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS column_name, n, n - nn_q AS n_null,
+        |  nd_q AS n_distinct, TRUE AS within_bound FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', n, n - nn_p, nd_p, TRUE FROM a
+        |UNION ALL
+        |SELECT 'l_returnflag', n, n - nn_f, nd_f, TRUE FROM a""".stripMargin
+    ) { (s, dir) =>
+      val a = Tables(s, dir).lineitem.agg(
+        count(lit(1)).as("n"),
+        count(col("l_quantity")).as("nn_q"),
+        approx_count_distinct(col("l_quantity"), 0.02).as("ad_q"),
+        size(collect_set(col("l_quantity"))).cast("long").as("nd_q"),
+        count(col("l_extendedprice")).as("nn_p"),
+        approx_count_distinct(col("l_extendedprice"), 0.02).as("ad_p"),
+        size(collect_set(col("l_extendedprice"))).cast("long").as("nd_p"),
+        count(col("l_returnflag")).as("nn_f"),
+        approx_count_distinct(col("l_returnflag"), 0.02).as("ad_f"),
+        size(collect_set(col("l_returnflag"))).cast("long").as("nd_f"))
+      def bound(ad: String, nd: String) =
+        abs(col(ad) - col(nd)) <= col(nd) * 0.05
+      a.select(explode(array(
+          struct(lit("l_quantity").as("column_name"), col("n"),
+            (col("n") - col("nn_q")).as("n_null"), col("nd_q").as("n_distinct"),
+            bound("ad_q", "nd_q").as("within_bound")),
+          struct(lit("l_extendedprice").as("column_name"), col("n"),
+            (col("n") - col("nn_p")).as("n_null"), col("nd_p").as("n_distinct"),
+            bound("ad_p", "nd_p").as("within_bound")),
+          struct(lit("l_returnflag").as("column_name"), col("n"),
+            (col("n") - col("nn_f")).as("n_null"), col("nd_f").as("n_distinct"),
+            bound("ad_f", "nd_f").as("within_bound")))).as("p"))
+        .select(col("p.*"))
+    },
+
     // ★ Time-series gap fill — materialize the missing days of each
     // user's daily activity as explicit zero rows (the densification
     // step every downstream window/forecast op assumes). The spine is

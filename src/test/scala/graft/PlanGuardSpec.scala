@@ -277,6 +277,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(scans === 1, s"expected 1 parquet scan, found $scans:\n${plan.take(3000)}")
   }
 
+  test("q_profile_table_approx: one scan, NO Expand — profile cost independent of cardinality") {
+    val plan = planOf("q_profile_table_approx")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected 1 parquet scan, found $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Expand"),
+      s"approx profiler must not plan the multi-distinct Expand:\n${plan.take(3000)}")
+    // sanity: the exact profiler DOES pay the Expand — the contrast is the point
+    assert(planOf("q_profile_table").contains("Expand"))
+  }
+
   test("q_pmi_cooccur: distributed top-50, only the 1-row total may nested-loop") {
     val plan = planOf("q_pmi_cooccur")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
