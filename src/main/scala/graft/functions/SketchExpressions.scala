@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-min-sketch re-aggregation — the piece Spark's built-in sketch
+  * surface is missing. `count_min_sketch(...)` builds a sketch from raw
+  * values, but there is no SQL-level union over STORED sketch blobs (the
+  * analog of `hll_union_agg` for `hll_sketch_agg`), so per-day / per-shard
+  * CMS partials could not be rolled up without re-touching the raw data.
+  * `CmsMergeAgg` closes that: a `TypedImperativeAggregate[CountMinSketch]`
+  * whose update deserializes an incoming sketch blob and folds it into the
+  * buffer via `CountMinSketch.mergeInPlace` (cellwise counter add — CMS is
+  * exactly mergeable, the estimate off a merged sketch equals the estimate
+  * off one sketch of the concatenated streams). The roll-up shuffle moves
+  * sketch bytes (eps- and confidence-bounded, ~depth×width longs),
+  * independent of stream cardinality — the pre-aggregation pattern that
+  * answers any date-range frequency query from stored day sketches at
+  * 100 TB.
+  *
+  * `CmsEstimate` is the point-query side: (sketch blob, item) → estimated
+  * count. It hashes the item exactly as Spark's `CountMinSketchAgg` ingests
+  * string columns (UTF-8 bytes via the binary path — pinned by SketchSpec
+  * against a sketch built by the builtin), and caches the deserialized
+  * sketch per expression instance so a broadcast 1-row sketch joined to a
+  * bounded candidate list does not re-parse the blob per row. Deliberately
+  * `CodegenFallback`: the estimate path runs over top-k candidates (tens of
+  * rows after the heavy-hitter cut), never over the corpus — the hot path
+  * is the builtin sketch build, which stays codegen'd.
+  */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMinSketch]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY serialized sketch, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cms_merge"
+
+  // The empty buffer is `null`, not a zero sketch: building one would need
+  // (depth, width, seed) before the first input arrives, and mergeInPlace
+  // requires identical geometry — the first deserialized sketch IS the
+  // buffer, every later one folds into it.
+  override def createAggregationBuffer(): CountMinSketch = null
+
+  override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val incoming =
+        CountMinSketch.readFrom(new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (buffer == null) incoming
+      else { buffer.mergeInPlace(incoming); buffer }
+    }
+  }
+
+  override def merge(buffer: CountMinSketch, other: CountMinSketch): CountMinSketch =
+    if (buffer == null) other
+    else if (other == null) buffer
+    else { buffer.mergeInPlace(other); buffer }
+
+  override def eval(buffer: CountMinSketch): Any =
+    if (buffer == null) null else buffer.toByteArray
+
+  override def serialize(buffer: CountMinSketch): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray else buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    if (bytes.isEmpty) null
+    else CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}
+
+/** (sketch blob, string item) → CMS estimated count. See [[CmsMergeAgg]]
+  * scaladoc for the hashing-parity and codegen rationale. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY sketch, STRING item), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  // Reference-identity cache: rows coming off a broadcast of ONE sketch
+  // row usually share the backing array; a miss just re-parses the blob,
+  // and the estimate path is bounded to top-k candidate rows anyway.
+  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedSketch: CountMinSketch = _
+
+  override def nullSafeEval(sk: Any, item: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedRef)) {
+      cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      cachedRef = bytes
+    }
+    // Same ingestion path as the builtin string-column sketch build:
+    // UTF-8 bytes through the binary hash.
+    cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+object SketchExpressions {
+  /** Aggregate: union of serialized count-min sketches. */
+  def cmsMerge(c: Column): Column =
+    GraftShims.column(CmsMergeAgg(GraftShims.expression(c)).toAggregateExpression())
+
+  /** Scalar: estimated count of `item` in the serialized sketch. */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    GraftShims.column(CmsEstimate(GraftShims.expression(sketch), GraftShims.expression(item)))
+}

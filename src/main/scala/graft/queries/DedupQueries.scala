@@ -101,7 +101,11 @@ object DedupQueries {
     * the per-doc shingle array — no explode and no aggregation shuffle for
     * the signature (the round-1 shape grouped 8 min-aggregates over
     * exploded rows). */
-  private[queries] def minhashCandsFrom(s: SparkSession, sarr: DataFrame): DataFrame = {
+  /** (doc_id, b, bv): 4 bands × 2 minhash rows per doc — the LSH blocking
+    * key. Factored out of the full-corpus pairing so the incremental pass
+    * can join NEW-batch bands against a stored index instead of
+    * re-pairing everything. */
+  private[queries] def minhashBands(sarr: DataFrame): DataFrame = {
     val minh = sarr
       .select(
         col("doc_id"),
@@ -112,7 +116,7 @@ object DedupQueries {
           graft.functions.TextHashExpressions.minHash(col("sarr"), 8)).as("hs")
       )
       .filter(col("hs").isNotNull) // zero-shingle docs had no aggregate row
-    val bands = minh.select(
+    minh.select(
       col("doc_id"),
       explode(array((0 to 3).map(b =>
         struct(
@@ -120,11 +124,14 @@ object DedupQueries {
           md5(concat(element_at(col("hs"), 2 * b + 1), element_at(col("hs"), 2 * b + 2))).as("bv")
         )): _*)).as("band")
     ).select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
+  }
+
+  private[queries] def minhashCandsFrom(s: SparkSession, sarr: DataFrame): DataFrame = {
     // band-bucket posting lists, not a self-join — same 2-exchanges-not-3
     // shape as the ngram index (pairs colliding in several bands dedup in
     // the distinct)
     postingPairs(s,
-      bands.groupBy(col("b"), col("bv")).agg(collect_list(col("doc_id")).as("ds")))
+      minhashBands(sarr).groupBy(col("b"), col("bv")).agg(collect_list(col("doc_id")).as("ds")))
       .distinct()
   }
 
@@ -495,8 +502,156 @@ object DedupQueries {
       substringScrub(substringCorpus(s, dir), 20)
         .select(col("doc_id"), md5(col("scrub_text")).as("scrub_md5"),
           col("n_removed"), col("n_kept"))
+    },
+
+    // ★ C4-style LINE dedup — the fourth canonical corpus-dedup family
+    // (C4 §2.2 of the T5 paper: "we discarded all but one of any
+    // three-sentence span occurring more than once in the data set",
+    // applied here at line granularity the way most open pipelines run
+    // it): the corpus-wide pass that removes every repeated LINE, keeping
+    // only its first occurrence, then reassembles each document from its
+    // surviving lines. The fixture corpus has no newlines, so a "line" is
+    // a fixed 10-token segment of the token stream; the planted duplicate
+    // is a copy of every 5th doc (doc_id+1000000) with a 10-token
+    // boilerplate sentence prepended — exactly one segment long, so every
+    // segment of the copy aligns with a segment of its original: the copy
+    // must scrub to empty (boilerplate included, which survives only in
+    // the lowest-id copy), while original docs pass through untouched.
+    // Output is md5-pinned like q_dedup_substring_scrub: the hash covers
+    // the reassembled text, proving the keep-first surgery, not just the
+    // counts.
+    // Scale: segmentation is a linear explode (O(tokens/w) lines per
+    // doc); first-occurrence is ONE hash agg keyed by line text (map-side
+    // partial mins absorb boilerplate skew — the agg output is O(distinct
+    // lines), never O(corpus)) plus one keyed join back and one doc_id
+    // agg for reassembly. Three keyed exchanges total, no window sort
+    // over the global line partition, nothing quadratic — the same shape
+    // C4 runs over hundreds of TB.
+    q(
+      "q_dedup_lines_c4",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'the data line merge sort batch join scan filter group ' || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+        |seg AS (
+        |  SELECT doc_id, unnest(generate_series(0, (len(l) - 1) // 10)) AS i, l
+        |  FROM tok),
+        |segs AS (
+        |  SELECT doc_id, i, array_to_string(l[i*10+1:i*10+10], ' ') AS seg
+        |  FROM seg),
+        |marked AS (
+        |  SELECT doc_id, i, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) = 1 AS kept
+        |  FROM segs)
+        |SELECT doc_id, count(*)::BIGINT AS n_seg,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN NOT kept THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  md5(coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE kept), ''))
+        |    AS c4_md5
+        |FROM marked GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("the data line merge sort batch join scan filter group "),
+          col("text")).as("text")))
+      lineDedup(corpus, 10)
+        .select(col("doc_id"), col("n_seg"), col("n_kept"), col("n_removed"),
+          md5(col("c4_text")).as("c4_md5"))
+    },
+
+    // ★ INCREMENTAL dedup — new batch vs existing index, the shape every
+    // production corpus actually runs: the full-corpus pass (q_dedup_minhash)
+    // happens once; every day after, a crawl increment must be deduped
+    // against the EXISTING corpus without re-pairing the corpus with
+    // itself. Fixture: the base documents are the index, the mutated
+    // copies (doc_id+1000000, the fuzzy-family mutation) are the incoming
+    // batch; same md5-minhash banding as q_dedup_minhash, but candidates
+    // come from ONE keyed equi-join of batch bands against index bands —
+    // index×index and batch×batch pairs are never generated, by
+    // construction of the join, not by post-filtering. Exact-Jaccard
+    // verify on the cross-set candidates only; output is the batch-side
+    // dedup decision (doc_batch, dup_of, jac).
+    // Scale: in production the index bands are STORED (written once by
+    // the full pass, bucketed by (b, bv)); the per-increment cost is then
+    // shingle+sign the batch — O(batch tokens) — plus a keyed join whose
+    // shuffle moves only the batch side against co-located index buckets.
+    // The Σ df² pair blowup of the full pass never recurs; re-banding the
+    // index here is fixture determinism, not the dataflow.
+    q(
+      "q_dedup_incremental",
+      s"""WITH $corpusSql, $shinglesSql,
+         |minh AS (
+         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS b,
+         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
+         |  FROM minh GROUP BY doc_id, j // 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |  WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a AS doc_batch, doc_b AS dup_of, round(jac, 4) AS jac FROM (
+         |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
+         |  FROM pairs p
+         |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
+         |WHERE jac >= 0.3""".stripMargin
+    ) { (s, dir) =>
+      val sarr = shingleArrays(corpus(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = minhashBands(sarr)
+      val idx = bands.filter(col("doc_id") < 1000000L)
+        .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
+      val bat = bands.filter(col("doc_id") >= 1000000L)
+        .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
+      val cands = bat.join(idx, Seq("b", "bv"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccardVerify(sarr, cands, 0.3)
+        .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
     }
   )
+
+  /** C4-style line-level dedup over a (doc_id, text) frame: the token
+    * stream is cut into fixed `w`-token segments ("lines"; the final one
+    * may be shorter), every segment whose text already occurred earlier in
+    * the corpus — ordered by (doc_id, position) — is removed, and each doc
+    * is reassembled from its surviving segments in order. Returns one row
+    * per input doc: (doc_id, n_seg, n_kept, n_removed, c4_text); a doc
+    * whose every line is a repeat scrubs to the empty string. Public so
+    * the edge-case spec can drive it with hand-built docs (intra-doc
+    * repeat, short tail segment, whole-doc repeat) at a small w. */
+  def lineDedup(docs: DataFrame, w: Int): DataFrame = {
+    val segs = docs
+      .withColumn("l", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("l")) - 1) / lit(w)).cast("int")),
+          i => concat_ws(" ", slice(col("l"), i * w + 1, lit(w))))))
+      .toDF("doc_id", "i", "seg")
+    // ONE hash agg keyed by line text — the lexicographic (doc_id, i) min
+    // is the keep-policy; map-side partials bound hot boilerplate lines.
+    val firsts = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+    val marked = segs.join(firsts, "seg")
+      .withColumn("kept", struct(col("doc_id"), col("i")) === col("first"))
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_seg"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+      concat_ws(" ", transform(
+        filter(sort_array(collect_list(struct(col("i"), col("kept"), col("seg")))),
+          x => x.getField("kept")),
+        x => x.getField("seg"))).as("c4_text"))
+  }
 
   /** Corpus for the substring family: documents ∪ a PREFIX-TRIMMED copy
     * (doc_id+1000000, first 7 tokens dropped) — shares every interior
@@ -905,7 +1060,7 @@ object DedupQueries {
   /** SimHash oracle SQL — the 60 per-bit majority sums are generated
     * programmatically to mirror the Spark 60-agg single-pass shape (one
     * md5 per token; 4 bits per hex char). */
-  private lazy val simhashSql: String = {
+  private[graft] lazy val simhashSql: String = {
     def hexval(i: Int) =
       s"(CASE WHEN ascii(md5(tok)[${(i - 1) / 4 + 1}]) < 97 THEN ascii(md5(tok)[${(i - 1) / 4 + 1}]) - 48 ELSE ascii(md5(tok)[${(i - 1) / 4 + 1}]) - 87 END)"
     val sums = (1 to 60)

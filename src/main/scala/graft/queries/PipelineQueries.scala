@@ -493,6 +493,107 @@ object PipelineQueries {
           concat_ws(" ", col("c.chunk")).as("chunk_text"),
           size(col("c.chunk")).cast("int").as("n_tokens")
         )
+    },
+
+    // ★ Leakage-free train/val/test split — the hygiene step BETWEEN
+    // dedup and training that per-doc splitting silently breaks: if one
+    // member of a near-duplicate pair lands in train and the other in
+    // test, the benchmark is contaminated by construction. The fix is
+    // GROUP-aware assignment: split by the near-dup CLUSTER key (the
+    // simhash-verified edge set fed through the same connected-components
+    // as q_dedup_cluster; unpaired docs are their own group), so a whole
+    // duplicate cluster moves as a unit and can never straddle splits.
+    // The query MEASURES the difference: for the grouped scheme and a
+    // naive per-doc scheme it reports near-dup pairs crossing a split
+    // boundary (group: 0 by construction — the assignment is a function
+    // of the cluster key; naive: the planted pairs leak) plus the split
+    // sizes, which stay ~80/10/10 because duplicate clusters are small.
+    // Scale: reuses the bounded LSH edge set + O(log d) CC of the dedup
+    // lane; assignment is one keyed left join (cluster labels exist only
+    // for paired docs, a fraction of the corpus); the leak counts are two
+    // keyed joins of pairs→assignment. Nothing rescans text; at 100 TB
+    // the split is a metadata pass over doc ids.
+    q(
+      "q_split_leakfree",
+      splitLeakfreeSql
+    ) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = DedupQueries.simhashPairs(s, dir)
+        .select(col("doc_a"), col("doc_b")).persist(MEMORY_AND_DISK)
+      val comp = DedupQueries.connectedComponents(s, pairs) // (doc_id, comp)
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val ids = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id")))
+      val asg = ids.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("grp"))
+        .withColumn("split_group",
+          when(col("grp") % 10 < 7, "train")
+            .when(col("grp") % 10 < 9, "val").otherwise("test"))
+        // naive per-doc scheme: modulus chosen NOT to divide the planted
+        // +1000000 id offset, or the fixture would hide the leak it plants
+        .withColumn("split_naive",
+          when(col("doc_id") % 7 < 5, "train")
+            .when(col("doc_id") % 7 === 5, "val").otherwise("test"))
+        .persist(MEMORY_AND_DISK)
+      def scheme(name: String, splitCol: String): DataFrame = {
+        val sizes = asg.agg(
+          sum(when(col(splitCol) === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col(splitCol) === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col(splitCol) === "test", 1L).otherwise(0L)).as("n_test"))
+        val crossed = pairs
+          .join(asg.select(col("doc_id").as("doc_a"), col(splitCol).as("sa")), "doc_a")
+          .join(asg.select(col("doc_id").as("doc_b"), col(splitCol).as("sb")), "doc_b")
+          .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("n_cross"))
+        crossed.crossJoin(sizes).select(lit(name).as("scheme"),
+          col("n_cross"), col("n_train"), col("n_val"), col("n_test"))
+      }
+      scheme("group", "split_group").unionByName(scheme("naive", "split_naive"))
     }
   )
+
+  /** Oracle for q_split_leakfree: the simhash edge set + recursive-CTE
+    * connected components (same shape as q_dedup_cluster's oracle), then
+    * both split schemes and their cross-split pair counts. */
+  private lazy val splitLeakfreeSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (${DedupQueries.simhashSql})),
+       |nodes AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, comp) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS doc_id, min(comp) AS grp FROM reach GROUP BY node),
+       |ids AS (SELECT doc_id FROM documents
+       |        UNION ALL SELECT doc_id + 1000000 FROM documents),
+       |sp AS (
+       |  SELECT i.doc_id, coalesce(l.grp, i.doc_id) AS grp,
+       |    CASE WHEN coalesce(l.grp, i.doc_id) % 10 < 7 THEN 'train'
+       |         WHEN coalesce(l.grp, i.doc_id) % 10 < 9 THEN 'val'
+       |         ELSE 'test' END AS split_group,
+       |    CASE WHEN i.doc_id % 7 < 5 THEN 'train'
+       |         WHEN i.doc_id % 7 = 5 THEN 'val'
+       |         ELSE 'test' END AS split_naive
+       |  FROM ids i LEFT JOIN lab l ON i.doc_id = l.doc_id),
+       |crossed AS (
+       |  SELECT a.split_group AS ga, b.split_group AS gb,
+       |         a.split_naive AS na, b.split_naive AS nb
+       |  FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+       |               JOIN sp b ON p.doc_b = b.doc_id)
+       |SELECT 'group' AS scheme,
+       |  (SELECT coalesce(sum(CASE WHEN ga <> gb THEN 1 ELSE 0 END), 0)::BIGINT
+       |     FROM crossed) AS n_cross,
+       |  sum(CASE WHEN split_group = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       |  sum(CASE WHEN split_group = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+       |  sum(CASE WHEN split_group = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+       |FROM sp
+       |UNION ALL
+       |SELECT 'naive',
+       |  (SELECT coalesce(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END), 0)::BIGINT
+       |     FROM crossed),
+       |  sum(CASE WHEN split_naive = 'train' THEN 1 ELSE 0 END)::BIGINT,
+       |  sum(CASE WHEN split_naive = 'val' THEN 1 ELSE 0 END)::BIGINT,
+       |  sum(CASE WHEN split_naive = 'test' THEN 1 ELSE 0 END)::BIGINT
+       |FROM sp""".stripMargin
 }

@@ -768,6 +768,52 @@ object RelationalQueries {
         .select(
           col("token"), col("df"),
           (floor(col("df").cast("double") / col("n_docs") * 1e6) / 1e6).as("share"))
+    },
+
+    // ★ Mergeable count-min frequency roll-up — the POINT-QUERY sketch
+    // family, closing the gap next to the distinct-count sketches
+    // (q_agg_approx_distinct / q_sketch_union): per-lang CMS partials
+    // (≙ per-day/per-shard at scale) built by the builtin
+    // count_min_sketch aggregate are UNIONed into one corpus sketch by
+    // the custom CmsMergeAgg (Spark ships no cms union — the hll_union_agg
+    // analog is missing; see functions/SketchExpressions.scala), then the
+    // exact top-20 tokens are point-queried against the merged sketch via
+    // CmsEstimate. Bounded-error contract as the oracle, same shape as
+    // q_agg_approx_distinct: CMS guarantees est ≥ true always, and
+    // est ≤ true + eps·N with confidence 0.99 per query (eps = 0.001,
+    // seed pinned → deterministic artifact); the oracle recomputes the
+    // exact counts and asserts every in_bound row TRUE, so a hash match
+    // proves the merged sketch landed inside the published bound.
+    // Scale: the sketch build is the codegen'd builtin over a linear
+    // token explode with map-side partials; the roll-up shuffle moves
+    // depth×width counter arrays per lang — independent of corpus size;
+    // the estimate runs over 20 candidate rows against a broadcast 1-row
+    // sketch. Nothing here re-touches raw tokens after the partials —
+    // that is the point of storing sketches.
+    q(
+      "q_cms_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*)::BIGINT AS true_cnt FROM tok GROUP BY 1)
+        |SELECT token, true_cnt, TRUE AS in_bound
+        |FROM cnt ORDER BY true_cnt DESC, token LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      // per-shard partial sketches: the builtin raw-value CMS aggregate
+      val partials = tok.groupBy(col("lang"))
+        .agg(count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+      // sketch-blob union: the custom TypedImperativeAggregate
+      val merged = partials.agg(graft.functions.SketchExpressions.cmsMerge(col("sk")).as("sk"))
+      val totals = tok.agg(count(lit(1)).as("n_tok"))
+      val top = tok.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("token").asc).limit(20)
+      top.crossJoin(broadcast(merged)).crossJoin(broadcast(totals))
+        .withColumn("est",
+          graft.functions.SketchExpressions.cmsEstimate(col("sk"), col("token")))
+        .select(col("token"), col("true_cnt"),
+          (col("est") >= col("true_cnt") &&
+            col("est") <= col("true_cnt") + ceil(col("n_tok") * 0.001)).as("in_bound"))
     }
   )
 }

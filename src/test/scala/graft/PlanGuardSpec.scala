@@ -394,6 +394,50 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_lines_c4: three keyed exchanges, no global window sort, no pair scan") {
+    val plan = planOf("q_dedup_lines_c4")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // first-occurrence must stay a hash agg + keyed join — a window over
+    // the global line partition would plan a sort per line bucket
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    // ≤3 keyed exchanges: line agg, join-back, reassembly — at fixture
+    // stats the planner broadcasts the firsts side of the join-back
+    // (dropping to 2), at scale it degrades to the third keyed shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges >= 2 && exchanges <= 3,
+      s"expected 2-3 keyed exchanges (line agg, [join-back], reassembly), found $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("q_cms_heavy_hitters: sketch union is an object agg, estimates ride 1-row broadcasts") {
+    val plan = planOf("q_cms_heavy_hitters")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("cms_merge"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // only the two 1-row frames (merged sketch, token total) may nested-loop
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 2, s"only the 1-row sketch/total broadcasts may nested-loop:\n${plan.take(3000)}")
+  }
+
+  test("q_dedup_incremental: cross-set band join stays keyed — no pair scan, no cartesian") {
+    val plan = planOf("q_dedup_incremental")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // candidates must come from the (b, bv) equi-join — visible as a hash
+    // key join on the band value, not a bucket flatMap pairing
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).nonEmpty,
+      plan.take(3000))
+  }
+
+  test("q_split_leakfree: metadata pass — keyed joins only, no pair scan") {
+    val plan = planOf("q_split_leakfree")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the per-scheme 1-row (cross × sizes) frames are the only nested-loops
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 2, s"only the two 1-row scheme frames may nested-loop:\n${plan.take(3000)}")
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchExpressions.{cmsEstimate, cmsMerge}
+
+/** Unit coverage for the count-min-sketch re-aggregation surface
+  * (functions/SketchExpressions.scala):
+  *
+  *  - MERGE EXACTNESS: the union of per-partition sketch blobs via
+  *    CmsMergeAgg yields, for every item, the same estimate as ONE sketch
+  *    built over the concatenated stream — CMS merge is cellwise counter
+  *    addition, so this is an equality, not a bound. This also pins
+  *    CmsEstimate's ingestion parity with the builtin count_min_sketch
+  *    string path (UTF-8 bytes through the binary hash): a hashing
+  *    mismatch would surface as disagreeing estimates, not a subtle bias.
+  *  - ERROR CONTRACT: est ≥ true count always; est ≤ true + eps·N at the
+  *    sketch's published eps (the q_cms_heavy_hitters oracle contract).
+  *  - EMPTY INPUT: merging zero sketch rows evaluates to NULL (the
+  *    createAggregationBuffer-is-null path through serialize/deserialize).
+  */
+class SketchSpec extends SparkSpec {
+  import SharedSpark.spark.implicits._
+
+  private val eps = 0.001
+
+  private def sketchOf(df: DataFrame) =
+    count_min_sketch(col("word"), lit(eps), lit(0.99), lit(42))
+
+  private def estimates(items: DataFrame, sk: DataFrame): Map[String, Long] =
+    items.crossJoin(broadcast(sk))
+      .select(col("word"), cmsEstimate(col("sk"), col("word")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("merged partial sketches estimate identically to one whole-stream sketch") {
+    val words = Seq.tabulate(500)(i => (i % 5, s"w${i % 7}"))
+    val df = words.toDF("part", "word")
+
+    val merged = df.groupBy(col("part")).agg(sketchOf(df).as("sk"))
+      .agg(cmsMerge(col("sk")).as("sk"))
+    val single = df.agg(sketchOf(df).as("sk"))
+    val items = df.select(col("word")).distinct()
+
+    val em = estimates(items, merged)
+    val es = estimates(items, single)
+    assert(em === es)
+
+    val truth = words.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bound = math.ceil(eps * words.size).toLong
+    truth.foreach { case (w, c) =>
+      assert(em(w) >= c, s"$w: CMS must never underestimate")
+      assert(em(w) <= c + bound, s"$w: ${em(w)} outside eps-bound $c + $bound")
+    }
+  }
+
+  test("merging zero sketch rows yields NULL") {
+    val none = Seq.empty[(Int, String)].toDF("part", "word")
+    val out = none.groupBy(col("part")).agg(sketchOf(none).as("sk"))
+      .agg(cmsMerge(col("sk")).as("sk"))
+      .collect()
+    assert(out.length === 1 && out(0).isNullAt(0))
+  }
+}
