@@ -606,19 +606,30 @@ object DedupQueries {
          |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
          |WHERE jac >= 0.3""".stripMargin
     ) { (s, dir) =>
-      val sarr = shingleArrays(corpus(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = minhashBands(sarr)
-      val idx = bands.filter(col("doc_id") < 1000000L)
-        .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
-      val bat = bands.filter(col("doc_id") >= 1000000L)
-        .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
-      val cands = bat.join(idx, Seq("b", "bv"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardVerify(sarr, cands, 0.3)
-        .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
+      incrementalDedup(corpus(s, dir), 1000000L, 0.3)
     }
   )
+
+  /** Batch-vs-index dedup over a (doc_id, lang, text) frame: docs with
+    * id ≥ `splitId` are the incoming batch, the rest the existing index.
+    * Candidates come from ONE keyed equi-join of batch minhash bands
+    * against index bands — index×index and batch×batch pairs are never
+    * generated — then exact-Jaccard verify at `threshold`. Returns
+    * (doc_batch, dup_of, jac). Public so IncrementalDedupSpec can prove
+    * the cross-set-only property on a fixture with index-internal dups. */
+  def incrementalDedup(docs: DataFrame, splitId: Long, threshold: Double): DataFrame = {
+    val sarr = shingleArrays(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBands(sarr)
+    val idx = bands.filter(col("doc_id") < splitId)
+      .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
+    val bat = bands.filter(col("doc_id") >= splitId)
+      .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
+    val cands = bat.join(idx, Seq("b", "bv"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardVerify(sarr, cands, threshold)
+      .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
+  }
 
   /** C4-style line-level dedup over a (doc_id, text) frame: the token
     * stream is cut into fixed `w`-token segments ("lines"; the final one
