@@ -607,8 +607,72 @@ object DedupQueries {
          |WHERE jac >= 0.3""".stripMargin
     ) { (s, dir) =>
       incrementalDedup(corpus(s, dir), 1000000L, 0.3)
+    },
+
+    // ★ Triangle count over the near-dup graph — the cluster-COHESION
+    // metric dedup pipelines read before choosing a keep policy: a
+    // component that is a clique of true duplicates (dense triangles) can
+    // keep one representative; a chain of borderline pairs (no triangles)
+    // is transitive-closure noise where keep-one would delete distinct
+    // docs. Algorithm is the degree-oriented distributed count (Schank's
+    // forward algorithm, the standard MPC/MapReduce shape): orient every
+    // edge from the lower (degree, id) endpoint to the higher, emit
+    // wedges by joining out-edges on their source, close them against the
+    // oriented edge set. Each triangle is counted exactly once, and every
+    // node's out-degree is bounded by O(√m) — the hub node of a skewed
+    // graph becomes everyone's DST, never a wedge SRC, so no task
+    // enumerates a hub's full neighborhood; wedge volume is Σ outdeg² ≤
+    // O(m^1.5) worst-case, keyed joins throughout.
+    q(
+      "q_triangle_count",
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($simhashSql)),
+         |tri AS (
+         |  SELECT count(*)::BIGINT AS n_triangles FROM pairs e1
+         |  JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+         |ne AS (SELECT count(*)::BIGINT AS n_edges FROM pairs)
+         |SELECT n_edges, n_triangles FROM ne, tri""".stripMargin
+    ) { (s, dir) =>
+      triangleCount(
+        simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
     }
   )
+
+  /** Degree-oriented exact triangle count over an undirected edge frame
+    * (doc_a, doc_b), distinct pairs: returns ONE row (n_edges,
+    * n_triangles). See the q_triangle_count scaladoc for the O(√m)
+    * out-degree bound; public so TriangleCountSpec can prove the count on
+    * hand-built graphs (clique, star, chain). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.persist(MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient low-(deg,id) → high-(deg,id); carry the dst order key so
+    // wedge endpoints can be ordered without re-joining degrees
+    val oriented = e
+      .join(deg.select(col("v").as("doc_a"), col("d").as("da")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("d").as("db")), "doc_b")
+      .select(
+        when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
+          struct(col("doc_a").as("src"), col("doc_b").as("dst"),
+            struct(col("db").as("d"), col("doc_b").as("v")).as("kdst")))
+          .otherwise(
+            struct(col("doc_b").as("src"), col("doc_a").as("dst"),
+              struct(col("da").as("d"), col("doc_a").as("v")).as("kdst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.kdst").as("kdst"))
+      .persist(MEMORY_AND_DISK)
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("kdst").as("kv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("kdst").as("kw")), "src")
+      .filter(col("kv") < col("kw"))
+      .select(col("v"), col("w"))
+    // a wedge (v, w) with k(v) < k(w) closes iff the oriented edge v→w
+    // exists (orientation follows the same total order)
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+  }
 
   /** Batch-vs-index dedup over a (doc_id, lang, text) frame: docs with
     * id ≥ `splitId` are the incoming batch, the rest the existing index.

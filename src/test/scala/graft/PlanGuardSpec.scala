@@ -430,6 +430,14 @@ class PlanGuardSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q_triangle_count: wedge join and closure stay keyed — no cartesian, semi-join closure") {
+    val plan = planOf("q_triangle_count")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // closure against the oriented edge set must be a semi-join (exists),
+    // not an inner join that would duplicate wedges per closing edge
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
   test("q_split_leakfree: metadata pass — keyed joins only, no pair scan") {
     val plan = planOf("q_split_leakfree")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
