@@ -78,9 +78,28 @@ object GraftExtensions {
     }
   )
 
+  val cmsMerge: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_merge"),
+    info(classOf[CmsMergeAgg], "cms_merge",
+      "cms_merge(sketch) - aggregate: union of serialized count-min sketches " +
+        "(the hll_union_agg analog for count_min_sketch blobs)"),
+    // returning the AggregateFunction is the registry contract for
+    // aggregates — the analyzer wraps it in an AggregateExpression
+    (children: Seq[Expression]) => CmsMergeAgg(children(0))
+  )
+
+  val cmsEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_estimate"),
+    info(classOf[CmsEstimate], "cms_estimate",
+      "cms_estimate(sketch, item) - estimated count of a string item in a " +
+        "serialized count-min sketch"),
+    (children: Seq[Expression]) => CmsEstimate(children(0), children(1))
+  )
+
   /** Every engine-native SQL function, in registration order. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(cosineSimilarity, dotProduct, simhash60, minhashSig, srpBands)
+    Seq(cosineSimilarity, dotProduct, simhash60, minhashSig, srpBands,
+      cmsMerge, cmsEstimate)
 
   /** Registers on an already-built session (tests, driver-contract runs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

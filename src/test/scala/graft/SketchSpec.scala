@@ -54,6 +54,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cms_merge / cms_estimate registered as SQL functions agree with the Column API") {
+    graft.functions.GraftExtensions.register(SharedSpark.spark)
+    Seq.tabulate(300)(i => (i % 3, s"w${i % 5}")).toDF("part", "word")
+      .createOrReplaceTempView("cms_words")
+    val sql = SharedSpark.spark.sql(
+      s"""SELECT word, cms_estimate(sk, word) AS est FROM
+         |  (SELECT cms_merge(sk) AS sk FROM
+         |    (SELECT count_min_sketch(word, ${eps}d, 0.99d, 42) AS sk
+         |     FROM cms_words GROUP BY part)),
+         |  (SELECT DISTINCT word FROM cms_words)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 300 draws over 5 words, uniform: exact counts, sketch wide enough
+    assert(sql === (0 to 4).map(i => s"w$i" -> 60L).toMap)
+  }
+
   test("merging zero sketch rows yields NULL") {
     val none = Seq.empty[(Int, String)].toDF("part", "word")
     val out = none.groupBy(col("part")).agg(sketchOf(none).as("sk"))
