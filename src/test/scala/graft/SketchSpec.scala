@@ -69,6 +69,36 @@ class SketchSpec extends SparkSpec {
     assert(sql === (0 to 4).map(i => s"w$i" -> 60L).toMap)
   }
 
+  test("streaming pre-aggregation: per-micro-batch sketch blobs roll up to exact answers") {
+    // the pattern the CMS family exists for at 100 TB: each micro-batch
+    // writes ONE sketch blob to a store; any later frequency question is
+    // answered by cms_merge over stored blobs — the raw stream is never
+    // re-read. The queue stands in for the sketch store; the roll-up and
+    // estimate run distributed.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = SharedSpark.spark.sqlContext
+    val ms = MemoryStream[String]
+    val blobs = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val q = ms.toDF().withColumnRenamed("value", "word").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = batch.agg(sketchOf(batch).as("sk")).collect()(0)
+        if (!r.isNullAt(0)) blobs.add(r.getAs[Array[Byte]](0))
+        ()
+      }.start()
+    try {
+      ms.addData(Seq.fill(30)("alpha") ++ Seq.fill(12)("beta"): _*)
+      q.processAllAvailable()
+      ms.addData(Seq.fill(20)("alpha") ++ Seq.fill(8)("gamma"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(blobs.size >= 2, "expected at least one sketch blob per micro-batch")
+    val merged = blobs.asScala.toSeq.toDF("sk").agg(cmsMerge(col("sk")).as("sk"))
+    val est = estimates(Seq("alpha", "beta", "gamma").toDF("word"), merged)
+    assert(est === Map("alpha" -> 50L, "beta" -> 12L, "gamma" -> 8L))
+  }
+
   test("merging zero sketch rows yields NULL") {
     val none = Seq.empty[(Int, String)].toDF("part", "word")
     val out = none.groupBy(col("part")).agg(sketchOf(none).as("sk"))
