@@ -55,7 +55,7 @@ object DedupQueries {
     )
 
   /** (doc_id, lang, sarr): per-doc distinct shingle array. */
-  private[queries] def shingleArrays(df: DataFrame): DataFrame =
+  private[graft] def shingleArrays(df: DataFrame): DataFrame =
     df.withColumn("l", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), shingleArray.as("sarr"))
 
@@ -105,7 +105,7 @@ object DedupQueries {
     * key. Factored out of the full-corpus pairing so the incremental pass
     * can join NEW-batch bands against a stored index instead of
     * re-pairing everything. */
-  private[queries] def minhashBands(sarr: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sarr: DataFrame): DataFrame = {
     val minh = sarr
       .select(
         col("doc_id"),

@@ -37,4 +37,29 @@ class IncrementalDedupSpec extends SparkSpec {
     // the genuine near-dup is found against BOTH identical index docs
     assert(out === Set((100L, 1L), (100L, 2L)))
   }
+
+  test("index bands survive a parquet round-trip: the STORED-index dataflow") {
+    // the scale claim: the full pass writes (doc_id, b, bv) once; every
+    // increment joins fresh batch bands against the stored frame. Prove
+    // the storage contract - band rows written to parquet and read back
+    // drive the same candidate join as the recomputed frame.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+    val corpus = Tables(SharedSpark.spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("lang"), col("text"))
+    val sarr = graft.queries.DedupQueries.shingleArrays(corpus)
+    val bands = graft.queries.DedupQueries.minhashBands(sarr)
+    bands.write.mode("overwrite").parquet(s"$dir/band_index")
+    val stored = SharedSpark.spark.read.parquet(s"$dir/band_index")
+
+    def cands(idx: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      bands.select(col("b"), col("bv"), col("doc_id").as("doc_a"))
+        .join(idx.select(col("b"), col("bv"), col("doc_id").as("doc_b")), Seq("b", "bv"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val fromStored = cands(stored)
+    assert(fromStored === cands(bands), "stored index must drive identical candidates")
+  }
 }
