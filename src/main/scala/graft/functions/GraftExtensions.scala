@@ -96,10 +96,19 @@ object GraftExtensions {
     (children: Seq[Expression]) => CmsEstimate(children(0), children(1))
   )
 
+  val misraGries: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries"),
+    info(classOf[MisraGriesAgg], "misra_gries",
+      "misra_gries(item, k) - aggregate: k-counter Misra-Gries heavy-hitter " +
+        "summary as map<string,bigint>; mergeable, est in [true - N/k, true]"),
+    (children: Seq[Expression]) =>
+      MisraGriesAgg(children(0), foldableInt("misra_gries", "k", children(1)))
+  )
+
   /** Every engine-native SQL function, in registration order. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(cosineSimilarity, dotProduct, simhash60, minhashSig, srpBands,
-      cmsMerge, cmsEstimate)
+      cmsMerge, cmsEstimate, misraGries)
 
   /** Registers on an already-built session (tests, driver-contract runs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -129,6 +129,116 @@ case class CmsEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Misra–Gries k-counter heavy-hitter summary as a mergeable Catalyst
+  * aggregate — the deterministic-memory counterpart of [[CmsMergeAgg]]:
+  * CMS answers point queries over the whole domain with probabilistic
+  * error; Misra–Gries keeps exactly k counters and deterministically
+  * guarantees, for ANY merge schedule (Agarwal et al., "Mergeable
+  * Summaries", PODS '12):
+  *
+  *   - never overestimates: est(x) ≤ true(x)
+  *   - bounded undercount:  est(x) ≥ true(x) − N/k   (N = stream length)
+  *   - every item with true(x) > N/k survives in the summary
+  *
+  * update is classic MG generalized to weighted adds (insert/increment,
+  * then if > k counters subtract the (k+1)-th largest from all and drop
+  * non-positives); merge is pointwise addition followed by the same
+  * prune. State is k counters regardless of stream length — the
+  * per-partition partials shuffle O(k) entries, and the merged summary
+  * answers "what is frequent" with no second pass over the data.
+  * Returns the summary as map<string, bigint>; absent key = est 0.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"misra_gries: k must be positive, got $k")
+
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING item, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): Buf = scala.collection.mutable.HashMap.empty
+
+  /** If more than k counters survive, subtract the (k+1)-th largest count
+    * from every counter and drop the non-positive — the weighted-MG prune
+    * whose total decrement per unit of pruned weight is what yields the
+    * N/k bound. */
+  private def prune(m: Buf): Buf = {
+    if (m.size > k) {
+      val vs = m.values.toArray
+      java.util.Arrays.sort(vs)
+      val sub = vs(vs.length - (k + 1)) // (k+1)-th largest
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      m.mapValuesInPlace((_, v) => v - sub)
+      m.foreach { case (key, v) => if (v <= 0) dead += key }
+      dead.foreach(m.remove)
+    }
+    m
+  }
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val s = v.asInstanceOf[UTF8String].toString
+      buffer.update(s, buffer.getOrElse(s, 0L) + 1L)
+      prune(buffer)
+    }
+  }
+
+  override def merge(buffer: Buf, other: Buf): Buf = {
+    other.foreach { case (key, c) =>
+      buffer.update(key, buffer.getOrElse(key, 0L) + c)
+    }
+    prune(buffer)
+  }
+
+  override def eval(buffer: Buf): Any = {
+    val entries = buffer.toArray
+    val keys: Array[Any] = entries.map(e => UTF8String.fromString(e._1): Any)
+    val values: Array[Any] = entries.map(e => e._2: Any)
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
+  }
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (key, v) => out.writeUTF(key); out.writeLong(v) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   /** Aggregate: union of serialized count-min sketches. */
   def cmsMerge(c: Column): Column =
@@ -137,4 +247,8 @@ object SketchExpressions {
   /** Scalar: estimated count of `item` in the serialized sketch. */
   def cmsEstimate(sketch: Column, item: Column): Column =
     GraftShims.column(CmsEstimate(GraftShims.expression(sketch), GraftShims.expression(item)))
+
+  /** Aggregate: Misra–Gries k-counter heavy-hitter summary (map<string,bigint>). */
+  def misraGries(c: Column, k: Int): Column =
+    GraftShims.column(MisraGriesAgg(GraftShims.expression(c), k).toAggregateExpression())
 }

@@ -814,6 +814,60 @@ object RelationalQueries {
         .select(col("token"), col("true_cnt"),
           (col("est") >= col("true_cnt") &&
             col("est") <= col("true_cnt") + ceil(col("n_tok") * 0.001)).as("in_bound"))
+    },
+
+    // ★ Misra–Gries heavy hitters — the DETERMINISTIC-memory streaming
+    // counterpart of the CMS family (functions/SketchExpressions.scala):
+    // exactly k=16 counters regardless of stream length, mergeable across
+    // partitions with, for ANY merge schedule, est ≤ true,
+    // est ≥ true − N/k, and guaranteed presence of every item above
+    // support N/k. The corpus vocabulary is near-uniform (max share
+    // ~3.5% < 1/k), so the fixture plants three hot tags at 8/6/5
+    // occurrences per doc (shares ~10.8/8.1/6.8%, all above 1/16) — the
+    // summary is under real pressure (≈33 distinct items vs 16 counters:
+    // decrements and prunes actually fire). The oracle is the exact side
+    // plus the MG contract: every token with true·k > N must be present
+    // in the summary with est inside [true − N/k, true] — integer
+    // arithmetic on both sides so the threshold is exact, and TRUE rows
+    // are deterministic even though raw counter values vary with the
+    // merge schedule.
+    // Scale: one linear explode + an O(k)-state aggregate whose partials
+    // shuffle 16 counters per partition — constant-size state where the
+    // exact q_heavy_hitters agg shuffles O(vocab); this is the shape that
+    // survives unbounded-vocabulary streams.
+    q(
+      "q_mg_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |hot AS (
+        |  SELECT tag AS token FROM documents, unnest([
+        |    'hot_a','hot_a','hot_a','hot_a','hot_a','hot_a','hot_a','hot_a',
+        |    'hot_b','hot_b','hot_b','hot_b','hot_b','hot_b',
+        |    'hot_c','hot_c','hot_c','hot_c','hot_c']) AS u(tag)),
+        |stream AS (SELECT token FROM tok UNION ALL SELECT token FROM hot),
+        |cnt AS (SELECT token, count(*)::BIGINT AS true_cnt FROM stream GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM stream)
+        |SELECT token, true_cnt, TRUE AS in_bound
+        |FROM cnt, tot WHERE true_cnt * 16 > n""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val base = docs.select(explode(split(col("text"), " ")).as("token"))
+      val hot = docs.select(explode(flatten(array(
+        array_repeat(lit("hot_a"), 8),
+        array_repeat(lit("hot_b"), 6),
+        array_repeat(lit("hot_c"), 5)))).as("token"))
+      val stream = base.unionByName(hot)
+      val summary = stream.agg(
+        graft.functions.SketchExpressions.misraGries(col("token"), 16).as("mg"))
+      val tot = stream.agg(count(lit(1)).as("n"))
+      stream.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("true_cnt") * 16 > col("n"))
+        .crossJoin(broadcast(summary))
+        .withColumn("est", element_at(col("mg"), col("token")))
+        .select(col("token"), col("true_cnt"),
+          (col("est").isNotNull && col("est") <= col("true_cnt") &&
+            col("est") * 16 >= col("true_cnt") * 16 - col("n")).as("in_bound"))
     }
   )
 }

@@ -438,6 +438,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(3000))
   }
 
+  test("q_mg_heavy_hitters: O(k)-state summary aggregate, 1-row broadcasts only") {
+    val plan = planOf("q_mg_heavy_hitters")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("misra_gries"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // only the 1-row summary/total frames may nested-loop
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 2, s"only the 1-row summary/total broadcasts may nested-loop:\n${plan.take(3000)}")
+  }
+
   test("q_split_leakfree: metadata pass — keyed joins only, no pair scan") {
     val plan = planOf("q_split_leakfree")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

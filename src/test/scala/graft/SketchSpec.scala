@@ -99,6 +99,69 @@ class SketchSpec extends SparkSpec {
     assert(est === Map("alpha" -> 50L, "beta" -> 12L, "gamma" -> 8L))
   }
 
+  test("merging sketches of mismatched geometry fails loudly, not silently") {
+    val df = Seq.tabulate(100)(i => (i % 2, s"w$i")).toDF("part", "word")
+    val mixed = df.groupBy(col("part")).agg(
+      when(col("part") === 0,
+        count_min_sketch(col("word"), lit(0.001), lit(0.99), lit(42)))
+        .otherwise(
+          count_min_sketch(col("word"), lit(0.01), lit(0.99), lit(42))).as("sk"))
+    val ex = intercept[Exception] {
+      mixed.agg(cmsMerge(col("sk"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(m =>
+        m.contains("Cannot merge") || m.contains("Incompatible"))),
+      s"expected an incompatible-merge failure, got: $ex")
+  }
+
+  test("misra_gries: exact when distinct items fit the counters") {
+    import graft.functions.SketchExpressions.misraGries
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c")).toDF("w")
+    val m = df.agg(misraGries(col("w"), 8).as("mg"))
+      .collect().head.getMap[String, Long](0)
+    assert(Map("a" -> 40L, "b" -> 25L, "c" -> 10L).forall { case (k, v) => m.get(k).contains(v) })
+  }
+
+  test("misra_gries: contract holds under pressure for every merge schedule") {
+    import graft.functions.SketchExpressions.misraGries
+    // 4 heavy items + 60 singleton tail vs k=8 counters: prunes fire
+    val heavy = Map("h1" -> 120L, "h2" -> 90L, "h3" -> 70L, "h4" -> 50L)
+    val stream = heavy.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) } ++
+      (1 to 60).map(i => s"tail_$i")
+    val n = stream.size.toLong
+    val k = 8
+    for (parts <- Seq(1, 7)) { // different merge schedules
+      val m = stream.toDF("w").repartition(parts)
+        .agg(misraGries(col("w"), k).as("mg"))
+        .collect().head.getMap[String, Long](0)
+      assert(m.size <= k, s"parts=$parts: more than $k counters survived")
+      m.foreach { case (w, est) =>
+        val truth = heavy.getOrElse(w, 1L)
+        assert(est <= truth, s"parts=$parts: $w overestimated ($est > $truth)")
+      }
+      heavy.foreach { case (w, truth) =>
+        if (truth * k > n) { // guaranteed-present support threshold
+          val est = m.get(w)
+          assert(est.nonEmpty, s"parts=$parts: heavy item $w missing")
+          assert(est.get * k >= truth * k - n,
+            s"parts=$parts: $w undercount beyond N/k (${est.get} vs $truth, n=$n)")
+        }
+      }
+    }
+  }
+
+  test("misra_gries registered as a SQL function") {
+    graft.functions.GraftExtensions.register(SharedSpark.spark)
+    Seq.fill(30)("x").toDF("w").createOrReplaceTempView("mg_words")
+    val m = SharedSpark.spark
+      .sql("SELECT misra_gries(w, 4) AS mg FROM mg_words")
+      .collect().head.getMap[String, Long](0)
+    assert(m.get("x").contains(30L))
+  }
+
   test("merging zero sketch rows yields NULL") {
     val none = Seq.empty[(Int, String)].toDF("part", "word")
     val out = none.groupBy(col("part")).agg(sketchOf(none).as("sk"))
