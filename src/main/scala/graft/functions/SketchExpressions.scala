@@ -107,17 +107,35 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
-  // Reference-identity cache: rows coming off a broadcast of ONE sketch
-  // row usually share the backing array; a miss just re-parses the blob,
-  // and the estimate path is bounded to top-k candidate rows anyway.
-  @transient private var cachedRef: AnyRef = _
+  // Content-keyed cache: UnsafeRow/columnar getBinary hands back a FRESH
+  // copy per row, so an `eq` identity check would never hit (and would go
+  // stale if an eval path ever reused a buffer). The key is cheap but
+  // content-derived — blob length plus the first/last 8 bytes — so equal
+  // blobs hit regardless of backing array, and any rewrite that leaves all
+  // 17 sampled bytes intact is not a CMS blob mutation that can occur here
+  // (the sketch column is immutable within a query). A miss just re-parses;
+  // the estimate path is bounded to top-k candidate rows anyway.
+  @transient private var cachedKey: Long = -1L
+  @transient private var cachedLen: Int = -1
   @transient private var cachedSketch: CountMinSketch = _
+
+  private def contentKey(b: Array[Byte]): Long = {
+    var h = 1125899906842597L // prime seed
+    var i = 0
+    val head = math.min(8, b.length)
+    while (i < head) { h = 31 * h + b(i); i += 1 }
+    i = math.max(head, b.length - 8)
+    while (i < b.length) { h = 31 * h + b(i); i += 1 }
+    h
+  }
 
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedRef)) {
+    val key = contentKey(bytes)
+    if (cachedSketch == null || cachedLen != bytes.length || cachedKey != key) {
       cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      cachedRef = bytes
+      cachedKey = key
+      cachedLen = bytes.length
     }
     // Same ingestion path as the builtin string-column sketch build:
     // UTF-8 bytes through the binary hash.
@@ -214,11 +232,18 @@ case class MisraGriesAgg(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
   }
 
+  // Keys are length-prefixed raw UTF-8 (writeInt + bytes), NOT writeUTF:
+  // writeUTF throws UTFDataFormatException past 65535 encoded bytes, and a
+  // pathological token must round-trip through shuffle serialization, not
+  // fail the stage.
   override def serialize(buffer: Buf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buffer.size)
-    buffer.foreach { case (key, v) => out.writeUTF(key); out.writeLong(v) }
+    buffer.foreach { case (key, v) =>
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(v)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -227,7 +252,12 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val m = scala.collection.mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      m.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -71,6 +71,10 @@ object MultimodalQueries {
     // Mixed-container metadata extraction: jpeg/png parsed for real
     // (SOF0 scan, IHDR walk — geometry, bit depth, container size),
     // unsupported RIFF/WEBP payloads sniffed and dropped.
+    // Size parity is NOT an ASCII assumption: DuckDB's `strlen` returns
+    // UTF-8 BYTE length (its `length` is characters — strlen('héé')=5),
+    // so `header + strlen(text)` equals the Spark side's `payload.length`
+    // (= header + encode(text,'UTF-8').length) for ANY text.
     q(
       "q_multimodal_meta",
       """SELECT doc_id,
@@ -118,6 +122,9 @@ object MultimodalQueries {
     // planted pair is the visible proof the containers differ. The oracle
     // rebuilds both fingerprints from the text the payloads embed and the
     // encoders' size arithmetic — a mis-parsed offset breaks every pair.
+    // (Size arithmetic parity: DuckDB `strlen` = UTF-8 byte length, so the
+    // oracle's `57 + strlen(text)` / `83 + strlen(...)` equal the encoder's
+    // payload.length for any text — see q_multimodal_meta's note.)
     // Scale: decode + fingerprint are one narrow mapPartitions pass; the
     // bucket join is O(Σ df²) over frame-fingerprint posting lists (df
     // cap on boilerplate intros at 100 TB, as with text substring dedup);

@@ -64,19 +64,33 @@ object KinesisLiteSource {
   // offset map on restart.
   private val ShardName = "shard-\\d+\\.txt".r
 
-  /** Shard files of a stream dir, sorted by name for stable shard ids. */
+  /** Shard files of a stream dir, sorted by name for stable shard ids.
+    * Also the cache janitor: entries for files that vanished from this dir
+    * (fixture teardown, stream deletion) are evicted here, so the JVM-global
+    * [[scanCache]] cannot grow past the set of LIVE shard files. */
   def shardFiles(dir: String): Seq[java.io.File] = {
     val d = new java.io.File(dir)
-    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val files = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(f => f.isFile && ShardName.matches(f.getName))
       .sortBy(_.getName)
+    val live = files.map(_.getAbsolutePath).toSet
+    val prefix = d.getAbsolutePath + java.io.File.separator
+    scanCache.keySet.removeIf(k => k.startsWith(prefix) && !live.contains(k))
+    files
   }
 
   /** Incremental scan state of one shard file: how many bytes have been
-    * consumed into the newline count, and whether the last byte seen was a
-    * newline (an unterminated trailing line still counts as a record). */
+    * consumed into the newline count, whether the last byte seen was a
+    * newline (an unterminated trailing line still counts as a record), and
+    * the rewrite guards — mtime at scan time plus a fingerprint of the last
+    * `tailLen` (≤8) consumed bytes. The append-only shard model is now
+    * VERIFIED, not assumed: a file rewritten in place (equal length but new
+    * mtime, or grown but with a different byte sequence where the old scan
+    * ended) falls back to a full rescan instead of serving a stale or
+    * garbled count. */
   private final case class ShardScanState(
-      scannedBytes: Long, newlines: Long, endsWithNewline: Boolean)
+      scannedBytes: Long, newlines: Long, endsWithNewline: Boolean,
+      lastModified: Long, tailLen: Int, tail: Long)
 
   private val scanCache =
     new java.util.concurrent.ConcurrentHashMap[String, ShardScanState]()
@@ -95,13 +109,41 @@ object KinesisLiteSource {
     * NOTHING, an appended shard reads only the appended suffix. A file
     * that shrank (fixture reset — impossible in the append-only shard
     * model) falls back to a full rescan. */
+  private val emptyState =
+    ShardScanState(0L, 0L, endsWithNewline = true, lastModified = 0L, tailLen = 0, tail = 0L)
+
+  /** Pack the `n` bytes ending at file offset `end` into a Long fingerprint
+    * (NOT charged to [[bytesScanned]] — that counter documents line-count
+    * scan I/O, and these ≤8 verification bytes are constant per trigger). */
+  private def tailAt(raf: java.io.RandomAccessFile, end: Long, n: Int): Long = {
+    val b = new Array[Byte](n)
+    raf.seek(end - n)
+    raf.readFully(b)
+    var h = 0L
+    var i = 0
+    while (i < n) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+    h
+  }
+
   def shardEnd(f: java.io.File): Long = {
-    if (!f.exists()) return 0L
     val path = f.getAbsolutePath
+    if (!f.exists()) { scanCache.remove(path); return 0L }
     val len = f.length()
-    val prev = Option(scanCache.get(path))
-      .filter(_.scannedBytes <= len)
-      .getOrElse(ShardScanState(0L, 0L, endsWithNewline = true))
+    val mtime = f.lastModified()
+    val cached = Option(scanCache.get(path))
+    // a shrunken file, a same-length file touched since the scan, or a
+    // grown file whose bytes at the old scan frontier changed is a REWRITE
+    // — drop the cache and rescan from 0
+    val prev = cached match {
+      case Some(p) if p.scannedBytes > len => emptyState
+      case Some(p) if p.scannedBytes == len && p.lastModified != mtime => emptyState
+      case Some(p) if p.scannedBytes < len && p.tailLen > 0 =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        val same = try tailAt(raf, p.scannedBytes, p.tailLen) == p.tail finally raf.close()
+        if (same) p else emptyState
+      case Some(p) => p
+      case None => emptyState
+    }
     val st =
       if (len == prev.scannedBytes) prev
       else {
@@ -121,7 +163,9 @@ object KinesisLiteSource {
             bytesScanned.addAndGet(read.toLong)
             read = raf.read(buf)
           }
-          val next = ShardScanState(scanned, nl, endNl)
+          val tl = math.min(8L, scanned).toInt
+          val next = ShardScanState(scanned, nl, endNl, f.lastModified(), tl,
+            if (tl > 0) tailAt(raf, scanned, tl) else 0L)
           scanCache.put(path, next)
           next
         } finally raf.close()

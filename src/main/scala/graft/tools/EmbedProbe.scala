@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.queries.DedupQueries
 
-/** Scratch timing probe for the banded q_dedup_embed stages. */
+/** Scratch timing probe for the banded q_dedup_embed stages.
+  *
+  * DEV TOOL ONLY — the `.collect()` below is deliberate (tiny 1-row agg,
+  * driver-side timing harness) and is the one allowed in `src/main`. Do
+  * NOT imitate it in a declared query: query results stay distributed.
+  */
 object EmbedProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -158,6 +158,34 @@ class KinesisLiteSpec extends SparkSpec {
     assert(n4 === 4L && d4 === 3L, s"n=$n4 bytes=$d4")
   }
 
+  test("shardEnd detects in-place rewrites instead of serving a stale cached count") {
+    import graft.streaming.KinesisLiteSource
+    val dir = Files.createTempDirectory("klite-rewrite").toString
+    val f = Paths.get(dir, "shard-0.txt")
+    Files.write(f, "a\nb\n".getBytes("UTF-8"))
+    assert(KinesisLiteSource.shardEnd(f.toFile) === 2L)
+    // GROWN but rewritten: the bytes at the old scan frontier differ from
+    // the cached tail fingerprint → full rescan, correct new count (a naive
+    // (file,length)→count cache would count only the 6-byte suffix and
+    // return a garbled total)
+    Files.write(f, "xxxxx\nyyyyy\nzzzzz\n".getBytes("UTF-8"))
+    assert(KinesisLiteSource.shardEnd(f.toFile) === 3L,
+      "rewritten-and-grown shard must be fully rescanned")
+    // SAME-LENGTH rewrite (18 bytes again, but 6 lines now): length matches
+    // the cache so only the mtime betrays the rewrite → rescan must see 6,
+    // a stale cache would answer 3 (force an mtime step so the test doesn't
+    // race the filesystem clock resolution)
+    val newer = f.toFile.lastModified() + 2000
+    Files.write(f, "qq\nrr\nss\ntt\nuu\nvv\n".getBytes("UTF-8"))
+    assert(f.toFile.setLastModified(newer))
+    assert(KinesisLiteSource.shardEnd(f.toFile) === 6L,
+      "same-length rewrite with a newer mtime must be fully rescanned")
+    // deleted file: count 0 and the cache entry is evicted via shardFiles
+    Files.delete(f)
+    assert(KinesisLiteSource.shardEnd(f.toFile) === 0L)
+    assert(KinesisLiteSource.shardFiles(dir).isEmpty)
+  }
+
   test("idle triggers re-read no shard bytes (driver I/O is O(appended), not O(stream))") {
     import graft.streaming.KinesisLiteSource
     KinesisLiteBuffers.rows.clear(); KinesisLiteBuffers.batchSizes.clear()

@@ -55,6 +55,7 @@ class SaltedJoinSpec extends SparkSpec {
     val oldAqe = conf.get("spark.sql.adaptive.enabled")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.enabled", "false")
+    try {
 
     val salts = 8
     val fact = spark.range(0, 4000000)
@@ -96,8 +97,6 @@ class SaltedJoinSpec extends SparkSpec {
       sf.join(sd, Seq("k", "salt")).groupBy(col("k"))
         .agg(count(lit(1)).as("n"), sum(col("w")).as("sw")).collect()
     }
-    conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
-    conf.set("spark.sql.adaptive.enabled", oldAqe)
 
     info(f"join-stage max-task record share: plain $plainRecShare%.3f vs salted $saltedRecShare%.3f")
     info(f"join-stage task durations: plain max/median $plainMax/$plainMed ms " +
@@ -111,5 +110,12 @@ class SaltedJoinSpec extends SparkSpec {
         f"$saltedRecShare%.3f vs $plainRecShare%.3f")
     assert(saltedMax < plainMax,
       s"salted slowest task ($saltedMax ms) should beat the unsalted hot task ($plainMax ms)")
+    } finally {
+      // restore even if a measured join or assertion throws — the session
+      // is shared, and a leaked adaptive.enabled=false would skew every
+      // later suite
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
   }
 }
