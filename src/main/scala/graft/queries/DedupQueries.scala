@@ -609,6 +609,47 @@ object DedupQueries {
       incrementalDedup(corpus(s, dir), 1000000L, 0.3)
     },
 
+    // ★ STORED-index incremental dedup — the same batch-vs-index semantics
+    // as q_dedup_incremental, but with the index band table actually
+    // WRITTEN to disk bucketed by the join key (b, bv) and the increment
+    // joining against the STORED table. This is the production dataflow
+    // the q_dedup_incremental scaladoc promises: the bucketed write is the
+    // one-time cost of the full-corpus pass; after it, every increment's
+    // candidate join reads the index straight off its co-located buckets —
+    // ZERO exchange on the index side (plan-guarded in
+    // StoredIndexDedupSpec), only the batch bands shuffle to the bucket
+    // layout. The merge hint pins the 100-TB join shape at fixture scale
+    // too (a broadcast of the small fixture index would hide the bucketed
+    // scan the plan audit exists to show). Oracle: identical to
+    // q_dedup_incremental — storage layout must be semantically invisible.
+    q(
+      "q_dedup_incremental_stored",
+      s"""WITH $corpusSql, $shinglesSql,
+         |minh AS (
+         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS b,
+         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
+         |  FROM minh GROUP BY doc_id, j // 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |  WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a AS doc_batch, doc_b AS dup_of, round(jac, 4) AS jac FROM (
+         |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
+         |  FROM pairs p
+         |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
+         |WHERE jac >= 0.3""".stripMargin
+    ) { (s, dir) =>
+      incrementalDedupStored(s, corpus(s, dir), 1000000L, 0.3)
+    },
+
     // ★ Triangle count over the near-dup graph — the cluster-COHESION
     // metric dedup pipelines read before choosing a keep policy: a
     // component that is a clique of true duplicates (dense triangles) can
@@ -690,6 +731,52 @@ object DedupQueries {
     val bat = bands.filter(col("doc_id") >= splitId)
       .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
     val cands = bat.join(idx, Seq("b", "bv"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardVerify(sarr, cands, threshold)
+      .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
+  }
+
+  /** Number of buckets for the stored band index. 8 at fixture scale; at
+    * 100 TB the same write uses O(cluster cores) buckets — the value is a
+    * layout knob, not a semantic one (StoredIndexDedupSpec proves results
+    * are identical to the in-memory variant either way). */
+  private[graft] val indexBuckets = 8
+
+  /** Stored-index variant of [[incrementalDedup]]: writes the index band
+    * table bucketed+sorted by the join key `(b, bv)` — the one-time cost
+    * of the full-corpus pass — then joins batch bands against the STORED
+    * table. Bucketing IS the index side's exchange, paid once at write
+    * time: the candidate join reads the index straight off co-located
+    * buckets with zero exchange on that side, and only the batch bands
+    * (O(increment)) shuffle to the bucket layout per run. The
+    * `repartition` before the write aligns writer tasks with bucket ids
+    * (same Murmur3-pmod hash both sides) so each bucket lands in one
+    * file — that keeps the stored side sort-free at read time too.
+    * Returns the same (doc_batch, dup_of, jac) decision as the in-memory
+    * variant; public so StoredIndexDedupSpec can plan-guard the join and
+    * diff the two variants bit-for-bit. */
+  def incrementalDedupStored(s: SparkSession, docs: DataFrame, splitId: Long,
+      threshold: Double): DataFrame = {
+    val sarr = shingleArrays(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBands(sarr)
+    val tbl = "graft_band_index"
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-band-index-$splitId").getAbsolutePath
+    bands.filter(col("doc_id") < splitId)
+      .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
+      .repartition(indexBuckets, col("b"), col("bv"))
+      .write.mode("overwrite")
+      .bucketBy(indexBuckets, "b", "bv").sortBy("b", "bv")
+      .option("path", path)
+      .saveAsTable(tbl)
+    val idx = s.table(tbl)
+    val bat = bands.filter(col("doc_id") >= splitId)
+      .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
+    // merge hint: pin the sort-merge-on-buckets shape even when the
+    // fixture-scale index would broadcast — the declared plan is the
+    // 100-TB plan
+    val cands = bat.join(idx.hint("merge"), Seq("b", "bv"))
       .select(col("doc_a"), col("doc_b")).distinct()
     jaccardVerify(sarr, cands, threshold)
       .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
