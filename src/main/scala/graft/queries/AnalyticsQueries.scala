@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +17,93 @@ import QueryDef.q
   * shuffles with bounded output — no global sorts, no driver collects.
   */
 object AnalyticsQueries {
+
+  /** Round count the q_pagerank_converge loop reaches at sf0.01 with
+    * damping 0.5 and max-|Δpr| < 1e-3 — the oracle unrolls exactly this
+    * many CTE stages and emits it as the n_rounds literal, so a loop that
+    * converges early/late hash-mismatches. Deterministic because the
+    * convergence metric is a MAX over per-node deltas whose ranks are
+    * ordered folds (fixture + seed pinned by the driver). Measured 15 at
+    * sf0.001, sf0.01 AND sf0.1 (tools/PrProbe) — the count is set by the
+    * damping rate, not the data scale, so fixture regeneration is
+    * low-risk. */
+  private val prConvergeRounds = 15
+
+  /** DuckDB oracle for q_pagerank_converge: r0 = all-ones, then
+    * `prConvergeRounds` unrolled damped-update stages, each summing
+    * contributions in ORDER BY src (the same fold order as the Spark
+    * side's sorted collect_list) so every IEEE add is replayed
+    * identically. */
+  private def pagerankConvergeSql: String = {
+    val stages = (1 to prConvergeRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, 0.5 + 0.5 * coalesce(x.sm, 0.0) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, list_sum(list(r.pr * e.w ORDER BY e.src)) AS sm
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) x USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |ed AS (
+       |  SELECT s AS src, p + 1000000 AS dst FROM sp
+       |  UNION ALL SELECT p + 1000000, s FROM sp),
+       |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY 1),
+       |e AS (SELECT ed.src, ed.dst, 1.0 / deg.d AS w FROM ed JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM ed),
+       |r0 AS (SELECT id, 1.0 AS pr FROM nodes),
+       |$stages
+       |SELECT id, floor(pr * 1e6) / 1e6 + 0.0 AS pr,
+       |  ${prConvergeRounds}::BIGINT AS n_rounds
+       |FROM r$prConvergeRounds ORDER BY pr DESC, id LIMIT 25""".stripMargin
+  }
+
+  /** Damped PageRank iterated to convergence over a directed edge frame
+    * (src, dst): per round, each node's out-rank pr/deg flows along its
+    * edges and every node re-scores to (1-d) + d·Σ inbound, the Σ folded
+    * in sorted-source order so the value is bit-deterministic across
+    * engines and runs. Stops when max per-node |Δpr| < eps (an
+    * order-independent scalar agg — ONE small action per round, never a
+    * rank collect) or at maxRounds. Ranks are localCheckpoint'd each
+    * round to truncate lineage, the CC-lane pattern
+    * (DedupQueries.connectedComponents). Returns (ranks(id, pr), rounds).
+    * Public so PagerankConvergeSpec can pin ranks + round count on a
+    * hand-solvable graph. */
+  def pagerankConverge(s: SparkSession, edges: DataFrame, d: Double,
+      eps: Double, maxRounds: Int): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .persist(MEMORY_AND_DISK)
+    var ranks = e.select(col("src").as("id")).distinct()
+      .unionByName(e.select(col("dst").as("id")).distinct())
+      .distinct()
+      .select(col("id"), lit(1.0).as("pr"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), col("src"), (col("pr") * col("w")).as("c"))
+      val summed = contribs
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cl"))
+        .select(col("id"),
+          aggregate(col("cl"), lit(0.0), (a, x) => a + x.getField("c")).as("sm"))
+      val next = ranks.select(col("id"), col("pr").as("pr_old"))
+        .join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - d) + lit(d) * coalesce(col("sm"), lit(0.0))).as("pr"),
+          col("pr_old"))
+        .localCheckpoint(true)
+      val delta = next
+        .agg(max(abs(col("pr") - col("pr_old")))).head.getDouble(0)
+      ranks = next.select(col("id"), col("pr"))
+      rounds += 1
+      converged = delta < eps
+    }
+    (ranks, rounds)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -602,6 +690,43 @@ object AnalyticsQueries {
             aggregate(col("cl"), lit(0.0), (a, x) => a + x.getField("c"))) * 1e6) / 1e6
             + 0.0).as("pr"))
         .orderBy(col("pr").desc, col("partkey"))
+        .limit(25)
+    },
+
+    // ★ PageRank to CONVERGENCE — the iterative-compute shape where the
+    // LOOP, not the step, is the hard part: q_pagerank_step is one damped
+    // iteration; this drives the same per-round dataflow (keyed join +
+    // destination agg, ordered-fold sums for cross-engine IEEE parity)
+    // inside a driver loop with a deterministic convergence check and
+    // per-round lineage truncation — the CC dedup lane's machinery
+    // (DedupQueries.connectedComponents) applied to a weighted fixpoint.
+    // Graph: the supplier↔part bipartite graph from lineitem, both
+    // directions (part ids offset by 1e6 into a disjoint node space), so
+    // rank flows rounds-trip and no node dangles. Convergence: max
+    // per-node |Δpr| < 1e-3 — MAX is order-independent and each per-node
+    // rank is an ordered fold, so the round count is deterministic and
+    // the oracle can unroll exactly that many CTE stages (the n_rounds
+    // output column pins loop-count parity, not just final values).
+    // Damping 0.5 keeps the unroll compact (rate is dᵏ; the loop is
+    // damping-agnostic). Scale: per round one keyed join of O(edges)
+    // against O(nodes) ranks + one keyed agg — AQE-sized shuffles, state
+    // O(nodes), localCheckpoint per round exactly like the CC lane; the
+    // convergence scalar is one tiny agg action, not a collect of ranks.
+    q(
+      "q_pagerank_converge",
+      pagerankConvergeSql
+    ) { (s, dir) =>
+      val sp = Tables(s, dir).lineitem
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val edges = sp
+        .select(col("s").as("src"), (col("p") + 1000000L).as("dst"))
+        .unionByName(sp.select((col("p") + 1000000L).as("src"), col("s").as("dst")))
+      val (ranks, rounds) = pagerankConverge(s, edges, 0.5, 1e-3, 60)
+      ranks
+        .select(col("id"),
+          (floor(col("pr") * 1e6) / 1e6 + 0.0).as("pr"),
+          lit(rounds.toLong).as("n_rounds"))
+        .orderBy(col("pr").desc, col("id"))
         .limit(25)
     },
 
