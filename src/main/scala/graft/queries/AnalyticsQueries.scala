@@ -24,9 +24,8 @@ object AnalyticsQueries {
     * converges early/late hash-mismatches. Deterministic because the
     * convergence metric is a MAX over per-node deltas whose ranks are
     * ordered folds (fixture + seed pinned by the driver). Measured 15 at
-    * sf0.001, sf0.01 AND sf0.1 (tools/PrProbe) — the count is set by the
-    * damping rate, not the data scale, so fixture regeneration is
-    * low-risk. */
+    * sf0.001, sf0.01 AND sf0.1 alike — the count is set by the damping
+    * rate, not the data scale, so fixture regeneration is low-risk. */
   private val prConvergeRounds = 15
 
   /** DuckDB oracle for q_pagerank_converge: r0 = all-ones, then
