@@ -20,7 +20,12 @@ import java.util.zip.CRC32
   */
 object MediaCodec {
 
-  /** Parsed container metadata + location of the embedded data section. */
+  /** Parsed container metadata + location of the embedded data section.
+    * The geometry fields are modality-generic: for images width/height are
+    * pixels and bitDepth the sample precision; for audio (wav) width is
+    * the SAMPLE RATE, height the CHANNEL count, and bitDepth the bits per
+    * sample — one typed row shape for the whole multimodal column, the
+    * dims-array convention metadata stores use. */
   final case class MediaMeta(
       format: String,
       width: Int,
@@ -98,9 +103,54 @@ object MediaCodec {
     * not decode (the sniff-to-None path). */
   def encodeWebp(data: Array[Byte]): Array[Byte] = {
     val size = 4 + data.length
-    "RIFF".getBytes("US-ASCII") ++
-      Array(size.toByte, (size >>> 8).toByte, (size >>> 16).toByte, (size >>> 24).toByte) ++
+    "RIFF".getBytes("US-ASCII") ++ le32(size) ++
       "WEBP".getBytes("US-ASCII") ++ data
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  private def readLe32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+
+  private def readLe16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+  private def wavFmt(sampleRate: Int, channels: Int, bitsPerSample: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1 /* PCM */) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample)
+  }
+
+  /** RIFF/WAVE container (canonical PCM layout, all little-endian):
+    * "RIFF" + size + "WAVE", a 16-byte "fmt " chunk, then the "data"
+    * chunk carrying the payload. Size: 12 + 24 + 8 + N = 44 + N. */
+  def encodeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      wavFmt(sampleRate, channels, bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+
+  /** RE-WRAPPED WAV: identical PCM payload, different container — a LIST
+    * metadata chunk rides between fmt and data, shifting the data offset
+    * and growing the container by 8 + comment bytes (+1 RIFF pad byte when
+    * the comment is odd-length — chunks align to even offsets). The audio
+    * analog of [[encodePngRewrapped]]. Size: 44 + N + 8 + c + (c mod 2). */
+  def encodeWavRewrapped(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      data: Array[Byte], comment: String): Array[Byte] = {
+    val c = comment.getBytes("ISO-8859-1")
+    val pad: Array[Byte] = if (c.length % 2 == 1) Array(0.toByte) else Array.empty
+    "RIFF".getBytes("US-ASCII") ++
+      le32(36 + 8 + c.length + pad.length + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      wavFmt(sampleRate, channels, bitsPerSample) ++
+      "LIST".getBytes("US-ASCII") ++ le32(c.length) ++ c ++ pad ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
   // --- decoder -----------------------------------------------------------
@@ -109,7 +159,38 @@ object MediaCodec {
   def decode(p: Array[Byte]): Option[MediaMeta] =
     if (p.length >= 8 && p.take(8).sameElements(pngSig)) decodePng(p)
     else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) decodeJpeg(p)
+    else if (p.length >= 12 &&
+      new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(p, 8, 4, "US-ASCII") == "WAVE") decodeWav(p)
     else None
+
+  /** Walk RIFF chunks: "fmt " carries the audio geometry (channels,
+    * sample rate, bits per sample), "data" the payload; unknown chunks
+    * (LIST, fact, …) are skipped by their declared length — the re-wrap
+    * path. RIFF pads odd-length chunks to even offsets. */
+  private def decodeWav(p: Array[Byte]): Option[MediaMeta] = {
+    var off = 12
+    var sampleRate, channels, bits = -1
+    while (off + 8 <= p.length) {
+      val tpe = new String(p, off, 4, "US-ASCII")
+      val len = readLe32(p, off + 4)
+      if (len < 0 || off + 8 + len > p.length) return None
+      tpe match {
+        case "fmt " =>
+          if (len < 16) return None
+          channels = readLe16(p, off + 10)
+          sampleRate = readLe32(p, off + 12)
+          bits = readLe16(p, off + 22)
+        case "data" =>
+          return if (sampleRate >= 0)
+            Some(MediaMeta("wav", sampleRate, channels, bits, off + 8, len))
+          else None
+        case _ =>
+      }
+      off += 8 + len + (len & 1)
+    }
+    None
+  }
 
   /** Walk PNG chunks: IHDR carries the geometry, IDAT the data section. */
   private def decodePng(p: Array[Byte]): Option[MediaMeta] = {

@@ -68,9 +68,13 @@ object MultimodalQueries {
         .toDF("doc_id", "width", "height", "frame_idx", "frame_fp")
     },
 
-    // Mixed-container metadata extraction: jpeg/png parsed for real
-    // (SOF0 scan, IHDR walk — geometry, bit depth, container size),
-    // unsupported RIFF/WEBP payloads sniffed and dropped.
+    // Mixed-container metadata extraction across MODALITIES: jpeg/png
+    // parsed for real (SOF0 scan, IHDR walk — pixel geometry, bit depth,
+    // container size), wav parsed for real (RIFF chunk walk — sample
+    // rate, channels, bits per sample, riding the same generic geometry
+    // columns: width=rate, height=channels), unsupported RIFF/WEBP
+    // payloads sniffed and dropped (the two RIFF fates prove the sniff
+    // reads the form type, not just the fourcc).
     // Size parity is NOT an ASCII assumption: DuckDB's `strlen` returns
     // UTF-8 BYTE length (its `length` is characters — strlen('héé')=5),
     // so `header + strlen(text)` equals the Spark side's `payload.length`
@@ -78,12 +82,18 @@ object MultimodalQueries {
     q(
       "q_multimodal_meta",
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS format,
-        |  (32 + doc_id % 1920)::BIGINT AS width,
-        |  (32 + doc_id % 1080)::BIGINT AS height,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 8 WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)::BIGINT AS bit_depth,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 55 ELSE 57 END + strlen(text))::BIGINT AS n_bytes
-        |FROM documents WHERE doc_id % 3 <> 2""".stripMargin
+        |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+        |       WHEN doc_id % 6 = 2 THEN 'wav' ELSE 'png' END AS format,
+        |  (CASE WHEN doc_id % 6 = 2 THEN 8000 + ((doc_id // 2) % 4) * 4000
+        |        ELSE 32 + doc_id % 1920 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 6 = 2 THEN 1 + (doc_id // 2) % 2
+        |        ELSE 32 + doc_id % 1080 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 6 = 2 THEN 8 + 8 * ((doc_id // 4) % 2)
+        |        WHEN doc_id % 3 = 0 THEN 8
+        |        WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END)::BIGINT AS bit_depth,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 55
+        |        WHEN doc_id % 6 = 2 THEN 44 ELSE 57 END + strlen(text))::BIGINT AS n_bytes
+        |FROM documents WHERE doc_id % 6 <> 5""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -95,6 +105,11 @@ object MultimodalQueries {
           val payload = id % 3 match {
             case 0 => MediaCodec.encodeJpeg(w, h, data)
             case 1 => MediaCodec.encodePng(w, h, if (id % 2 == 0) 8 else 16, data)
+            case _ if id % 6 == 2 =>
+              MediaCodec.encodeWav(
+                (8000 + ((id / 2) % 4) * 4000).toInt,
+                (1 + (id / 2) % 2).toInt,
+                (8 + 8 * ((id / 4) % 2)).toInt, data)
             case _ => MediaCodec.encodeWebp(data)
           }
           (id, payload)
@@ -109,12 +124,13 @@ object MultimodalQueries {
         .toDF("doc_id", "format", "width", "height", "bit_depth", "n_bytes")
     },
 
-    // ★ Multimodal near-dup: recover payloads whose PIXEL DATA is
+    // ★ Multimodal near-dup: recover payloads whose EMBEDDED DATA is
     // byte-identical although the CONTAINERS differ — the planted
-    // duplicates (doc_id+1000000 for doc_id % 5 = 0) are re-wrapped PNGs:
-    // same IDAT, but a tEXt metadata chunk shifts the data offset and
-    // changes the container size, so whole-file hashing and fixed-offset
-    // slicing both miss them. The lane is the same signature→bucket→
+    // duplicates (doc_id+1000000) are re-wrapped containers in BOTH
+    // modalities: PNGs (doc_id % 5 = 0) where a tEXt metadata chunk
+    // shifts the IDAT offset, and WAVs (doc_id % 5 = 3) where a LIST
+    // chunk shifts the data chunk; either way whole-file hashing and
+    // fixed-offset slicing both miss them. The lane is the same signature→bucket→
     // verify shape as every dedup family: block on the PARSED frame-0
     // fingerprint (first 32 data-section bytes at the chunk-walked
     // offset — q_multimodal_frames' slice), then verify candidates by the
@@ -131,13 +147,25 @@ object MultimodalQueries {
     // nothing compares full payloads across the corpus.
     q(
       "q_multimodal_dedup",
+      // corpus: PNG containers except doc_id%5=3 which are WAVs; planted
+      // twins re-wrap the same data section in a bigger container (tEXt
+      // chunk for PNG at +83+digits; LIST chunk for WAV at +8+comment,
+      // RIFF-padded to even, i.e. 52+N+c+c%2 with c = 6+digits) — the
+      // blocking must recover near-dups WITHIN each modality from parsed
+      // offsets, images and audio through one lane
       """WITH corpus AS (
-        |  SELECT doc_id, text, (57 + strlen(text))::BIGINT AS n_bytes
+        |  SELECT doc_id, text,
+        |    (CASE WHEN doc_id % 5 = 3 THEN 44 ELSE 57 END + strlen(text))::BIGINT AS n_bytes
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text,
         |    (83 + strlen(text) + strlen(CAST(doc_id AS VARCHAR)))::BIGINT AS n_bytes
-        |  FROM documents WHERE doc_id % 5 = 0)
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text,
+        |    (52 + strlen(text) + (6 + strlen(CAST(doc_id AS VARCHAR)))
+        |       + (6 + strlen(CAST(doc_id AS VARCHAR))) % 2)::BIGINT AS n_bytes
+        |  FROM documents WHERE doc_id % 5 = 3)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, md5(a.text) AS data_fp,
         |  a.n_bytes AS n_bytes_a, b.n_bytes AS n_bytes_b
         |FROM corpus a JOIN corpus b
@@ -150,11 +178,15 @@ object MultimodalQueries {
         .flatMap { case (id, data) =>
           val w = (32 + id % 1920).toInt
           val h = (32 + id % 1080).toInt
-          val orig = (id, MediaCodec.encodePng(w, h, 8, data))
-          if (id % 5 == 0)
-            Iterator(orig,
+          if (id % 5 == 3)
+            Iterator(
+              (id, MediaCodec.encodeWav(16000, 1, 16, data)),
+              (id + 1000000L, MediaCodec.encodeWavRewrapped(16000, 1, 16, data, s"rewrap$id")))
+          else if (id % 5 == 0)
+            Iterator(
+              (id, MediaCodec.encodePng(w, h, 8, data)),
               (id + 1000000L, MediaCodec.encodePngRewrapped(w, h, 8, data, s"rewrap$id")))
-          else Iterator.single(orig)
+          else Iterator.single((id, MediaCodec.encodePng(w, h, 8, data)))
         }
         .mapPartitions { it =>
           val md = MessageDigest.getInstance("MD5")

@@ -82,6 +82,57 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("wav round-trip: audio geometry and PCM section from a real RIFF chunk walk") {
+    val p = MediaCodec.encodeWav(16000, 2, 16, data)
+    assert(p.length === 44 + data.length)
+    val m = MediaCodec.decode(p).get
+    assert(m.format === "wav")
+    // generic-geometry mapping: width = sample rate, height = channels
+    assert(m.width === 16000 && m.height === 2 && m.bitDepth === 16)
+    assert(java.util.Arrays.copyOfRange(p, m.dataOffset, m.dataOffset + m.dataLength)
+      .sameElements(data))
+  }
+
+  test("synthesized wav agrees with the JDK's own audio header reader") {
+    val bytes = MediaCodec.encodeWav(22050, 1, 8, data)
+    val fmt = javax.sound.sampled.AudioSystem
+      .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+      .getFormat
+    assert(fmt.getSampleRate === 22050.0f)
+    assert(fmt.getChannels === 1)
+    assert(fmt.getSampleSizeInBits === 8)
+  }
+
+  test("re-wrapped wav: same PCM section at a shifted offset, bigger container") {
+    val pcm = "pcm sample bytes!".getBytes("UTF-8")
+    val plain = MediaCodec.encodeWav(8000, 1, 16, pcm)
+    // odd comment length exercises the RIFF even-offset pad byte
+    val rewrap = MediaCodec.encodeWavRewrapped(8000, 1, 16, pcm, "copy1")
+    val pm = MediaCodec.decode(plain).get
+    val rm = MediaCodec.decode(rewrap).get
+    assert((rm.format, rm.width, rm.height, rm.bitDepth) === (("wav", 8000, 1, 16)))
+    assert(rm.dataLength === pm.dataLength)
+    assert(
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(plain, pm.dataOffset, pm.dataOffset + pm.dataLength),
+        java.util.Arrays.copyOfRange(rewrap, rm.dataOffset, rm.dataOffset + rm.dataLength)))
+    // LIST chunk: 8 header + 5 comment + 1 pad
+    assert(rm.dataOffset === pm.dataOffset + 8 + 5 + 1)
+    assert(rewrap.length === plain.length + 8 + 5 + 1)
+    // and the JDK reader skips the LIST chunk the same way ours does
+    val fmt = javax.sound.sampled.AudioSystem
+      .getAudioFileFormat(new java.io.ByteArrayInputStream(rewrap)).getFormat
+    assert(fmt.getSampleRate === 8000.0f && fmt.getChannels === 1)
+  }
+
+  test("RIFF sniffing reads the form type: WAVE parses, WEBP stays None") {
+    assert(MediaCodec.decode(MediaCodec.encodeWav(8000, 1, 8, data)).isDefined)
+    assert(MediaCodec.decode(MediaCodec.encodeWebp(data)).isEmpty)
+    // corrupt/truncated wavs sniff to None, never throw
+    val wav = MediaCodec.encodeWav(8000, 1, 8, data)
+    (1 until 44 by 5).foreach(n => assert(MediaCodec.decode(wav.take(n)).isEmpty))
+  }
+
   test("empty data section: zero-length IDAT / SOF-to-EOI span") {
     val png = MediaCodec.decode(MediaCodec.encodePng(5, 5, 8, Array.empty)).get
     assert(png.dataLength === 0)

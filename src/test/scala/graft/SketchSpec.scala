@@ -162,6 +162,82 @@ class SketchSpec extends SparkSpec {
     assert(m.get("x").contains(30L))
   }
 
+  test("streaming heavy hitters: misra_gries in an update-mode agg with checkpointed state, across a restart") {
+    // the lane q_mg_heavy_hitters' scaladoc promises: MG is the STREAMING
+    // counterpart of the exact heavy-hitters agg. Here it actually runs
+    // as a streaming aggregation — the O(k) buffer lives in the state
+    // store (update mode + checkpointLocation), survives a stop/restart
+    // mid-stream, and the final summary satisfies the MG contract
+    // against batch-exact counts of the SAME replayed traffic: every
+    // token above support N/k is present, and every estimate sits in
+    // [true − N/k, true]. Traffic is the sf0.001 document token stream
+    // (vocabulary ≫ k, so decrements fire) plus three planted hot tokens.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.SketchExpressions.misraGries
+    implicit val sqlCtx = SharedSpark.spark.sqlContext
+    val k = 16
+    val docTokens = Tables(SharedSpark.spark, "/root/testdata/sf0.001").documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .collect().map(_.getString(0)).toSeq
+    val half = docTokens.size / 2
+    def hot(n: Int, t: String) = Seq.fill(n)(t)
+    // hot volumes sized to clear support: corpus ≈ 28k tokens, so with
+    // the planted mass N ≈ 40k and N/k ≈ 2.5k — all three hot tokens land
+    // above it, nothing organic does
+    val tranche1 = docTokens.take(half) ++ hot(2500, "hot_a") ++ hot(3500, "hot_b")
+    val tranche2 = docTokens.drop(half) ++ hot(2500, "hot_a") ++ hot(3000, "hot_c")
+
+    val ms = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mg-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
+    def start() = ms.toDF().withColumnRenamed("value", "token")
+      .agg(misraGries(col("token"), k).as("mg"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          got.add(r.getMap[String, Long](0).toMap)
+        }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    try { ms.addData(tranche1: _*); q1.processAllAvailable() } finally q1.stop()
+    // the first tranche's summary must already carry its hot token
+    assert(got.peek().contains("hot_a"), s"pre-restart summary: ${got.peek().keySet}")
+    // restart from the checkpoint: the MG buffer comes back from the
+    // state store, not from reprocessing tranche 1
+    val q2 = start()
+    try { ms.addData(tranche2: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val summary = {
+      var last: Map[String, Long] = null
+      got.forEach(m => last = m)
+      last
+    }
+    val all = tranche1 ++ tranche2
+    val n = all.size.toLong
+    val exact = all.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    // presence above support: hot_a (5000), hot_b (3500), hot_c (3000)
+    // vs N/k — require the planted ones that clear the threshold
+    val mustHave = exact.filter { case (_, c) => c * k > n }.keySet
+    assert(mustHave.contains("hot_a"), s"fixture too weak: N/k = ${n / k}")
+    mustHave.foreach { t =>
+      assert(summary.contains(t), s"token '$t' above support N/k missing from $summary")
+    }
+    // bound: est ∈ [true − N/k, true] for everything the summary kept
+    summary.foreach { case (t, est) =>
+      val c = exact.getOrElse(t, 0L)
+      assert(est <= c, s"'$t' est $est > true $c")
+      assert(est >= c - n / k, s"'$t' est $est < ${c - n / k}")
+    }
+    // and the restart really mattered: tranche-1-only hot_b survives only
+    // if the buffer crossed the restart (it never appears in tranche 2)
+    assert(got.size >= 2, "expected one summary per micro-batch")
+  }
+
   test("merging zero sketch rows yields NULL") {
     val none = Seq.empty[(Int, String)].toDF("part", "word")
     val out = none.groupBy(col("part")).agg(sketchOf(none).as("sk"))
