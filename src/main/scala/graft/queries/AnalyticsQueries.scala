@@ -28,17 +28,20 @@ object AnalyticsQueries {
     * rate, not the data scale, so fixture regeneration is low-risk. */
   private val prConvergeRounds = 15
 
-  /** DuckDB oracle for q_pagerank_converge: r0 = all-ones, then
-    * `prConvergeRounds` unrolled damped-update stages, each summing
-    * contributions in ORDER BY src (the same fold order as the Spark
-    * side's sorted collect_list) so every IEEE add is replayed
-    * identically. */
+  /** DuckDB oracle for q_pagerank_converge: r0 = all-ones (1e9 nano
+    * units), then `prConvergeRounds` unrolled fixed-point damped-update
+    * stages. Integer arithmetic end to end — contributions are floor
+    * divisions and the per-node Σ is a BIGINT sum, which COMMUTES
+    * exactly, so no ordering clause is needed anywhere for cross-engine
+    * parity (the float version needed an ORDER BY src fold per stage;
+    * fixed point is both the determinism fix and the scale fix, because
+    * commutative sums get map-side partial aggregation back). */
   private def pagerankConvergeSql: String = {
     val stages = (1 to prConvergeRounds).map { i =>
       s"""r$i AS (
-         |  SELECT n.id, 0.5 + 0.5 * coalesce(x.sm, 0.0) AS pr
+         |  SELECT n.id, 500000000 + coalesce(x.sm, 0) // 2 AS pr
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst AS id, list_sum(list(r.pr * e.w ORDER BY e.src)) AS sm
+         |    SELECT e.dst AS id, sum(r.pr // e.d)::BIGINT AS sm
          |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) x USING (id))""".stripMargin
     }.mkString(",\n")
     s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
@@ -46,62 +49,116 @@ object AnalyticsQueries {
        |  SELECT s AS src, p + 1000000 AS dst FROM sp
        |  UNION ALL SELECT p + 1000000, s FROM sp),
        |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY 1),
-       |e AS (SELECT ed.src, ed.dst, 1.0 / deg.d AS w FROM ed JOIN deg USING (src)),
+       |e AS (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg USING (src)),
        |nodes AS (SELECT DISTINCT src AS id FROM ed),
-       |r0 AS (SELECT id, 1.0 AS pr FROM nodes),
+       |r0 AS (SELECT id, 1000000000::BIGINT AS pr FROM nodes),
        |$stages
-       |SELECT id, floor(pr * 1e6) / 1e6 + 0.0 AS pr,
+       |SELECT id, (pr // 1000) / 1000000.0 AS pr,
        |  ${prConvergeRounds}::BIGINT AS n_rounds
        |FROM r$prConvergeRounds ORDER BY pr DESC, id LIMIT 25""".stripMargin
   }
 
-  /** Damped PageRank iterated to convergence over a directed edge frame
-    * (src, dst): per round, each node's out-rank pr/deg flows along its
-    * edges and every node re-scores to (1-d) + d·Σ inbound, the Σ folded
-    * in sorted-source order so the value is bit-deterministic across
-    * engines and runs. Stops when max per-node |Δpr| < eps (an
-    * order-independent scalar agg — ONE small action per round, never a
-    * rank collect) or at maxRounds. Ranks are localCheckpoint'd each
-    * round to truncate lineage, the CC-lane pattern
-    * (DedupQueries.connectedComponents). Returns (ranks(id, pr), rounds).
-    * Public so PagerankConvergeSpec can pin ranks + round count on a
-    * hand-solvable graph. */
-  def pagerankConverge(s: SparkSession, edges: DataFrame, d: Double,
-      eps: Double, maxRounds: Int): (DataFrame, Int) = {
+  /** Damping-0.5 PageRank iterated to convergence over a directed edge
+    * frame (src, dst), in FIXED-POINT nano units: per round each node's
+    * out-rank floor-divides across its edges (pr/deg, integer) and every
+    * node re-scores to 0.5e9 + Σinbound/2. Integer sums commute exactly,
+    * so the result is bit-deterministic across engines, partitionings,
+    * and merge orders WITHOUT ordered folds — and the per-round agg is a
+    * plain codegen'd sum with map-side partials (the float-determinism
+    * workaround, sort_array + fold, shipped every contribution row to
+    * the reduce side and measured 7× slower at sf0.1). Stops when max
+    * per-node |Δpr| < epsNano (an order-independent scalar agg — ONE
+    * small action per round, never a rank collect) or at maxRounds.
+    * Ranks are localCheckpoint'd each round to truncate lineage, the
+    * CC-lane pattern (DedupQueries.connectedComponents). Returns
+    * (ranks(id, pr nano), rounds). Public so PagerankConvergeSpec can
+    * pin ranks + round count on a hand-solvable graph. */
+  def pagerankConverge(s: SparkSession, edges: DataFrame,
+      epsNano: Long, maxRounds: Int,
+      localThreshold: Long = 4000000L): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val e = edges.join(deg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .select(col("src"), col("dst"), col("d"))
       .persist(MEMORY_AND_DISK)
+    // Endgame switch, the CC-lane pattern (connectedComponents): a loop
+    // of Spark jobs costs ~1 s/round in stage scheduling alone, so a
+    // graph whose edges fit comfortably on the driver iterates LOCALLY —
+    // bit-identical by construction, because every operation is a
+    // commutative integer op (sums have no order, divisions are per-edge)
+    // — and the distributed path takes over beyond the threshold, where
+    // per-round shuffle work dwarfs scheduling. PagerankConvergeSpec
+    // pins path equivalence by running both on one graph.
+    if (e.count() <= localThreshold) return pagerankLocal(s, e, epsNano, maxRounds)
     var ranks = e.select(col("src").as("id")).distinct()
       .unionByName(e.select(col("dst").as("id")).distinct())
       .distinct()
-      .select(col("id"), lit(1.0).as("pr"))
+      .select(col("id"), lit(1000000000L).as("pr"))
       .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val contribs = e
+      val summed = e
         .join(ranks.select(col("id").as("src"), col("pr")), "src")
-        .select(col("dst").as("id"), col("src"), (col("pr") * col("w")).as("c"))
-      val summed = contribs
+        // `div`, not `/`: Spark's / on longs is double division; div is
+        // the integral floor the oracle's // mirrors (operands are ≥ 0)
+        .select(col("dst").as("id"), expr("pr div d").as("c"))
         .groupBy(col("id"))
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cl"))
-        .select(col("id"),
-          aggregate(col("cl"), lit(0.0), (a, x) => a + x.getField("c")).as("sm"))
+        .agg(sum(col("c")).as("sm"))
       val next = ranks.select(col("id"), col("pr").as("pr_old"))
         .join(summed, Seq("id"), "left")
         .select(col("id"),
-          (lit(1.0 - d) + lit(d) * coalesce(col("sm"), lit(0.0))).as("pr"),
+          (lit(500000000L) + expr("coalesce(sm, 0L) div 2")).as("pr"),
           col("pr_old"))
         .localCheckpoint(true)
       val delta = next
-        .agg(max(abs(col("pr") - col("pr_old")))).head.getDouble(0)
+        .agg(max(abs(col("pr") - col("pr_old")))).head.getLong(0)
       ranks = next.select(col("id"), col("pr"))
       rounds += 1
-      converged = delta < eps
+      converged = delta < epsNano
     }
     (ranks, rounds)
+  }
+
+  /** Driver-local twin of the distributed loop: same nano-unit integer
+    * update, same convergence rule, over collected (src, dst, d) edge
+    * arrays — index-compressed node ids, two long arrays per round.
+    * Returns a distributed frame so downstream plans are path-agnostic. */
+  private def pagerankLocal(s: SparkSession, e: DataFrame,
+      epsNano: Long, maxRounds: Int): (DataFrame, Int) = {
+    import s.implicits._
+    val rows = e.select(col("src"), col("dst"), col("d"))
+      .as[(Long, Long, Long)].collect()
+    val ids = (rows.iterator.map(_._1) ++ rows.iterator.map(_._2))
+      .toArray.distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val srcI = rows.map(r => idx(r._1))
+    val dstI = rows.map(r => idx(r._2))
+    val dArr = rows.map(_._3)
+    var pr = Array.fill(ids.length)(1000000000L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val sm = new Array[Long](ids.length)
+      var i = 0
+      while (i < srcI.length) {
+        sm(dstI(i)) += pr(srcI(i)) / dArr(i)
+        i += 1
+      }
+      var delta = 0L
+      val next = new Array[Long](ids.length)
+      var j = 0
+      while (j < next.length) {
+        next(j) = 500000000L + sm(j) / 2
+        val d0 = math.abs(next(j) - pr(j))
+        if (d0 > delta) delta = d0
+        j += 1
+      }
+      pr = next
+      rounds += 1
+      converged = delta < epsNano
+    }
+    (ids.indices.map(i => (ids(i), pr(i))).toDF("id", "pr"), rounds)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -694,23 +751,31 @@ object AnalyticsQueries {
 
     // ★ PageRank to CONVERGENCE — the iterative-compute shape where the
     // LOOP, not the step, is the hard part: q_pagerank_step is one damped
-    // iteration; this drives the same per-round dataflow (keyed join +
-    // destination agg, ordered-fold sums for cross-engine IEEE parity)
-    // inside a driver loop with a deterministic convergence check and
-    // per-round lineage truncation — the CC dedup lane's machinery
-    // (DedupQueries.connectedComponents) applied to a weighted fixpoint.
-    // Graph: the supplier↔part bipartite graph from lineitem, both
-    // directions (part ids offset by 1e6 into a disjoint node space), so
-    // rank flows rounds-trip and no node dangles. Convergence: max
-    // per-node |Δpr| < 1e-3 — MAX is order-independent and each per-node
-    // rank is an ordered fold, so the round count is deterministic and
-    // the oracle can unroll exactly that many CTE stages (the n_rounds
+    // iteration; this drives the per-round dataflow (keyed join +
+    // destination agg) inside a driver loop with a deterministic
+    // convergence check and per-round lineage truncation — the CC dedup
+    // lane's machinery (DedupQueries.connectedComponents) applied to a
+    // weighted fixpoint. Arithmetic is FIXED-POINT (nano-unit longs):
+    // integer sums commute exactly, so cross-engine determinism needs no
+    // ordered folds and the per-round agg keeps map-side partials — both
+    // the determinism fix and the scale fix in one move (the float
+    // ordered-fold variant shipped every contribution row to the reduce
+    // side and measured 7× slower at sf0.1). Graph: the supplier↔part
+    // bipartite graph from lineitem, both directions (part ids offset by
+    // 1e6 into a disjoint node space), so rank flows round-trip and no
+    // node dangles. Convergence: max per-node |Δpr| < 1e-3 (1e6 nano) —
+    // MAX is order-independent, so the round count is deterministic and
+    // the oracle unrolls exactly that many CTE stages (the n_rounds
     // output column pins loop-count parity, not just final values).
-    // Damping 0.5 keeps the unroll compact (rate is dᵏ; the loop is
-    // damping-agnostic). Scale: per round one keyed join of O(edges)
-    // against O(nodes) ranks + one keyed agg — AQE-sized shuffles, state
-    // O(nodes), localCheckpoint per round exactly like the CC lane; the
-    // convergence scalar is one tiny agg action, not a collect of ranks.
+    // Scale: per round one keyed join of O(edges) against O(nodes) ranks
+    // + one partially-aggregated keyed sum — shuffle O(nodes×partitions),
+    // state O(nodes), localCheckpoint per round exactly like the CC
+    // lane; the convergence scalar is one tiny agg action, never a
+    // collect of ranks. Below a 4M-edge threshold the loop runs
+    // driver-local instead (the CC endgame pattern — a job round costs
+    // ~1 s in stage scheduling alone, pure overhead at fixture scale);
+    // commutative integer arithmetic makes the paths bit-identical,
+    // spec-pinned, so the oracle covers both.
     q(
       "q_pagerank_converge",
       pagerankConvergeSql
@@ -720,10 +785,10 @@ object AnalyticsQueries {
       val edges = sp
         .select(col("s").as("src"), (col("p") + 1000000L).as("dst"))
         .unionByName(sp.select((col("p") + 1000000L).as("src"), col("s").as("dst")))
-      val (ranks, rounds) = pagerankConverge(s, edges, 0.5, 1e-3, 60)
+      val (ranks, rounds) = pagerankConverge(s, edges, 1000000L, 60)
       ranks
         .select(col("id"),
-          (floor(col("pr") * 1e6) / 1e6 + 0.0).as("pr"),
+          (expr("pr div 1000").cast("double") / lit(1000000.0)).as("pr"),
           lit(rounds.toLong).as("n_rounds"))
         .orderBy(col("pr").desc, col("id"))
         .limit(25)
