@@ -205,6 +205,77 @@ class MultiWorkerLeaseSpec extends SparkSpec {
     assert(projected.size === 12)
   }
 
+  test("threaded soak: concurrent workers with a real clock lose nothing") {
+    // the tick specs above pin exact interleavings; this drives REAL
+    // concurrency — two workers on their own threads, wall-clock
+    // heartbeats, records arriving while leases move. The lease protocol
+    // is at-least-once under contention (a claim race can re-deliver a
+    // batch before the loser notices), so the soak asserts the lossless
+    // half exactly — every (shard, seq) processed at least once, every
+    // processed line matches the shard file — and that any duplicate is
+    // an identical re-delivery, never a corruption.
+    val nShards = 4
+    val streamDir = Files.createTempDirectory("graft-mw-soak").toString
+    val leaseDir = Files.createTempDirectory("graft-mw-soak-lease").toString
+    def append(lines: Int, tag: String): Unit =
+      (0 until nShards).foreach { i =>
+        val f = Paths.get(streamDir, s"shard-$i.txt")
+        val cur = if (Files.exists(f)) new String(Files.readAllBytes(f)) else ""
+        val start = cur.count(_ == '\n')
+        Files.write(f,
+          (cur + (0 until lines).map(j => s"$tag-s$i-${start + j}\n").mkString).getBytes)
+      }
+    append(20, "a")
+    val processed = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, String, Long, String)]()
+    val dups = new java.util.concurrent.atomic.AtomicLong()
+    val seen = new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+    def worker(id: String) =
+      new LeaseWorker(id, streamDir, leaseDir, failoverMillis = 600, 1000,
+        () => System.currentTimeMillis(),
+        (shard, from, recs) => recs.zipWithIndex.foreach { case (r, k) =>
+          processed.add((id, shard, from + k, r))
+          val prev = seen.putIfAbsent((shard, from + k), r)
+          if (prev != null) {
+            dups.incrementAndGet()
+            assert(prev === r, s"duplicate delivery of $shard/${from + k} differs")
+          }
+        })
+    val w1 = worker("s1")
+    val w2 = worker("s2")
+    @volatile var stop = false
+    val threads = Seq(w1, w2).map { w =>
+      new Thread(() => {
+        while (!stop) { w.tick(); Thread.sleep(40) }
+      })
+    }
+    threads.foreach(_.start())
+    try {
+      Thread.sleep(500)
+      append(20, "b")
+      Thread.sleep(500)
+      append(20, "c")
+      // drain with a deadline, not a fixed sleep — steal/GC pauses on a
+      // contended host must not flake the coverage assertion
+      val deadline = System.currentTimeMillis() + 15000
+      while (seen.size < nShards * 60 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally {
+      stop = true
+      threads.foreach(_.join(5000))
+    }
+    // lossless: every appended record was processed by someone
+    (0 until nShards).foreach { i =>
+      val got = seen.keySet().toArray(Array.empty[(String, Long)])
+        .collect { case (s, q) if s == s"shard-$i.txt" => q }.sorted.toSeq
+      assert(got === (0L until 60L), s"shard-$i coverage: $got (dups=${dups.get()})")
+    }
+    // the fleet actually split the work (both workers processed records)
+    val workersSeen = processed.toArray(Array.empty[(String, String, Long, String)])
+      .map(_._1).distinct
+    assert(workersSeen.toSet === Set("s1", "s2"), workersSeen.mkString(","))
+  }
+
   test("lease rows survive the file round-trip and reject hostile ids") {
     val l = ShardLeases.Lease("shard-0.txt", "w-1", 7L, 123L, 42L, "w.2", 99L)
     assert(ShardLeases.parse(l.json) === l)
