@@ -109,33 +109,24 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   // Content-keyed cache: UnsafeRow/columnar getBinary hands back a FRESH
   // copy per row, so an `eq` identity check would never hit (and would go
-  // stale if an eval path ever reused a buffer). The key is cheap but
-  // content-derived — blob length plus the first/last 8 bytes — so equal
-  // blobs hit regardless of backing array, and any rewrite that leaves all
-  // 17 sampled bytes intact is not a CMS blob mutation that can occur here
-  // (the sketch column is immutable within a query). A miss just re-parses;
-  // the estimate path is bounded to top-k candidate rows anyway.
-  @transient private var cachedKey: Long = -1L
-  @transient private var cachedLen: Int = -1
+  // stale if an eval path ever reused a buffer). The key is the FULL blob
+  // (exact byte equality), not a sampled fingerprint: two per-group
+  // sketches built with the same parameters share their first 8 bytes
+  // (version + totalCount high word) and often their last counter cell,
+  // so a head/tail sample can collide and silently serve one sketch's
+  // estimates for another — e.g. `cms_estimate` mapped over a frame of
+  // per-lang partials. An Arrays.equals check on a cache hit is a memcmp,
+  // far cheaper than re-deserializing the counter table; a miss just
+  // re-parses. Single-entry cache is enough: the dominant pattern is one
+  // broadcast merged sketch probed by many candidate rows.
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: CountMinSketch = _
-
-  private def contentKey(b: Array[Byte]): Long = {
-    var h = 1125899906842597L // prime seed
-    var i = 0
-    val head = math.min(8, b.length)
-    while (i < head) { h = 31 * h + b(i); i += 1 }
-    i = math.max(head, b.length - 8)
-    while (i < b.length) { h = 31 * h + b(i); i += 1 }
-    h
-  }
 
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    val key = contentKey(bytes)
-    if (cachedSketch == null || cachedLen != bytes.length || cachedKey != key) {
+    if (cachedSketch == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
       cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      cachedKey = key
-      cachedLen = bytes.length
+      cachedBytes = bytes.clone() // defensive: never alias an eval buffer
     }
     // Same ingestion path as the builtin string-column sketch build:
     // UTF-8 bytes through the binary hash.

@@ -174,7 +174,9 @@ object MediaCodec {
     while (off + 8 <= p.length) {
       val tpe = new String(p, off, 4, "US-ASCII")
       val len = readLe32(p, off + 4)
-      if (len < 0 || off + 8 + len > p.length) return None
+      // subtraction form, not addition: a hostile length must fail the
+      // guard, not overflow past it
+      if (len < 0 || len > p.length - off - 8) return None
       tpe match {
         case "fmt " =>
           if (len < 16) return None
@@ -199,7 +201,9 @@ object MediaCodec {
     var dataOff, dataLen = -1
     while (off + 8 <= p.length) {
       val len = readBe32(p, off)
-      if (len < 0 || off + 12 + len > p.length) return None
+      // subtraction form: `off + 12 + len > p.length` overflows Int for a
+      // hostile 4-byte length and lets the walk read out of bounds
+      if (len < 0 || len > p.length - off - 12) return None
       val tpe = new String(p, off + 4, 4, "US-ASCII")
       tpe match {
         case "IHDR" =>
@@ -228,7 +232,7 @@ object MediaCodec {
       if ((p(off) & 0xff) != 0xff) return None
       val marker = p(off + 1) & 0xff
       val len = readBe16(p, off + 2)
-      if (len < 2 || off + 2 + len > p.length) return None
+      if (len < 2 || len > p.length - off - 2) return None
       marker match {
         case 0xc0 | 0xc1 | 0xc2 =>
           if (len < 8) return None

@@ -742,6 +742,9 @@ object DedupQueries {
     * are identical to the in-memory variant either way). */
   private[graft] val indexBuckets = 8
 
+  /** Monotonic id distinguishing stored-index invocations within a JVM. */
+  private val storedIndexInvocations = new java.util.concurrent.atomic.AtomicLong()
+
   /** Stored-index variant of [[incrementalDedup]]: writes the index band
     * table bucketed+sorted by the join key `(b, bv)` — the one-time cost
     * of the full-corpus pass — then joins batch bands against the STORED
@@ -760,9 +763,17 @@ object DedupQueries {
     val sarr = shingleArrays(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sarr)
-    val tbl = "graft_band_index"
+    // Invocation-unique name+path: the returned frame reads the stored
+    // table LAZILY, so a shared name would let a second invocation's
+    // overwrite delete the files under the first one's unsealed result
+    // (and two concurrent calls would race on the catalog entry).
+    // Catalog entries are session-lifetime (in-memory catalog) and the
+    // fixture-scale band table is ~100 KB per invocation under tmpdir —
+    // bounded, documented cost of keeping every returned frame valid.
+    val inv = DedupQueries.storedIndexInvocations.incrementAndGet()
+    val tbl = s"graft_band_index_${splitId}_$inv"
     val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-band-index-$splitId").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft-band-index-$splitId-$inv").getAbsolutePath
     bands.filter(col("doc_id") < splitId)
       .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
       .repartition(indexBuckets, col("b"), col("bv"))

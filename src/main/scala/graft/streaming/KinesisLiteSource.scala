@@ -131,12 +131,23 @@ object KinesisLiteSource {
     val len = f.length()
     val mtime = f.lastModified()
     val cached = Option(scanCache.get(path))
-    // a shrunken file, a same-length file touched since the scan, or a
-    // grown file whose bytes at the old scan frontier changed is a REWRITE
-    // — drop the cache and rescan from 0
+    // a shrunken file, a same-length file touched OR rewritten since the
+    // scan, or a grown file whose bytes at the old scan frontier changed
+    // is a REWRITE — drop the cache and rescan from 0. The equal-length
+    // arm checks the tail fingerprint as well as mtime: filesystem
+    // timestamps are coarse (1-2 s on some stores), so an in-place
+    // rewrite landing inside the same timestamp tick would otherwise
+    // serve the stale count — the ≤8 verification bytes per trigger are
+    // the same price the grown-file arm already pays.
     val prev = cached match {
       case Some(p) if p.scannedBytes > len => emptyState
-      case Some(p) if p.scannedBytes == len && p.lastModified != mtime => emptyState
+      case Some(p) if p.scannedBytes == len =>
+        if (p.lastModified != mtime) emptyState
+        else if (p.tailLen > 0) {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          val same = try tailAt(raf, p.scannedBytes, p.tailLen) == p.tail finally raf.close()
+          if (same) p else emptyState
+        } else p
       case Some(p) if p.scannedBytes < len && p.tailLen > 0 =>
         val raf = new java.io.RandomAccessFile(path, "r")
         val same = try tailAt(raf, p.scannedBytes, p.tailLen) == p.tail finally raf.close()

@@ -193,7 +193,7 @@ final class LeaseWorker(
     val share = fairShare(table)
     owned.toSeq.foreach { shard =>
       val l = ShardLeases.read(leaseDir, shard)
-      if (l.owner != workerId) owned -= shard // lost (expired + taken)
+      if (l.owner != workerId) { owned -= shard; readPos -= shard } // lost
       else if (wantFresh(l) && owned.size > share) {
         // release KEEPING the marker: it is the wanter's membership
         // evidence — clearing it here would let this worker's own acquire
@@ -203,6 +203,7 @@ final class LeaseWorker(
           l.copy(owner = "", counter = l.counter + 1, heartbeatAt = now()),
           workerId)
         owned -= shard
+        readPos -= shard
       } else
         ShardLeases.write(leaseDir,
           l.copy(counter = l.counter + 1, heartbeatAt = now()), workerId)
@@ -212,12 +213,18 @@ final class LeaseWorker(
   /** Claim free/expired leases up to fair share; if still short and
     * nothing is claimable, ask the most-loaded live owner for one via
     * `wantedBy` (re-asserted every tick until satisfied — a concurrent
-    * owner heartbeat may have overwritten the marker). */
+    * owner heartbeat may have overwritten the marker). A lease whose
+    * owner is THIS workerId but absent from `owned` is a previous
+    * incarnation's orphan (crash + restart under the same id — the
+    * normal redeploy path): reclaimable immediately, without waiting out
+    * failover, because no other worker may hold this id. Without that
+    * arm, a solo worker restarting could never recover its own leases
+    * (they fail both the free and the expired test forever). */
   private def acquire(table: Seq[ShardLeases.Lease]): Unit = {
     val share = fairShare(table)
     val claimable = table
       .filter(l => !owned.contains(l.shard))
-      .filter(l => l.owner.isEmpty || (l.owner != workerId && !fresh(l)))
+      .filter(l => l.owner.isEmpty || l.owner == workerId || !fresh(l))
       .sortBy(_.shard)
     claimable.take(math.max(0, share - owned.size)).foreach { l =>
       ShardLeases.write(leaseDir,
@@ -225,6 +232,7 @@ final class LeaseWorker(
           wantedBy = "", wantedAt = 0L),
         workerId)
       owned += l.shard
+      readPos -= l.shard
     }
     if (owned.size < share) {
       val byOwner = table.filter(l => fresh(l) && l.owner != workerId)
@@ -239,10 +247,77 @@ final class LeaseWorker(
     }
   }
 
+  // Per-shard resume position for drain: next sequence + its byte offset.
+  // Purely an I/O cache — the authoritative checkpoint is the lease row —
+  // but without it every drain re-reads the file from byte 0 and a
+  // long-lived worker pays O(total stream) per tick instead of
+  // O(appended). Evicted on claim/loss/release; a cache whose sequence
+  // disagrees with the lease checkpoint falls back to a full skip-scan.
+  private val readPos = mutable.Map[String, (Long, Long)]()
+
+  /** Bytes consumed by [[drain]] reads — spec instrumentation for the
+    * O(appended)-I/O contract (the shardEnd counter's sibling). */
+  private[graft] val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Read lines [fromSeq, toSeq) of `f` as UTF-8, resuming from the cached
+    * byte offset when it matches fromSeq. Caches the end position only
+    * when the last consumed byte was a newline: an unterminated trailing
+    * line may still be appended to, so resuming past its START would
+    * misread the completed record (shardEnd has the same partial-line
+    * subtlety; dropping the cache forces a clean rescan instead). */
+  private def readLines(f: java.io.File, shard: String,
+      fromSeq: Long, toSeq: Long): Vector[String] = {
+    val (startSeq, startOff) = readPos.get(shard) match {
+      case Some((s, o)) if s == fromSeq => (s, o)
+      case _                            => (0L, 0L)
+    }
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+    try {
+      var toSkip = startOff
+      while (toSkip > 0) { val n = in.skip(toSkip); if (n <= 0) toSkip = 0 else toSkip -= n }
+      val out = Vector.newBuilder[String]
+      val line = new java.io.ByteArrayOutputStream()
+      var seq = startSeq
+      var consumed = 0L
+      var endedOnNewline = true
+      var b = in.read()
+      while (b != -1 && seq < toSeq) {
+        consumed += 1
+        if (b == '\n') {
+          if (seq >= fromSeq) out += new String(line.toByteArray, StandardCharsets.UTF_8)
+          line.reset()
+          seq += 1
+          endedOnNewline = true
+          b = if (seq < toSeq) in.read() else -1
+        } else {
+          line.write(b)
+          endedOnNewline = false
+          b = in.read()
+        }
+      }
+      // unterminated trailing line counts as a record (shardEnd parity)
+      if (b == -1 && line.size() > 0 && seq >= fromSeq && seq < toSeq) {
+        out += new String(line.toByteArray, StandardCharsets.UTF_8)
+        seq += 1
+      }
+      bytesRead.addAndGet(consumed)
+      if (endedOnNewline) readPos(shard) = (seq, startOff + consumed)
+      else readPos -= shard
+      out.result()
+    } finally in.close()
+  }
+
   /** Read each owned shard from its lease checkpoint (capped by the
     * per-fetch budget, the GetRecords cap), hand the batch to `process`,
     * then commit the new checkpoint into the lease — checkpoint-after-
-    * process, the at-least-once order. */
+    * process, the at-least-once order. The commit is FENCED on the lease
+    * counter: if the row changed since the batch was read (a hard
+    * takeover by a peer while this worker was paused mid-batch), the
+    * commit is dropped and the shard forgotten instead of blindly
+    * rewriting ownership and regressing the peer's checkpoint. File
+    * renames cannot make the read-verify-write atomic, so a microsecond
+    * window remains — the DynamoDB conditional write closes it in
+    * production; the state machine above is unchanged. */
   private def drain(): Unit =
     owned.toSeq.foreach { shard =>
       val f = new java.io.File(streamDir, shard)
@@ -250,14 +325,17 @@ final class LeaseWorker(
       val l = ShardLeases.read(leaseDir, shard)
       if (l.owner == workerId && end > l.checkpoint) {
         val to = math.min(end, l.checkpoint + maxRecordsPerFetch)
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        val records =
-          try src.getLines().slice(l.checkpoint.toInt, to.toInt).toVector
-          finally src.close()
+        val records = readLines(f, shard, l.checkpoint, to)
         process(shard, l.checkpoint, records)
-        ShardLeases.write(leaseDir,
-          l.copy(counter = l.counter + 1, heartbeatAt = now(), checkpoint = to),
-          workerId)
+        val l2 = ShardLeases.read(leaseDir, shard)
+        if (l2.owner == workerId && l2.counter == l.counter)
+          ShardLeases.write(leaseDir,
+            l.copy(counter = l.counter + 1, heartbeatAt = now(), checkpoint = to),
+            workerId)
+        else { // fenced out mid-batch: the peer's checkpoint stands
+          owned -= shard
+          readPos -= shard
+        }
       }
     }
 }

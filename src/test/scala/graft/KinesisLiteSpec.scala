@@ -180,6 +180,15 @@ class KinesisLiteSpec extends SparkSpec {
     assert(f.toFile.setLastModified(newer))
     assert(KinesisLiteSource.shardEnd(f.toFile) === 6L,
       "same-length rewrite with a newer mtime must be fully rescanned")
+    // SAME-LENGTH SAME-MTIME rewrite: filesystem timestamps are coarse
+    // (1-2 s on some stores), so a rewrite can land inside one timestamp
+    // tick — pin the mtime back to the cached value and let the TAIL
+    // FINGERPRINT catch it (trusting mtime alone served the stale 6)
+    val pinned = f.toFile.lastModified()
+    Files.write(f, "k\nl\nm\nn\no\np\nq\nr\ns\n".getBytes("UTF-8")) // 18 bytes, 9 lines
+    assert(f.toFile.setLastModified(pinned))
+    assert(KinesisLiteSource.shardEnd(f.toFile) === 9L,
+      "same-length same-mtime rewrite must be caught by the tail fingerprint")
     // deleted file: count 0 and the cache entry is evicted via shardFiles
     Files.delete(f)
     assert(KinesisLiteSource.shardEnd(f.toFile) === 0L)

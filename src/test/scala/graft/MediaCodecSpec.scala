@@ -133,6 +133,26 @@ class MediaCodecSpec extends AnyFunSuite {
     (1 until 44 by 5).foreach(n => assert(MediaCodec.decode(wav.take(n)).isEmpty))
   }
 
+  test("hostile chunk lengths sniff to None in every container, never overflow") {
+    // a 4-byte length near Int.MaxValue makes `off + hdr + len` overflow
+    // negative, slipping past an addition-form bounds check into an
+    // out-of-bounds read — the guards must use the subtraction form
+    def withLen(prefix: Array[Byte], lenAt: Int, len: Int, be: Boolean): Array[Byte] = {
+      val p = prefix.clone()
+      val b =
+        if (be) Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte)
+        else Array(len.toByte, (len >>> 8).toByte, (len >>> 16).toByte, (len >>> 24).toByte)
+      System.arraycopy(b, 0, p, lenAt, 4)
+      p
+    }
+    // wav: first chunk header at 12, length field at 16
+    val wav = MediaCodec.encodeWav(8000, 1, 8, data)
+    assert(MediaCodec.decode(withLen(wav, 16, 0x7ffffff0, be = false)).isEmpty)
+    // png: first chunk length at offset 8 (big-endian)
+    val png = MediaCodec.encodePng(10, 10, 8, data)
+    assert(MediaCodec.decode(withLen(png, 8, 0x7ffffff0, be = true)).isEmpty)
+  }
+
   test("empty data section: zero-length IDAT / SOF-to-EOI span") {
     val png = MediaCodec.decode(MediaCodec.encodePng(5, 5, 8, Array.empty)).get
     assert(png.dataLength === 0)

@@ -276,6 +276,44 @@ class MultiWorkerLeaseSpec extends SparkSpec {
     assert(workersSeen.toSet === Set("s1", "s2"), workersSeen.mkString(","))
   }
 
+  test("restart under the same worker id reclaims its own leases immediately") {
+    // the normal crash-recovery / redeploy path: the dead incarnation's
+    // leases still carry this workerId with fresh-looking heartbeats; the
+    // new incarnation must take them back WITHOUT waiting out failover
+    // (no other worker may hold this id), resuming from the committed
+    // checkpoints — without the own-lease arm a solo restart deadlocks
+    // the stream forever
+    val fx = new Fixture(4)
+    fx.appendAll(10, "a")
+    val w1 = fx.worker("w1")
+    w1.tick(); fx.clockMs += 10
+    assert(w1.ownedShards.size === 4)
+    // crash: a fresh instance, same id, leases still fresh (clock barely moved)
+    val w1b = fx.worker("w1")
+    fx.appendAll(10, "b")
+    w1b.tick(); fx.clockMs += 10
+    assert(w1b.ownedShards.size === 4, s"reclaimed ${w1b.ownedShards}")
+    (0 until 4).foreach { i =>
+      assert(fx.seqsOf(s"shard-$i.txt") === (0L until 20L),
+        s"shard-$i must resume at the old incarnation's checkpoint")
+    }
+  }
+
+  test("drain I/O is O(appended): a tick reads the suffix, not the file") {
+    val fx = new Fixture(1)
+    fx.appendAll(1000, "a")
+    val w1 = fx.worker("w1")
+    w1.tick(); fx.clockMs += 10
+    val fullScan = w1.bytesRead.get()
+    assert(fullScan > 5000L, s"first drain should read the whole shard: $fullScan")
+    fx.appendAll(5, "b")
+    w1.tick(); fx.clockMs += 10
+    val delta = w1.bytesRead.get() - fullScan
+    // 5 appended lines ≈ 60 bytes; a full re-read would be >10 KB
+    assert(delta < 1000L, s"second drain re-read $delta bytes")
+    assert(fx.seqsOf("shard-0.txt") === (0L until 1005L))
+  }
+
   test("lease rows survive the file round-trip and reject hostile ids") {
     val l = ShardLeases.Lease("shard-0.txt", "w-1", 7L, 123L, 42L, "w.2", 99L)
     assert(ShardLeases.parse(l.json) === l)

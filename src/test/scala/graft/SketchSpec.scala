@@ -238,6 +238,24 @@ class SketchSpec extends SparkSpec {
     assert(got.size >= 2, "expected one summary per micro-batch")
   }
 
+  test("cms_estimate over a frame of DISTINCT sketches serves each row its own sketch") {
+    // regression: the estimate cache must key on full blob content — two
+    // same-parameter sketches share their leading bytes (version +
+    // totalCount high word) and often their trailing counter cell, so a
+    // sampled head/tail fingerprint can collide and serve sketch A's
+    // counts for sketch B's row
+    val df = (Seq.fill(30)((0, "alpha")) ++ Seq.fill(40)((1, "beta")))
+      .toDF("part", "word")
+    val perPart = df.groupBy(col("part")).agg(sketchOf(df).as("sk"))
+    val est = perPart
+      .select(col("part"),
+        cmsEstimate(col("sk"), lit("alpha")).as("a"),
+        cmsEstimate(col("sk"), lit("beta")).as("b"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(est(0) === ((30L, 0L)), s"part 0 saw ${est(0)}")
+    assert(est(1) === ((0L, 40L)), s"part 1 saw ${est(1)}")
+  }
+
   test("merging zero sketch rows yields NULL") {
     val none = Seq.empty[(Int, String)].toDF("part", "word")
     val out = none.groupBy(col("part")).agg(sketchOf(none).as("sk"))
