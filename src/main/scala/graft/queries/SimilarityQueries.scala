@@ -68,7 +68,7 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallPq :+ annRecallIvfpq :+
       annRecallPqTrained :+ annRecallPqRerank
 
@@ -335,6 +335,199 @@ object SimilarityQueries {
        |agg AS (SELECT c_id, count(*) AS n_members, $avgs FROM assign GROUP BY c_id)
        |SELECT a.c_id, a.n_members, round(sqrt($move), 6) AS movement
        |FROM agg a JOIN c ON a.c_id = c.c_id""".stripMargin
+  }
+
+  /** Round count the q_kmeans_converge loop reaches at sf0.01 with
+    * eps = 5000 micro (max per-dim centroid move < 5e-3) — the oracle
+    * unrolls exactly this many Lloyd stages and emits it as the n_rounds
+    * literal. Deterministic because every operation is integer (micro
+    * fixed point): assignment argmin ties break on c_id, sums commute,
+    * centroid updates are truncating integer division — the same
+    * determinism-and-scale move as q_pagerank_converge. eps sits ABOVE
+    * the integer-truncation limit-cycle amplitude (measured ~1.2-4.2k
+    * micro at sf0.1, where exact fixpoint is never reached): a tighter
+    * tolerance would spin to the round cap, a property of integer Lloyd
+    * worth remembering. Measured rounds: 8 @ sf0.001, 7 @ sf0.01,
+    * 10 @ sf0.1. */
+  private val kmConvergeRounds = 7
+
+  private val kmEpsMicro = 5000L
+
+  /** DuckDB oracle for q_kmeans_converge: quantize to micro longs, then
+    * `kmConvergeRounds` unrolled (assign → group → update) stages with a
+    * final assignment against the converged centroids for member counts
+    * and inertia. `//` and Spark's `div` both truncate toward zero, so
+    * the centroid updates agree on negative sums too. */
+  private lazy val kmConvergeSql: String = {
+    val sums = (1 to 64).map(i => s"CAST(sum(vq[$i]) AS BIGINT) AS s$i").mkString(", ")
+    val upd = (1 to 64).map(i => s"g.s$i // g.n").mkString(", ")
+    val dist = "list_sum(list_transform(generate_series(1, 64), " +
+      "i -> (v.vq[i] - c.cq[i]) * (v.vq[i] - c.cq[i])))"
+    def assign(r: Int, from: String) =
+      s"""a$r AS (
+         |  SELECT vec_id, vq, c_id, d FROM (
+         |    SELECT v.vec_id, v.vq, c.c_id, $dist AS d,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.c_id) AS rn
+         |    FROM v CROSS JOIN $from c) WHERE rn = 1)""".stripMargin
+    val stages = (1 to kmConvergeRounds).map { r =>
+      s"""${assign(r, s"c${r - 1}")},
+         |g$r AS (SELECT c_id, count(*) AS n, $sums FROM a$r GROUP BY c_id),
+         |c$r AS (
+         |  SELECT p.c_id, CASE WHEN g.n IS NULL THEN p.cq ELSE [$upd] END AS cq
+         |  FROM c${r - 1} p LEFT JOIN g$r g USING (c_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 251 = 0),
+       |$stages,
+       |${assign(99, s"c$kmConvergeRounds")},
+       |fin AS (
+       |  SELECT c_id, count(*)::BIGINT AS n_members, CAST(sum(d) AS BIGINT) AS inertia
+       |  FROM a99 GROUP BY c_id)
+       |SELECT f.c_id, f.n_members, ${kmConvergeRounds}::BIGINT AS n_rounds,
+       |  CAST(list_sum(c.cq) AS BIGINT) AS c_sum,
+       |  list_min(c.cq) AS c_min, list_max(c.cq) AS c_max, f.inertia
+       |FROM fin f JOIN c$kmConvergeRounds c USING (c_id)""".stripMargin
+  }
+
+  /** ★ k-means to CONVERGENCE — Lloyd iterated until max per-dim centroid
+    * movement < 1e-3, the training loop q_kmeans_step is one round of and
+    * q_ann_recall_pq_trained runs a fixed 3 of. The loop state is the
+    * centroid set itself — K×64 longs on the DRIVER — so unlike the
+    * pagerank loop there is nothing to checkpoint: every round is one
+    * fresh narrow pass over the persisted quantized corpus with the
+    * centroids spliced in as literals (broadcast-by-plan), one bounded-key
+    * hash agg (65 commuting integer sums per cluster, map-side partials),
+    * and a K×66-cell collect. Arithmetic is micro fixed point end to end
+    * (same determinism-and-scale move as q_pagerank_converge): argmin
+    * ties break on c_id, updates are truncating integer division — both
+    * engines replay the identical integer sequence, so the oracle unrolls
+    * the measured round count and pins it via n_rounds. Scale: rounds ×
+    * (one corpus scan + O(K·dims) shuffle); empty clusters keep their
+    * previous centroid on both sides. */
+  val kmeansConverge: QueryDef = q(
+    "q_kmeans_converge",
+    kmConvergeSql
+  ) { (s, dir) => kmeansConvergeFrame(s, dir, kmEpsMicro, 40) }
+
+  /** The q_kmeans_converge body, parameterized so the spec can force the
+    * distributed path (localThreshold = 0) and diff it against the local
+    * one. Below the threshold the whole loop runs on collected arrays —
+    * the CC/pagerank endgame pattern: a corpus whose quantized vectors
+    * fit on the driver pays ~0.3 s of stage scheduling PER ROUND in the
+    * distributed loop, pure overhead; commutative integer ops make the
+    * two paths bit-identical (spec-pinned). */
+  def kmeansConvergeFrame(s: SparkSession, dir: String, epsMicro: Long,
+      maxRounds: Int, localThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vq = Tables(s, dir).embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d)).as("vq"))
+      .persist(MEMORY_AND_DISK)
+    var cents: Seq[(Long, Array[Long])] = vq
+      .filter(col("vec_id") % 251 === 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+
+    if (vq.count() <= localThreshold) {
+      // driver-local twin: same integer update, same convergence rule
+      val vecs = vq.collect().map(r => r.getSeq[Long](1).toArray)
+      val ids = cents.map(_._1).toArray
+      var cs = cents.map(_._2).toArray
+      var rounds = 0
+      var converged = false
+      var counts = new Array[Long](ids.length)
+      var inert = new Array[Long](ids.length)
+      def pass(update: Boolean): (Array[Array[Long]], Long) = {
+        val sums = Array.fill(ids.length)(new Array[Long](64))
+        counts = new Array[Long](ids.length)
+        inert = new Array[Long](ids.length)
+        vecs.foreach { v =>
+          var bestK = 0
+          var bestD = Long.MaxValue
+          var k = 0
+          while (k < ids.length) {
+            var d = 0L
+            var i = 0
+            while (i < 64) { val t = v(i) - cs(k)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; bestK = k } // ties keep lower c_id (sorted)
+            k += 1
+          }
+          counts(bestK) += 1
+          inert(bestK) += bestD
+          var i = 0
+          while (i < 64) { sums(bestK)(i) += v(i); i += 1 }
+        }
+        if (!update) return (cs, 0L)
+        val next = ids.indices.map { k =>
+          if (counts(k) == 0) cs(k)
+          else Array.tabulate(64)(i => sums(k)(i) / counts(k))
+        }.toArray
+        val delta = ids.indices.map(k =>
+          (0 until 64).map(i => math.abs(next(k)(i) - cs(k)(i))).max).max
+        (next, delta)
+      }
+      while (!converged && rounds < maxRounds) {
+        val (next, delta) = pass(update = true)
+        cs = next
+        rounds += 1
+        converged = delta < epsMicro
+      }
+      pass(update = false) // final stats against the converged centroids
+      import s.implicits._
+      return ids.indices.map { k =>
+        (ids(k), counts(k), rounds.toLong, cs(k).sum, cs(k).min, cs(k).max, inert(k))
+      }.toDF("c_id", "n_members", "n_rounds", "c_sum", "c_min", "c_max", "inertia")
+    }
+
+    // assignment column against the current centroids-as-literals: the
+    // min struct (d, c_id) is the row_number()-with-tie-break of the
+    // oracle, as one codegen'd expression
+    def assigned = vq.withColumn("a",
+      array_min(array(cents.map { case (id, cq) =>
+        struct(
+          aggregate(zip_with(col("vq"), lit(cq), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(id).as("c"))
+      }: _*)))
+
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val sums = count(lit(1)).as("n") +:
+        (1 to 64).map(i => sum(element_at(col("vq"), i)).as(s"s$i"))
+      val g = assigned.groupBy(col("a.c").as("c_id"))
+        .agg(sums.head, sums.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), (1 to 64).map(i => r.getLong(i + 1)).toArray))
+        .toMap
+      val next = cents.map { case (id, old) =>
+        id -> g.get(id).map { case (n, ss) => ss.map(_ / n) }.getOrElse(old)
+      }
+      val delta = cents.zip(next).map { case ((_, o), (_, nw)) =>
+        o.zip(nw).map { case (a, b) => math.abs(a - b) }.max
+      }.max
+      cents = next
+      rounds += 1
+      converged = delta < epsMicro
+    }
+
+    val fin = assigned.groupBy(col("a.c").as("c_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("a.d")).as("inertia"))
+    val summary = {
+      import s.implicits._
+      cents.map { case (id, cq) =>
+        (id, rounds.toLong, cq.sum, cq.min, cq.max)
+      }.toDF("c_id", "n_rounds", "c_sum", "c_min", "c_max")
+    }
+    fin.join(broadcast(summary), "c_id")
+      .select(col("c_id"), col("n_members"), col("n_rounds"),
+        col("c_sum"), col("c_min"), col("c_max"), col("inertia"))
   }
 
   /** Product quantization ANN: split each 64-dim vector into 8 blocks of
