@@ -17,7 +17,12 @@ import org.apache.spark.sql.SparkSession
   *      rep (one extra interleaved round over just the suspect queries);
   *   3. the headline number is the min over reps (steal only inflates),
   *      and the JSON carries the per-rep time and steal arrays so a
-  *      polluted run is diagnosable from the artifact alone.
+  *      polluted run is diagnosable from the artifact alone;
+  *   4. (round-11) calibration probes run BETWEEN query segments, every
+  *      rep is normalized against its own segment's probe, and queries
+  *      over 2 s get a third mandatory rep — so sustained mid-run
+  *      contention (which a single whole-run scalar cannot localize)
+  *      corrects per segment instead of skewing the whole total.
   * Cold-cache per rep (cleanup between), so the min is a real uncached run.
   */
 object Bench {
@@ -161,25 +166,52 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val steals = scala.collection.mutable.Map.empty[String, List[Double]]
-    def record(name: String, rep: (Double, Double)): Unit = {
+    val calibs = scala.collection.mutable.Map.empty[String, List[Double]]
+    def record(name: String, rep: (Double, Double), calib: Double): Unit = {
       times(name) = times.getOrElse(name, Nil) :+ rep._1
       steals(name) = steals.getOrElse(name, Nil) :+ rep._2
+      calibs(name) = calibs.getOrElse(name, Nil) :+ calib
+    }
+    // Per-SEGMENT calibration (round-10 hardening): a single pre/post
+    // scalar probe cannot correct contention that arrives MID-run — the
+    // r10 artifact swung +27% normalized on queries whose source didn't
+    // change, because the machine ran ~48% slow for part of the run and
+    // the one global ratio split the difference. So the run is cut into
+    // segments of SEGMENT queries with a probe between each; every rep is
+    // normalized by min(probe-before, probe-after) of ITS segment (min
+    // because contention only ever inflates the probe), and the
+    // normalized total sums per-rep normalized minima. Probe cost is
+    // (#segments+1) × ~0.1 s per round, outside the timed regions.
+    val SEGMENT = 12
+    def runRound(round: Seq[String]): Unit = {
+      var pre = calibrate()
+      round.grouped(SEGMENT).foreach { seg =>
+        val reps = seg.map(n => n -> runRep(spark, n, sfDir, hostCpus))
+        val post = calibrate()
+        val segCalib = math.min(pre, post)
+        reps.foreach { case (n, rep) => record(n, rep, segCalib) }
+        pre = post
+      }
     }
     val REPS_BASE = 2
-    (1 to REPS_BASE).foreach { _ =>
-      names.foreach(n => record(n, runRep(spark, n, sfDir, hostCpus)))
-    }
+    (1 to REPS_BASE).foreach(_ => runRound(names))
     // third-rep pass over suspect queries only (still interleaved so the
-    // retries of different queries decorrelate against a fresh burst)
+    // retries of different queries decorrelate against a fresh burst).
+    // Queries over HEAVY_SEC also get the extra rep unconditionally:
+    // min-of-two is not robust for multi-second queries, where a single
+    // contended rep can dominate (r10 measured a 19.9 s rep-1 against a
+    // 7.8 s rep-2 on the same query).
+    val HEAVY_SEC = 2.0
     val suspects = names.filter { n =>
       val ok = times(n).filter(_ >= 0)
       val polluted = steals(n).exists(_ > STEAL_FRAC)
       val disagree = ok.size >= 2 && ok.max / ok.min.max(1e-9) > DISAGREE
-      ok.nonEmpty && (polluted || disagree)
+      val heavy = ok.nonEmpty && ok.min > HEAVY_SEC
+      ok.nonEmpty && (polluted || disagree || heavy)
     }
     if (suspects.nonEmpty) {
-      System.err.println(s"BENCH RETRY (steal/disagree): ${suspects.mkString(",")}")
-      suspects.foreach(n => record(n, runRep(spark, n, sfDir, hostCpus)))
+      System.err.println(s"BENCH RETRY (steal/disagree/heavy): ${suspects.mkString(",")}")
+      runRound(suspects)
     }
 
     // A failed MANDATORY rep records -1 (not its fast wall time to the
@@ -210,12 +242,23 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val calibPost = calibrate()
     val calibParPost = calibratePar()
-    val runCalib = math.min(calibPre, calibPost)
-    val totalNorm = if (runCalib > 0) total * REF_CALIB / runCalib else total
+    // Normalized headline: per-rep normalization against the rep's OWN
+    // segment calibration, then min over normalized reps, then sum — so a
+    // slow stretch mid-run corrects by the probes that bracketed it, not
+    // by a whole-run scalar. The raw `total` keeps the old min-of-raw
+    // semantics for continuity.
+    val totalNorm = names.map { n =>
+      val pairs = times(n).zip(calibs(n))
+        .filter { case (t, _) => t >= 0 }
+      val mandatoryFailed = times(n).take(REPS_BASE).exists(_ < 0)
+      if (mandatoryFailed || pairs.isEmpty) 0.0
+      else pairs.map { case (t, c) => t * REF_CALIB / math.max(c, 1e-9) }.min
+    }.sum
     // "reps_base" is the mandatory round count; queries that tripped the
-    // steal/disagree retry carry reps_base+1 entries in rep_times (the
-    // old fixed "reps":2 field misdescribed retried queries).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","rep_times":$repTimes,"rep_steal":$repSteal,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    // steal/disagree/heavy retry carry reps_base+1 entries in rep_times
+    // (the old fixed "reps":2 field misdescribed retried queries).
+    val repCalib = obj(names.map(n => n -> arr(calibs(n))))
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"per-segment","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
     println(full)
     // The full line is long and has been tail-truncated in past round
     // artifacts; persist it and follow with a SHORT headline line so any

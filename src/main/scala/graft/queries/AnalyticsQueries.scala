@@ -75,26 +75,47 @@ object AnalyticsQueries {
     * pin ranks + round count on a hand-solvable graph. */
   def pagerankConverge(s: SparkSession, edges: DataFrame,
       epsNano: Long, maxRounds: Int,
-      localThreshold: Long = 4000000L): (DataFrame, Int) = {
+      localThreshold: Long = DriverLocalGate.maxLocalEdges): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val e = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("d"))
-      .persist(MEMORY_AND_DISK)
     // Endgame switch, the CC-lane pattern (connectedComponents): a loop
     // of Spark jobs costs ~1 s/round in stage scheduling alone, so a
     // graph whose edges fit comfortably on the driver iterates LOCALLY —
     // bit-identical by construction, because every operation is a
-    // commutative integer op (sums have no order, divisions are per-edge)
-    // — and the distributed path takes over beyond the threshold, where
-    // per-round shuffle work dwarfs scheduling. PagerankConvergeSpec
-    // pins path equivalence by running both on one graph.
-    if (e.count() <= localThreshold) return pagerankLocal(s, e, epsNano, maxRounds)
+    // commutative integer op (sums have no order, degree counts are
+    // exact) — and the distributed path takes over beyond the threshold,
+    // where per-round shuffle work dwarfs scheduling. The default gate is
+    // BYTE-derived, not a bare row count: 128 MB budget / 64 B per
+    // collected specialized-(Long,Long) edge = 2M edges (DriverLocalGate's
+    // driver-heap arithmetic), so the local path can never ask a small
+    // driver for a gigabyte-scale collect. PagerankConvergeSpec pins path
+    // equivalence
+    // by running both on one graph. The gate count runs against the
+    // persisted edge cache, so the local path's follow-up collect is a
+    // memory-local read, not a recompute — and the degree count folds
+    // into the driver loop (no deg shuffle + join at all on this path).
+    val ed = edges.persist(MEMORY_AND_DISK)
+    if (ed.count() <= localThreshold) {
+      import s.implicits._
+      val rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      ed.unpersist(false)
+      return pagerankLocal(s, rows, epsNano, maxRounds)
+    }
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val e = ed.join(deg, "src")
+      .select(col("src"), col("dst"), col("d"))
+      .persist(MEMORY_AND_DISK)
     var ranks = e.select(col("src").as("id")).distinct()
       .unionByName(e.select(col("dst").as("id")).distinct())
       .distinct()
       .select(col("id"), lit(1000000000L).as("pr"))
       .localCheckpoint(true)
+    // Block-manager hygiene (the r10 advisor's leak): each round's eager
+    // localCheckpoint caches an O(nodes) RDD; without explicit release the
+    // loop holds rounds × nodes blocks until the session GCs them. Track
+    // the checkpointed RDD behind each round's frame and unpersist it as
+    // soon as the NEXT round has materialized (the final round's blocks
+    // back the returned frame and must stay).
+    var prevCkpt = checkpointedRdd(ranks)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -113,28 +134,48 @@ object AnalyticsQueries {
         .localCheckpoint(true)
       val delta = next
         .agg(max(abs(col("pr") - col("pr_old")))).head.getLong(0)
+      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt = checkpointedRdd(next)
       ranks = next.select(col("id"), col("pr"))
       rounds += 1
       converged = delta < epsNano
     }
+    // the returned ranks are checkpoint-backed (lineage truncated), so
+    // the inputs can be released immediately
+    e.unpersist(false)
+    ed.unpersist(false)
     (ranks, rounds)
   }
 
+  /** The RDD a localCheckpoint'd frame caches its rows in — the handle
+    * needed to unpersist a round's blocks once the next round exists
+    * (Dataset.unpersist only clears CacheManager entries, not
+    * checkpoint blocks). localCheckpoint rewrites the logical plan to a
+    * LogicalRDD leaf, so the match is total for frames produced that way. */
+  private def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Driver-local twin of the distributed loop: same nano-unit integer
-    * update, same convergence rule, over collected (src, dst, d) edge
-    * arrays — index-compressed node ids, two long arrays per round.
-    * Returns a distributed frame so downstream plans are path-agnostic. */
-  private def pagerankLocal(s: SparkSession, e: DataFrame,
+    * update, same convergence rule, over collected (src, dst) edge
+    * arrays — index-compressed node ids, two long arrays per round. The
+    * per-edge out-degree is counted HERE (an exact integer count, so
+    * bit-identical to the distributed deg groupBy + join it replaces —
+    * and two distributed stages cheaper). Returns a distributed frame so
+    * downstream plans are path-agnostic. */
+  private def pagerankLocal(s: SparkSession, rows: Array[(Long, Long)],
       epsNano: Long, maxRounds: Int): (DataFrame, Int) = {
     import s.implicits._
-    val rows = e.select(col("src"), col("dst"), col("d"))
-      .as[(Long, Long, Long)].collect()
     val ids = (rows.iterator.map(_._1) ++ rows.iterator.map(_._2))
       .toArray.distinct.sorted
     val idx = ids.zipWithIndex.toMap
     val srcI = rows.map(r => idx(r._1))
     val dstI = rows.map(r => idx(r._2))
-    val dArr = rows.map(_._3)
+    val degI = new Array[Long](ids.length)
+    srcI.foreach(i => degI(i) += 1)
+    val dArr = srcI.map(i => degI(i))
     var pr = Array.fill(ids.length)(1000000000L)
     var rounds = 0
     var converged = false
@@ -771,11 +812,15 @@ object AnalyticsQueries {
     // + one partially-aggregated keyed sum — shuffle O(nodes×partitions),
     // state O(nodes), localCheckpoint per round exactly like the CC
     // lane; the convergence scalar is one tiny agg action, never a
-    // collect of ranks. Below a 4M-edge threshold the loop runs
-    // driver-local instead (the CC endgame pattern — a job round costs
-    // ~1 s in stage scheduling alone, pure overhead at fixture scale);
-    // commutative integer arithmetic makes the paths bit-identical,
-    // spec-pinned, so the oracle covers both.
+    // collect of ranks. Below the DriverLocalGate byte-budget threshold
+    // (2M edges ≈ 128 MB collected) the loop runs driver-local instead
+    // (the CC endgame pattern — a job round costs ~1 s in stage
+    // scheduling alone, pure overhead at fixture scale); commutative
+    // integer arithmetic makes the paths bit-identical, spec-pinned, so
+    // the oracle covers both. The two edge directions come from ONE
+    // explode over the distinct pair set — a union of two selects over
+    // `sp` would scan + distinct lineitem twice (Catalyst does not reuse
+    // common subplans across union branches).
     q(
       "q_pagerank_converge",
       pagerankConvergeSql
@@ -783,8 +828,10 @@ object AnalyticsQueries {
       val sp = Tables(s, dir).lineitem
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
       val edges = sp
-        .select(col("s").as("src"), (col("p") + 1000000L).as("dst"))
-        .unionByName(sp.select((col("p") + 1000000L).as("src"), col("s").as("dst")))
+        .select(explode(array(
+          struct(col("s").as("src"), (col("p") + 1000000L).as("dst")),
+          struct((col("p") + 1000000L).as("src"), col("s").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val (ranks, rounds) = pagerankConverge(s, edges, 1000000L, 60)
       ranks
         .select(col("id"),

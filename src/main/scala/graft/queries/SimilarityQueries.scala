@@ -418,9 +418,14 @@ object SimilarityQueries {
     * the CC/pagerank endgame pattern: a corpus whose quantized vectors
     * fit on the driver pays ~0.3 s of stage scheduling PER ROUND in the
     * distributed loop, pure overhead; commutative integer ops make the
-    * two paths bit-identical (spec-pinned). */
+    * two paths bit-identical (spec-pinned). The default gate is BYTE-
+    * derived: 128 MB budget / 640 B per collected 64-long vector row =
+    * ~210k vectors (DriverLocalGate's driver-heap arithmetic), so the
+    * local path stays driver-safe at any heap size a production driver
+    * plausibly has. */
   def kmeansConvergeFrame(s: SparkSession, dir: String, epsMicro: Long,
-      maxRounds: Int, localThreshold: Long = 1000000L): DataFrame = {
+      maxRounds: Int,
+      localThreshold: Long = DriverLocalGate.maxLocalVectors): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vq = Tables(s, dir).embeddings
       .select(col("vec_id"),
@@ -436,6 +441,10 @@ object SimilarityQueries {
     if (vq.count() <= localThreshold) {
       // driver-local twin: same integer update, same convergence rule
       val vecs = vq.collect().map(r => r.getSeq[Long](1).toArray)
+      // everything below is driver-side over `vecs`; release the cache
+      // now (block-manager hygiene — the distributed path must keep vq
+      // because its RESULT is a lazy plan over it)
+      vq.unpersist(false)
       val ids = cents.map(_._1).toArray
       var cs = cents.map(_._2).toArray
       var rounds = 0
