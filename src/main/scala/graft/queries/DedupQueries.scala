@@ -745,6 +745,35 @@ object DedupQueries {
   /** Monotonic id distinguishing stored-index invocations within a JVM. */
   private val storedIndexInvocations = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-JVM token spliced into stored-index table names and paths: the
+    * invocation counter alone is NOT unique across JVMs sharing one
+    * tmpdir (two JVMs both at invocation 1 with the same splitId would
+    * overwrite-delete each other's live bucketed files under an unsealed
+    * lazy result). pid + a random suffix disambiguates concurrent AND
+    * pid-reused JVMs; the trailing hook deletes this JVM's index
+    * directories on clean exit so repeated local runs don't accrete
+    * tmpdir garbage (crash leftovers are bounded by fixture scale and
+    * land under tmpdir, which the OS owns). */
+  private lazy val storedIndexJvmToken: String = {
+    val tok = s"${ProcessHandle.current().pid()}_" +
+      java.lang.Long.toUnsignedString(
+        new java.security.SecureRandom().nextLong(), 36)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val mine = tmp.listFiles()
+      if (mine != null)
+        mine.filter(_.getName.startsWith(s"graft-band-index-$tok-"))
+          .foreach { d =>
+            def rm(f: java.io.File): Unit = {
+              val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+              f.delete(); ()
+            }
+            rm(d)
+          }
+    }))
+    tok
+  }
+
   /** Stored-index variant of [[incrementalDedup]]: writes the index band
     * table bucketed+sorted by the join key `(b, bv)` — the one-time cost
     * of the full-corpus pass — then joins batch bands against the STORED
@@ -771,9 +800,11 @@ object DedupQueries {
     // fixture-scale band table is ~100 KB per invocation under tmpdir —
     // bounded, documented cost of keeping every returned frame valid.
     val inv = DedupQueries.storedIndexInvocations.incrementAndGet()
-    val tbl = s"graft_band_index_${splitId}_$inv"
+    val tok = DedupQueries.storedIndexJvmToken
+    val tbl = s"graft_band_index_${tok}_${splitId}_$inv".replace('-', '_')
     val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-band-index-$splitId-$inv").getAbsolutePath
+      sys.props("java.io.tmpdir"),
+      s"graft-band-index-$tok-$splitId-$inv").getAbsolutePath
     bands.filter(col("doc_id") < splitId)
       .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
       .repartition(indexBuckets, col("b"), col("bv"))

@@ -240,8 +240,21 @@ final class LeaseWorker(
       if (byOwner.nonEmpty) {
         val (_, leases) = byOwner.maxBy { case (o, ls) => (ls.size, o) }
         leases.sortBy(_.shard).find(l => !wantFresh(l)).foreach { l =>
-          ShardLeases.write(leaseDir,
-            l.copy(wantedBy = workerId, wantedAt = now()), workerId)
+          // The marker write rewrites the WHOLE row, and `l` came from
+          // this tick's table snapshot — an owner commit or release may
+          // have landed since. Blindly writing the stale row would
+          // REWIND the owner's checkpoint (duplicate redelivery) or
+          // resurrect a just-released lease with an owner set until
+          // failover expiry. So: re-read immediately before the write
+          // and skip the tick if the row moved (counter is bumped by
+          // every commit/heartbeat/release); the marker is re-asserted
+          // next tick anyway. The remaining read→write microseconds are
+          // the same window drain()'s fenced commit documents — the
+          // DynamoDB conditional write closes both in production.
+          val cur = ShardLeases.read(leaseDir, l.shard)
+          if (cur.counter == l.counter && cur.owner == l.owner)
+            ShardLeases.write(leaseDir,
+              cur.copy(wantedBy = workerId, wantedAt = now()), workerId)
         }
       }
     }
@@ -316,8 +329,10 @@ final class LeaseWorker(
     * commit is dropped and the shard forgotten instead of blindly
     * rewriting ownership and regressing the peer's checkpoint. File
     * renames cannot make the read-verify-write atomic, so a microsecond
-    * window remains — the DynamoDB conditional write closes it in
-    * production; the state machine above is unchanged. */
+    * window remains — here AND in acquire()'s wantedBy marker write,
+    * which re-reads-then-writes under the same discipline — the DynamoDB
+    * conditional write closes both in production; the state machine
+    * above is unchanged. */
   private def drain(): Unit =
     owned.toSeq.foreach { shard =>
       val f = new java.io.File(streamDir, shard)

@@ -22,6 +22,7 @@ object EmbedProbe {
     }
     val n = DedupQueries.embedCorpus(spark, dir)
     time("corpus count")(n.count())
+    // DEV TOOL collect (see header): 1-row aggregate, timing only
     time("corpus+nrm collect-ish")(n.agg(sum(col("nrm"))).collect())
     val cands = DedupQueries.embedCandidates(n)
     val c = time("candidates count")(cands.count())

@@ -23,6 +23,24 @@ class KmeansConvergeSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("oracle round-count constant matches the sf0.01 fixture it is valid for") {
+    // kmConvergeRounds is SCALE-DEPENDENT (8 @ sf0.001, 7 @ sf0.01,
+    // 10 @ sf0.1) and the driver's gate runs at sf0.01 — if the driver
+    // regenerates fixtures and the trajectory shifts, the oracle would
+    // fail as an opaque hash mismatch. This test names the cause first.
+    val rounds = graft.queries.SimilarityQueries
+      .kmeansConvergeFrame(spark, "/root/testdata/sf0.01",
+        5000L, 40)
+      .collect().head.getLong(2)
+    assert(rounds === graft.queries.SimilarityQueries.kmConvergeRounds.toLong,
+      s"\nsf0.01 fixture now converges in $rounds rounds but the DuckDB " +
+        s"oracle unrolls kmConvergeRounds = " +
+        s"${graft.queries.SimilarityQueries.kmConvergeRounds} stages — " +
+        "the fixture was probably regenerated; update " +
+        "SimilarityQueries.kmConvergeRounds to the new measured count.")
+    Bench.cleanup(spark)
+  }
+
   test("terminates well inside the round cap and reports consistent totals") {
     val rows = graft.queries.SimilarityQueries
       .kmeansConvergeFrame(spark, sf, 5000L, 40)
