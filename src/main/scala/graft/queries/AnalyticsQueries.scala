@@ -115,7 +115,7 @@ object AnalyticsQueries {
     // the checkpointed RDD behind each round's frame and unpersist it as
     // soon as the NEXT round has materialized (the final round's blocks
     // back the returned frame and must stay).
-    var prevCkpt = checkpointedRdd(ranks)
+    var prevCkpt = graft.plans.Checkpoints.checkpointedRdd(ranks)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -135,7 +135,7 @@ object AnalyticsQueries {
       val delta = next
         .agg(max(abs(col("pr") - col("pr_old")))).head.getLong(0)
       prevCkpt.foreach(_.unpersist(false))
-      prevCkpt = checkpointedRdd(next)
+      prevCkpt = graft.plans.Checkpoints.checkpointedRdd(next)
       ranks = next.select(col("id"), col("pr"))
       rounds += 1
       converged = delta < epsNano
@@ -146,17 +146,6 @@ object AnalyticsQueries {
     ed.unpersist(false)
     (ranks, rounds)
   }
-
-  /** The RDD a localCheckpoint'd frame caches its rows in — the handle
-    * needed to unpersist a round's blocks once the next round exists
-    * (Dataset.unpersist only clears CacheManager entries, not
-    * checkpoint blocks). localCheckpoint rewrites the logical plan to a
-    * LogicalRDD leaf, so the match is total for frames produced that way. */
-  private def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-      case _ => None
-    }
 
   /** Driver-local twin of the distributed loop: same nano-unit integer
     * update, same convergence rule, over collected (src, dst) edge

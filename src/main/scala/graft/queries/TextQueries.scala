@@ -14,7 +14,190 @@ import QueryDef.q
   */
 object TextQueries {
 
+  /** Round count the q_bpe_train_converge loop runs at sf0.01 to learn
+    * its 64-merge vocabulary in rounds of 8 — the oracle unrolls exactly
+    * this many (stats → top-8 → apply) stages, the kmConvergeRounds
+    * pattern. The count is data-dependent in principle (a round can
+    * learn fewer than 8 rules if the ≥2-occurrence pair supply dries
+    * up, extending the loop), so like kmConvergeRounds it is pinned to
+    * the sf the driver's gate runs at; BpeConvergeSpec runs the loop on
+    * the sf0.01 fixture and names this constant in its failure message
+    * so a fixture regeneration is diagnosable, not an opaque hash
+    * mismatch. Measured: 8 full rounds at sf0.001, sf0.01 AND sf0.1
+    * (synthetic prose has a deep ≥2-count pair supply, so every round
+    * learns its full 8). */
+  private[graft] val bpeConvergeRounds = 8
+
+  /** Target merge-table size for q_bpe_train_converge (the "vocab size"
+    * knob of a real tokenizer build, scaled to fixture size). */
+  private[graft] val bpeTargetMerges = 64
+
+  /** Merges learned per loop round: one round = one distributed
+    * pair-statistics pass + one vocabulary rewrite, amortized over 8
+    * rules — the batch-rounds trade every BPE trainer at scale makes
+    * (recomputing stats after every single merge would cost 64 passes
+    * for the same table). */
+  private[graft] val bpeRulesPerRound = 8
+
+  /** BPE training to CONVERGENCE — the loop q_bpe_train_step is one
+    * statistics pass of and q_bpe_apply applies a fixed table from:
+    * iterate (pair stats over the symbolized vocabulary → top-`rulesPer
+    * Round` merge rules by corpus-weighted count → greedy symbol-aware
+    * re-tokenization) until `targetMerges` rules are learned or no pair
+    * occurs ≥2 times. Loop state is the VOCABULARY (distinct word,
+    * count, symbol list) — the classic word-frequency-table trick keeps
+    * every round O(vocab × word_len), never O(corpus) — localCheckpoint'd
+    * per round with the pagerank loop's block-release hygiene; the only
+    * driver-side values are the ≤8 rules per round (the kmeans-centroid
+    * pattern: bounded training state on the driver, corpus-sized state
+    * distributed). All arithmetic is integer counts with total-order
+    * tie-breaks (n DESC, a, b), so the learned table, the round count,
+    * and the symbol-reduction curve are deterministic across engines and
+    * partitionings. Returns one row per learned merge: (round, rk, a, b,
+    * merged, n, syms_after) where syms_after is the corpus symbol total
+    * after that round's rules — the compression curve a tokenizer build
+    * reports. Public so BpeConvergeSpec can pin merges on a hand corpus. */
+  def bpeTrainConverge(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      targetMerges: Int = bpeTargetMerges,
+      rulesPerRound: Int = bpeRulesPerRound): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    var vocab = words
+      .select(col("word"), col("wc"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("L"))
+      .localCheckpoint(true)
+    var prevCkpt = graft.plans.Checkpoints.checkpointedRdd(vocab)
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long, Long)]()
+    var round = 0
+    var dry = false
+    while (!dry && learned.size < targetMerges) {
+      round += 1
+      // pair statistics over the CURRENT symbol lists (symbols, not
+      // 2-char substrings — after round 1 a symbol is multi-char);
+      // weighted by word count, thresholded at 2 occurrences (merging a
+      // once-seen pair buys nothing and the threshold is what lets the
+      // loop terminate on small corpora)
+      val top = vocab.filter(size(col("L")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(L) - 1), " +
+            "i -> struct(element_at(L, i) AS a, element_at(L, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(rulesPerRound)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) dry = true
+      else {
+        // apply the round's rules in priority order: outer fold over the
+        // rule array, inner greedy left-to-right fold comparing WHOLE
+        // symbols — q_bpe_apply's kernel with (a, b) symbol-pair rules
+        // instead of 2-char strings
+        val rulesCol = array(top.map { case (a, b, _) =>
+          struct(lit(a).as("a"), lit(b).as("b"))
+        }.toIndexedSeq: _*)
+        val newL = aggregate(rulesCol, col("L"), (l, r) =>
+          aggregate(slice(l, lit(2), size(l)), slice(l, lit(1), lit(1)), (acc, x) =>
+            when(element_at(acc, -1) === r.getField("a")
+                && x === r.getField("b"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(r.getField("a"), r.getField("b")))))
+              .otherwise(concat(acc, array(x)))))
+        vocab = vocab.select(col("word"), col("wc"), newL.as("L"))
+          .localCheckpoint(true)
+        prevCkpt.foreach(_.unpersist(false))
+        prevCkpt = graft.plans.Checkpoints.checkpointedRdd(vocab)
+        // corpus symbol total after this round — ONE scalar agg action,
+        // the convergence-telemetry analog of pagerank's delta probe
+        val syms = vocab.agg(sum(col("wc") * size(col("L")))).head.getLong(0)
+        top.zipWithIndex.foreach { case ((a, b, n), i) =>
+          learned += ((round.toLong, (i + 1).toLong, a, b, n, syms))
+        }
+      }
+    }
+    // output is the learned merge table — bounded driver data by design
+    // (targetMerges rows); the final vocab's blocks can go now
+    prevCkpt.foreach(_.unpersist(false))
+    learned.toSeq.toDF("round", "rk", "a", "b", "n", "syms_after")
+      .select(col("round"), col("rk"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("n"), col("syms_after"))
+  }
+
+  /** DuckDB oracle for q_bpe_train_converge: `bpeConvergeRounds` unrolled
+    * rounds, each (pair stats with HAVING ≥2 → top-8 rule list → 8
+    * chained greedy-fold stages guarded by `len(rs) >= k` so a short
+    * rule round no-ops the tail stages) — q_bpe_apply's unrolled fold
+    * with list-pair rules, plus a per-round symbol total. The multiply-
+    * referenced round CTEs (v$r feeds the next round's stats, the next
+    * round's apply chain, AND its own symbol total) are AS MATERIALIZED:
+    * DuckDB inlines multi-referenced CTEs by default, which makes the
+    * 8-round chain EXPONENTIAL (3^8 re-evaluations of the 64-stage
+    * fold — measured >10 min; materialized, 0.6 s). */
+  private lazy val bpeConvergeSql: String = {
+    val k = bpeRulesPerRound
+    val rounds = (1 to bpeConvergeRounds).map { r =>
+      val applies = (1 to k).map { j =>
+        s"""v${r}_$j AS (SELECT word, wc, CASE WHEN len(rs) >= $j THEN
+           |  list_reduce(list_transform(L, s -> [s]), (acc, x) ->
+           |    CASE WHEN acc[-1] = rs[$j][1] AND x[1] = rs[$j][2]
+           |      THEN list_slice(acc, 1, len(acc) - 1) || [rs[$j][1] || rs[$j][2]]
+           |      ELSE acc || x END)
+           |  ELSE L END AS L, rs FROM v${r}_${j - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""p$r AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, sum(wc)::BIGINT AS n FROM (
+         |    SELECT wc, unnest(list_transform(generate_series(1, len(L) - 1),
+         |      i -> [L[i], L[i + 1]])) AS pr
+         |    FROM v${r - 1} WHERE len(L) >= 2)
+         |  GROUP BY 1, 2 HAVING sum(wc) >= 2),
+         |ru$r AS MATERIALIZED (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT $k),
+         |rs$r AS (SELECT list([a, b] ORDER BY n DESC, a, b) AS rs FROM ru$r),
+         |v${r}_0 AS (SELECT word, wc, L, rs FROM v${r - 1} CROSS JOIN rs$r),
+         |$applies,
+         |v$r AS MATERIALIZED (SELECT word, wc, L FROM v${r}_$k),
+         |st$r AS (SELECT sum(wc * len(L))::BIGINT AS syms FROM v$r),
+         |out$r AS (SELECT $r::BIGINT AS round,
+         |  row_number() OVER (ORDER BY n DESC, a, b)::BIGINT AS rk, a, b, n,
+         |  (SELECT syms FROM st$r) AS syms_after FROM ru$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to bpeConvergeRounds).map(r => s"SELECT * FROM out$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, count(*)::BIGINT AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT word, wc,
+       |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS L
+       |  FROM w),
+       |$rounds
+       |SELECT round, rk, a, b, a || b AS merged, n, syms_after
+       |FROM ($union) ORDER BY round, rk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ★ BPE training to CONVERGENCE — see bpeTrainConverge; the loop
+    // family's completion for the tokenizer lane (pagerank/kmeans proved
+    // the shape: deterministic integer loop state, oracle-unrolled
+    // measured round count, bounded per-round cost). Scale: rounds ×
+    // (one O(vocab × len) pair explode + hash agg with map-side
+    // partials + a TakeOrdered top-8 + one O(vocab) fold rewrite); the
+    // corpus is touched ONCE (the word-frequency agg), everything after
+    // is vocab-sized. Output = the 64-rule merge table with the
+    // symbol-reduction curve.
+    q(
+      "q_bpe_train_converge",
+      bpeConvergeSql
+    ) { (s, dir) => bpeTrainConverge(s, Tables(s, dir).documents) },
+
 
     // Term frequency + document frequency.
     q(
