@@ -251,4 +251,76 @@ object MediaCodec {
     // headers only, no scan: valid geometry, empty data section
     if (width >= 0) Some(MediaMeta("jpeg", width, height, precision, p.length, 0)) else None
   }
+
+  // --- PCM content analysis ----------------------------------------------
+
+  /** Per-clip PCM statistics — the audio analog of the text lane's
+    * quality scores, for corpus filtering. All fields are INTEGER
+    * arithmetic so a SQL oracle replays them exactly:
+    *  - nSamples: dataLength / bytesPerSample (a trailing partial sample
+    *    of an odd-length 16-bit data chunk is ignored, floor semantics);
+    *  - nFrames: nSamples / channels (floor — a trailing partial frame
+    *    counts no frame); durationMs = nFrames × 1000 / sampleRate;
+    *  - sumSq: Σ sample² (8-bit PCM is UNSIGNED with midpoint 128, so
+    *    sample = byte − 128; 16-bit is SIGNED little-endian);
+    *  - rmsQ = floor(sqrt(sumSq / nSamples)) — integer divide first,
+    *    then sqrt of an exact small integer, so the double rounds
+    *    identically everywhere;
+    *  - peak = max |sample|; nClip = samples at |s| ≥ fullScale
+    *    (127 / 32767 — a hard-limited recording);
+    *  - leadSilence/trailSilence: run lengths of |s| ≤ fullScale >> 6
+    *    (≈1.5% of full scale) at each end — the trim-detection stat. */
+  final case class PcmStats(
+      nSamples: Long, nFrames: Long, durationMs: Long, sumSq: Long,
+      peak: Int, nClip: Long, leadSilence: Long, trailSilence: Long)
+
+  /** PCM walk over a parsed wav's data section; None for non-wav metas
+    * or unsupported sample widths (only 8/16-bit PCM, the canonical
+    * fixture widths). O(dataLength), no allocation beyond the stats. */
+  def pcmStats(p: Array[Byte], m: MediaMeta): Option[PcmStats] = {
+    if (m.format != "wav" || (m.bitDepth != 8 && m.bitDepth != 16)) return None
+    val bytesPer = m.bitDepth / 8
+    val n = m.dataLength / bytesPer
+    val channels = math.max(m.height, 1)
+    val full = (1 << (m.bitDepth - 1)) - 1
+    val silence = full >> 6
+    def sample(i: Int): Int = {
+      val off = m.dataOffset + i * bytesPer
+      if (bytesPer == 1) (p(off) & 0xff) - 128
+      else (readLe16(p, off) << 16) >> 16 // sign-extend
+    }
+    var sumSq = 0L
+    var peak = 0
+    var nClip = 0L
+    var lead = 0L
+    var leadOpen = true
+    var trail = 0L
+    var i = 0
+    while (i < n) {
+      val s = sample(i)
+      val a = math.abs(s)
+      sumSq += s.toLong * s
+      if (a > peak) peak = a
+      if (a >= full) nClip += 1
+      if (a <= silence) {
+        if (leadOpen) lead += 1
+        trail += 1
+      } else {
+        leadOpen = false
+        trail = 0
+      }
+      i += 1
+    }
+    val frames = n.toLong / channels
+    val rate = math.max(m.width, 1)
+    Some(PcmStats(
+      nSamples = n.toLong,
+      nFrames = frames,
+      durationMs = frames * 1000L / rate,
+      sumSq = sumSq,
+      peak = peak,
+      nClip = nClip,
+      leadSilence = lead,
+      trailSilence = trail))
+  }
 }

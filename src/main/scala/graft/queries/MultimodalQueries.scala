@@ -218,6 +218,102 @@ object MultimodalQueries {
               .map(j => (ds(i)._1, ds(j)._1, ds(i)._2, ds(i)._3, ds(j)._3)))
         }
         .toDF("doc_a", "doc_b", "data_fp", "n_bytes_a", "n_bytes_b")
+    },
+
+    // ★ Audio CONTENT analysis — the audio analog of q_quality_score,
+    // closing the gap the round-10 review named (WAV coverage was
+    // header/geometry only; the text lane had 5 quality filters, audio
+    // none). Per-clip corpus-filtering stats from the PCM samples
+    // themselves: duration, RMS level, peak, clipping-sample count
+    // (|s| ≥ full scale — hard-limited recordings), leading/trailing
+    // silence run lengths (trim detection). The PCM is synthesized
+    // deterministically (integer formula, real silence pads, byte
+    // values that DO clip) but travels as a REAL WAV container:
+    // encodeWav → MediaCodec.decode finds the data chunk offsets →
+    // MediaCodec.pcmStats walks samples at 8- AND 16-bit widths (8-bit
+    // unsigned-midpoint-128, 16-bit signed LE, floor'd partial trailing
+    // sample/frame) — a mis-parsed offset or width shifts every stat.
+    // Everything is integer arithmetic (rms = floor∘sqrt of an integer
+    // ratio), so the DuckDB oracle replays the decode bit-for-bit from
+    // the same formula. Scale: one narrow mapPartitions pass, O(bytes)
+    // per clip, no shuffle at all — the cheapest possible shape for a
+    // 100-TB corpus-filter sweep.
+    q(
+      "q_audio_stats",
+      """WITH wavs AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    8000 + ((doc_id // 2) % 4) * 4000 AS rate,
+        |    1 + (doc_id // 2) % 2 AS channels,
+        |    8 + 8 * ((doc_id // 4) % 2) AS bits
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |bts AS (
+        |  SELECT doc_id, rate, channels, bits, n,
+        |    list_transform(generate_series(0, n - 1), k ->
+        |      CASE WHEN k < n // 8 OR k >= n - n // 8
+        |        THEN CASE WHEN bits = 8 THEN 128 ELSE 0 END
+        |        ELSE (k * 73 + doc_id * 131) % 256 END) AS B
+        |  FROM wavs),
+        |samp AS (
+        |  SELECT doc_id, rate, channels, bits,
+        |    CASE WHEN bits = 8
+        |      THEN list_transform(B, b -> b - 128)
+        |      ELSE list_transform(generate_series(1, len(B) // 2), j ->
+        |        CASE WHEN B[2*j-1] + 256 * B[2*j] >= 32768
+        |          THEN B[2*j-1] + 256 * B[2*j] - 65536
+        |          ELSE B[2*j-1] + 256 * B[2*j] END)
+        |    END AS S,
+        |    CASE WHEN bits = 8 THEN 127 ELSE 32767 END AS fullsc,
+        |    CASE WHEN bits = 8 THEN 1 ELSE 511 END AS sil
+        |  FROM bts),
+        |st AS (
+        |  SELECT doc_id, rate, channels, bits, S, fullsc, sil,
+        |    len(S)::BIGINT AS n_samples,
+        |    list_position(list_transform(S, x -> abs(x) > sil), true) AS fl,
+        |    list_position(list_reverse(list_transform(S, x -> abs(x) > sil)), true) AS ll
+        |  FROM samp)
+        |SELECT doc_id, rate::BIGINT AS rate, channels::BIGINT AS channels,
+        |  bits::BIGINT AS bits, n_samples,
+        |  ((n_samples // channels) * 1000 // rate)::BIGINT AS duration_ms,
+        |  (CASE WHEN n_samples = 0 THEN 0
+        |    ELSE floor(sqrt(list_sum(list_transform(S, x -> x * x)) // n_samples))
+        |  END)::BIGINT AS rms_q,
+        |  coalesce(list_max(list_transform(S, x -> abs(x))), 0)::BIGINT AS peak,
+        |  len(list_filter(S, x -> abs(x) >= fullsc))::BIGINT AS n_clip,
+        |  (CASE WHEN fl IS NULL THEN n_samples ELSE fl - 1 END)::BIGINT AS lead_sil,
+        |  (CASE WHEN ll IS NULL THEN n_samples ELSE ll - 1 END)::BIGINT AS trail_sil
+        |FROM st""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 6 === 2)
+        .select(col("doc_id"), expr("octet_length(text)").as("n"))
+        .as[(Long, Int)]
+        .map { case (id, n) =>
+          val rate = (8000 + ((id / 2) % 4) * 4000).toInt
+          val ch = (1 + (id / 2) % 2).toInt
+          val bits = (8 + 8 * ((id / 4) % 2)).toInt
+          val sil = if (bits == 8) 128 else 0
+          val pad = n / 8
+          val data = Array.tabulate(n) { k =>
+            if (k < pad || k >= n - pad) sil.toByte
+            else ((k.toLong * 73L + id * 131L) % 256L).toByte
+          }
+          (id, MediaCodec.encodeWav(rate, ch, bits, data))
+        }
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            for {
+              m <- MediaCodec.decode(payload)
+              st <- MediaCodec.pcmStats(payload, m)
+            } yield (id, m.width.toLong, m.height.toLong, m.bitDepth.toLong,
+              st.nSamples, st.durationMs,
+              if (st.nSamples == 0) 0L
+              else math.floor(math.sqrt((st.sumSq / st.nSamples).toDouble)).toLong,
+              st.peak.toLong, st.nClip, st.leadSilence, st.trailSilence)
+          }
+        }
+        .toDF("doc_id", "rate", "channels", "bits", "n_samples", "duration_ms",
+          "rms_q", "peak", "n_clip", "lead_sil", "trail_sil")
     }
   )
 }

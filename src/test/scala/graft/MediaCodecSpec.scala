@@ -179,4 +179,62 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(rewrap.length === plain.length + 12 + 8 + "copy-1".length)
     assert(!java.util.Arrays.equals(plain, rewrap))
   }
+
+  test("pcmStats 8-bit: unsigned midpoint-128 samples, clip + silence runs by hand") {
+    // 2 silent (128→0), then -128 (clip), +127 (clip), +64, then 3 silent
+    val bytes = Array(128, 128, 0, 255, 192, 128, 128, 128).map(_.toByte)
+    val wav = MediaCodec.encodeWav(8000, 1, 8, bytes)
+    val st = MediaCodec.pcmStats(wav, MediaCodec.decode(wav).get).get
+    assert(st.nSamples === 8L)
+    assert(st.nFrames === 8L)
+    assert(st.durationMs === 8L * 1000 / 8000)
+    assert(st.peak === 128)
+    assert(st.nClip === 2L) // |-128| and |127| both >= 127
+    assert(st.leadSilence === 2L)
+    assert(st.trailSilence === 3L)
+    assert(st.sumSq === 128L * 128 + 127L * 127 + 64L * 64)
+  }
+
+  test("pcmStats 16-bit: signed LE pairs, odd-length data drops the partial sample") {
+    // samples: 0 (silence), -32768 (clip), 300 (sub-threshold: 300 <= 511),
+    // 1000 (loud) + one dangling byte that must be ignored
+    val bytes = Array(
+      0x00, 0x00, // 0
+      0x00, 0x80, // -32768
+      0x2c, 0x01, // 300
+      0xe8, 0x03, // 1000
+      0x7f        // partial trailing sample
+    ).map(_.toByte)
+    val wav = MediaCodec.encodeWav(16000, 2, 16, bytes)
+    val st = MediaCodec.pcmStats(wav, MediaCodec.decode(wav).get).get
+    assert(st.nSamples === 4L, "9 bytes / 2 = 4 whole samples")
+    assert(st.nFrames === 2L, "stereo: 4 samples = 2 frames")
+    assert(st.durationMs === 2L * 1000 / 16000)
+    assert(st.peak === 32768)
+    assert(st.nClip === 1L)
+    // leading silence counts BOTH sub-threshold samples at the head?
+    // no — the clip at index 1 ends the leading run immediately
+    assert(st.leadSilence === 1L)
+    assert(st.trailSilence === 0L, "1000 > 511 ends the trailing run")
+    assert(st.sumSq === 32768L * 32768 + 300L * 300 + 1000L * 1000)
+  }
+
+  test("pcmStats: all-silent and empty clips, and stats survive the re-wrap") {
+    val quiet = MediaCodec.encodeWav(8000, 1, 8, Array.fill(5)(128.toByte))
+    val qs = MediaCodec.pcmStats(quiet, MediaCodec.decode(quiet).get).get
+    assert((qs.leadSilence, qs.trailSilence, qs.peak, qs.sumSq) === ((5L, 5L, 0, 0L)))
+    val empty = MediaCodec.encodeWav(8000, 1, 16, Array.empty[Byte])
+    val es = MediaCodec.pcmStats(empty, MediaCodec.decode(empty).get).get
+    assert((es.nSamples, es.durationMs, es.peak) === ((0L, 0L, 0)))
+    // same PCM behind a LIST chunk → identical stats at the shifted offset
+    val data = Array(128, 0, 255, 128).map(_.toByte)
+    val a = MediaCodec.encodeWav(8000, 1, 8, data)
+    val b = MediaCodec.encodeWavRewrapped(8000, 1, 8, data, "meta!")
+    val sa = MediaCodec.pcmStats(a, MediaCodec.decode(a).get).get
+    val sb = MediaCodec.pcmStats(b, MediaCodec.decode(b).get).get
+    assert(sa === sb)
+    // non-wav metas refuse
+    val png = MediaCodec.encodePng(8, 8, 8, data)
+    assert(MediaCodec.pcmStats(png, MediaCodec.decode(png).get).isEmpty)
+  }
 }
