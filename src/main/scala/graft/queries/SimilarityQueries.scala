@@ -69,8 +69,8 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
-      annRecall :+ annRecallIvf :+ annRecallPq :+ annRecallIvfpq :+
-      annRecallPqTrained :+ annRecallPqRerank
+      annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
+      annRecallIvfpq :+ annRecallPqTrained :+ annRecallPqRerank
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -365,31 +365,47 @@ object SimilarityQueries {
     * final assignment against the converged centroids for member counts
     * and inertia. `//` and Spark's `div` both truncate toward zero, so
     * the centroid updates agree on negative sums too. */
-  private lazy val kmConvergeSql: String = {
-    val sums = (1 to 64).map(i => s"CAST(sum(vq[$i]) AS BIGINT) AS s$i").mkString(", ")
-    val upd = (1 to 64).map(i => s"g.s$i // g.n").mkString(", ")
+  /** One Lloyd assignment CTE (a$r) of the quantized corpus v against
+    * centroid table `from` — shared by kmConvergeSql and the trained-IVF
+    * recall oracle so the trainer the harness evaluates can never drift
+    * from the one q_kmeans_converge pins. */
+  private def kmAssignSql(r: Int, from: String): String = {
     val dist = "list_sum(list_transform(generate_series(1, 64), " +
       "i -> (v.vq[i] - c.cq[i]) * (v.vq[i] - c.cq[i])))"
-    def assign(r: Int, from: String) =
-      s"""a$r AS (
-         |  SELECT vec_id, vq, c_id, d FROM (
-         |    SELECT v.vec_id, v.vq, c.c_id, $dist AS d,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.c_id) AS rn
-         |    FROM v CROSS JOIN $from c) WHERE rn = 1)""".stripMargin
-    val stages = (1 to kmConvergeRounds).map { r =>
-      s"""${assign(r, s"c${r - 1}")},
+    s"""a$r AS (
+       |  SELECT vec_id, vq, c_id, d FROM (
+       |    SELECT v.vec_id, v.vq, c.c_id, $dist AS d,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.c_id) AS rn
+       |    FROM v CROSS JOIN $from c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** WITH-clause prefix ending at the converged centroid table
+    * c$rounds: quantized corpus v, stand-in seeds c0, `rounds` unrolled
+    * (assign → group → update) Lloyd stages. v and c$r are AS
+    * MATERIALIZED — both are multi-referenced and DuckDB inlines
+    * multi-referenced CTEs by default, which compounds across unrolled
+    * rounds (the q_bpe_train_converge lesson: 3^rounds re-evaluations). */
+  private def kmStagesPrefixSql(rounds: Int): String = {
+    val sums = (1 to 64).map(i => s"CAST(sum(vq[$i]) AS BIGINT) AS s$i").mkString(", ")
+    val upd = (1 to 64).map(i => s"g.s$i // g.n").mkString(", ")
+    val stages = (1 to rounds).map { r =>
+      s"""${kmAssignSql(r, s"c${r - 1}")},
          |g$r AS (SELECT c_id, count(*) AS n, $sums FROM a$r GROUP BY c_id),
-         |c$r AS (
+         |c$r AS MATERIALIZED (
          |  SELECT p.c_id, CASE WHEN g.n IS NULL THEN p.cq ELSE [$upd] END AS cq
          |  FROM c${r - 1} p LEFT JOIN g$r g USING (c_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vq
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 251 = 0),
-       |$stages,
-       |${assign(99, s"c$kmConvergeRounds")},
+       |$stages""".stripMargin
+  }
+
+  private lazy val kmConvergeSql: String = {
+    s"""WITH ${kmStagesPrefixSql(kmConvergeRounds)},
+       |${kmAssignSql(99, s"c$kmConvergeRounds")},
        |fin AS (
        |  SELECT c_id, count(*)::BIGINT AS n_members, CAST(sum(d) AS BIGINT) AS inertia
        |  FROM a99 GROUP BY c_id)
@@ -430,6 +446,61 @@ object SimilarityQueries {
     * ~210k vectors (DriverLocalGate's driver-heap arithmetic), so the
     * local path stays driver-safe at any heap size a production driver
     * plausibly has. */
+  /** The driver-local integer Lloyd loop, extracted so the trained-IVF
+    * harness can reuse the EXACT trainer q_kmeans_converge runs (bit-
+    * identical to the distributed loop — KmeansConvergeSpec — because
+    * every op is a commutative integer op). Returns (converged micro
+    * centroids aligned with cents0, rounds, per-centroid member counts,
+    * per-centroid inertia), the counts/inertia from a final assignment
+    * pass against the converged centroids. */
+  private[graft] def lloydLocal(vecs: Array[Array[Long]],
+      cents0: Seq[(Long, Array[Long])], epsMicro: Long, maxRounds: Int)
+      : (Array[Array[Long]], Int, Array[Long], Array[Long]) = {
+    val ids = cents0.map(_._1).toArray
+    var cs = cents0.map(_._2).toArray
+    var rounds = 0
+    var converged = false
+    var counts = new Array[Long](ids.length)
+    var inert = new Array[Long](ids.length)
+    def pass(update: Boolean): (Array[Array[Long]], Long) = {
+      val sums = Array.fill(ids.length)(new Array[Long](64))
+      counts = new Array[Long](ids.length)
+      inert = new Array[Long](ids.length)
+      vecs.foreach { v =>
+        var bestK = 0
+        var bestD = Long.MaxValue
+        var k = 0
+        while (k < ids.length) {
+          var d = 0L
+          var i = 0
+          while (i < 64) { val t = v(i) - cs(k)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; bestK = k } // ties keep lower c_id (sorted)
+          k += 1
+        }
+        counts(bestK) += 1
+        inert(bestK) += bestD
+        var i = 0
+        while (i < 64) { sums(bestK)(i) += v(i); i += 1 }
+      }
+      if (!update) return (cs, 0L)
+      val next = ids.indices.map { k =>
+        if (counts(k) == 0) cs(k)
+        else Array.tabulate(64)(i => sums(k)(i) / counts(k))
+      }.toArray
+      val delta = ids.indices.map(k =>
+        (0 until 64).map(i => math.abs(next(k)(i) - cs(k)(i))).max).max
+      (next, delta)
+    }
+    while (!converged && rounds < maxRounds) {
+      val (next, delta) = pass(update = true)
+      cs = next
+      rounds += 1
+      converged = delta < epsMicro
+    }
+    pass(update = false) // final stats against the converged centroids
+    (cs, rounds, counts, inert)
+  }
+
   def kmeansConvergeFrame(s: SparkSession, dir: String, epsMicro: Long,
       maxRounds: Int,
       localThreshold: Long = DriverLocalGate.maxLocalVectors): DataFrame = {
@@ -453,47 +524,7 @@ object SimilarityQueries {
       // because its RESULT is a lazy plan over it)
       vq.unpersist(false)
       val ids = cents.map(_._1).toArray
-      var cs = cents.map(_._2).toArray
-      var rounds = 0
-      var converged = false
-      var counts = new Array[Long](ids.length)
-      var inert = new Array[Long](ids.length)
-      def pass(update: Boolean): (Array[Array[Long]], Long) = {
-        val sums = Array.fill(ids.length)(new Array[Long](64))
-        counts = new Array[Long](ids.length)
-        inert = new Array[Long](ids.length)
-        vecs.foreach { v =>
-          var bestK = 0
-          var bestD = Long.MaxValue
-          var k = 0
-          while (k < ids.length) {
-            var d = 0L
-            var i = 0
-            while (i < 64) { val t = v(i) - cs(k)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; bestK = k } // ties keep lower c_id (sorted)
-            k += 1
-          }
-          counts(bestK) += 1
-          inert(bestK) += bestD
-          var i = 0
-          while (i < 64) { sums(bestK)(i) += v(i); i += 1 }
-        }
-        if (!update) return (cs, 0L)
-        val next = ids.indices.map { k =>
-          if (counts(k) == 0) cs(k)
-          else Array.tabulate(64)(i => sums(k)(i) / counts(k))
-        }.toArray
-        val delta = ids.indices.map(k =>
-          (0 until 64).map(i => math.abs(next(k)(i) - cs(k)(i))).max).max
-        (next, delta)
-      }
-      while (!converged && rounds < maxRounds) {
-        val (next, delta) = pass(update = true)
-        cs = next
-        rounds += 1
-        converged = delta < epsMicro
-      }
-      pass(update = false) // final stats against the converged centroids
+      val (cs, rounds, counts, inert) = lloydLocal(vecs, cents, epsMicro, maxRounds)
       import s.implicits._
       return ids.indices.map { k =>
         (ids(k), counts(k), rounds.toLong, cs(k).sum, cs(k).min, cs(k).max, inert(k))
@@ -1063,6 +1094,166 @@ object SimilarityQueries {
       |LEFT JOIN cand c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
       |LEFT JOIN cc ON e.q_id = cc.q_id
       |GROUP BY e.q_id, cc.n_cand_p1, cc.n_cand_p2""".stripMargin
+
+  /** ★ Trained-IVF recall harness — the IVF counterpart of
+    * q_ann_recall_pq_trained, closing the ANN training loop: feed
+    * q_kmeans_converge's CONVERGED centroids into the IVF coarse
+    * quantizer and measure recall@5 / candidate cost against the
+    * stand-in cells (vec_id % 251 seeds), at nprobe=1 AND nprobe=2,
+    * side by side in one output row per query. The trainer is
+    * `lloydLocal` — the EXACT integer Lloyd loop q_kmeans_converge runs
+    * (bit-identical to its distributed path, KmeansConvergeSpec), so
+    * the harness evaluates the shipped trainer, not a reimplementation;
+    * the oracle rebuilds the same centroids from the shared unrolled
+    * Lloyd stages (kmStagesPrefixSql). Assignment stays COSINE
+    * (assignCells), the IVF family's metric — trained centroids enter
+    * as direction anchors at micro precision (cq/1e6, exact in both
+    * engines). Like every recall harness, this is an EVALUATION-scale
+    * tool (the exact ground truth is already a brute-force cross join
+    * over the sampled query set); the serving path keeps the broadcast-
+    * centroid + cell-partitioned join shape of q_similarity_ivf, and a
+    * 100-TB training run uses q_kmeans_converge's distributed lane. */
+  val annRecallIvfTrained: QueryDef = q(
+    "q_ann_recall_ivf_trained",
+    annRecallIvfTrainedSql
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorExpressions.cosineSimilarity
+    val emb = Tables(s, dir).embeddings
+    // train: identical quantization + seeds + loop as q_kmeans_converge
+    val vqRows = emb
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d)).as("vq"))
+      .collect()
+    val seeds = vqRows.filter(_.getLong(0) % 251 == 0)
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    val vecs = vqRows.map(_.getSeq[Long](1).toArray)
+    val (cs, _, _, _) = lloydLocal(vecs, seeds, kmEpsMicro, 40)
+    val centsT = seeds.map(_._1).zip(cs.map(_.map(_ / 1000000.0).toSeq))
+      .toDF("c_id", "ce")
+
+    val v = emb.select(col("vec_id"),
+      graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+    val centsS = v.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+
+    // exact ground truth once, shared by both arms (two-phase top-5)
+    val queries = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val scored = v.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val exact = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+
+    // one IVF arm: probe-tagged candidates + per-query counts and hits
+    def arm(cents: DataFrame, p: String): DataFrame = {
+      val assign = assignCells(v, cents, Seq.empty)
+        .select(col("vec_id"), col("c_id"))
+      val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+        .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_id").as("qc"), col("rn").as("probe"))
+      val cand = assign
+        .join(broadcast(qcells), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("probe"))
+      val counts = cand.groupBy(col("q_id")).agg(
+        sum(when(col("probe") === 1, 1L).otherwise(0L)).as(s"${p}_cand_p1"),
+        count(lit(1)).as(s"${p}_cand_p2"))
+      exact
+        .join(cand, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("probe") === 1, 1L).otherwise(0L)).as(s"${p}_hit_p1"),
+          sum(when(col("probe").isNotNull, 1L).otherwise(0L)).as(s"${p}_hit_p2"))
+        .join(counts, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col(s"${p}_cand_p1"), lit(0L)).as(s"${p}_cand_p1"),
+          col(s"${p}_hit_p1"),
+          (col(s"${p}_hit_p1") / lit(5.0)).as(s"${p}_recall_p1"),
+          coalesce(col(s"${p}_cand_p2"), lit(0L)).as(s"${p}_cand_p2"),
+          col(s"${p}_hit_p2"),
+          (col(s"${p}_hit_p2") / lit(5.0)).as(s"${p}_recall_p2"))
+    }
+    arm(centsS, "s").join(arm(centsT, "t"), "q_id")
+  }
+
+  /** Trained-IVF recall oracle: the shared Lloyd-stage prefix rebuilds
+    * the converged centroids, then both codebooks run the annRecallIvf
+    * assignment/probe/overlap structure against one exact-top-5 CTE. */
+  private lazy val annRecallIvfTrainedSql: String = {
+    val dot = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i]))"
+    def armSql(p: String, cents: String): String =
+      s"""assign_$p AS MATERIALIZED (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        $dot / (a.nrm * c.cn) DESC, c.c_id) AS rn
+         |    FROM n a CROSS JOIN $cents c) WHERE rn = 1),
+         |qcells_$p AS (
+         |  SELECT vec_id AS q_id, c_id AS qc, rn AS probe FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        $dot / (a.nrm * c.cn) DESC, c.c_id) AS rn
+         |    FROM n a CROSS JOIN $cents c WHERE a.vec_id < 8) WHERE rn <= 2),
+         |cand_$p AS MATERIALIZED (
+         |  SELECT qc.q_id, s.vec_id, qc.probe
+         |  FROM assign_$p s JOIN qcells_$p qc ON s.c_id = qc.qc AND s.vec_id <> qc.q_id),
+         |cc_$p AS (
+         |  SELECT q_id,
+         |    sum(CASE WHEN probe = 1 THEN 1 ELSE 0 END)::BIGINT AS ${p}_cand_p1,
+         |    count(*) AS ${p}_cand_p2
+         |  FROM cand_$p GROUP BY q_id),
+         |hits_$p AS (
+         |  SELECT e.q_id,
+         |    sum(CASE WHEN c.probe = 1 THEN 1 ELSE 0 END)::BIGINT AS ${p}_hit_p1,
+         |    sum(CASE WHEN c.probe IS NULL THEN 0 ELSE 1 END)::BIGINT AS ${p}_hit_p2
+         |  FROM exact e LEFT JOIN cand_$p c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+         |  GROUP BY e.q_id)""".stripMargin
+    s"""WITH ${kmStagesPrefixSql(kmConvergeRounds)},
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)),
+       |cs AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+       |ct AS (
+       |  SELECT c_id, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM (
+       |    SELECT c_id, list_transform(cq, x -> x / 1000000.0) AS ce
+       |    FROM c$kmConvergeRounds)),
+       |exact AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) DESC,
+       |        b.vec_id) AS rank
+       |    FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+       |${armSql("s", "cs")},
+       |${armSql("t", "ct")}
+       |SELECT h1.q_id,
+       |  coalesce(c1.s_cand_p1, 0) AS s_cand_p1, h1.s_hit_p1,
+       |  h1.s_hit_p1 / 5.0 AS s_recall_p1,
+       |  coalesce(c1.s_cand_p2, 0) AS s_cand_p2, h1.s_hit_p2,
+       |  h1.s_hit_p2 / 5.0 AS s_recall_p2,
+       |  coalesce(c2.t_cand_p1, 0) AS t_cand_p1, h2.t_hit_p1,
+       |  h2.t_hit_p1 / 5.0 AS t_recall_p1,
+       |  coalesce(c2.t_cand_p2, 0) AS t_cand_p2, h2.t_hit_p2,
+       |  h2.t_hit_p2 / 5.0 AS t_recall_p2
+       |FROM hits_s h1
+       |JOIN hits_t h2 USING (q_id)
+       |LEFT JOIN cc_s c1 USING (q_id)
+       |LEFT JOIN cc_t c2 USING (q_id)""".stripMargin
+  }
 
   /** ★ PQ recall harness: recall@5 of the ADC (asymmetric
     * query-vs-reconstruction) ranking against the exact squared-L2 top-5
