@@ -501,6 +501,128 @@ object KayveeQueries {
           unix_timestamp(col("session_window.start")).as("session_start_sec"),
           col("n_events"), col("sum_value")
         )
+    },
+
+    // ★ The FLEET dataflow as a contract-surface entry (round-10 review
+    // item: MultiWorkerLeaseSpec proves union-of-workers == one batch
+    // pass; this declares the same dataflow as a runnable query, not
+    // only a test). A bounded deterministic subset of events becomes
+    // kayvee lines sharded 4 ways into a file-backed stream; TWO
+    // LeaseWorkers under a scripted clock claim, mark (wantedBy),
+    // release, and re-claim until the fleet is balanced and every shard
+    // is drained — the KCL join/rebalance dance — then the union of all
+    // drained batches runs through the REAL distributed parse→route→
+    // project pass once. Output: one row per (worker, shard) with the
+    // delivered record span plus the fleet-wide dd-projection total —
+    // ownership is a delivery concern, invisible in the projected data.
+    // No DuckDB oracle: lease assignment is protocol state, not SQL
+    // (driver records the rows>0 check); the PROJECTION semantics are
+    // oracle-covered by the O3-O13 kayvee queries, and the equality
+    // contract union==single-pass is spec-pinned (MultiWorkerLeaseSpec).
+    // Scale note: the drained-record buffers here are the fixture
+    // harness — a real fleet's drain hands each batch to the streaming
+    // query (StreamingSpec's kinesis-lite lane), never to driver memory;
+    // the subset is bounded (event_id % 101) precisely so this DECLARED
+    // demo stays driver-safe at any sf.
+    QueryDef.noOracle("q_fleet_pipeline") { (s, dir) =>
+      import s.implicits._
+      val lines = Tables(s, dir).events
+        .filter(col("event_id") % 101 === 0)
+        .select(col("event_id"),
+          concat(
+            date_format(timestamp_micros(expr("ts div 1000")),
+              "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'"),
+            lit(" host-"), col("user_id") % 50,
+            lit(" production--"), col("event_type"), lit("-svc/arn["),
+            col("event_id"), lit("]: "),
+            to_json(struct(
+              col("event_type").as("title"), col("value"), col("user_id"),
+              struct(
+                concat(lit("team-"), col("user_id") % 7).as("team"),
+                array(struct(
+                  lit("alerts").as("type"),
+                  concat(lit("events."), col("event_type")).as("series"),
+                  array(lit("title"), lit("user_id")).as("dimensions"),
+                  lit("counter").as("stat_type"),
+                  lit("value").as("value_field"),
+                  concat(lit("evt-"), col("event_type")).as("rule")
+                )).as("routes")
+              ).as("_kvmeta")
+            ))).as("raw"))
+        .orderBy(col("event_id"))
+        .as[(Long, String)]
+        .collect()
+      val nShards = 4
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-fleet-pipeline").toFile
+      val streamDir = new java.io.File(base, "stream")
+      val leaseDir = new java.io.File(base, "lease")
+      streamDir.mkdirs(); leaseDir.mkdirs()
+      // two tranches per shard around the rebalance, the spec's fleet
+      // story: w1 alone drains tranche 1 of every shard, then w2 joins
+      // and the wantedBy handoff balances ownership 2/2, then tranche 2
+      // lands and each side drains ITS shards — so the output shows the
+      // same shard delivered by different owners over time
+      val byShard = (0 until nShards).map { i =>
+        i -> lines.filter(_._1 % nShards == i).map(_._2)
+      }.toMap
+      def writeTranche(second: Boolean): Unit =
+        (0 until nShards).foreach { i =>
+          val all = byShard(i)
+          val half = all.length / 2
+          val part = if (second) all.drop(half) else all.take(half)
+          val f = new java.io.File(streamDir, s"shard-$i.txt").toPath
+          val body = part.map(_ + "\n").mkString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (second)
+            java.nio.file.Files.write(f, body,
+              java.nio.file.StandardOpenOption.APPEND)
+          else java.nio.file.Files.write(f, body)
+        }
+      writeTranche(second = false)
+      var clockMs = 100000L
+      val drained =
+        scala.collection.mutable.Buffer[(String, String, Long, String)]()
+      def worker(id: String) = new graft.streaming.LeaseWorker(
+        id, streamDir.getAbsolutePath, leaseDir.getAbsolutePath,
+        failoverMillis = 5000, maxRecordsPerFetch = 500, () => clockMs,
+        (shard, from, recs) => recs.zipWithIndex.foreach { case (r, k) =>
+          drained += ((id, shard, from + k, r))
+        })
+      val w1 = worker("w1")
+      val w2 = worker("w2")
+      // the join/rebalance dance: w1 claims the whole stream and drains
+      // tranche 1; w2 joins under fair share, marks, and the graceful
+      // handoff settles at 2/2 over the next few rounds
+      (0 until 4).foreach { _ =>
+        w1.tick(); clockMs += 10
+        w2.tick(); clockMs += 10
+      }
+      writeTranche(second = true)
+      // tick to quiescence. A tick that only moves leases
+      // (release → claim) drains nothing, so "no new records" must hold
+      // for several consecutive rounds before the fleet counts as
+      // settled — one no-progress round would exit mid-handoff. Clock
+      // steps stay far inside failoverMillis, so no hard takeover fires
+      // and delivery here is exactly-once (graceful handoffs happen at
+      // batch boundaries only).
+      var stable = 0
+      var ticks = 0
+      while (ticks < 200 && stable < 5) {
+        val before = drained.size
+        w1.tick(); clockMs += 10
+        w2.tick(); clockMs += 10
+        stable = if (drained.size == before) stable + 1 else 0
+        ticks += 1
+      }
+      val nDd = graft.streaming.StreamPipeline
+        .metrics(drained.map(_._4).toSeq.toDF("raw"), "test-env").dd.count()
+      drained.toSeq.toDF("worker", "shard", "seq", "raw")
+        .groupBy(col("worker"), col("shard"))
+        .agg(count(lit(1)).as("n_records"),
+          min(col("seq")).as("seq_min"), max(col("seq")).as("seq_max"))
+        .withColumn("fleet_dd_rows", lit(nDd))
+        .orderBy(col("worker"), col("shard"))
     }
   )
 }
