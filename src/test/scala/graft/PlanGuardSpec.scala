@@ -456,6 +456,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(bnl <= 2, s"only the two 1-row scheme frames may nested-loop:\n${plan.take(3000)}")
   }
 
+  test("q_audio_stats is shuffle-free (narrow decode pass, no Exchange)") {
+    // the corpus-filter sweep shape: encode → decode → pcm walk is one
+    // mapPartitions chain; any Exchange here would shuffle raw payload
+    // bytes across the cluster for a per-row computation
+    val plan = planOf("q_audio_stats")
+    assert(!plan.contains("Exchange"), s"audio stats must stay narrow:\n${plan.take(3000)}")
+  }
+
+  test("q_ann_recall_ivf_trained: no cartesian; nested-loops only on broadcast query/centroid sides") {
+    val plan = planOf("q_ann_recall_ivf_trained")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the 8-row query frame, the 16-row probe-cell frames, and the two
+    // bounded centroid tables are the only nested-loop sides — two arms
+    // × (assign + qcells + candidate) + the shared exact ground truth
+    // (same envelope as the other recall harnesses: O(queries)/
+    // O(centroids), never corpus × corpus; the per-q_id joins are
+    // SortMergeJoin)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 10, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and
