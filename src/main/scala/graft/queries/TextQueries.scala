@@ -62,6 +62,26 @@ object TextQueries {
       targetMerges: Int = bpeTargetMerges,
       rulesPerRound: Int = bpeRulesPerRound): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    val (learned, finalVocab) = bpeTrainLoop(s, docs, targetMerges, rulesPerRound)
+    // output is the learned merge table — bounded driver data by design
+    // (targetMerges rows); the final vocab's blocks can go now
+    graft.plans.Checkpoints.checkpointedRdd(finalVocab).foreach(_.unpersist(false))
+    learned.toSeq.toDF("round", "rk", "a", "b", "n", "syms_after")
+      .select(col("round"), col("rk"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("n"), col("syms_after"))
+  }
+
+  /** The training loop itself: returns (learned rules in (round, rk)
+    * order, the FINAL symbolized vocabulary frame (word, wc, L) — a live
+    * localCheckpoint the caller owns and must release). Shared by
+    * q_bpe_train_converge (reports the rules) and q_bpe_encode (encodes
+    * the corpus with them), so the two can never train differently. */
+  private[graft] def bpeTrainLoop(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      targetMerges: Int = bpeTargetMerges,
+      rulesPerRound: Int = bpeRulesPerRound)
+      : (Vector[(Long, Long, String, String, Long, Long)],
+         org.apache.spark.sql.DataFrame) = {
     val words = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
@@ -123,12 +143,7 @@ object TextQueries {
         }
       }
     }
-    // output is the learned merge table — bounded driver data by design
-    // (targetMerges rows); the final vocab's blocks can go now
-    prevCkpt.foreach(_.unpersist(false))
-    learned.toSeq.toDF("round", "rk", "a", "b", "n", "syms_after")
-      .select(col("round"), col("rk"), col("a"), col("b"),
-        concat(col("a"), col("b")).as("merged"), col("n"), col("syms_after"))
+    (learned.toVector, vocab)
   }
 
   /** DuckDB oracle for q_bpe_train_converge: `bpeConvergeRounds` unrolled
@@ -141,7 +156,13 @@ object TextQueries {
     * DuckDB inlines multi-referenced CTEs by default, which makes the
     * 8-round chain EXPONENTIAL (3^8 re-evaluations of the 64-stage
     * fold — measured >10 min; materialized, 0.6 s). */
-  private lazy val bpeConvergeSql: String = {
+  /** Shared WITH-clause prefix for the BPE-loop oracles: word frequencies
+    * w, char-symbolized v0, and `bpeConvergeRounds` unrolled training
+    * rounds ending at the final vocabulary v$R (with per-round ru$r rule
+    * tables, st$r symbol totals, out$r report rows). Factored so
+    * q_bpe_encode's oracle replays the EXACT training q_bpe_train_converge
+    * pins before encoding with it. */
+  private def bpeStagesPrefixSql: String = {
     val k = bpeRulesPerRound
     val rounds = (1 to bpeConvergeRounds).map { r =>
       val applies = (1 to k).map { j =>
@@ -168,18 +189,58 @@ object TextQueries {
          |  row_number() OVER (ORDER BY n DESC, a, b)::BIGINT AS rk, a, b, n,
          |  (SELECT syms FROM st$r) AS syms_after FROM ru$r)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to bpeConvergeRounds).map(r => s"SELECT * FROM out$r")
-      .mkString(" UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT word, count(*)::BIGINT AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) >= 1 GROUP BY 1),
        |v0 AS MATERIALIZED (SELECT word, wc,
        |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS L
        |  FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val bpeConvergeSql: String = {
+    val union = (1 to bpeConvergeRounds).map(r => s"SELECT * FROM out$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeStagesPrefixSql
        |SELECT round, rk, a, b, a || b AS merged, n, syms_after
        |FROM ($union) ORDER BY round, rk""".stripMargin
+  }
+
+  /** DuckDB oracle for q_bpe_encode: replay the shared training prefix,
+    * derive the merged-string → id table (127 + row_number over (round,
+    * rk); min(id) per string implements first-rule-wins), build the
+    * word → id-list vocabulary from the final v$R symbols via a one-row
+    * MAP (vocab-bounded), then reassemble each document's id sequence in
+    * word order with a parallel-unnest positional explode. */
+  private lazy val bpeEncodeSql: String = {
+    val union = (1 to bpeConvergeRounds).map(r => s"SELECT * FROM out$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeStagesPrefixSql,
+       |allr AS (SELECT a || b AS merged,
+       |  127 + row_number() OVER (ORDER BY round, rk) AS id
+       |  FROM ($union)),
+       |rid AS (SELECT merged, min(id) AS id FROM allr GROUP BY merged),
+       |mp AS (SELECT map(list(merged), list(id)) AS m FROM rid),
+       |ev AS MATERIALIZED (
+       |  SELECT word, list_transform(L, s ->
+       |    CASE WHEN length(s) = 1 THEN ord(s) ELSE map_extract(m, s)[1] END) AS ids
+       |  FROM v$bpeConvergeRounds CROSS JOIN mp),
+       |dw AS (
+       |  SELECT doc_id, unnest(ws) AS word,
+       |    unnest(generate_series(1, len(ws))) AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |dj AS (
+       |  SELECT dw.doc_id, dw.pos, ev.ids, length(dw.word) AS wl
+       |  FROM dw JOIN ev USING (word) WHERE length(dw.word) >= 1),
+       |docs AS (
+       |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS idseq,
+       |    sum(wl)::BIGINT AS n_chars
+       |  FROM dj GROUP BY doc_id)
+       |SELECT doc_id, len(idseq)::BIGINT AS n_tokens, n_chars,
+       |  floor(n_chars::DOUBLE / len(idseq) * 1e6) / 1e6 + 0.0 AS cpt,
+       |  md5(array_to_string(idseq, ',')) AS ids_fp
+       |FROM docs""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -197,6 +258,66 @@ object TextQueries {
       "q_bpe_train_converge",
       bpeConvergeSql
     ) { (s, dir) => bpeTrainConverge(s, Tables(s, dir).documents) },
+
+    // ★ BPE ENCODE — the corpus-scale step a real pipeline runs after
+    // training: map every document to its token-ID sequence under the
+    // trained 64-merge vocabulary. Ids follow the classic scheme:
+    // single-char symbol → its code point, merged symbol → 128 + its
+    // global merge index in (round, rk) order (first rule wins if two
+    // rules ever produce the same string — symbols are compared AS
+    // strings in the fold, so colliding rules already behave
+    // identically there). The encode itself stays vocabulary-bounded:
+    // the final symbolized vocabulary from the SHARED training loop
+    // (bpeTrainLoop — q_bpe_train_converge can never train differently)
+    // maps word → ids once, then one posexplode + vocabulary join +
+    // per-doc ordered reassembly covers the corpus, exactly
+    // q_bpe_apply's O(corpus) shape with ids instead of counts.
+    // Output per doc: token count, chars-per-token, and the md5 of the
+    // comma-joined id sequence — the sequence fingerprint that lets the
+    // oracle pin every id in every position without shipping
+    // megabyte-long arrays through the compare.
+    q(
+      "q_bpe_encode",
+      bpeEncodeSql
+    ) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val (learned, finalVocab) = bpeTrainLoop(s, docs)
+      // merged string → id, first occurrence in (round, rk) order wins
+      val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+      learned.zipWithIndex.foreach { case ((_, _, a, b, _, _), i) =>
+        val m = a + b
+        if (!ids.contains(m)) ids(m) = 128 + i
+      }
+      val idMap = map_from_arrays(
+        lit(ids.keys.toArray), lit(ids.values.toArray))
+      val ev = finalVocab.select(col("word"),
+        transform(col("L"), sym =>
+          when(length(sym) === 1, ascii(sym))
+            .otherwise(element_at(idMap, sym))).as("ids"))
+      val dw = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) >= 1)
+      val out = dw.join(ev, "word")
+        .groupBy(col("doc_id"))
+        .agg(
+          flatten(transform(
+            sort_array(collect_list(struct(col("pos"), col("ids")))),
+            x => x.getField("ids"))).as("idseq"),
+          sum(length(col("word"))).as("n_chars"))
+        .select(col("doc_id"),
+          size(col("idseq")).cast("long").as("n_tokens"),
+          col("n_chars"),
+          (floor(col("n_chars").cast("double") / size(col("idseq")) * 1e6) / 1e6 + 0.0)
+            .as("cpt"),
+          md5(concat_ws(",", transform(col("idseq"), x => x.cast("string"))))
+            .as("ids_fp"))
+      // the vocabulary frame has served its purpose once `ev` is joined;
+      // the result plan still references it, so release is deferred to
+      // Bench.cleanup / session end (bounded: one O(vocab) checkpoint)
+      out
+    },
 
 
     // Term frequency + document frequency.

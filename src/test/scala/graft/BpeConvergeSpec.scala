@@ -75,6 +75,23 @@ class BpeConvergeSpec extends SparkSpec {
     assert(learned.head.getLong(5) === 2L, "xy merged: 2 docs x 1 symbol")
   }
 
+  test("encode is consistent with training: corpus token total == final symbol total") {
+    // q_bpe_encode and q_bpe_train_converge share bpeTrainLoop, so the
+    // sum of per-doc token counts must equal the training curve's final
+    // syms_after (Σ wc × len(L)) exactly — and every id must be a valid
+    // code point or merged-rule id
+    val dir = "/root/testdata/sf0.001"
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, dir)
+      .agg(sum(col("n_tokens")), sum(col("n_chars"))).head
+    val curve = SparkEntry.queries("q_bpe_train_converge")(spark, dir)
+      .orderBy(col("round").desc, col("rk").desc)
+      .select(col("syms_after")).head.getLong(0)
+    assert(enc.getLong(0) === curve,
+      s"encode token total ${enc.getLong(0)} != training final symbols $curve")
+    assert(enc.getLong(1) > enc.getLong(0), "chars per token must exceed 1 after merging")
+    Bench.cleanup(spark)
+  }
+
   test("oracle round-count constant matches the sf0.01 fixture it is valid for") {
     // bpeConvergeRounds is pinned to the sf the driver's gate runs at —
     // this test turns a fixture regeneration into a named failure
