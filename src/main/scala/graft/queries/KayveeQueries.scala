@@ -617,6 +617,14 @@ object KayveeQueries {
       }
       val nDd = graft.streaming.StreamPipeline
         .metrics(drained.map(_._4).toSeq.toDF("raw"), "test-env").dd.count()
+      // everything below is built from the drained driver-side buffers,
+      // so the per-invocation stream/lease files can go now (Bench runs
+      // this query repeatedly; leaking a tmpdir per rep adds up)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(base)
       drained.toSeq.toDF("worker", "shard", "seq", "raw")
         .groupBy(col("worker"), col("shard"))
         .agg(count(lit(1)).as("n_records"),
