@@ -68,7 +68,7 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallPqRerank
 
@@ -235,8 +235,11 @@ object SimilarityQueries {
     * the runner-up cell recovers them at 2× the candidate cost, still
     * O(corpus/cells) per query, never a full scan). Corpus assignment
     * stays single-cell; only the tiny query side fans out, broadcast. */
-  val ivfProbe2: QueryDef = q(
-    "q_similarity_ivf_probe2",
+  /** Shared oracle for the two nprobe=2 IVF serving variants: the stored
+    * index holds exactly the in-memory assignment (vec_id, e, nrm, c_id)
+    * written to disk, so both queries must produce identical rows and
+    * one SQL covers them. */
+  private val ivfProbe2Sql: String =
     """WITH v AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
@@ -263,6 +266,10 @@ object SimilarityQueries {
       |      b.vec_id) AS rank
       |  FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id)
       |WHERE rank <= 3""".stripMargin
+
+  val ivfProbe2: QueryDef = q(
+    "q_similarity_ivf_probe2",
+    ivfProbe2Sql
   ) { (s, dir) =>
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -284,6 +291,56 @@ object SimilarityQueries {
     assign.join(broadcast(q2), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** ★ STORED-index IVF serving — the q_dedup_incremental_stored move
+    * applied to the similarity lane: the cell assignment is WRITTEN once
+    * as a parquet table PARTITIONED BY cell id (the index build, paid at
+    * write time), and a query batch is served by a partition-PRUNED scan
+    * of only its probe cells — the scan's PartitionFilters carry the 16
+    * probe-cell literals, so at 100 TB the serving read touches
+    * O(nprobe × corpus/cells) bytes and every other cell directory is
+    * never opened (StoredIvfSpec plan-guards exactly that, plus
+    * bit-identity with the in-memory q_similarity_ivf_probe2, whose
+    * oracle this query shares — stored and in-memory serving can never
+    * drift). The probe cells land as LITERAL filters, the way a serving
+    * system issues them (cells are known per query batch); doubles
+    * round-trip parquet exactly, so ranking ties break identically.
+    * Invocation-unique JVM-token paths (plans.ScratchDirs) keep repeated
+    * runs from overwrite-deleting files under an unsealed lazy result. */
+  val ivfStored: QueryDef = q(
+    "q_similarity_ivf_stored",
+    ivfProbe2Sql
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = v.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // index build: assignment written cell-partitioned, the one-time cost
+    val path = graft.plans.ScratchDirs.unique("graft-ivf-index").getAbsolutePath
+    assignCells(v, cents, Seq("e", "nrm"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    // query batch: probe cells become scan literals (16 values for 8
+    // queries × nprobe=2) — bounded driver data by design, like every
+    // per-query serving parameter
+    val q2 = v.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
+    val probeCells = q2.select(col("qc")).distinct().collect().map(_.getLong(0)).sorted
+    val index = s.read.parquet(path)
+      .filter(col("c_id").isin(probeCells: _*))
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
+    index.join(broadcast(q2), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
