@@ -30,7 +30,7 @@ object DedupQueries {
   // --- corpus + shingles, Spark side ------------------------------------
 
   /** documents ∪ mutated copy (drop tokens at 0-based positions ≡ 0 mod 7). */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("text"))
     d.unionByName(
       d.select(
@@ -66,7 +66,7 @@ object DedupQueries {
     * shape shipped two full shingle arrays per pair and measured 3×
     * slower — the ngram query verifies from index-join intersection counts
     * instead.) */
-  private[queries] def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
+  private[graft] def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
     cands
       .join(sarr.select(col("doc_id").as("doc_a"), col("sarr").as("sa")), "doc_a")
       .join(sarr.select(col("doc_id").as("doc_b"), col("sarr").as("sb")), "doc_b")
