@@ -105,4 +105,71 @@ class PropertySpec extends SparkSpec {
     assert(defaultFor("counter") === 1.0)
     assert(defaultFor("gauge") === 0.0)
   }
+
+  test("pcmStats invariants hold over random PCM at both widths") {
+    import graft.media.MediaCodec
+    val gen = for {
+      bits <- Gen.oneOf(8, 16)
+      n <- Gen.chooseNum(0, 400)
+      bytes <- Gen.listOfN(n, Gen.chooseNum(0, 255))
+      ch <- Gen.chooseNum(1, 2)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+    } yield (bits, bytes.map(_.toByte).toArray, ch, rate)
+    samples(gen, 120).foreach { case (bits, data, ch, rate) =>
+      val wav = MediaCodec.encodeWav(rate, ch, bits, data)
+      val st = MediaCodec.pcmStats(wav, MediaCodec.decode(wav).get).get
+      val full = (1 << (bits - 1)) - 1
+      assert(st.nSamples === data.length / (bits / 8))
+      assert(st.nFrames === st.nSamples / ch)
+      assert(st.durationMs === st.nFrames * 1000 / rate)
+      // run lengths live inside the sample count; an all-silent clip has
+      // both runs equal to it, and a clip with any loud sample has
+      // lead + trail <= n (the loud sample belongs to neither run)
+      assert(st.leadSilence <= st.nSamples && st.trailSilence <= st.nSamples)
+      if (st.peak > (full >> 6))
+        // at least one loud sample exists and belongs to neither run
+        assert(st.leadSilence + st.trailSilence < st.nSamples, s"runs exceed clip: $st")
+      else if (st.nSamples > 0)
+        assert(st.leadSilence === st.nSamples && st.trailSilence === st.nSamples)
+      // energy bounds: peak² <= sumSq <= n × peak²; clips are samples
+      assert(st.peak.toLong * st.peak <= math.max(st.sumSq, 0L) || st.nSamples === 0L)
+      assert(st.sumSq <= st.nSamples * (full + 1L) * (full + 1L))
+      assert(st.nClip <= st.nSamples)
+    }
+  }
+
+  test("BPE fold invariants: symbols reconstruct the word, counts never grow") {
+    import SharedSpark.spark.implicits._
+    val wordGen = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val words = samples(wordGen, 150).distinct
+    // one doc per word occurrence over a tiny alphabet — pair supply is
+    // dense, so several rounds of real merges happen
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val (learned, vocab) = graft.queries.TextQueries.bpeTrainLoop(
+      spark, docs, targetMerges = 16, rulesPerRound = 4)
+    val rows = vocab.collect()
+    graft.plans.Checkpoints.checkpointedRdd(vocab).foreach(_.unpersist(false))
+    rows.foreach { r =>
+      val word = r.getString(0)
+      val syms = r.getSeq[String](2)
+      assert(syms.mkString === word,
+        s"symbols must reconstruct '$word', got ${syms.mkString("|")}")
+      assert(syms.length <= word.length, "merging can only shrink the list")
+      assert(syms.forall(_.nonEmpty))
+    }
+    // every learned rule's sides are whole symbols: single chars or
+    // earlier merges (same closure law BpeConvergeSpec pins by hand)
+    val known = scala.collection.mutable.Set[String]()
+    learned.foreach { case (_, _, a, b, n, _) =>
+      assert(n >= 2, "sub-threshold rule learned")
+      Seq(a, b).foreach(side =>
+        assert(side.length == 1 || known.contains(side), s"side '$side'"))
+      known += (a + b)
+    }
+    Bench.cleanup(spark)
+  }
 }
