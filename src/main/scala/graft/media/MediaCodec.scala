@@ -272,7 +272,8 @@ object MediaCodec {
     *    (≈1.5% of full scale) at each end — the trim-detection stat. */
   final case class PcmStats(
       nSamples: Long, nFrames: Long, durationMs: Long, sumSq: Long,
-      peak: Int, nClip: Long, leadSilence: Long, trailSilence: Long)
+      rmsQ: Long, peak: Int, nClip: Long, leadSilence: Long,
+      trailSilence: Long)
 
   /** PCM walk over a parsed wav's data section; None for non-wav metas
     * or unsupported sample widths (only 8/16-bit PCM, the canonical
@@ -318,6 +319,8 @@ object MediaCodec {
       nFrames = frames,
       durationMs = frames * 1000L / rate,
       sumSq = sumSq,
+      rmsQ = if (n == 0) 0L
+             else math.floor(math.sqrt((sumSq / n).toDouble)).toLong,
       peak = peak,
       nClip = nClip,
       leadSilence = lead,

@@ -42,4 +42,12 @@ object ScratchDirs {
     registered.add(d)
     d
   }
+
+  /** Eagerly remove a registered dir (happy-path cleanup; the exit hook
+    * remains the backstop for abnormal paths). */
+  def remove(d: File): Unit = {
+    rm(d)
+    registered.remove(d)
+    ()
+  }
 }

@@ -109,6 +109,11 @@ object AnalyticsQueries {
       .distinct()
       .select(col("id"), lit(1000000000L).as("pr"))
       .localCheckpoint(true)
+    // the ranks init action just materialized e's cache; the raw edge
+    // cache behind it is dead weight for the rest of the loop (a rare
+    // e-block eviction recomputes from the scan instead — cheaper than
+    // doubling the cached edge footprint across every round)
+    ed.unpersist(false)
     // Block-manager hygiene (the r10 advisor's leak): each round's eager
     // localCheckpoint caches an O(nodes) RDD; without explicit release the
     // loop holds rounds × nodes blocks until the session GCs them. Track
@@ -141,9 +146,9 @@ object AnalyticsQueries {
       converged = delta < epsNano
     }
     // the returned ranks are checkpoint-backed (lineage truncated), so
-    // the inputs can be released immediately
+    // the degree-joined edge cache can be released too (ed went after
+    // the ranks init)
     e.unpersist(false)
-    ed.unpersist(false)
     (ranks, rounds)
   }
 

@@ -66,10 +66,23 @@ object DedupQueries {
     * shape shipped two full shingle arrays per pair and measured 3×
     * slower — the ngram query verifies from index-join intersection counts
     * instead.) */
-  private[graft] def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
+  private[queries] def jaccardVerify(sarr: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
+    jaccardVerifyAcross(
+      sarr.select(col("doc_id").as("doc_a"), col("sarr").as("sa")),
+      sarr.select(col("doc_id").as("doc_b"), col("sarr").as("sb")),
+      cands, threshold)
+
+  /** The same verify with SEPARATE shingle sources per side — the shape
+    * the streaming incremental lane needs (batch shingles on doc_a,
+    * stored corpus shingles on doc_b). One implementation so the Jaccard
+    * formula, rounding, and threshold semantics can never diverge
+    * between the batch and streaming lanes. Expects (doc_a, sa) and
+    * (doc_b, sb) frames. */
+  private[graft] def jaccardVerifyAcross(sa: DataFrame, sb: DataFrame,
+      cands: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(sarr.select(col("doc_id").as("doc_a"), col("sarr").as("sa")), "doc_a")
-      .join(sarr.select(col("doc_id").as("doc_b"), col("sarr").as("sb")), "doc_b")
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
@@ -742,37 +755,7 @@ object DedupQueries {
     * are identical to the in-memory variant either way). */
   private[graft] val indexBuckets = 8
 
-  /** Monotonic id distinguishing stored-index invocations within a JVM. */
-  private val storedIndexInvocations = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Per-JVM token spliced into stored-index table names and paths: the
-    * invocation counter alone is NOT unique across JVMs sharing one
-    * tmpdir (two JVMs both at invocation 1 with the same splitId would
-    * overwrite-delete each other's live bucketed files under an unsealed
-    * lazy result). pid + a random suffix disambiguates concurrent AND
-    * pid-reused JVMs; the trailing hook deletes this JVM's index
-    * directories on clean exit so repeated local runs don't accrete
-    * tmpdir garbage (crash leftovers are bounded by fixture scale and
-    * land under tmpdir, which the OS owns). */
-  private lazy val storedIndexJvmToken: String = {
-    val tok = s"${ProcessHandle.current().pid()}_" +
-      java.lang.Long.toUnsignedString(
-        new java.security.SecureRandom().nextLong(), 36)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-      val mine = tmp.listFiles()
-      if (mine != null)
-        mine.filter(_.getName.startsWith(s"graft-band-index-$tok-"))
-          .foreach { d =>
-            def rm(f: java.io.File): Unit = {
-              val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-              f.delete(); ()
-            }
-            rm(d)
-          }
-    }))
-    tok
-  }
 
   /** Stored-index variant of [[incrementalDedup]]: writes the index band
     * table bucketed+sorted by the join key `(b, bv)` — the one-time cost
@@ -792,19 +775,18 @@ object DedupQueries {
     val sarr = shingleArrays(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sarr)
-    // Invocation-unique name+path: the returned frame reads the stored
-    // table LAZILY, so a shared name would let a second invocation's
-    // overwrite delete the files under the first one's unsealed result
-    // (and two concurrent calls would race on the catalog entry).
-    // Catalog entries are session-lifetime (in-memory catalog) and the
+    // Unique name+path per invocation AND per JVM (plans.ScratchDirs,
+    // exit-cleaned): the returned frame reads the stored table LAZILY,
+    // so a shared name would let a second invocation's overwrite delete
+    // the files under the first one's unsealed result, two concurrent
+    // calls would race on the catalog entry, and an invocation counter
+    // alone would collide across JVMs sharing one tmpdir. Catalog
+    // entries are session-lifetime (in-memory catalog) and the
     // fixture-scale band table is ~100 KB per invocation under tmpdir —
     // bounded, documented cost of keeping every returned frame valid.
-    val inv = DedupQueries.storedIndexInvocations.incrementAndGet()
-    val tok = DedupQueries.storedIndexJvmToken
-    val tbl = s"graft_band_index_${tok}_${splitId}_$inv".replace('-', '_')
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-band-index-$tok-$splitId-$inv").getAbsolutePath
+    val dirF = graft.plans.ScratchDirs.unique(s"graft-band-index-$splitId")
+    val tbl = dirF.getName.replace('-', '_').replace('.', '_')
+    val path = dirF.getAbsolutePath
     bands.filter(col("doc_id") < splitId)
       .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
       .repartition(indexBuckets, col("b"), col("bv"))

@@ -553,8 +553,9 @@ object KayveeQueries {
         .as[(Long, String)]
         .collect()
       val nShards = 4
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-fleet-pipeline").toFile
+      // JVM-unique and exit-cleaned (ScratchDirs) so a mid-run failure
+      // can't leak the tmpdir; the happy path still removes it eagerly
+      val base = graft.plans.ScratchDirs.unique("graft-fleet-pipeline")
       val streamDir = new java.io.File(base, "stream")
       val leaseDir = new java.io.File(base, "lease")
       streamDir.mkdirs(); leaseDir.mkdirs()
@@ -619,12 +620,9 @@ object KayveeQueries {
         .metrics(drained.map(_._4).toSeq.toDF("raw"), "test-env").dd.count()
       // everything below is built from the drained driver-side buffers,
       // so the per-invocation stream/lease files can go now (Bench runs
-      // this query repeatedly; leaking a tmpdir per rep adds up)
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      rm(base)
+      // this query repeatedly; leaking a tmpdir per rep adds up —
+      // ScratchDirs' exit hook only covers abnormal paths)
+      graft.plans.ScratchDirs.remove(base)
       drained.toSeq.toDF("worker", "shard", "seq", "raw")
         .groupBy(col("worker"), col("shard"))
         .agg(count(lit(1)).as("n_records"),

@@ -306,9 +306,7 @@ object MultimodalQueries {
               m <- MediaCodec.decode(payload)
               st <- MediaCodec.pcmStats(payload, m)
             } yield (id, m.width.toLong, m.height.toLong, m.bitDepth.toLong,
-              st.nSamples, st.durationMs,
-              if (st.nSamples == 0) 0L
-              else math.floor(math.sqrt((st.sumSq / st.nSamples).toDouble)).toLong,
+              st.nSamples, st.durationMs, st.rmsQ,
               st.peak.toLong, st.nClip, st.leadSilence, st.trailSilence)
           }
         }

@@ -1177,8 +1177,17 @@ object SimilarityQueries {
     import s.implicits._
     import graft.functions.VectorExpressions.cosineSimilarity
     val emb = Tables(s, dir).embeddings
-    // train: identical quantization + seeds + loop as q_kmeans_converge
+    // train: identical quantization + seeds + loop as q_kmeans_converge.
+    // The collect honors the same DriverLocalGate byte budget as the
+    // kmeans query's local path: over the gate, the trainer runs on a
+    // deterministic vec_id-stride subsample (codebooks need a bounded
+    // sample, not the corpus — the q_ann_recall_pq_trained precedent);
+    // at every fixture sf the stride is 1, so oracle parity is exact.
+    val nVec = emb.count()
+    val stride = math.max(1L,
+      (nVec + DriverLocalGate.maxLocalVectors - 1) / DriverLocalGate.maxLocalVectors)
     val vqRows = emb
+      .filter(col("vec_id") % stride === 0)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000000d + 0.5d)).as("vq"))

@@ -67,37 +67,50 @@ object StreamingDedup {
     StoredDedupIndex(s.table(tbl), s.read.parquet(shinglePath))
   }
 
-  /** Verdicts for ONE batch of documents (doc_id, lang, text) against the
-    * stored index: cross-set candidates from the band join (merge-hinted —
-    * the declared plan is the bucketed 100-TB plan even when the fixture
-    * index would broadcast), exact-Jaccard verified. */
-  def batchVerdicts(index: StoredDedupIndex, batch: DataFrame,
+  /** Verdicts from a PREPARED batch shingle frame (doc_id, sarr): band,
+    * join the stored index (merge-hinted — the declared plan is the
+    * bucketed 100-TB plan even when the fixture index would broadcast),
+    * exact-Jaccard verify. The `doc_a =!= doc_b` guard matters here in a
+    * way it doesn't for the batch lane (whose splitId predicate makes
+    * the sides disjoint by construction): a stream can REDELIVER a
+    * document whose id the index already holds (checkpoint-loss replay
+    * after a full pass absorbed it), and without the guard that doc
+    * would match its own index entry and emit a spurious
+    * (X, X, 1.0) self-duplicate. */
+  private def verdictsFrom(index: StoredDedupIndex, sarrB: DataFrame,
       threshold: Double): DataFrame = {
-    val sarrB = DedupQueries.shingleArrays(batch)
     val bandsB = DedupQueries.minhashBands(sarrB)
       .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
     val cands = bandsB.join(index.bands.hint("merge"), Seq("b", "bv"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    cands
-      .join(sarrB.select(col("doc_id").as("doc_a"), col("sarr").as("sa")), "doc_a")
-      .join(index.shingles, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac",
-        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"),
-        round(col("jac"), 4).as("jac"))
+    DedupQueries.jaccardVerifyAcross(
+      sarrB.select(col("doc_id").as("doc_a"), col("sarr").as("sa")),
+      index.shingles, cands, threshold)
+      .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
   }
+
+  /** Verdicts for ONE batch of documents (doc_id, lang, text). */
+  def batchVerdicts(index: StoredDedupIndex, batch: DataFrame,
+      threshold: Double): DataFrame =
+    verdictsFrom(index, DedupQueries.shingleArrays(batch), threshold)
 
   /** Wire a document stream (doc_id, lang, text) to a verdict sink via
     * foreachBatch — the stream-static shape: the static side is the
-    * stored index, the batch side is whatever the trigger delivered. */
+    * stored index, the batch side is whatever the trigger delivered.
+    * The batch shingle frame is referenced twice (band derivation and
+    * the verify join), so each batch's is localCheckpoint'd once and its
+    * blocks released as soon as the sink returns — per-trigger shingling
+    * is paid once, and state never accretes across batches. */
   def run(docStream: DataFrame, index: StoredDedupIndex, threshold: Double)
       (sink: (DataFrame, Long) => Unit): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(batchVerdicts(index, batch, threshold), id)
+        val sarrB = DedupQueries.shingleArrays(batch).localCheckpoint(true)
+        try sink(verdictsFrom(index, sarrB, threshold), id)
+        finally graft.plans.Checkpoints.checkpointedRdd(sarrB)
+          .foreach(_.unpersist(false))
       }
       .start()
 }

@@ -62,6 +62,33 @@ class StreamingDedupSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("a redelivered doc already present in the index never matches itself") {
+    // checkpoint-loss replay after a full pass absorbed earlier streamed
+    // docs: the arriving doc's id EXISTS in the index. Its bands match
+    // its own index entry; without the doc_a =!= doc_b guard the lane
+    // would emit a spurious (X, X, 1.0) self-duplicate verdict.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.queries.DedupQueries.corpus(spark, dir)
+    val index = StreamingDedup.buildIndex(spark,
+      corpus.filter(col("doc_id") < 1000000L))
+    val replayed = corpus.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().take(5)
+    val got = scala.collection.mutable.Buffer[(Long, Long)]()
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingDedup.run(ms.toDF().toDF("doc_id", "lang", "text"), index, 0.3) {
+      (verdicts, _) =>
+        verdicts.collect().foreach(r => got += ((r.getLong(0), r.getLong(1))))
+    }
+    try {
+      ms.addData(replayed.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.forall { case (a, b) => a != b },
+      s"self-duplicate verdicts emitted: ${got.filter(p => p._1 == p._2)}")
+    Bench.cleanup(spark)
+  }
+
   test("an arriving doc with no corpus match produces no verdict") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = graft.queries.DedupQueries.corpus(spark, dir)
