@@ -5,13 +5,13 @@ import java.io.ByteArrayInputStream
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, MapType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.util.sketch.CountMinSketch
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** Count-min-sketch re-aggregation — the piece Spark's built-in sketch
   * surface is missing. `count_min_sketch(...)` builds a sketch from raw
@@ -260,6 +260,49 @@ case class MisraGriesAgg(
     copy(child = newChild)
 }
 
+/** (long key) → membership probe against a pre-built serialized bloom
+  * filter — the manual semi-join-reduction kernel. Spark's optimizer
+  * injects this shape itself for eligible shuffle joins
+  * (`spark.sql.optimizer.runtime.bloomFilter.*`, pinned working in
+  * RuntimeFilterSpec); this expression is the EXPLICIT fallback for the
+  * places the injection can't reach — a filter derived in a previous
+  * job/statement, a dim side behind a non-join boundary, engines or
+  * paths without the rule — exactly as `q_join_salted` is the manual
+  * fallback for AQE's skew split. The filter bytes are a plan literal:
+  * KBs–MBs (fpp-sized), shipped once per task like a broadcast, never
+  * per row. Deserialization is once per expression INSTANCE (transient
+  * lazy), and the probe itself is codegen'd — a reference-object call
+  * inside the scan's WholeStageCodegen filter, upstream of the shuffle,
+  * so the 100-TB fact side drops non-joining rows before paying
+  * exchange bytes. No false negatives (the join stays exact, which the
+  * oracle proves); false positives only cost shuffle bytes. */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT key, got ${child.dataType.sql}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  /** Called from generated code — must be public and row-cheap. */
+  def containsLong(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any = containsLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.containsLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   /** Aggregate: union of serialized count-min sketches. */
   def cmsMerge(c: Column): Column =
@@ -272,4 +315,9 @@ object SketchExpressions {
   /** Aggregate: Misra–Gries k-counter heavy-hitter summary (map<string,bigint>). */
   def misraGries(c: Column, k: Int): Column =
     GraftShims.column(MisraGriesAgg(GraftShims.expression(c), k).toAggregateExpression())
+
+  /** Scalar: bloom-filter membership probe for a BIGINT key against
+    * serialized filter bytes (see [[BloomMightContain]]). */
+  def bloomMightContain(key: Column, bloom: Array[Byte]): Column =
+    GraftShims.column(BloomMightContain(GraftShims.expression(key), bloom))
 }

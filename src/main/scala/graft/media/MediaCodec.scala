@@ -153,15 +153,160 @@ object MediaCodec {
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
+  // --- AVI (RIFF video) --------------------------------------------------
+
+  /** Video-specific header fields beyond the generic [[MediaMeta]] row:
+    * frame timing and count from the avih main header. fps is derived as
+    * 1e6 / dwMicroSecPerFrame (integer floor — both sides of the oracle
+    * replay the same divide). */
+  final case class AviInfo(
+      microSecPerFrame: Int,
+      totalFrames: Int,
+      meta: MediaMeta
+  )
+
+  private def aviChunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] = if (data.length % 2 == 1) Array(0.toByte) else Array.empty
+    fourcc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+  }
+
+  private def aviList(listType: String, body: Array[Byte]): Array[Byte] =
+    "LIST".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      listType.getBytes("US-ASCII") ++ body
+
+  /** RIFF/AVI container: LIST hdrl (avih main header + LIST strl with a
+    * 'vids' strh and a BITMAPINFOHEADER strf), optionally a JUNK chunk
+    * (odd-length, exercising the even-padding skip), then LIST movi whose
+    * '00db' chunks carry the payload split into fixed `frameBytes` slices
+    * (the last frame truncated). The third RIFF form next to WAVE (parsed)
+    * and WEBP (sniffed-and-dropped). */
+  def encodeAvi(width: Int, height: Int, fps: Int, data: Array[Byte],
+      frameBytes: Int = 64, junk: Boolean = false): Array[Byte] = {
+    val nFrames = (data.length + frameBytes - 1) / frameBytes
+    val mspf = 1000000 / fps
+    val avih = le32(mspf) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      Array.fill(12)(0.toByte) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(nFrames) ++ Array.fill(16)(0.toByte)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+      Array.fill(24)(0.toByte)
+    val hdrl = aviList("hdrl",
+      aviChunk("avih", avih) ++
+        aviList("strl", aviChunk("strh", strh) ++ aviChunk("strf", strf)))
+    val junkChunk: Array[Byte] =
+      if (junk) aviChunk("JUNK", Array.fill(7)(0.toByte)) else Array.empty
+    val frames = (0 until nFrames).toArray.flatMap { i =>
+      aviChunk("00db", java.util.Arrays.copyOfRange(
+        data, i * frameBytes, math.min((i + 1) * frameBytes, data.length)))
+    }
+    val movi = aviList("movi", frames)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ junkChunk ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Walk the RIFF/AVI chunk tree: LIST hdrl → avih for timing, frame
+    * count and pixel geometry, nested LIST strl → strf BITMAPINFOHEADER
+    * for the bit depth; LIST movi is the data section (its chunks are the
+    * frames). Unknown chunks (JUNK, idx1, …) skip by declared length with
+    * RIFF even-padding — same hostile-length guards as the WAV walk. */
+  private def decodeAvi(p: Array[Byte]): Option[AviInfo] = {
+    var off = 12
+    var mspf, totalFrames, width, height, bits = -1
+    var dataOff, dataLen = -1
+    while (off + 8 <= p.length) {
+      val tpe = new String(p, off, 4, "US-ASCII")
+      val len = readLe32(p, off + 4)
+      if (len < 0 || len > p.length - off - 8) return None
+      if (tpe == "LIST" && len >= 4) {
+        val listType = new String(p, off + 8, 4, "US-ASCII")
+        listType match {
+          case "hdrl" =>
+            // sub-walk the header list (one level of nesting for strl)
+            var sub = off + 12
+            val end = off + 8 + len
+            while (sub + 8 <= end) {
+              val st = new String(p, sub, 4, "US-ASCII")
+              val sl = readLe32(p, sub + 4)
+              if (sl < 0 || sl > end - sub - 8) return None
+              st match {
+                case "avih" if sl >= 40 =>
+                  mspf = readLe32(p, sub + 8)
+                  totalFrames = readLe32(p, sub + 24)
+                  width = readLe32(p, sub + 40)
+                  height = readLe32(p, sub + 44)
+                case "LIST" if sl >= 4 &&
+                    new String(p, sub + 8, 4, "US-ASCII") == "strl" =>
+                  var ss = sub + 12
+                  val send = sub + 8 + sl
+                  while (ss + 8 <= send) {
+                    val ft = new String(p, ss, 4, "US-ASCII")
+                    val fl = readLe32(p, ss + 4)
+                    if (fl < 0 || fl > send - ss - 8) return None
+                    if (ft == "strf" && fl >= 16) bits = readLe16(p, ss + 22)
+                    ss += 8 + fl + (fl & 1)
+                  }
+                case _ =>
+              }
+              sub += 8 + sl + (sl & 1)
+            }
+          case "movi" =>
+            dataOff = off + 12
+            dataLen = len - 4
+          case _ =>
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (width >= 0 && dataOff >= 0)
+      Some(AviInfo(mspf, totalFrames,
+        MediaMeta("avi", width, height, bits, dataOff, dataLen)))
+    else None
+  }
+
+  /** AVI header parse with video-specific fields; None for non-AVI. */
+  def aviInfo(p: Array[Byte]): Option[AviInfo] =
+    if (p.length >= 12 &&
+      new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(p, 8, 4, "US-ASCII") == "AVI ") decodeAvi(p)
+    else None
+
+  /** Frame index of a parsed AVI: walk the movi chunk list recording each
+    * video frame's (offset, length) — '##db'/'##dc' chunks, even-padded.
+    * The offsets come from the chunk walk, never from arithmetic over the
+    * frame size, so a re-wrapped or junk-padded container still indexes
+    * the identical frame bytes. */
+  def aviFrames(p: Array[Byte], m: MediaMeta): Seq[(Int, Int)] = {
+    if (m.format != "avi") return Nil
+    val out = Seq.newBuilder[(Int, Int)]
+    var off = m.dataOffset
+    val end = math.min(m.dataOffset + m.dataLength, p.length)
+    while (off + 8 <= end) {
+      val tpe = new String(p, off, 4, "US-ASCII")
+      val len = readLe32(p, off + 4)
+      if (len < 0 || len > end - off - 8) return out.result()
+      if (tpe.endsWith("db") || tpe.endsWith("dc")) out += ((off + 8, len))
+      off += 8 + len + (len & 1)
+    }
+    out.result()
+  }
+
   // --- decoder -----------------------------------------------------------
 
-  /** Sniff + parse container headers. None = unsupported/corrupt. */
+  /** Sniff + parse container headers. None = unsupported/corrupt.
+    * Three RIFF fates prove the sniff reads the form type: WAVE parses
+    * here, AVI parses via [[aviInfo]] (generic meta surfaces here too),
+    * WEBP drops. */
   def decode(p: Array[Byte]): Option[MediaMeta] =
     if (p.length >= 8 && p.take(8).sameElements(pngSig)) decodePng(p)
     else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) decodeJpeg(p)
     else if (p.length >= 12 &&
       new String(p, 0, 4, "US-ASCII") == "RIFF" &&
       new String(p, 8, 4, "US-ASCII") == "WAVE") decodeWav(p)
+    else if (p.length >= 12 &&
+      new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(p, 8, 4, "US-ASCII") == "AVI ") decodeAvi(p).map(_.meta)
     else None
 
   /** Walk RIFF chunks: "fmt " carries the audio geometry (channels,

@@ -312,6 +312,70 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "rate", "channels", "bits", "n_samples", "duration_ms",
           "rms_q", "peak", "n_clip", "lead_sil", "trail_sil")
+    },
+
+    // ★ VIDEO container + frame sampling — the third modality, completing
+    // image/audio/video through the one binary-column lane. Each document
+    // becomes a structurally-real RIFF/AVI: LIST hdrl (avih main header:
+    // µs-per-frame, total frames, pixel geometry; nested strl with a
+    // BITMAPINFOHEADER), an odd-length JUNK chunk on every third doc (the
+    // walker must skip unknown chunks WITH RIFF even-padding — the same
+    // honest-parse device as the re-wrapped containers), then LIST movi
+    // whose '00db' chunks carry the text split into 64-byte frames. The
+    // engine samples every 2nd frame of the first 16 (the frame-sample
+    // primitive: a 100-TB video corpus is fingerprinted/filtered on
+    // sampled frames, never decoded whole) and fingerprints the bytes at
+    // the PARSED chunk offsets — frame geometry, fps (1e6/µspf integer
+    // floor), frame count, and duration all come from the avih walk, so
+    // any mis-parse shifts a column the oracle pins. Scale: one narrow
+    // mapPartitions pass, no shuffle; sampled-frame output is
+    // O(corpus × stride⁻¹), the cheapest per-clip signature a video
+    // dedup/quality sweep can buy. (ASCII byte==char substr note as
+    // q_multimodal_frames.)
+    q(
+      "q_video_frames",
+      """SELECT doc_id,
+        |  (320 + doc_id % 1280)::BIGINT AS width,
+        |  (240 + doc_id % 720)::BIGINT AS height,
+        |  (24 + (doc_id % 2) * 6)::BIGINT AS fps,
+        |  ((strlen(text) + 63) // 64)::BIGINT AS n_frames,
+        |  (((strlen(text) + 63) // 64) * (1000000 // (24 + (doc_id % 2) * 6))
+        |     // 1000)::BIGINT AS duration_ms,
+        |  i AS frame_idx, md5(substr(text, (i * 64 + 1)::INT, 64)) AS frame_fp
+        |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+        |WHERE i % 2 = 0 AND i * 64 < strlen(text)""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, data) =>
+          val w = (320 + id % 1280).toInt
+          val h = (240 + id % 720).toInt
+          val fps = (24 + (id % 2) * 6).toInt
+          (id, MediaCodec.encodeAvi(w, h, fps, data, junk = id % 3 == 0))
+        }
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, payload) =>
+            MediaCodec.aviInfo(payload).iterator.flatMap { info =>
+              val m = info.meta
+              val fps = 1000000L / info.microSecPerFrame
+              val durMs = info.totalFrames.toLong * info.microSecPerFrame / 1000L
+              MediaCodec.aviFrames(payload, m).iterator.zipWithIndex
+                .filter { case (_, i) => i % 2 == 0 && i < 16 }
+                .map { case ((foff, flen), i) =>
+                  md.reset()
+                  val fp = hex(md.digest(
+                    java.util.Arrays.copyOfRange(payload, foff, foff + flen)))
+                  (id, m.width.toLong, m.height.toLong, fps,
+                    info.totalFrames.toLong, durMs, i.toLong, fp)
+                }
+            }
+          }
+        }
+        .toDF("doc_id", "width", "height", "fps", "n_frames", "duration_ms",
+          "frame_idx", "frame_fp")
     }
   )
 }

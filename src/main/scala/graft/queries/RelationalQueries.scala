@@ -257,6 +257,54 @@ object RelationalQueries {
           round(sum(col("l_extendedprice")), 2).as("revenue"))
     },
 
+    // ★ Bloom-pruned shuffle join — the manual semi-join reduction for
+    // when the optimizer's own runtime bloom injection can't reach
+    // (filter derived in a previous job, dim behind a non-join boundary,
+    // no rule on the path — RuntimeFilterSpec pins the automatic variant
+    // working). A selective dim (urgent 1995+ orders) yields a
+    // driver-built bloom over its join keys — count-sized, fpp 1%, KBs
+    // here and MBs at 100 TB, always broadcast-shaped even when the dim
+    // itself (100s of GB post-filter) is far past broadcast range. The
+    // filter bytes ride the plan as a literal into a codegen'd
+    // `bloom_might_contain` probe INSIDE the fact scan's WholeStageCodegen,
+    // upstream of the exchange — the ~97% of lineitem rows that cannot
+    // join never pay shuffle write/read bytes, which at 100 TB is the
+    // difference between shuffling TBs and shuffling the join's actual
+    // output. The merge hint keeps the fixture on the shuffle-join plan
+    // the pattern exists for (the stored-index precedent); the oracle is
+    // the UNfiltered join — no false negatives, false positives die in
+    // the join, so pruning must be semantically invisible and the
+    // hash-match proves it.
+    q(
+      "q_join_bloom",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.SketchExpressions.bloomMightContain
+      val t = Tables(s, dir)
+      val dim = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      // Two bounded driver jobs over the FILTERED dim scan (predicates
+      // pushed to parquet): size the filter honestly, then build it with
+      // treeAggregate'd OR-merged bitsets — order-independent, so the
+      // filter bytes are partitioning-deterministic.
+      val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      t.lineitem
+        .filter(bloomMightContain(col("l_orderkey"), bos.toByteArray))
+        .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+
     // Anti join — the rdsadmin-exclusion pattern as a relational operator.
     q(
       "q_join_anti",

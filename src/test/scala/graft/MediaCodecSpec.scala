@@ -237,4 +237,67 @@ class MediaCodecSpec extends AnyFunSuite {
     val png = MediaCodec.encodePng(8, 8, 8, data)
     assert(MediaCodec.pcmStats(png, MediaCodec.decode(png).get).isEmpty)
   }
+
+  test("avi round-trip: geometry, timing, and frame index from the RIFF tree walk") {
+    val payload = ("f" * 64 + "g" * 64 + "tail").getBytes("US-ASCII") // 132 bytes
+    val avi = MediaCodec.encodeAvi(640, 480, 30, payload)
+    val info = MediaCodec.aviInfo(avi).get
+    assert(info.meta.format === "avi")
+    assert((info.meta.width, info.meta.height, info.meta.bitDepth) === ((640, 480, 24)))
+    assert(info.microSecPerFrame === 1000000 / 30)
+    assert(info.totalFrames === 3, "132 bytes / 64 = 3 frames, last truncated")
+    val frames = MediaCodec.aviFrames(avi, info.meta)
+    assert(frames.map(_._2) === Seq(64, 64, 4))
+    // chunk-walked offsets must reconstruct the exact payload
+    val rebuilt = frames.flatMap { case (off, len) =>
+      java.util.Arrays.copyOfRange(avi, off, off + len).toSeq }
+    assert(rebuilt === payload.toSeq)
+    // the generic decode lane surfaces the same meta (movi data section)
+    assert(MediaCodec.decode(avi) === Some(info.meta))
+  }
+
+  test("avi JUNK chunk: odd-length unknown chunk skipped with RIFF padding, frames identical") {
+    val payload = "frame data goes here, more than one frame long!".getBytes("US-ASCII")
+    val plain = MediaCodec.encodeAvi(320, 240, 24, payload, frameBytes = 16)
+    val junked = MediaCodec.encodeAvi(320, 240, 24, payload, frameBytes = 16, junk = true)
+    assert(junked.length === plain.length + 8 + 7 + 1, "JUNK chunk + pad byte")
+    val (pi, ji) = (MediaCodec.aviInfo(plain).get, MediaCodec.aviInfo(junked).get)
+    assert(pi.totalFrames === ji.totalFrames)
+    assert(ji.meta.dataOffset === pi.meta.dataOffset + 16, "movi shifted by the JUNK span")
+    val slice = (p: Array[Byte], f: (Int, Int)) =>
+      java.util.Arrays.copyOfRange(p, f._1, f._1 + f._2).toSeq
+    val pf = MediaCodec.aviFrames(plain, pi.meta).map(slice(plain, _))
+    val jf = MediaCodec.aviFrames(junked, ji.meta).map(slice(junked, _))
+    assert(pf === jf, "identical frame bytes at shifted offsets")
+    // odd-length final frame chunk: 47 % 16 = 15-byte last frame (odd)
+    assert(pf.last.length === 15)
+  }
+
+  test("avi edge cases: empty payload, hostile lengths, and the three RIFF fates") {
+    // zero frames: header parses, frame index is empty
+    val empty = MediaCodec.encodeAvi(64, 64, 24, Array.empty[Byte])
+    val ei = MediaCodec.aviInfo(empty).get
+    assert(ei.totalFrames === 0)
+    assert(MediaCodec.aviFrames(empty, ei.meta) === Nil)
+    // three RIFF forms, three fates: WAVE parses as wav, AVI as avi, WEBP drops
+    val data = "payload".getBytes("US-ASCII")
+    assert(MediaCodec.decode(MediaCodec.encodeWav(8000, 1, 8, data)).get.format === "wav")
+    assert(MediaCodec.decode(MediaCodec.encodeAvi(32, 32, 24, data)).get.format === "avi")
+    assert(MediaCodec.decode(MediaCodec.encodeWebp(data)).isEmpty)
+    // hostile chunk length inside the tree: walk must refuse, never overflow
+    val avi = MediaCodec.encodeAvi(32, 32, 24, data)
+    val evil = avi.clone()
+    // corrupt the top-level hdrl LIST length to Int.MaxValue
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
+    assert(MediaCodec.aviInfo(evil).isEmpty)
+    // hostile frame-chunk length: index stops cleanly at the bad chunk
+    val fi = MediaCodec.aviInfo(avi).get
+    val evil2 = avi.clone()
+    evil2(fi.meta.dataOffset + 4) = 0xff.toByte
+    evil2(fi.meta.dataOffset + 5) = 0xff.toByte
+    evil2(fi.meta.dataOffset + 6) = 0xff.toByte
+    evil2(fi.meta.dataOffset + 7) = 0x7f.toByte
+    assert(MediaCodec.aviFrames(evil2, fi.meta) === Nil)
+  }
 }

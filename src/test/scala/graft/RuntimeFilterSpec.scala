@@ -76,4 +76,68 @@ class RuntimeFilterSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("declared q_join_bloom: probe upstream of the fact exchange, pruning invisible") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.functions.BloomMightContain
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case o                        => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def scansLineitem(p: SparkPlan): Boolean = flatten(p).exists {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+
+    val dir = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("q_join_bloom")(spark, dir)
+    val got = df.collect() // finalize AQE so the executed plan is the real one
+    val all = flatten(df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan.toString
+
+    // the merge hint held: this is the shuffle-join plan the pattern exists for
+    assert(all.exists(_.nodeName.contains("SortMergeJoin")), plan.take(3000))
+    // every exchange that moves lineitem rows must sit ABOVE the bloom
+    // probe — rows the filter drops never pay shuffle bytes
+    val factEx = all.collect { case s: ShuffleExchangeExec if scansLineitem(s) => s }
+    assert(factEx.nonEmpty, s"no fact-side exchange:\n${plan.take(3000)}")
+    factEx.foreach { e =>
+      val pruned = flatten(e).exists {
+        case f: FilterExec => f.condition.find(_.isInstanceOf[BloomMightContain]).isDefined
+        case _             => false
+      }
+      assert(pruned, s"bloom probe not below the fact exchange:\n${plan.take(3000)}")
+    }
+    // the probe actually prunes: the selective dim admits a small fraction
+    // of lineitem (plus <=1% false positives), so well under half survives
+    val t = Tables(spark, dir)
+    val total = t.lineitem.count()
+    val bloomFiltered = flatten(df.queryExecution.executedPlan).collectFirst {
+      case f: FilterExec if f.condition.find(_.isInstanceOf[BloomMightContain]).isDefined => f
+    }
+    assert(bloomFiltered.isDefined)
+    // and pruning is semantically invisible: identical aggregate without it
+    val dim = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val plainRows = t.lineitem.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(keyed(got) === keyed(plainRows))
+    assert(got.map(_.getLong(2)).sum < total / 2,
+      "the fixture dim stopped being selective — pick a tighter predicate")
+  }
 }
