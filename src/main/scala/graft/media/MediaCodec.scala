@@ -187,9 +187,13 @@ object MediaCodec {
     val avih = le32(mspf) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(width) ++ le32(height) ++ Array.fill(16)(0.toByte)
+    // 56-byte AVISTREAMHEADER: fccType, fccHandler, flags/priority/
+    // initialFrames (12 zeros), dwScale=1, dwRate=fps, dwStart=0,
+    // dwLength=nFrames, then suggestedBuffer/quality/sampleSize + the
+    // 8-byte rcFrame as zeros (20 bytes)
     val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
       Array.fill(12)(0.toByte) ++ le32(1) ++ le32(fps) ++ le32(0) ++
-      le32(nFrames) ++ Array.fill(16)(0.toByte)
+      le32(nFrames) ++ Array.fill(20)(0.toByte)
     val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
       Array.fill(24)(0.toByte)
     val hdrl = aviList("hdrl",

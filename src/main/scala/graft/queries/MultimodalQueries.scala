@@ -124,20 +124,23 @@ object MultimodalQueries {
         .toDF("doc_id", "format", "width", "height", "bit_depth", "n_bytes")
     },
 
-    // ★ Multimodal near-dup: recover payloads whose EMBEDDED DATA is
+    // ★ Multimodal near-dup: recover payloads whose EMBEDDED CONTENT is
     // byte-identical although the CONTAINERS differ — the planted
-    // duplicates (doc_id+1000000) are re-wrapped containers in BOTH
+    // duplicates (doc_id+1000000) are re-wrapped containers in ALL THREE
     // modalities: PNGs (doc_id % 5 = 0) where a tEXt metadata chunk
-    // shifts the IDAT offset, and WAVs (doc_id % 5 = 3) where a LIST
-    // chunk shifts the data chunk; either way whole-file hashing and
+    // shifts the IDAT offset, WAVs (doc_id % 5 = 3) where a LIST chunk
+    // shifts the data chunk, and AVIs (doc_id % 5 = 1, round 11) where a
+    // JUNK chunk shifts the movi list; either way whole-file hashing and
     // fixed-offset slicing both miss them. The lane is the same signature→bucket→
-    // verify shape as every dedup family: block on the PARSED frame-0
-    // fingerprint (first 32 data-section bytes at the chunk-walked
-    // offset — q_multimodal_frames' slice), then verify candidates by the
-    // md5 of the FULL parsed data section; n_bytes_a ≠ n_bytes_b on every
-    // planted pair is the visible proof the containers differ. The oracle
-    // rebuilds both fingerprints from the text the payloads embed and the
-    // encoders' size arithmetic — a mis-parsed offset breaks every pair.
+    // verify shape as every dedup family: block on the PARSED content-head
+    // fingerprint (first 32 CONTENT bytes at the chunk-walked offsets —
+    // for png/wav the data section, for avi the '00db' frames stitched in
+    // chunk order, so the fourcc/length framing never leaks into the
+    // hash), then verify candidates by the md5 of the FULL parsed
+    // content; n_bytes_a ≠ n_bytes_b on every planted pair is the visible
+    // proof the containers differ. The oracle rebuilds both fingerprints
+    // from the text the payloads embed and the encoders' size
+    // arithmetic — a mis-parsed offset breaks every pair.
     // (Size arithmetic parity: DuckDB `strlen` = UTF-8 byte length, so the
     // oracle's `57 + strlen(text)` / `83 + strlen(...)` equal the encoder's
     // payload.length for any text — see q_multimodal_meta's note.)
@@ -147,15 +150,22 @@ object MultimodalQueries {
     // nothing compares full payloads across the corpus.
     q(
       "q_multimodal_dedup",
-      // corpus: PNG containers except doc_id%5=3 which are WAVs; planted
-      // twins re-wrap the same data section in a bigger container (tEXt
-      // chunk for PNG at +83+digits; LIST chunk for WAV at +8+comment,
-      // RIFF-padded to even, i.e. 52+N+c+c%2 with c = 6+digits) — the
-      // blocking must recover near-dups WITHIN each modality from parsed
-      // offsets, images and audio through one lane
+      // corpus: PNG containers except doc_id%5=3 (WAV) and doc_id%5=1
+      // (AVI); planted twins re-wrap the same content in a bigger
+      // container (tEXt chunk for PNG at +83+digits; LIST chunk for WAV
+      // at +8+comment, RIFF-padded to even, i.e. 52+N+c+c%2 with
+      // c = 6+digits; JUNK chunk for AVI at a flat +16). AVI n_bytes:
+      // 224 fixed (RIFF + hdrl tree + movi header) + 8 bytes of chunk
+      // framing per 64-byte frame + the content + 1 RIFF pad byte when
+      // the odd-length final frame needs one. The blocking must recover
+      // near-dups WITHIN each modality from parsed offsets — images,
+      // audio, and video through one lane
       """WITH corpus AS (
         |  SELECT doc_id, text,
-        |    (CASE WHEN doc_id % 5 = 3 THEN 44 ELSE 57 END + strlen(text))::BIGINT AS n_bytes
+        |    (CASE WHEN doc_id % 5 = 3 THEN 44 + strlen(text)
+        |          WHEN doc_id % 5 = 1 THEN 224 + 8 * ((strlen(text) + 63) // 64)
+        |            + strlen(text) + strlen(text) % 2
+        |          ELSE 57 + strlen(text) END)::BIGINT AS n_bytes
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text,
@@ -165,7 +175,12 @@ object MultimodalQueries {
         |  SELECT doc_id + 1000000, text,
         |    (52 + strlen(text) + (6 + strlen(CAST(doc_id AS VARCHAR)))
         |       + (6 + strlen(CAST(doc_id AS VARCHAR))) % 2)::BIGINT AS n_bytes
-        |  FROM documents WHERE doc_id % 5 = 3)
+        |  FROM documents WHERE doc_id % 5 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text,
+        |    (240 + 8 * ((strlen(text) + 63) // 64)
+        |       + strlen(text) + strlen(text) % 2)::BIGINT AS n_bytes
+        |  FROM documents WHERE doc_id % 5 = 1)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, md5(a.text) AS data_fp,
         |  a.n_bytes AS n_bytes_a, b.n_bytes AS n_bytes_b
         |FROM corpus a JOIN corpus b
@@ -186,19 +201,32 @@ object MultimodalQueries {
             Iterator(
               (id, MediaCodec.encodePng(w, h, 8, data)),
               (id + 1000000L, MediaCodec.encodePngRewrapped(w, h, 8, data, s"rewrap$id")))
+          else if (id % 5 == 1)
+            Iterator(
+              (id, MediaCodec.encodeAvi(w, h, 24, data)),
+              (id + 1000000L, MediaCodec.encodeAvi(w, h, 24, data, junk = true)))
           else Iterator.single((id, MediaCodec.encodePng(w, h, 8, data)))
         }
         .mapPartitions { it =>
           val md = MessageDigest.getInstance("MD5")
           it.flatMap { case (id, payload) =>
             MediaCodec.decode(payload).map { m =>
-              val f0End = m.dataOffset + math.min(32, m.dataLength)
+              // modality-generic CONTENT bytes: the parsed data section,
+              // except avi where the frames are stitched in chunk order
+              // (the movi body interleaves fourcc/length framing)
+              val content: Array[Byte] =
+                if (m.format == "avi") {
+                  val fs = MediaCodec.aviFrames(payload, m)
+                  val out = new java.io.ByteArrayOutputStream()
+                  fs.foreach { case (off, len) => out.write(payload, off, len) }
+                  out.toByteArray
+                } else java.util.Arrays.copyOfRange(
+                  payload, m.dataOffset, m.dataOffset + m.dataLength)
               md.reset()
               val f0 = hex(md.digest(
-                java.util.Arrays.copyOfRange(payload, m.dataOffset, f0End)))
+                java.util.Arrays.copyOfRange(content, 0, math.min(32, content.length))))
               md.reset()
-              val full = hex(md.digest(java.util.Arrays.copyOfRange(
-                payload, m.dataOffset, m.dataOffset + m.dataLength)))
+              val full = hex(md.digest(content))
               (id, f0, full, payload.length.toLong)
             }
           }
