@@ -276,31 +276,45 @@ case class MisraGriesAgg(
   * so the 100-TB fact side drops non-joining rows before paying
   * exchange bytes. No false negatives (the join stays exact, which the
   * oracle proves); false positives only cost shuffle bytes. */
-case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
-    extends UnaryExpression {
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
 
+  // The filter rides as a foldable BINARY child (the shape of Spark's own
+  // internal BloomFilterMightContain, whose Literal gives content-based
+  // equals/hashCode — a raw Array[Byte] constructor field would compare by
+  // reference and defeat canonicalization-driven reuse).
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a BIGINT key, got ${child.dataType.sql}")
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT key, got ${left.dataType.sql}")
+    else if (right.dataType != BinaryType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable BINARY filter, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(
+      right.eval().asInstanceOf[Array[Byte]]))
 
   /** Called from generated code — must be public and row-cheap. */
   def containsLong(v: Long): Boolean = filter.mightContainLong(v)
 
-  override def nullSafeEval(v: Any): Any = containsLong(v.asInstanceOf[Long])
+  override def nullSafeEval(v: Any, ignoredBloom: Any): Any =
+    containsLong(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the deserialized filter is a once-per-instance reference object; the
+    // literal child's own codegen is just a cached reference, never a
+    // per-row byte-array materialization
     val ref = ctx.addReferenceObj("graftBloom", this, classOf[BloomMightContain].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.containsLong($c);")
+    nullSafeCodeGen(ctx, ev, (key, _bloom) => s"${ev.value} = $ref.containsLong($key);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
 }
 
 object SketchExpressions {
@@ -319,5 +333,6 @@ object SketchExpressions {
   /** Scalar: bloom-filter membership probe for a BIGINT key against
     * serialized filter bytes (see [[BloomMightContain]]). */
   def bloomMightContain(key: Column, bloom: Array[Byte]): Column =
-    GraftShims.column(BloomMightContain(GraftShims.expression(key), bloom))
+    GraftShims.column(BloomMightContain(GraftShims.expression(key),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(bloom, BinaryType)))
 }

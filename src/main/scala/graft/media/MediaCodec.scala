@@ -182,6 +182,7 @@ object MediaCodec {
     * and WEBP (sniffed-and-dropped). */
   def encodeAvi(width: Int, height: Int, fps: Int, data: Array[Byte],
       frameBytes: Int = 64, junk: Boolean = false): Array[Byte] = {
+    require(fps >= 1 && fps <= 1000000, s"fps out of range: $fps")
     val nFrames = (data.length + frameBytes - 1) / frameBytes
     val mspf = 1000000 / fps
     val avih = le32(mspf) ++ le32(0) ++ le32(0) ++ le32(0) ++
@@ -263,7 +264,12 @@ object MediaCodec {
       }
       off += 8 + len + (len & 1)
     }
-    if (width >= 0 && dataOff >= 0)
+    // field validation, not just chunk-length validation: consumers divide
+    // by microSecPerFrame, so a parseable container with a zero/negative
+    // timing field must sniff to None like every other hostile input —
+    // the codec's never-throw contract (MediaCodecSpec)
+    if (width >= 0 && height >= 0 && dataOff >= 0 &&
+        mspf > 0 && totalFrames >= 0)
       Some(AviInfo(mspf, totalFrames,
         MediaMeta("avi", width, height, bits, dataOff, dataLen)))
     else None

@@ -696,6 +696,42 @@ object AnalyticsQueries {
           last(col("v"), ignoreNulls = true).over(w).as("last_purchase"))
     },
 
+    // ★ OHLC downsampling — the time-series COMPACTION step (per-minute
+    // open/high/low/close candles per series), the shape every metrics
+    // store rolls raw points into before retention kicks in. The scalable
+    // plan is ONE hash aggregation with map-side partials — open/close
+    // via min/max over (ts, event_id, value) structs, whose lexicographic
+    // order is total because (ts, event_id) is unique, so no
+    // per-series window sort ever runs and the shuffle carries
+    // O(series × minutes) candle partials, not raw points. The same
+    // struct trick both engines: DuckDB's struct min/max compares fields
+    // in declaration order, so the tie-break semantics are pinned, and
+    // open/high/low/close are copied row values — no float arithmetic,
+    // bit-exact across engines.
+    q(
+      "q_ohlc",
+      """SELECT event_type,
+        |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+        |  min({'t': epoch_us(ts), 'e': event_id, 'v': value})['v'] AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max({'t': epoch_us(ts), 'e': event_id, 'v': value})['v'] AS close,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          date_format(date_trunc("minute", timestamp_micros(expr("ts div 1000"))),
+            "yyyy-MM-dd HH:mm").as("minute"),
+          expr("ts div 1000").as("t"), col("event_id").as("e"), col("value").as("v"))
+        .groupBy(col("event_type"), col("minute"))
+        .agg(
+          min(struct(col("t"), col("e"), col("v"))).getField("v").as("open"),
+          max(col("v")).as("high"),
+          min(col("v")).as("low"),
+          max(struct(col("t"), col("e"), col("v"))).getField("v").as("close"),
+          count(lit(1)).as("n_events"))
+    },
+
     // ★ Feature scaling — z-score and min-max standardization, the last
     // hop before numeric features feed a trainer. Global stats come from
     // ONE single-pass agg (mergeable moments: avg/stddev_pop/min/max),

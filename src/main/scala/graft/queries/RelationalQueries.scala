@@ -267,10 +267,11 @@ object RelationalQueries {
     // itself (100s of GB post-filter) is far past broadcast range. The
     // filter bytes ride the plan as a literal into a codegen'd
     // `bloom_might_contain` probe INSIDE the fact scan's WholeStageCodegen,
-    // upstream of the exchange — the ~97% of lineitem rows that cannot
-    // join never pay shuffle write/read bytes, which at 100 TB is the
-    // difference between shuffling TBs and shuffling the join's actual
-    // output. The merge hint keeps the fixture on the shuffle-join plan
+    // upstream of the exchange — the ~80% of lineitem rows that cannot
+    // join at this fixture's dim selectivity (urgent ∧ ≥1995 ≈ 20% of
+    // orders; RuntimeFilterSpec asserts the measured probe output) never
+    // pay shuffle write/read bytes, which at 100 TB is the difference
+    // between shuffling TBs and shuffling the join's actual input. The merge hint keeps the fixture on the shuffle-join plan
     // the pattern exists for (the stored-index precedent); the oracle is
     // the UNfiltered join — no false negatives, false positives die in
     // the join, so pruning must be semantically invisible and the
@@ -286,14 +287,18 @@ object RelationalQueries {
     ) { (s, dir) =>
       import graft.functions.SketchExpressions.bloomMightContain
       val t = Tables(s, dir)
+      // cached: the filtered dim feeds three consumers (count, bloom
+      // build, the join build side) — one pushed-filter scan, not three
+      // (Bench.cleanup unpersists)
       val dim = t.orders
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
         .select(col("o_orderkey"))
-      // Two bounded driver jobs over the FILTERED dim scan (predicates
-      // pushed to parquet): size the filter honestly, then build it with
-      // treeAggregate'd OR-merged bitsets — order-independent, so the
-      // filter bytes are partitioning-deterministic.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Two bounded driver jobs over the cached dim: size the filter
+      // honestly, then build it with treeAggregate'd OR-merged bitsets —
+      // order-independent, so the filter bytes are partitioning-
+      // deterministic.
       val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
@@ -982,16 +987,29 @@ object RelationalQueries {
         "yyyy-MM-dd").as("day"),
       col("value"),
       (col("event_id") % 13 === 0).as("late"))
-    ev.filter(!col("late"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    // ONE events scan: a single keyed agg carries the on-time partials
+    // (the base MV), the late partials (the delta candidate), and — being
+    // keyed by day — the max day for the horizon. Everything downstream
+    // runs off this O(keys) frame, never the source again.
+    val byKey = ev.groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(when(!col("late"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("late"), col("value"))).as("v_base"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late"), col("value"))).as("v_late"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    byKey.filter(col("n_base") > 0)
+      .select(col("event_type"), col("day"),
+        col("n_base").as("n_events"), col("v_base").as("sum_value"))
       .write.partitionBy("day").parquet(mvPath)
-    // lateness horizon from one scalar action; pure driver date arithmetic
-    val maxd = ev.agg(max(col("day"))).head.getString(0)
+    // lateness horizon: one scalar action over the keyed frame, then pure
+    // driver date arithmetic
+    val maxd = byKey.agg(max(col("day"))).head.getString(0)
     val horizon = java.time.LocalDate.parse(maxd).minusDays(7).toString
-    val delta = ev.filter(col("late") && col("day") >= lit(horizon))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val delta = byKey
+      .filter(col("n_late") > 0 && col("day") >= lit(horizon))
+      .select(col("event_type"), col("day"),
+        col("n_late").as("n_events"), col("v_late").as("sum_value"))
     // horizon-bounded driver list (≤ 8 day strings) → partition-filter
     // literals on the MV read
     val touched = delta.select(col("day")).distinct()
@@ -1007,6 +1025,7 @@ object RelationalQueries {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(mvPath)
     }
+    byKey.unpersist()
     s.read.parquet(mvPath).select(
       col("event_type"), col("day").cast("string").as("day"),
       col("n_events"), round(col("sum_value"), 2).as("sum_value"))

@@ -291,6 +291,14 @@ class MediaCodecSpec extends AnyFunSuite {
     evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
     evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
     assert(MediaCodec.aviInfo(evil).isEmpty)
+    // hostile FIELD, not hostile length: a structurally-valid AVI whose
+    // avih declares dwMicroSecPerFrame=0 must sniff to None — consumers
+    // divide by it, and the codec's contract is never-throw (avih data
+    // starts at byte 32: 12 RIFF + 8 LIST header + 'hdrl' + 'avih' + len)
+    val evilMspf = avi.clone()
+    (32 until 36).foreach(evilMspf(_) = 0.toByte)
+    assert(MediaCodec.aviInfo(evilMspf).isEmpty)
+    assert(MediaCodec.decode(evilMspf).isEmpty)
     // hostile frame-chunk length: index stops cleanly at the bad chunk
     val fi = MediaCodec.aviInfo(avi).get
     val evil2 = avi.clone()

@@ -116,14 +116,24 @@ class RuntimeFilterSpec extends SparkSpec {
       }
       assert(pruned, s"bloom probe not below the fact exchange:\n${plan.take(3000)}")
     }
-    // the probe actually prunes: the selective dim admits a small fraction
-    // of lineitem (plus <=1% false positives), so well under half survives
+    // the probe actually PRUNES, measured at the filter operator itself:
+    // the fact-side bloom FilterExec's numOutputRows (populated by the
+    // collect above) must admit well under half of lineitem — a
+    // degenerate filter that passes everything (broken bytes, fpp→1)
+    // fails here even though the join output would be unchanged.
+    // (Catalyst propagates the probe to the dim side too, so pick the
+    // FilterExec whose subtree scans lineitem.)
     val t = Tables(spark, dir)
     val total = t.lineitem.count()
     val bloomFiltered = flatten(df.queryExecution.executedPlan).collectFirst {
-      case f: FilterExec if f.condition.find(_.isInstanceOf[BloomMightContain]).isDefined => f
+      case f: FilterExec
+          if f.condition.find(_.isInstanceOf[BloomMightContain]).isDefined &&
+            scansLineitem(f) => f
     }
-    assert(bloomFiltered.isDefined)
+    assert(bloomFiltered.isDefined, s"no bloom filter over lineitem:\n${plan.take(3000)}")
+    val probeOut = bloomFiltered.get.metrics("numOutputRows").value
+    assert(probeOut > 0 && probeOut < total / 2,
+      s"bloom probe admitted $probeOut of $total lineitem rows — not selective")
     // and pruning is semantically invisible: identical aggregate without it
     val dim = t.orders
       .filter(col("o_orderpriority") === "1-URGENT" &&
@@ -137,7 +147,5 @@ class RuntimeFilterSpec extends SparkSpec {
     def keyed(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(keyed(got) === keyed(plainRows))
-    assert(got.map(_.getLong(2)).sum < total / 2,
-      "the fixture dim stopped being selective — pick a tighter predicate")
   }
 }
