@@ -82,6 +82,29 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: avi frame index reconstructs any payload at any frame size") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 150).foreach { _ =>
+      val w = 1 + rnd.nextInt(4096)
+      val h = 1 + rnd.nextInt(4096)
+      val fps = 1 + rnd.nextInt(120)
+      val fb = 1 + rnd.nextInt(96)
+      val payload = Array.fill(rnd.nextInt(700))(rnd.nextInt(256).toByte)
+      val junk = rnd.nextBoolean()
+      val avi = MediaCodec.encodeAvi(w, h, fps, payload, frameBytes = fb, junk = junk)
+      val info = MediaCodec.aviInfo(avi).get
+      assert((info.meta.width, info.meta.height) === ((w, h)))
+      assert(info.microSecPerFrame === 1000000 / fps)
+      val expectFrames = (payload.length + fb - 1) / fb
+      assert(info.totalFrames === expectFrames)
+      val frames = MediaCodec.aviFrames(avi, info.meta)
+      assert(frames.length === expectFrames)
+      val rebuilt = frames.flatMap { case (off, len) =>
+        java.util.Arrays.copyOfRange(avi, off, off + len).toSeq }
+      assert(rebuilt === payload.toSeq)
+    }
+  }
+
   test("wav round-trip: audio geometry and PCM section from a real RIFF chunk walk") {
     val p = MediaCodec.encodeWav(16000, 2, 16, data)
     assert(p.length === 44 + data.length)

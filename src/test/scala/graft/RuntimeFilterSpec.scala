@@ -148,4 +148,31 @@ class RuntimeFilterSpec extends SparkSpec {
       rows.map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(keyed(got) === keyed(plainRows))
   }
+
+  test("property: bloom_might_contain has NO false negatives and a bounded fp rate") {
+    import graft.functions.SketchExpressions.bloomMightContain
+    import org.apache.spark.util.sketch.BloomFilter
+    val rnd = new scala.util.Random(20260814L)
+    val members = Array.fill(5000)(rnd.nextLong()).distinct
+    val bf = BloomFilter.create(members.length, 0.01)
+    members.foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val memberSet = members.toSet
+    val others = Iterator.continually(rnd.nextLong())
+      .filterNot(memberSet).take(20000).toArray
+    val s = spark
+    import s.implicits._
+    // evaluated THROUGH the expression (codegen path), not the driver API
+    val probed = (members ++ others).toSeq.toDF("k")
+      .withColumn("hit", bloomMightContain(col("k"), bytes))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the join-safety contract: every member MUST hit
+    members.foreach(m => assert(probed(m), s"false negative for member $m"))
+    // and the fp rate stays near the configured 1%
+    val fps = others.count(probed(_))
+    assert(fps < others.length * 0.03,
+      s"false-positive rate ${fps.toDouble / others.length} far above configured 1%")
+  }
 }
