@@ -699,22 +699,25 @@ object AnalyticsQueries {
     // ★ OHLC downsampling — the time-series COMPACTION step (per-minute
     // open/high/low/close candles per series), the shape every metrics
     // store rolls raw points into before retention kicks in. The scalable
-    // plan is ONE hash aggregation with map-side partials — open/close
-    // via min/max over (ts, event_id, value) structs, whose lexicographic
-    // order is total because (ts, event_id) is unique, so no
-    // per-series window sort ever runs and the shuffle carries
-    // O(series × minutes) candle partials, not raw points. The same
-    // struct trick both engines: DuckDB's struct min/max compares fields
-    // in declaration order, so the tie-break semantics are pinned, and
-    // open/high/low/close are copied row values — no float arithmetic,
-    // bit-exact across engines.
+    // plan is ONE HASH aggregation with map-side partials: open/close are
+    // min_by/max_by over a PACKED-LONG ordering key — the µs offset
+    // within the minute (< 2²⁶) shifted past the row id (event_id < 2³⁷,
+    // comfortably any fixture and most real tables) — so the aggregate
+    // buffer stays primitive (double, long) and Spark plans
+    // HashAggregate, where a struct-min ordering key would force
+    // SortAggregate's per-partition sort of raw points (measured in the
+    // plan audit; this rewrite is why). The key is unique per row within
+    // its (series, minute) group, so both engines' arg-extremes are
+    // deterministic, and open/high/low/close are copied row values — no
+    // float arithmetic, bit-exact across engines. The shuffle carries
+    // O(series × minutes) candle partials, never raw points.
     q(
       "q_ohlc",
       """SELECT event_type,
         |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
-        |  min({'t': epoch_us(ts), 'e': event_id, 'v': value})['v'] AS open,
+        |  min_by(value, (epoch_us(ts) % 60000000) * 137438953472 + event_id) AS open,
         |  max(value) AS high, min(value) AS low,
-        |  max({'t': epoch_us(ts), 'e': event_id, 'v': value})['v'] AS close,
+        |  max_by(value, (epoch_us(ts) % 60000000) * 137438953472 + event_id) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
@@ -722,13 +725,15 @@ object AnalyticsQueries {
         .select(col("event_type"),
           date_format(date_trunc("minute", timestamp_micros(expr("ts div 1000"))),
             "yyyy-MM-dd HH:mm").as("minute"),
-          expr("ts div 1000").as("t"), col("event_id").as("e"), col("value").as("v"))
+          ((expr("ts div 1000") % 60000000L) * lit(137438953472L) +
+            col("event_id")).as("pack"),
+          col("value").as("v"))
         .groupBy(col("event_type"), col("minute"))
         .agg(
-          min(struct(col("t"), col("e"), col("v"))).getField("v").as("open"),
+          min_by(col("v"), col("pack")).as("open"),
           max(col("v")).as("high"),
           min(col("v")).as("low"),
-          max(struct(col("t"), col("e"), col("v"))).getField("v").as("close"),
+          max_by(col("v"), col("pack")).as("close"),
           count(lit(1)).as("n_events"))
     },
 

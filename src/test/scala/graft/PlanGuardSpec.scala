@@ -59,6 +59,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("q_ohlc compacts via HashAggregate, never a sort of raw points") {
+    // the struct-ordered min/max formulation planned SortAggregate (a
+    // per-partition sort of every raw point before any compaction); the
+    // packed-long min_by/max_by rewrite keeps the buffer primitive. Pin
+    // the hash shape so a refactor can't silently reintroduce the sort.
+    val plan = planOf("q_ohlc")
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+  }
+
   test("q_similarity_pq two-phase top-k keeps the partition-local group limit") {
     val plan = planOf("q_similarity_pq")
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
