@@ -721,20 +721,9 @@ object AnalyticsQueries {
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
-      Tables(s, dir).events
-        .select(col("event_type"),
-          date_format(date_trunc("minute", timestamp_micros(expr("ts div 1000"))),
-            "yyyy-MM-dd HH:mm").as("minute"),
-          ((expr("ts div 1000") % 60000000L) * lit(137438953472L) +
-            col("event_id")).as("pack"),
-          col("value").as("v"))
-        .groupBy(col("event_type"), col("minute"))
-        .agg(
-          min_by(col("v"), col("pack")).as("open"),
-          max(col("v")).as("high"),
-          min(col("v")).as("low"),
-          max_by(col("v"), col("pack")).as("close"),
-          count(lit(1)).as("n_events"))
+      ohlcCandles(Tables(s, dir).events.select(
+        col("event_type"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("value")))
     },
 
     // ★ Feature scaling — z-score and min-max standardization, the last
@@ -918,4 +907,24 @@ object AnalyticsQueries {
       }
     }
   )
+
+  /** The q_ohlc aggregation over a (event_type, t_us, event_id, value)
+    * points frame — shared between the declared batch query and the
+    * streaming parity test (StreamingSpec drives the SAME candle agg as
+    * a complete-mode streaming aggregation, so batch and live roll-ups
+    * cannot drift). See q_ohlc's scaladoc for the packed-key rationale. */
+  private[graft] def ohlcCandles(points: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    points.select(col("event_type"),
+      date_format(date_trunc("minute", timestamp_micros(col("t_us"))),
+        "yyyy-MM-dd HH:mm").as("minute"),
+      ((col("t_us") % 60000000L) * lit(137438953472L) +
+        col("event_id")).as("pack"),
+      col("value").as("v"))
+    .groupBy(col("event_type"), col("minute"))
+    .agg(
+      min_by(col("v"), col("pack")).as("open"),
+      max(col("v")).as("high"),
+      min(col("v")).as("low"),
+      max_by(col("v"), col("pack")).as("close"),
+      count(lit(1)).as("n_events"))
 }

@@ -837,6 +837,56 @@ class StreamingSpec extends SparkSpec {
     // (DynamoDB-lease-table analog) prevents reprocessing a.txt
     assert(SinkState.delivered.asScala.map(_._2).sum === 3)
   }
+
+  test("streaming OHLC: live candles equal the batch roll-up under split arrival") {
+    // q_ohlc's scaladoc calls the candle agg the metrics-store roll-up;
+    // here the SAME ohlcCandles aggregation runs as a complete-mode
+    // STREAMING aggregation — points arrive in two micro-batches split by
+    // event_id parity (so nearly every candle is fed by BOTH batches and
+    // the state-store min_by/max_by partials must merge across them), and
+    // the final sink table must equal the batch candles of the same rows.
+    implicit val sqlCtx = SharedSpark.spark.sqlContext
+    // fold the fixture's 30-day span into 30 minutes so candles hold
+    // several points each — with real spacing nearly every minute has one
+    // point and no candle would span both micro-batches
+    val pts = Tables(SharedSpark.spark, "/root/testdata/sf0.001").events
+      .select(col("event_type"), expr("(ts div 1000) % 1800000000").as("t_us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val ms = MemoryStream[(String, Long, Long, Double)]
+    val candles = graft.queries.AnalyticsQueries.ohlcCandles(
+      ms.toDF().toDF("event_type", "t_us", "event_id", "value"))
+    val q = candles.writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_stream").start()
+    try {
+      val (even, odd) = pts.partition(_._3 % 2 == 0)
+      ms.addData(even: _*)
+      q.processAllAvailable()
+      val mid = SharedSpark.spark.table("ohlc_stream")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+      ms.addData(odd: _*)
+      q.processAllAvailable()
+      val fin = SharedSpark.spark.table("ohlc_stream").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .toMap
+      // candles UPDATED across micro-batches (not rebuilt per batch only)
+      assert(fin.exists { case (k, v) => mid.get(k).exists(_ < v._5) },
+        "no candle grew between micro-batches — split fixture broken")
+      // parity with the batch roll-up of the same rows
+      import SharedSpark.spark.implicits._
+      val batch = graft.queries.AnalyticsQueries.ohlcCandles(
+        pts.toDF("event_type", "t_us", "event_id", "value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .toMap
+      assert(fin === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
 
 /** Cross-restart gauge buffer for the delay-tracker checkpoint test —
