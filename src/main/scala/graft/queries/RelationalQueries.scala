@@ -998,9 +998,15 @@ object RelationalQueries {
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
         sum(when(col("late"), col("value"))).as("v_late"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // repartition by the partition column before a partitionBy write —
+    // the small-files discipline: without it every shuffle task holding
+    // rows of a day opens its own file in that day's directory (32 tasks
+    // × days files here, thousands at scale); with it each day lands in
+    // exactly one writer, one file (MvRefreshSpec pins the file count)
     byKey.filter(col("n_base") > 0)
       .select(col("event_type"), col("day"),
         col("n_base").as("n_events"), col("v_base").as("sum_value"))
+      .repartition(col("day"))
       .write.partitionBy("day").parquet(mvPath)
     // lateness horizon: one scalar action over the keyed frame, then pure
     // driver date arithmetic
@@ -1022,6 +1028,7 @@ object RelationalQueries {
         .unionByName(delta)
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+        .repartition(col("day"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(mvPath)
     }

@@ -59,6 +59,12 @@ class MvRefreshSpec extends SparkSpec {
       }.toMap
       // no partition mixes writes, and there are exactly two writes total
       assert(byDay.values.forall(_.size == 1), s"mixed-write partition: $byDay")
+      // small-files discipline: repartition-by-day before the partitioned
+      // write means each day directory holds exactly ONE data file
+      dayDirs.foreach { d =>
+        val files = d.listFiles().count(_.getName.startsWith("part-"))
+        assert(files == 1, s"${d.getName} holds $files part files, want 1")
+      }
       val allUuids = byDay.values.flatten.toSet
       assert(allUuids.size == 2,
         s"expected exactly base-build + refresh UUIDs, got ${allUuids.size}")
