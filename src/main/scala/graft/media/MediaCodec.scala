@@ -183,6 +183,7 @@ object MediaCodec {
   def encodeAvi(width: Int, height: Int, fps: Int, data: Array[Byte],
       frameBytes: Int = 64, junk: Boolean = false): Array[Byte] = {
     require(fps >= 1 && fps <= 1000000, s"fps out of range: $fps")
+    require(frameBytes >= 1, s"frameBytes must be positive: $frameBytes")
     val nFrames = (data.length + frameBytes - 1) / frameBytes
     val mspf = 1000000 / fps
     val avih = le32(mspf) ++ le32(0) ++ le32(0) ++ le32(0) ++
@@ -286,17 +287,22 @@ object MediaCodec {
     * video frame's (offset, length) — '##db'/'##dc' chunks, even-padded.
     * The offsets come from the chunk walk, never from arithmetic over the
     * frame size, so a re-wrapped or junk-padded container still indexes
-    * the identical frame bytes. */
-  def aviFrames(p: Array[Byte], m: MediaMeta): Seq[(Int, Int)] = {
+    * the identical frame bytes. `maxFrames` stops the walk once that many
+    * frames are indexed — the frame-SAMPLING path must be O(sampled), not
+    * O(clip): a caller keeping the first 16 frames of an hour-long clip
+    * should never pay a full movi traversal. */
+  def aviFrames(p: Array[Byte], m: MediaMeta,
+      maxFrames: Int = Int.MaxValue): Seq[(Int, Int)] = {
     if (m.format != "avi") return Nil
     val out = Seq.newBuilder[(Int, Int)]
+    var n = 0
     var off = m.dataOffset
     val end = math.min(m.dataOffset + m.dataLength, p.length)
-    while (off + 8 <= end) {
+    while (off + 8 <= end && n < maxFrames) {
       val tpe = new String(p, off, 4, "US-ASCII")
       val len = readLe32(p, off + 4)
       if (len < 0 || len > end - off - 8) return out.result()
-      if (tpe.endsWith("db") || tpe.endsWith("dc")) out += ((off + 8, len))
+      if (tpe.endsWith("db") || tpe.endsWith("dc")) { out += ((off + 8, len)); n += 1 }
       off += 8 + len + (len & 1)
     }
     out.result()

@@ -912,13 +912,20 @@ object AnalyticsQueries {
     * points frame — shared between the declared batch query and the
     * streaming parity test (StreamingSpec drives the SAME candle agg as
     * a complete-mode streaming aggregation, so batch and live roll-ups
-    * cannot drift). See q_ohlc's scaladoc for the packed-key rationale. */
+    * cannot drift). See q_ohlc's scaladoc for the packed-key rationale.
+    * CONTRACT: event_id must sit in [0, 2³⁷) — the pack reserves the low
+    * 37 bits for it under the 26-bit µs-offset, and an id outside that
+    * range would silently order candles by id instead of time, so the
+    * guard below turns a violation into a loud per-row error instead. */
   private[graft] def ohlcCandles(points: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     points.select(col("event_type"),
       date_format(date_trunc("minute", timestamp_micros(col("t_us"))),
         "yyyy-MM-dd HH:mm").as("minute"),
-      ((col("t_us") % 60000000L) * lit(137438953472L) +
-        col("event_id")).as("pack"),
+      when(col("event_id").between(0L, (1L << 37) - 1),
+        (col("t_us") % 60000000L) * lit(1L << 37) + col("event_id"))
+        .otherwise(raise_error(concat(
+          lit("ohlc pack out of range: event_id "),
+          col("event_id").cast("string")))).as("pack"),
       col("value").as("v"))
     .groupBy(col("event_type"), col("minute"))
     .agg(

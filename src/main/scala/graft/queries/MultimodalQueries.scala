@@ -390,8 +390,10 @@ object MultimodalQueries {
               val m = info.meta
               val fps = 1000000L / info.microSecPerFrame
               val durMs = info.totalFrames.toLong * info.microSecPerFrame / 1000L
-              MediaCodec.aviFrames(payload, m).iterator.zipWithIndex
-                .filter { case (_, i) => i % 2 == 0 && i < 16 }
+              // walk stops after 16 frames — sampling cost is O(sampled),
+              // not O(clip length)
+              MediaCodec.aviFrames(payload, m, maxFrames = 16).iterator.zipWithIndex
+                .filter { case (_, i) => i % 2 == 0 }
                 .map { case ((foff, flen), i) =>
                   md.reset()
                   val fp = hex(md.digest(

@@ -998,41 +998,42 @@ object RelationalQueries {
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
         sum(when(col("late"), col("value"))).as("v_late"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // repartition by the partition column before a partitionBy write —
-    // the small-files discipline: without it every shuffle task holding
-    // rows of a day opens its own file in that day's directory (32 tasks
-    // × days files here, thousands at scale); with it each day lands in
-    // exactly one writer, one file (MvRefreshSpec pins the file count)
-    byKey.filter(col("n_base") > 0)
-      .select(col("event_type"), col("day"),
-        col("n_base").as("n_events"), col("v_base").as("sum_value"))
-      .repartition(col("day"))
-      .write.partitionBy("day").parquet(mvPath)
-    // lateness horizon: one scalar action over the keyed frame, then pure
-    // driver date arithmetic
-    val maxd = byKey.agg(max(col("day"))).head.getString(0)
-    val horizon = java.time.LocalDate.parse(maxd).minusDays(7).toString
-    val delta = byKey
-      .filter(col("n_late") > 0 && col("day") >= lit(horizon))
-      .select(col("event_type"), col("day"),
-        col("n_late").as("n_events"), col("v_late").as("sum_value"))
-    // horizon-bounded driver list (≤ 8 day strings) → partition-filter
-    // literals on the MV read
-    val touched = delta.select(col("day")).distinct()
-      .collect().map(_.get(0).toString).toSeq
-    if (touched.nonEmpty) {
-      val mv = s.read.parquet(mvPath)
-      mv.filter(col("day").cast("string").isInCollection(touched))
-        .select(col("event_type"), col("day").cast("string").as("day"),
-          col("n_events"), col("sum_value"))
-        .unionByName(delta)
-        .groupBy(col("event_type"), col("day"))
-        .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+    try {
+      // repartition by the partition column before a partitionBy write —
+      // the small-files discipline: without it every shuffle task holding
+      // rows of a day opens its own file in that day's directory (32
+      // tasks × days files here, thousands at scale); with it each day
+      // lands in exactly one writer, one file (MvRefreshSpec pins it)
+      byKey.filter(col("n_base") > 0)
+        .select(col("event_type"), col("day"),
+          col("n_base").as("n_events"), col("v_base").as("sum_value"))
         .repartition(col("day"))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day").parquet(mvPath)
-    }
-    byKey.unpersist()
+        .write.partitionBy("day").parquet(mvPath)
+      // lateness horizon: one scalar action over the keyed frame, then
+      // pure driver date arithmetic
+      val maxd = byKey.agg(max(col("day"))).head.getString(0)
+      val horizon = java.time.LocalDate.parse(maxd).minusDays(7).toString
+      val delta = byKey
+        .filter(col("n_late") > 0 && col("day") >= lit(horizon))
+        .select(col("event_type"), col("day"),
+          col("n_late").as("n_events"), col("v_late").as("sum_value"))
+      // horizon-bounded driver list (≤ 8 day strings) → partition-filter
+      // literals on the MV read
+      val touched = delta.select(col("day")).distinct()
+        .collect().map(_.get(0).toString).toSeq
+      if (touched.nonEmpty) {
+        val mv = s.read.parquet(mvPath)
+        mv.filter(col("day").cast("string").isInCollection(touched))
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            col("n_events"), col("sum_value"))
+          .unionByName(delta)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+          .repartition(col("day"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(mvPath)
+      }
+    } finally byKey.unpersist() // a failed write must not pin the blocks
     s.read.parquet(mvPath).select(
       col("event_type"), col("day").cast("string").as("day"),
       col("n_events"), round(col("sum_value"), 2).as("sum_value"))

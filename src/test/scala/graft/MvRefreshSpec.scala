@@ -25,7 +25,9 @@ class MvRefreshSpec extends SparkSpec {
     (col("event_id") % 13 === 0).as("late"))
 
   test("refresh rewrites only horizon partitions and equals the full recompute") {
-    val root = Files.createTempDirectory("graft-mv-spec").toFile
+    // same scratch-dir lifecycle as the production query: JVM-unique
+    // path + shutdown-hook backstop for abnormal exits
+    val root = graft.plans.ScratchDirs.unique("graft-mv-spec")
     val path = new File(root, "mv").getAbsolutePath
     try {
       val served = graft.queries.RelationalQueries.mvRefresh(spark, dir, path)
@@ -88,11 +90,6 @@ class MvRefreshSpec extends SparkSpec {
       assert(plan.contains("PartitionFilters: [") &&
         !plan.replaceAll("\\s", "").contains("PartitionFilters:[]"),
         s"day filter did not become a partition filter:\n${plan.take(2000)}")
-    } finally {
-      def rm(f: File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
-      }
-      rm(root)
-    }
+    } finally graft.plans.ScratchDirs.remove(root)
   }
 }
