@@ -918,6 +918,13 @@ object DedupQueries {
   private def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
     val n = embedCorpus(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    embedDupPairsFrom(n)
+  }
+
+  /** The pair derivation off an ALREADY-persisted corpus frame — split
+    * out so q_hard_negatives can share one cached corpus between the
+    * exclusion edges and its own scoring scan. */
+  private[queries] def embedDupPairsFrom(n: DataFrame): DataFrame = {
     val cands = embedCandidates(n)
     val a = n.select(col("vec_id").as("vec_a"), col("e").as("ea"))
     val b = n.select(col("vec_id").as("vec_b"), col("e").as("eb"))
@@ -1215,7 +1222,7 @@ object DedupQueries {
 
   /** Embed-dedup oracle: identical LSH banding with the plane weights
     * inlined as literals (see SimilarityQueries.planeWeightsSql). */
-  private lazy val dedupEmbedSql: String = {
+  private[queries] lazy val dedupEmbedSql: String = {
     val nPlanes = embedBands * embedPlanesPerBand
     s"""WITH corpus AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings

@@ -70,7 +70,7 @@ object SimilarityQueries {
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
-      annRecallIvfpq :+ annRecallPqTrained :+ annRecallPqRerank
+      annRecallIvfpq :+ annRecallPqTrained :+ annRecallPqRerank :+ hardNegatives
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -1844,4 +1844,83 @@ object SimilarityQueries {
        |FROM sig a JOIN sig b
        |  ON a.vec_id < 8 AND a.sig = b.sig AND b.vec_id <> a.vec_id""".stripMargin
   }
+
+  // --- hard-negative mining (round 11) ------------------------------------
+
+  /** ★ Hard-negative mining for contrastive training — the similarity and
+    * dedup lanes COMPOSED into the op a training-data pipeline actually
+    * runs: for each anchor, the closest items that are NOT near-duplicates.
+    * Nearest neighbors alone are useless as negatives (the top hit is the
+    * anchor's planted twin — a false negative that would poison the loss);
+    * the exclusion relation is q_dedup_embed's VERIFIED near-dup edge set
+    * (SRP-LSH blocked, cosine ≥ 0.98 verified), applied as one left-anti
+    * join on the scored pairs. What survives at the top is the hard
+    * negative: semantically close, provably not the same content.
+    * Scale: one corpus scan cached for both consumers (exclusion-edge
+    * derivation and scoring), anchors broadcast (O(queries) side), the
+    * anti join is against the LSH-BOUNDED edge set (O(n·bands) pairs, not
+    * O(n²)), and top-5 uses the two-phase WindowGroupLimit shape of
+    * q_similarity_topk. At 100 TB the brute-force scoring pass is replaced
+    * by any of this file's ANN serving shapes (IVF/PQ shortlist, then
+    * exclude + rerank) — the exclusion join and ranking are unchanged. */
+  val hardNegatives: QueryDef = q(
+    "q_hard_negatives",
+    hardNegativesSql
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.cosineSimilarity
+    val n = DedupQueries.embedCorpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = DedupQueries.embedDupPairsFrom(n).select(col("vec_a"), col("vec_b"))
+    val excl = pairs.unionByName(
+      pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val anchors = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val scored = n.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val hard = scored.join(excl,
+      scored("q_id") === excl("vec_a") && scored("vec_id") === excl("vec_b"),
+      "left_anti")
+    hard
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("lrank") <= 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Hard-negative oracle: the verified embed-dedup pairs (verbatim
+    * dedupEmbedSql as a subquery), symmetrized into the exclusion set;
+    * the same planted corpus rebuilt; anti-join then per-anchor top-5. */
+  private lazy val hardNegativesSql: String =
+    s"""WITH pairs0 AS (SELECT vec_a, vec_b FROM (${DedupQueries.dedupEmbedSql})),
+       |excl AS (SELECT vec_a, vec_b FROM pairs0
+       |         UNION ALL SELECT vec_b, vec_a FROM pairs0),
+       |corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(generate_series(1, 64),
+       |      i -> embedding[i]::DOUBLE + (CASE WHEN i = 1 THEN 0.1 ELSE 0.0 END))
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM corpus),
+       |anch AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nn WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT a.q_id, c.vec_id,
+       |    list_sum(list_transform(generate_series(1, 64), i -> a.qe[i] * c.e[i]))
+       |      / (a.qn * c.nrm) AS cos
+       |  FROM nn c CROSS JOIN anch a WHERE c.vec_id <> a.q_id),
+       |hard AS (
+       |  SELECT s.q_id, s.vec_id, s.cos FROM scored s
+       |  ANTI JOIN excl x ON s.q_id = x.vec_a AND s.vec_id = x.vec_b)
+       |SELECT q_id, rank, vec_id, round(cos, 4) AS cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM hard) WHERE rank <= 5""".stripMargin
 }
