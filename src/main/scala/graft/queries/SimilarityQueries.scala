@@ -147,17 +147,7 @@ object SimilarityQueries {
       // corpus for a query into one task. The final merge ranks ≤ 5·P rows
       // per query. Local top-5 is a superset of the global top-5 regardless
       // of partition assignment, so the result is unchanged.
-      val local = scored
-        .withColumn("pid", spark_partition_id())
-        .withColumn(
-          "lrank",
-          row_number().over(
-            Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("lrank") <= 5)
-        .select(col("q_id"), col("vec_id"), col("cos"))
-      local
-        .withColumn("rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rank") <= 5)
+      twoPhaseRank(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")), 5, "rank")
         .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
     },
 
@@ -740,18 +730,7 @@ object SimilarityQueries {
     pqSql
   ) { (s, dir) =>
     val (_, _, scored) = pqAdc(s, dir)
-    // two-phase top-k, same shape as q_similarity_topk: local per-partition
-    // top-5 so no task sorts a whole query's corpus, then merge ≤ 5·P rows
-    val local = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("adc"), col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("adc"))
-    local
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
-      .filter(col("rank") <= 5)
+    twoPhaseRank(scored, Seq("q_id"), Seq(col("adc"), col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"), col("rank"),
         (floor(col("adc") * 1e6) / 1e6 + 0.0).as("adc"))
   }
@@ -867,14 +846,8 @@ object SimilarityQueries {
       .withColumn("l2",
         col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("l2"))
-    val exact = exactScored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("l2"), col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("l2"), col("vec_id"))))
-      .filter(col("rank") <= 5)
+    val exact = twoPhaseRank(exactScored, Seq("q_id"),
+        Seq(col("l2"), col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"))
     exact
       .join(cand5, Seq("q_id", "vec_id"), "left")
@@ -974,15 +947,8 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("cos"))
-    val local = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("lrank") <= 5)
-    val exact = local
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+    val exact = twoPhaseRank(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"))
     // LSH candidates: bucket-mates of each query signature
     val cand = sig
@@ -1075,14 +1041,8 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("cos"))
-    val exact = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+    val exact = twoPhaseRank(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"))
     val cand = assign
       .join(broadcast(qcells), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
@@ -1212,14 +1172,8 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("cos"))
-    val exact = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+    val exact = twoPhaseRank(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"))
 
     // one IVF arm: probe-tagged candidates + per-query counts and hits
@@ -1333,15 +1287,9 @@ object SimilarityQueries {
   ) { (s, dir) =>
     import graft.functions.VectorExpressions.dotProduct
     val (v, queries, scored) = pqAdc(s, dir)
-    def top5(in: DataFrame, dist: String): DataFrame = in
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col(dist), col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col(dist), col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"))
+    def top5(in: DataFrame, dist: String): DataFrame =
+      twoPhaseRank(in, Seq("q_id"), Seq(col(dist), col("vec_id")), 5, "rank")
+        .select(col("q_id"), col("vec_id"))
     val cand = top5(scored, "adc")
     val exactScored = v
       .withColumn("vn2", dotProduct(col("e"), col("e")))
@@ -1433,15 +1381,9 @@ object SimilarityQueries {
     val maxL = Ls.max
     // two-phase ADC top-maxL; keep the ADC rank so one shortlist serves
     // the whole L sweep
-    val shortlist = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("adc"), col("vec_id"))))
-      .filter(col("lrank") <= maxL)
-      .withColumn("ar", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
-      .filter(col("ar") <= maxL)
-      .select(col("q_id"), col("vec_id"), col("ar"))
+    val shortlist =
+      twoPhaseRank(scored, Seq("q_id"), Seq(col("adc"), col("vec_id")), maxL, "ar")
+        .select(col("q_id"), col("vec_id"), col("ar"))
     // exact distances for CANDIDATE rows only — the rerank fetches raw
     // vectors by key, it never scans the corpus (4 L-slices consume it)
     val rr = shortlist
@@ -1458,14 +1400,8 @@ object SimilarityQueries {
       .withColumn("l2",
         col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("l2"))
-    val exact = exactScored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col("l2"), col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("l2"), col("vec_id"))))
-      .filter(col("rank") <= 5)
+    val exact = twoPhaseRank(exactScored, Seq("q_id"),
+        Seq(col("l2"), col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"))
     Ls.map { l =>
       val re5 = rr.filter(col("ar") <= l)
@@ -1668,15 +1604,9 @@ object SimilarityQueries {
     val queries = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         dotProduct(col("e"), col("e")).as("qn2"))
-    def top5(in: DataFrame, dist: String): DataFrame = in
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid")).orderBy(col(dist), col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col(dist), col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"))
+    def top5(in: DataFrame, dist: String): DataFrame =
+      twoPhaseRank(in, Seq("q_id"), Seq(col(dist), col("vec_id")), 5, "rank")
+        .select(col("q_id"), col("vec_id"))
     def adcTop5(xhat: DataFrame): DataFrame = top5(
       xhat.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
@@ -1851,57 +1781,75 @@ object SimilarityQueries {
     * dedup lanes COMPOSED into the op a training-data pipeline actually
     * runs: for each anchor, the closest items that are NOT near-duplicates.
     * Nearest neighbors alone are useless as negatives (the top hit is the
-    * anchor's planted twin — a false negative that would poison the loss);
-    * the exclusion relation is q_dedup_embed's VERIFIED near-dup edge set
-    * (SRP-LSH blocked, cosine ≥ 0.98 verified), applied as one left-anti
-    * join on the scored pairs. What survives at the top is the hard
-    * negative: semantically close, provably not the same content.
-    * Scale: one corpus scan cached for both consumers (exclusion-edge
-    * derivation and scoring), anchors broadcast (O(queries) side), the
-    * anti join is against the LSH-BOUNDED edge set (O(n·bands) pairs, not
-    * O(n²)), and top-5 uses the two-phase WindowGroupLimit shape of
-    * q_similarity_topk. At 100 TB the brute-force scoring pass is replaced
-    * by any of this file's ANN serving shapes (IVF/PQ shortlist, then
-    * exclude + rerank) — the exclusion join and ranking are unchanged. */
+    * anchor's planted twin — a false negative that would poison the loss).
+    * The exclusion is TWO complementary cuts, each covering what the other
+    * can't:
+    *  - CLUSTER membership: q_dedup_embed's verified edge set closed into
+    *    connected components (the dedup lane's own clustering) — removes
+    *    every member of the anchor's near-dup family, including TRANSITIVE
+    *    mates whose direct cosine to the anchor fell below threshold
+    *    (A~B~C with cos(A,C) < 0.98 — a plain threshold cut would keep C);
+    *  - a direct cos ≥ 0.98 cut on the scored candidates — label-BLIND,
+    *    so a near-identical item the label-blocked LSH edges structurally
+    *    cannot pair (same content ingested under two labels) still dies.
+    * Scale: one corpus scan cached for both consumers; anchors broadcast
+    * (O(queries)); the exclusion list is filtered to the ANCHORS' clusters
+    * before the anti join — O(anchors × cluster size) rows, broadcast —
+    * so the full O(n·bands) edge set is never shuffled against the scored
+    * frame; top-5 via the shared two-phase WindowGroupLimit shape. At
+    * 100 TB the brute-force scoring pass is replaced by any of this
+    * file's ANN serving shapes (IVF/PQ shortlist → exclude → rerank) —
+    * the exclusion join and ranking are unchanged. */
   val hardNegatives: QueryDef = q(
     "q_hard_negatives",
     hardNegativesSql
   ) { (s, dir) =>
     import graft.functions.VectorExpressions.cosineSimilarity
-    val n = DedupQueries.embedCorpus(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = DedupQueries.embedDupPairsFrom(n).select(col("vec_a"), col("vec_b"))
-    val excl = pairs.unionByName(
-      pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = DedupQueries.embedCorpus(s, dir).persist(MEMORY_AND_DISK)
+    val pairs = DedupQueries.embedDupPairsFrom(n)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .persist(MEMORY_AND_DISK)
+    val cc = DedupQueries.connectedComponents(s, pairs) // (doc_id, comp)
+    val anchorComp = cc.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_id"), col("comp").as("qcomp"))
+    // every member of an anchor's near-dup cluster, keyed by anchor
+    val excl = cc.join(broadcast(anchorComp), col("comp") === col("qcomp"))
+      .select(col("q_id").as("eq_id"), col("doc_id").as("x_id"))
     val anchors = n.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = n.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("cos"))
-    val hard = scored.join(excl,
-      scored("q_id") === excl("vec_a") && scored("vec_id") === excl("vec_b"),
-      "left_anti")
-    hard
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid"))
-          .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("lrank") <= 5)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+    val hard = scored
+      .filter(col("cos") < 0.98)
+      .join(broadcast(excl),
+        col("q_id") === col("eq_id") && col("vec_id") === col("x_id"),
+        "left_anti")
+    twoPhaseRank(hard, Seq("q_id"), Seq(col("cos").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Hard-negative oracle: the verified embed-dedup pairs (verbatim
-    * dedupEmbedSql as a subquery), symmetrized into the exclusion set;
-    * the same planted corpus rebuilt; anti-join then per-anchor top-5. */
+    * dedupEmbedSql as a subquery) closed into components by the same
+    * recursive CTE as the cluster oracle; anchors' cluster members plus
+    * the direct ≥ 0.98 cut excluded; per-anchor top-5. */
   private lazy val hardNegativesSql: String =
-    s"""WITH pairs0 AS (SELECT vec_a, vec_b FROM (${DedupQueries.dedupEmbedSql})),
-       |excl AS (SELECT vec_a, vec_b FROM pairs0
-       |         UNION ALL SELECT vec_b, vec_a FROM pairs0),
+    s"""WITH RECURSIVE pairs0 AS (SELECT vec_a, vec_b FROM (${DedupQueries.dedupEmbedSql})),
+       |nodes AS (SELECT DISTINCT vec_id FROM (
+       |  SELECT vec_a AS vec_id FROM pairs0 UNION SELECT vec_b FROM pairs0)),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs0
+       |          UNION SELECT vec_b, vec_a FROM pairs0),
+       |reach(node, comp) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS vec_id, min(comp) AS comp FROM reach GROUP BY node),
+       |anchc AS (SELECT vec_id AS q_id, comp FROM lab WHERE vec_id < 8),
+       |excl AS (SELECT a.q_id, l.vec_id AS x_id
+       |         FROM lab l JOIN anchc a ON l.comp = a.comp),
        |corpus AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
        |  UNION ALL
@@ -1918,9 +1866,33 @@ object SimilarityQueries {
        |  FROM nn c CROSS JOIN anch a WHERE c.vec_id <> a.q_id),
        |hard AS (
        |  SELECT s.q_id, s.vec_id, s.cos FROM scored s
-       |  ANTI JOIN excl x ON s.q_id = x.vec_a AND s.vec_id = x.vec_b)
+       |  ANTI JOIN excl x ON s.q_id = x.q_id AND s.vec_id = x.x_id
+       |  WHERE s.cos < 0.98)
        |SELECT q_id, rank, vec_id, round(cos, 4) AS cos FROM (
        |  SELECT q_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM hard) WHERE rank <= 5""".stripMargin
+
+  /** Two-phase distributed top-k per key — the file's canonical ranking
+    * idiom, shared so its correctness argument lives in ONE place: the
+    * first row_number runs per (key, input partition), so WindowGroupLimit
+    * prunes each partition to its local top-k BEFORE the exchange (no
+    * global sort of the scored frame); the global top-k is a subset of the
+    * union of per-partition top-ks, so the second, exchange-backed
+    * row_number over that tiny frame is exact. `order` must be a TOTAL
+    * order (carry a unique tiebreak column) or ranks are
+    * partitioning-dependent. Adds `rankName` (int), filtered ≤ k; the
+    * scratch columns are dropped. */
+  private[queries] def twoPhaseRank(in: DataFrame, keys: Seq[String],
+      order: Seq[Column], k: Int, rankName: String): DataFrame = {
+    val keyCols = keys.map(col)
+    in.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrank", row_number().over(
+        Window.partitionBy(keyCols :+ col("__pid"): _*).orderBy(order: _*)))
+      .filter(col("__lrank") <= k)
+      .withColumn(rankName, row_number().over(
+        Window.partitionBy(keyCols: _*).orderBy(order: _*)))
+      .filter(col(rankName) <= k)
+      .drop("__pid", "__lrank")
+  }
 }
