@@ -905,6 +905,94 @@ object AnalyticsQueries {
             (max(col("x")) - min(col("x"))).as("x_span"),
             (max(col("y")) - min(col("y"))).as("y_span"))
       }
+    },
+
+    // ★ Join-key skew profile — the diagnostic every 100-TB join runs
+    // FIRST: per-key counts → hottest-key list with corpus share (integer
+    // ppm) plus a global skew factor (max key count over mean key count,
+    // ×1000 fixed point). skew_x1000 ≈ 1000 means uniform; ≥ ~5000 means
+    // the hottest key funnels one sort-merge task and the join wants AQE
+    // skew split or salting (q_join_salted / q_join_salted_auto). Plan:
+    // one keyed hash agg (map-side partials), a 1-row global agg
+    // broadcast back over the key frame (BroadcastNestedLoopJoin with an
+    // O(1) side — the stats-join idiom), and a bounded top-10 TakeOrdered
+    // — no global sort, no driver collect, O(distinct keys) intermediate.
+    // All ratios are integer floor-divides so the hash matches DuckDB
+    // bit-for-bit. At 100 TB the count agg runs on a block sample instead
+    // of the full fact (the factor only needs one significant digit) —
+    // same plan, ~free.
+    q(
+      "q_skew_profile",
+      """WITH k AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows,
+        |    max(cnt) AS max_cnt FROM k)
+        |SELECT k.key, k.cnt, (k.cnt * 1000000) // g.n_rows AS share_ppm,
+        |  g.n_keys, g.n_rows,
+        |  (g.max_cnt * g.n_keys * 1000) // g.n_rows AS skew_x1000
+        |FROM k CROSS JOIN g
+        |ORDER BY k.cnt DESC, k.key LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val k = Tables(s, dir).lineitem
+        .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+      val g = k.agg(
+        count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      k.crossJoin(broadcast(g))
+        .select(col("key"), col("cnt"),
+          expr("cnt * 1000000 div n_rows").as("share_ppm"),
+          col("n_keys"), col("n_rows"),
+          expr("max_cnt * n_keys * 1000 div n_rows").as("skew_x1000"))
+        .orderBy(col("cnt").desc, col("key")).limit(10)
+    },
+
+    // ★ Small-file compaction plan — the lakehouse OPTIMIZE planner, the
+    // third leg of the layout-maintenance family (q_zorder_key orders
+    // within files, q_mv_refresh maintains derived tables, this bin-packs
+    // the files themselves): per (day, hour) micro-partition byte
+    // estimates are packed into target-sized output files by the
+    // streaming first-fit rule — file_id = exclusive-prefix-sum of bytes
+    // // target — so every output file except a partition's last is
+    // ≥ target − max(part) full and parts stay hour-contiguous (specs pin
+    // both invariants). The prefix sum runs per DAY partition, so at
+    // 100 TB the plan is embarrassingly parallel across partition
+    // directories — the window never sees more than one directory's file
+    // list (thousands of rows), and no global sort exists anywhere.
+    // Target here is 4 KiB to produce multi-file plans at fixture scale;
+    // production uses 1 GiB — one constant, same plan. Byte estimate =
+    // sum(length(props)) + 32/row stands in for the file-listing sizes a
+    // real catalog provides.
+    q(
+      "q_compact_plan",
+      """WITH p AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, hour(ts)::BIGINT AS hr,
+        |    count(*) AS n_rows,
+        |    (sum(length(props)) + 32 * count(*))::BIGINT AS est_bytes
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT day, hr, est_bytes,
+        |    (sum(est_bytes) OVER (PARTITION BY day ORDER BY hr
+        |       ROWS UNBOUNDED PRECEDING) - est_bytes)::BIGINT AS cum0
+        |  FROM p),
+        |a AS (SELECT day, hr, est_bytes, cum0 // 4096 AS file_id FROM c)
+        |SELECT day, file_id, count(*) AS n_parts, sum(est_bytes)::BIGINT AS bytes,
+        |  min(hr) AS hr_from, max(hr) AS hr_to
+        |FROM a GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val tsUs = timestamp_micros(expr("ts div 1000"))
+      val p = Tables(s, dir).events
+        .select(date_format(tsUs, "yyyy-MM-dd").as("day"),
+          hour(tsUs).cast("long").as("hr"), length(col("props")).as("pb"))
+        .groupBy(col("day"), col("hr"))
+        .agg((sum(col("pb")) + lit(32L) * count(lit(1))).as("est_bytes"))
+      val w = Window.partitionBy(col("day")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.withColumn("cum0", sum(col("est_bytes")).over(w) - col("est_bytes"))
+        .withColumn("file_id", expr("cum0 div 4096"))
+        .groupBy(col("day"), col("file_id"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("est_bytes")).as("bytes"),
+          min(col("hr")).as("hr_from"), max(col("hr")).as("hr_to"))
     }
   )
 

@@ -294,6 +294,66 @@ object PipelineQueries {
           .when(col("uniq_ratio") < 0.3, "low_diversity").otherwise("").as("reason"))
     },
 
+    // ★ Per-domain curation rollup — the C4/Gopher-style decision table a
+    // web corpus computes before sampling: for every source domain, doc
+    // and token volume, language spread, mean quality (the
+    // q_quality_score formula, carried as ×10000 integer fixed point so
+    // the aggregation is a commutative integer sum — cross-engine exact
+    // regardless of combine order), low-quality fraction in ppm, and a
+    // keep_ppm sampling rate = min(quality-proportional rate, corpus-cap
+    // rate) that downsamples low-quality domains AND caps any single
+    // domain at 25% of the corpus. Plan: ONE documents scan → per-row
+    // array features → one hash agg keyed by source (map-side partials) →
+    // a 1-row total broadcast back over the O(domains) rollup. At 100 TB
+    // the rollup is O(domains) rows — the decision table stays
+    // driver-readable no matter the corpus size, which is the point.
+    q(
+      "q_domain_stats",
+      """WITH f AS (
+        |  SELECT source, lang, len(l) AS n_tokens,
+        |    CAST(round(10000 * round(
+        |      0.4 * least(len(l) / 100.0, 1.0)
+        |      + 0.4 * (len(list_distinct(l))::DOUBLE / len(l))
+        |      + 0.2 * least((list_sum(list_transform(l, x -> length(x)))::DOUBLE
+        |                     / len(l)) / 8.0, 1.0), 4)) AS BIGINT) AS sc
+        |  FROM (SELECT source, lang, string_split(text, ' ') AS l FROM documents)),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |    count(DISTINCT lang) AS n_langs, sum(sc)::BIGINT AS sc_sum,
+        |    sum(CASE WHEN sc < 5000 THEN 1 ELSE 0 END)::BIGINT AS n_low
+        |  FROM f GROUP BY 1),
+        |g AS (SELECT sum(n_docs)::BIGINT AS total FROM s)
+        |SELECT source, n_docs, n_tokens, n_langs,
+        |  sc_sum // n_docs AS mean_score_x10000,
+        |  (n_low * 1000000) // n_docs AS low_ppm,
+        |  least((sc_sum // n_docs) * 100,
+        |        least((g.total // 4) * 1000000 // n_docs, 1000000)) AS keep_ppm
+        |FROM s CROSS JOIN g""".stripMargin
+    ) { (s, dir) =>
+      val f = Tables(s, dir).documents
+        .withColumn("l", split(col("text"), " "))
+        .select(col("source"), col("lang"), size(col("l")).as("n_tokens"),
+          round(lit(10000) * round(
+            lit(0.4) * least(size(col("l")) / 100.0, lit(1.0)) +
+              lit(0.4) * (size(array_distinct(col("l"))).cast("double") / size(col("l"))) +
+              lit(0.2) * least(
+                (aggregate(transform(col("l"), x => length(x).cast("long")), lit(0L),
+                  (a, x) => a + x).cast("double") / size(col("l"))) / 8.0, lit(1.0)),
+            4)).cast("long").as("sc"))
+      val byDomain = f.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"), sum(col("sc")).as("sc_sum"),
+          sum(when(col("sc") < 5000, 1L).otherwise(0L)).as("n_low"))
+      val g = byDomain.agg(sum(col("n_docs")).as("total"))
+      byDomain.crossJoin(broadcast(g))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          expr("sc_sum div n_docs").as("mean_score_x10000"),
+          expr("n_low * 1000000 div n_docs").as("low_ppm"),
+          least(expr("(sc_sum div n_docs) * 100"),
+            least(expr("(total div 4) * 1000000 div n_docs"), lit(1000000L)))
+            .as("keep_ppm"))
+    },
+
     // ★ Stratified sampling: per-language keep quotas via a deterministic
     // multiplicative integer hash — the downsample-by-domain step of a
     // corpus mix. Pure integer arithmetic so both engines agree exactly

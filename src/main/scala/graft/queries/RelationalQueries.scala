@@ -257,6 +257,38 @@ object RelationalQueries {
           round(sum(col("l_extendedprice")), 2).as("revenue"))
     },
 
+    // ★ Measured-skew adaptive salting — q_join_salted with the salt
+    // factor DERIVED instead of guessed: a per-key count pass finds keys
+    // whose row count exceeds a rows-per-task budget, each gets factor =
+    // ceil(cnt / budget) capped at 8, and ONLY those keys pay salting —
+    // the fact side salts by hash mod its key's factor (absent key ⇒
+    // salt 0), the dim side replicates each row factor-many times via a
+    // variable-length explode (absent ⇒ ×1). Versus static ×8 salting the
+    // dim shuffle shrinks from keys×8 to Σfactors, and cold keys keep
+    // their single sort-merge task. The factor map is O(hot keys) — tiny
+    // by construction — and rides a broadcast; at 100 TB the count pass
+    // runs on a block sample (factors need one significant digit, and a
+    // mis-estimated factor only re-shapes tasks, never results). The
+    // budget (256 rows) is fixture-sized so the three SFs exercise all
+    // regimes: sf0.001 ≈ 60 rows/key ⇒ empty map, pure pass-through;
+    // sf0.01 ⇒ factor 3; sf0.1 ⇒ capped at 8. The oracle is the UNsalted
+    // join — derived salting must be exactly as invisible as static, and
+    // the hash-match proves it. SkewAutosaltSpec pins variable factors on
+    // a genuinely skewed frame.
+    q(
+      "q_join_salted_auto",
+      """SELECT s_name, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      saltedAutoJoin(t.lineitem, t.supplier)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+
     // ★ Bloom-pruned shuffle join — the manual semi-join reduction for
     // when the optimizer's own runtime bloom injection can't reach
     // (filter derived in a previous job, dim behind a non-join boundary,
@@ -1037,5 +1069,35 @@ object RelationalQueries {
     s.read.parquet(mvPath).select(
       col("event_type"), col("day").cast("string").as("day"),
       col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  /** Measured-skew salted equi-join of `fact.l_suppkey` = `dim.s_suppkey`
+    * (q_join_salted_auto's engine, factored out so SkewAutosaltSpec can
+    * drive it over a synthetic skewed frame). Keys whose fact row count
+    * exceeds `budget` get salt factor ceil(cnt/budget) (capped at
+    * `maxFactor`); every other key keeps salt 0 and a single dim row.
+    * Returns the joined frame — semantically identical to the plain join
+    * by construction: fact salt ∈ [0, factor) and the dim carries exactly
+    * one row per salt value in that range. */
+  private[graft] def saltedAutoJoin(
+      fact: org.apache.spark.sql.DataFrame, dim: org.apache.spark.sql.DataFrame,
+      budget: Long = 256L, maxFactor: Int = 8): org.apache.spark.sql.DataFrame = {
+    val hot = fact.groupBy(col("l_suppkey").as("hk")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > budget)
+      .select(col("hk"),
+        least(ceil(col("cnt").cast("double") / budget), lit(maxFactor)).cast("int").as("factor"))
+    val f = fact.join(broadcast(hot), col("l_suppkey") === col("hk"), "left")
+      .withColumn("salt",
+        when(col("factor").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            col("factor")).cast("int")))
+      .drop("hk", "factor")
+    val d = dim.join(broadcast(hot), col("s_suppkey") === col("hk"), "left")
+      .withColumn("salt", explode(sequence(lit(0), coalesce(col("factor"), lit(1)) - 1)))
+      .drop("hk", "factor")
+    // the dim replica's salt is redundant after the match — drop it so the
+    // output has ONE unambiguous `salt` column (the fact side's)
+    f.join(d, col("l_suppkey") === col("s_suppkey") && f("salt") === d("salt"))
+      .drop(d("salt"))
   }
 }
