@@ -196,6 +196,114 @@ object AnalyticsQueries {
     (ids.indices.map(i => (ids(i), pr(i))).toDF("id", "pr"), rounds)
   }
 
+  /** Round count q_bfs_levels reaches from the min-supplier source: the
+    * source's eccentricity in the supplier↔part graph. Measured 3 at
+    * sf0.001, sf0.01 and sf0.1 — the bipartite graph densifies with
+    * scale, so the count is scale-invariant (pagerank's situation, not
+    * k-means'). BfsLevelsSpec re-measures it on the sf0.01 fixture so a
+    * regeneration that stretches the graph fails with a named message
+    * instead of an opaque hash mismatch. */
+  private[graft] val bfsRounds = 3
+
+  /** DuckDB oracle for q_bfs_levels: `bfsRounds` unrolled frontier
+    * expansions, each keeping min(lvl) per node — min over a UNION ALL
+    * commutes, so no ordering clause is needed for parity. */
+  private def bfsLevelsSql: String = {
+    val stages = (1 to bfsRounds).map { i =>
+      s"""v$i AS (
+         |  SELECT id, min(lvl)::BIGINT AS lvl FROM (
+         |    SELECT id, lvl FROM v${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, ${i}::BIGINT AS lvl
+         |    FROM e JOIN v${i - 1} v ON e.src = v.id
+         |  ) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |e AS (SELECT s AS src, p + 1000000 AS dst FROM sp
+       |      UNION ALL SELECT p + 1000000, s FROM sp),
+       |v0 AS (SELECT (SELECT min(s) FROM sp)::BIGINT AS id, 0::BIGINT AS lvl),
+       |$stages
+       |SELECT lvl AS level, count(*)::BIGINT AS n_nodes,
+       |  ${bfsRounds}::BIGINT AS n_rounds,
+       |  (SELECT count(DISTINCT src) FROM e)::BIGINT
+       |    - (SELECT count(*) FROM v$bfsRounds)::BIGINT AS n_unreached
+       |FROM v$bfsRounds GROUP BY lvl""".stripMargin
+  }
+
+  /** Single-source BFS over a directed edge frame (src, dst): returns
+    * (levels(id, lvl), rounds) where lvl is the exact hop distance from
+    * `root` and rounds its eccentricity. Levels are unique per node —
+    * no expansion order can change them — so local and distributed paths
+    * are identical by construction. Per round the distributed path runs
+    * one keyed join (frontier → neighbors), a distinct, and an anti join
+    * against the visited set, all O(frontier ∪ visited); every round's
+    * frames are eagerly localCheckpoint'd and the round-before-last's
+    * blocks released (the pagerank-loop hygiene). Below
+    * `localThreshold` edges (DriverLocalGate's byte budget) the loop
+    * collects once and runs driver-local. Public so BfsLevelsSpec can
+    * pin both paths on a hand-built graph. */
+  def bfsLevels(s: SparkSession, edges: DataFrame, root: Long, maxRounds: Int,
+      localThreshold: Long = DriverLocalGate.maxLocalEdges): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import s.implicits._
+    val ed = edges.persist(MEMORY_AND_DISK)
+    if (ed.count() <= localThreshold) {
+      val rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      ed.unpersist(false)
+      return bfsLocal(s, rows, root)
+    }
+    var visited = Seq((root, 0L)).toDF("id", "lvl").localCheckpoint(true)
+    var frontier = visited
+    var prevVisitedCkpt = graft.plans.Checkpoints.checkpointedRdd(visited)
+    var prevFrontierCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = ed.join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit((rounds + 1).toLong).as("lvl"))
+        .localCheckpoint(true)
+      // the previous frontier's blocks fed the join above; with `next`
+      // materialized they are dead (visited holds its own copy)
+      prevFrontierCkpt.foreach(_.unpersist(false))
+      prevFrontierCkpt = graft.plans.Checkpoints.checkpointedRdd(next)
+      if (next.isEmpty) done = true
+      else {
+        rounds += 1
+        val grown = visited.unionByName(next).localCheckpoint(true)
+        prevVisitedCkpt.foreach(_.unpersist(false))
+        prevVisitedCkpt = graft.plans.Checkpoints.checkpointedRdd(grown)
+        visited = grown
+        frontier = next
+      }
+    }
+    ed.unpersist(false)
+    (visited, rounds)
+  }
+
+  /** Driver-local BFS twin: adjacency over index-compressed ids, a
+    * frontier queue, exact integer levels — identical to the distributed
+    * loop because levels are order-independent. */
+  private def bfsLocal(s: SparkSession, rows: Array[(Long, Long)],
+      root: Long): (DataFrame, Int) = {
+    import s.implicits._
+    val adj = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val lvl = scala.collection.mutable.LongMap[Long](root -> 0L)
+    var frontier = Array(root)
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+        .distinct.filterNot(lvl.contains)
+      if (next.nonEmpty) {
+        rounds += 1
+        next.foreach(n => lvl(n) = rounds.toLong)
+      }
+      frontier = next
+    }
+    (lvl.toSeq.toDF("id", "lvl"), rounds)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Arbitrary GROUPING SETS — the grouping-set shape rollup/cube can't
@@ -863,6 +971,46 @@ object AnalyticsQueries {
           lit(rounds.toLong).as("n_rounds"))
         .orderBy(col("pr").desc, col("id"))
         .limit(25)
+    },
+
+    // ★ BFS levels — single-source shortest hop-distance over the same
+    // supplier↔part graph, the reachability member of the loop family
+    // (pagerank ranks, k-means trains, BFS measures). Levels are integer
+    // and UNIQUE per node regardless of expansion order, so the loop is
+    // bit-deterministic with no fixed-point tricks needed; the round
+    // count is the source's eccentricity — measured 3 at sf0.001, sf0.01
+    // AND sf0.1 alike (the bipartite graph densifies as it grows, so
+    // diameter never stretches; scale-invariant like pagerank's 15, and
+    // BfsLevelsSpec turns a fixture drift into a named failure). Output
+    // is the per-level node histogram + the unreached count — the
+    // dup-graph ops report ("how many hops does contamination spread").
+    // Per round: one keyed join + distinct + an anti join against
+    // visited, all O(frontier); localCheckpoint truncates lineage and
+    // the previous round's blocks are released (the pagerank-loop
+    // hygiene). Below DriverLocalGate's byte budget the loop runs
+    // driver-local, spec-proven identical.
+    q(
+      "q_bfs_levels",
+      bfsLevelsSql
+    ) { (s, dir) =>
+      val sp = Tables(s, dir).lineitem
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val edges = sp
+        .select(explode(array(
+          struct(col("s").as("src"), (col("p") + 1000000L).as("dst")),
+          struct((col("p") + 1000000L).as("src"), col("s").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // one scalar driver action for the source id — the loop family's
+      // per-round actions dwarf this
+      val root = sp.agg(min(col("s"))).head.getLong(0)
+      val (levels, rounds) = bfsLevels(s, edges, root, 64)
+      val totals = edges.agg(countDistinct(col("src")).as("n_nodes_total"))
+        .crossJoin(broadcast(levels.agg(count(lit(1)).as("n_reached"))))
+      levels.groupBy(col("lvl").as("level"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(totals))
+        .select(col("level"), col("n_nodes"), lit(rounds.toLong).as("n_rounds"),
+          (col("n_nodes_total") - col("n_reached")).as("n_unreached"))
     },
 
     // ★ Z-order layout key — multi-dimensional data clustering for the

@@ -689,6 +689,47 @@ object DedupQueries {
     ) { (s, dir) =>
       triangleCount(
         simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    },
+
+    // ★ Dup-cluster size report — the artifact a dedup run actually ships
+    // to its operators: the cluster-size histogram (how many clusters of
+    // each size, how many docs they hold, the smallest cluster id per
+    // size as a drill-down handle) PLUS the singleton row — docs that
+    // appear in no near-dup pair, counted by difference against the
+    // corpus total so the report partitions the corpus exactly (CC
+    // clusters are always ≥ 2 docs, so size 1 is unambiguous). Shape at
+    // 100 TB: the histogram is O(distinct sizes) rows — always tiny — and
+    // everything upstream is the existing bounded CC machinery; the
+    // corpus total is one 1-row agg crossed in. This is the query that
+    // catches the classic dedup failure modes at a glance: a giant
+    // near-everything cluster (boilerplate collapse) shows up as one row
+    // with a huge cluster_size; an over-tight threshold shows up as all
+    // singletons.
+    q(
+      "q_cluster_stats",
+      clusterStatsSql
+    ) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .persist(MEMORY_AND_DISK)
+      val cl = connectedComponents(s, pairs)
+        .groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+        .persist(MEMORY_AND_DISK)
+      val hist = cl.groupBy(col("csize").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), min(col("comp")).as("min_cluster_id"))
+        .select(col("cluster_size"),
+          col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          col("min_cluster_id"))
+      val totals = Tables(s, dir).documents.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(
+          cl.agg(coalesce(sum(col("csize")), lit(0L)).as("n_clustered"))))
+      val singletons = totals.select(
+        lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"),
+        lit(null).cast("long").as("min_cluster_id"))
+      hist.unionByName(singletons)
     }
   )
 
@@ -1158,6 +1199,29 @@ object DedupQueries {
       .filter(col("ham") <= 3)
       .select(col("doc_a"), col("doc_b"), col("ham"))
   }
+
+  /** q_cluster_stats oracle: the clusterSql transitive closure rolled up
+    * to a size histogram, plus the singleton row by difference against
+    * the documents total. */
+  private lazy val clusterStatsSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($simhashSql)),
+       |nodes AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, comp) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+       |cl AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM lab GROUP BY 1)
+       |SELECT csize AS cluster_size, count(*)::BIGINT AS n_clusters,
+       |  (csize * count(*))::BIGINT AS n_docs, min(cluster_id) AS min_cluster_id
+       |FROM cl GROUP BY csize
+       |UNION ALL
+       |SELECT 1, t.n - s.c, t.n - s.c, NULL::BIGINT FROM
+       |  (SELECT count(*)::BIGINT AS n FROM documents) t,
+       |  (SELECT coalesce(sum(csize), 0)::BIGINT AS c FROM cl) s""".stripMargin
 
   /** Cluster oracle: transitive closure of the SimHash edge set via a
     * recursive CTE carrying every reachable label; min per node ≡ the

@@ -57,6 +57,21 @@ class LayoutCurationSpec extends SparkSpec {
     }
   }
 
+  test("q_cluster_stats: the report partitions the corpus exactly") {
+    val rows = SparkEntry.queries("q_cluster_stats")(spark, sfDir).collect()
+    val totalDocs = Tables(spark, sfDir).documents.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs,
+      "histogram + singleton row must cover every document exactly once")
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_docs") === size * r.getAs[Long]("n_clusters"))
+      // CC clusters have ≥2 members; size 1 is the synthetic singleton row
+      if (size >= 2L) assert(!r.isNullAt(r.fieldIndex("min_cluster_id")))
+      else assert(r.isNullAt(r.fieldIndex("min_cluster_id")))
+    }
+    Bench.cleanup(spark)
+  }
+
   test("q_domain_stats: rates are clamped and doc counts conserve") {
     val rows = SparkEntry.queries("q_domain_stats")(spark, sfDir).collect()
     assert(rows.nonEmpty)
