@@ -340,10 +340,14 @@ object PipelineQueries {
                 (aggregate(transform(col("l"), x => length(x).cast("long")), lit(0L),
                   (a, x) => a + x).cast("double") / size(col("l"))) / 8.0, lit(1.0)),
             4)).cast("long").as("sc"))
+      // cached: the O(domains) rollup feeds both the output and the 1-row
+      // corpus total — one documents scan, not two (Bench.cleanup
+      // unpersists)
       val byDomain = f.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           countDistinct(col("lang")).as("n_langs"), sum(col("sc")).as("sc_sum"),
           sum(when(col("sc") < 5000, 1L).otherwise(0L)).as("n_low"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val g = byDomain.agg(sum(col("n_docs")).as("total"))
       byDomain.crossJoin(broadcast(g))
         .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),

@@ -1082,10 +1082,14 @@ object RelationalQueries {
   private[graft] def saltedAutoJoin(
       fact: org.apache.spark.sql.DataFrame, dim: org.apache.spark.sql.DataFrame,
       budget: Long = 256L, maxFactor: Int = 8): org.apache.spark.sql.DataFrame = {
+    // O(hot keys) by construction — cached so the count pass scans the
+    // fact ONCE (it feeds both the fact-side and dim-side broadcasts;
+    // uncached, each broadcast replans the scan — Bench.cleanup unpersists)
     val hot = fact.groupBy(col("l_suppkey").as("hk")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > budget)
       .select(col("hk"),
         least(ceil(col("cnt").cast("double") / budget), lit(maxFactor)).cast("int").as("factor"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val f = fact.join(broadcast(hot), col("l_suppkey") === col("hk"), "left")
       .withColumn("salt",
         when(col("factor").isNull, lit(0))

@@ -496,4 +496,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(scans === 1, s"expected 1 parquet scan, found $scans:\n${plan.take(3000)}")
     assert(!plan.contains("Join"), plan.take(3000))
   }
+
+  test("q_skew_profile: the per-key frame is cached — one fact scan feeds both consumers") {
+    // uncached, the top-10 arm and the 1-row global-stats arm each replan
+    // the fact scan + count agg; the cache makes the second consumer an
+    // in-memory read of the O(distinct keys) frame
+    val plan = planOf("q_skew_profile")
+    val mem = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(mem >= 2, s"expected both consumers on the cached key frame:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    Bench.cleanup(spark)
+  }
+
+  test("q_domain_stats: the domain rollup is cached — one documents scan total") {
+    val plan = planOf("q_domain_stats")
+    val mem = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(mem >= 2, s"expected output + corpus total on the cached rollup:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    Bench.cleanup(spark)
+  }
+
+  test("q_compact_plan: one scan, hash-aggregated, day-partitioned window — no global sort") {
+    val plan = planOf("q_compact_plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected 1 parquet scan, found $scans:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+    // the prefix sum runs per day PARTITION; a global ordering would plan
+    // a range-partitioned Sort under no Window
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q_join_salted_auto: the hot-factor map rides broadcasts, never a shuffle") {
+    val plan = planOf("q_join_salted_auto")
+    // fact-side salt lookup + dim-side replication: both broadcast joins
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 2, s"expected ≥2 broadcast joins for the factor map:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    Bench.cleanup(spark)
+  }
 }
