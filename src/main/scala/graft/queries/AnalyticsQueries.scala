@@ -375,6 +375,46 @@ object AnalyticsQueries {
         )
     },
 
+    // ★ Equi-DEPTH binning — q_histogram's feature-engineering
+    // counterpart (equal counts per bin, not equal widths), done the way
+    // that scales: ONE exact-percentile agg produces the 9 decile
+    // boundaries (both engines linear-interpolate over the same sorted
+    // data, so the raw doubles agree bit-for-bit — q_agg_percentile's
+    // precedent), the 1-row boundary array broadcasts, and bin
+    // assignment is a per-row array filter inside codegen. The naive
+    // formulation — ntile(10) OVER (ORDER BY value) — plans a GLOBAL
+    // sort of the table through one task and is exactly what this query
+    // exists to avoid; at 100 TB the boundary agg swaps for
+    // approx_percentile (same 1-row broadcast, same assignment) and
+    // nothing else changes. Ties land in the lower bin on both engines
+    // (strict < against the boundary).
+    q(
+      "q_bin_equidepth",
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice::DOUBLE,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM orders)
+        |SELECT bin, count(*) AS n,
+        |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM (
+        |  SELECT o_totalprice AS v,
+        |    1 + len(list_filter(b.bs, x -> x < o_totalprice)) AS bin
+        |  FROM orders, b)
+        |GROUP BY bin""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val bnds = t.orders.agg(
+        percentile(col("o_totalprice"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+      t.orders.crossJoin(broadcast(bnds))
+        .select(col("o_totalprice").as("v"),
+          (lit(1) + size(filter(col("bs"), x => x < col("o_totalprice"))))
+            .cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
+    },
+
     // Weekly cohort retention over events: a user's cohort is their first
     // active ISO week; active_users counts distinct users per (cohort,
     // week offset). ONE shuffle by user builds cohort + the user's

@@ -57,6 +57,27 @@ class LayoutCurationSpec extends SparkSpec {
     }
   }
 
+  test("q_bin_equidepth: bins are ordered, non-overlapping, and count-balanced") {
+    val rows = SparkEntry.queries("q_bin_equidepth")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq, "bins must be 1..k")
+    rows.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"bins ${a._1}/${b._1} overlap")
+      case _           =>
+    }
+    // equi-DEPTH: on tie-free data every bin holds within one boundary-tie
+    // of total/k (the fixture's 2-decimal prices are effectively tie-free)
+    val total = rows.map(_._2).sum
+    val per = total / rows.length
+    rows.foreach { case (bin, n, _, _) =>
+      assert(math.abs(n - per) <= math.max(1L, per / 20),
+        s"bin $bin holds $n of ~$per — not equi-depth")
+    }
+  }
+
   test("q_cluster_stats: the report partitions the corpus exactly") {
     val rows = SparkEntry.queries("q_cluster_stats")(spark, sfDir).collect()
     val totalDocs = Tables(spark, sfDir).documents.count()
