@@ -1035,11 +1035,14 @@ object AnalyticsQueries {
     ) { (s, dir) =>
       val sp = Tables(s, dir).lineitem
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      // cached: the edge frame feeds the BFS loop AND the node-total arm —
+      // one lineitem scan + distinct, not two (Bench.cleanup unpersists)
       val edges = sp
         .select(explode(array(
           struct(col("s").as("src"), (col("p") + 1000000L).as("dst")),
           struct((col("p") + 1000000L).as("src"), col("s").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one scalar driver action for the source id — the loop family's
       // per-round actions dwarf this
       val root = sp.agg(min(col("s"))).head.getLong(0)

@@ -497,6 +497,49 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("rk"))
     },
 
+    // ★ Temperature-flattened corpus mixing — the multilingual sampling
+    // rule (select with probability ∝ share^α, α < 1) that keeps
+    // low-resource languages from vanishing under proportional sampling:
+    // per-language weights n^0.7 in ×1e6 integer fixed point (floor over
+    // the same IEEE pow both engines compute), integer-divided against a
+    // half-corpus budget, capped at availability, then the same
+    // deterministic md5-rank draw as q_corpus_mix. The quota table is
+    // O(langs) and broadcast; the draw is one partitioned rank. The
+    // fixture's language distribution is uniform (quotas degenerate to
+    // equal) — TemperatureMixSpec proves the flattening property on a
+    // planted 100:1 skew: the small language's quota share strictly
+    // exceeds its corpus share, the big one's falls. At 100 TB quotas
+    // above availability switch to sampling WITH replacement (an
+    // explode over ceil(quota/n) copies) — same quota math.
+    q(
+      "q_corpus_mix_temperature",
+      """WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(pow(n, 0.7) * 1e6) AS BIGINT) AS wt FROM counts),
+        |tot AS (SELECT sum(wt)::BIGINT AS tw, (sum(n) // 2)::BIGINT AS budget FROM w),
+        |quota AS (
+        |  SELECT lang, least(n, (t.budget * w.wt) // t.tw) AS cap
+        |  FROM w CROSS JOIN tot t),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5('mixT#' || doc_id)) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk, q.cap AS quota FROM ranked r
+        |JOIN quota q ON r.lang = q.lang WHERE r.rk <= q.cap""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val quota = temperatureQuotas(counts, 0.7)
+      val ranked = docs
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("mixT#"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"))).cast("long"))
+      ranked
+        .join(broadcast(quota), "lang")
+        .filter(col("rk") <= col("cap"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("cap").as("quota"))
+    },
+
     // ★ PII scrub: inject deterministic emails/IPv4s, then extract-count
     // and redact them; md5 of the scrubbed text pins the whole rewritten
     // output, not just the counts. Pure per-row regex work — narrow at
@@ -660,4 +703,22 @@ object PipelineQueries {
        |  sum(CASE WHEN split_naive = 'val' THEN 1 ELSE 0 END)::BIGINT,
        |  sum(CASE WHEN split_naive = 'test' THEN 1 ELSE 0 END)::BIGINT
        |FROM sp""".stripMargin
+
+  /** Temperature-flattened sampling quotas over a `(lang, n)` count frame
+    * (q_corpus_mix_temperature's engine): weight n^alpha in ×1e6 integer
+    * fixed point, budget = half the corpus, quota = min(n, budget·w/Σw)
+    * by integer division. Returns (lang, n, cap). Factored out so
+    * TemperatureMixSpec can prove the flattening property on a planted
+    * skew the uniform fixture can't show. 64-bit headroom: budget·wt
+    * stays in range for corpora to ~1e8 docs per language at α=0.7
+    * (budget·1e6·n^0.7 < 2^63); a larger corpus drops the fixed-point
+    * scale to ×1e3 — quota granularity, not semantics. */
+  private[graft] def temperatureQuotas(counts: DataFrame, alpha: Double): DataFrame = {
+    val w = counts.select(col("lang"), col("n"),
+      floor(pow(col("n"), lit(alpha)) * lit(1e6)).cast("long").as("wt"))
+    val tot = w.agg(sum(col("wt")).as("tw"), expr("sum(n) div 2").as("budget"))
+    w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        least(col("n"), expr("budget * wt div tw")).as("cap"))
+  }
 }
