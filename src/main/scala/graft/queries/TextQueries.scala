@@ -243,7 +243,67 @@ object TextQueries {
        |FROM docs""".stripMargin
   }
 
+  /** q_tokenize_pack oracle: the shared BPE training stages, per-word
+    * symbol counts off the final vocabulary (no id mapping — packing
+    * needs counts, not sequences), then the q_pack_sequences
+    * prefix-sum bin rule over TRAINED token counts. */
+  private lazy val tokenizePackSql: String = {
+    s"""WITH $bpeStagesPrefixSql,
+       |ev AS (SELECT word, len(L)::BIGINT AS n_sym FROM v$bpeConvergeRounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |tc AS (
+       |  SELECT dw.doc_id, sum(ev.n_sym)::BIGINT AS n_tokens
+       |  FROM dw JOIN ev USING (word) WHERE length(dw.word) >= 1
+       |  GROUP BY dw.doc_id),
+       |wl AS (
+       |  SELECT t.doc_id, d.lang, t.n_tokens,
+       |    sum(t.n_tokens) OVER (PARTITION BY d.lang ORDER BY t.doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tc t JOIN documents d USING (doc_id))
+       |SELECT lang, ((cum - n_tokens) // 2048)::BIGINT AS bin,
+       |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |  (sum(n_tokens) * 1000000 // 2048)::BIGINT AS fill_ppm
+       |FROM wl GROUP BY 1, 2""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ★ Tokenize → pack, composed — the end-to-end sequence-prep step a
+    // training pipeline actually runs: q_pack_sequences packs by
+    // WHITESPACE token counts (the pre-tokenizer estimate); this query
+    // packs by the counts the TRAINED tokenizer actually produces — per
+    // word, the symbol count of the shared BPE training loop's final
+    // vocabulary (bpeTrainLoop; q_bpe_encode's ids are irrelevant to
+    // capacity, so the id mapping never builds). The difference is the
+    // operational point: budget-packing against estimated counts
+    // over/under-fills real 2048-token windows; against trained counts
+    // fill_ppm IS the achieved window utilization. Shape: the corpus is
+    // touched twice (word explode + the lang join), everything else is
+    // vocab-sized or O(docs); the pack windows are per-lang prefix sums
+    // — q_pack_sequences' parallel-across-partitions scale argument
+    // unchanged. Output per (lang, bin): docs, trained tokens, fill ppm.
+    q(
+      "q_tokenize_pack",
+      tokenizePackSql
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val (_, finalVocab) = bpeTrainLoop(s, docs)
+      val ev = finalVocab.select(col("word"), size(col("L")).cast("long").as("n_sym"))
+      val dw = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      val tc = dw.join(ev, "word")
+        .groupBy(col("doc_id")).agg(sum(col("n_sym")).as("n_tokens"))
+      val wl = tc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      wl.groupBy(col("lang"), expr("(cum - n_tokens) div 2048").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          expr("sum(n_tokens) * 1000000 div 2048").as("fill_ppm"))
+    },
 
     // ★ BPE training to CONVERGENCE — see bpeTrainConverge; the loop
     // family's completion for the tokenizer lane (pagerank/kmeans proved
