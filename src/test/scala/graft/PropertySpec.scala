@@ -172,4 +172,41 @@ class PropertySpec extends SparkSpec {
     }
     Bench.cleanup(spark)
   }
+
+  test("adaptive salting is join-invisible for arbitrary key distributions") {
+    // SkewAutosaltSpec pins the planted 8/3/1 factor shape; this property
+    // sweeps random distributions (uniform, square-skewed, constant-key)
+    // and requires bit-identical per-key aggregates vs the plain join —
+    // including keys straddling the budget boundary, where a factor
+    // derivation off-by-one would double- or zero-count matched rows.
+    import org.apache.spark.sql.functions._
+    import SharedSpark.spark.implicits._
+    val distGen = for {
+      nKeys <- Gen.chooseNum(1, 12)
+      rows <- Gen.chooseNum(1, 1500)
+      shape <- Gen.oneOf("uniform", "square", "constant")
+    } yield (nKeys, rows, shape)
+    samples(distGen, 12).foreach { case (nKeys, rows, shape) =>
+      val fact = spark.range(0, rows.toLong).select(
+        (shape match {
+          case "uniform"  => col("id") % nKeys
+          case "square"   => (col("id") * col("id")) % nKeys
+          case "constant" => lit(0L)
+        }).as("l_suppkey"),
+        col("id").as("l_orderkey"), (col("id") % 5).as("l_linenumber"),
+        (col("id") % 97).cast("double").as("l_extendedprice"))
+      val dim = spark.range(0, nKeys.toLong)
+        .select(col("id").as("s_suppkey"), concat(lit("s"), col("id")).as("s_name"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val plain = agg(fact.join(dim, col("l_suppkey") === col("s_suppkey")))
+      val salted = agg(graft.queries.RelationalQueries.saltedAutoJoin(fact, dim,
+        budget = 100L))
+      assert(salted === plain, s"mismatch at nKeys=$nKeys rows=$rows shape=$shape")
+    }
+    Bench.cleanup(spark)
+  }
 }
