@@ -31,11 +31,20 @@ object CorpusDemo {
       ("q_dedup_substring", "exact substring dedup: shared 20-token spans w/ positions"),
       ("q_dedup_substring_scrub", "span removal: shared windows excised from non-keepers"),
       ("q_multimodal_dedup", "multimodal near-dup: re-wrapped containers by parsed-frame hash"),
+      ("q_domain_stats", "per-domain curation table: volume, quality, clamped keep_ppm"),
+      ("q_cluster_stats", "dup-cluster size report: histogram + singleton row"),
       ("q_corpus_mix", "language re-weighting: data-derived quotas"),
+      ("q_corpus_mix_temperature", "temperature-flattened quotas: share^0.7, capped"),
       ("q_pack_sequences", "context-window packing: token-budget bins per language"),
+      ("q_tokenize_pack", "packing against TRAINED token counts: achieved fill ppm"),
       ("q_shuffle_order", "reproducible training-order shuffle"),
       ("q_similarity_topk", "exact embedding top-k (two-phase)"),
-      ("q_ann_recall_pq_rerank", "PQ shortlist + exact rerank: the L→recall curve")
+      ("q_ann_recall_pq_rerank", "PQ shortlist + exact rerank: the L→recall curve"),
+      // ops diagnostics around the corpus run (lineitem/events tables)
+      ("q_skew_profile", "pre-join skew report: hot-key ppm shares + skew factor"),
+      ("q_join_salted_auto", "measured-skew adaptive salted join (oracle: plain join)"),
+      ("q_compact_plan", "small-file compaction plan: prefix-sum first-fit bins"),
+      ("q_bin_equidepth", "equi-depth deciles without a global sort")
     )
 
     stages.foreach { case (name, what) =>
