@@ -250,7 +250,7 @@ object AnalyticsQueries {
     if (ed.count() <= localThreshold) {
       val rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
       ed.unpersist(false)
-      return bfsLocal(s, rows, root)
+      return bfsLocal(s, rows, root, maxRounds)
     }
     var visited = Seq((root, 0L)).toDF("id", "lvl").localCheckpoint(true)
     var frontier = visited
@@ -278,21 +278,26 @@ object AnalyticsQueries {
         frontier = next
       }
     }
+    // the final frontier's blocks are dead on every exit path: its data
+    // is already copied into the returned visited frame (or the frontier
+    // was empty) — release it, the pagerank-loop discipline
+    prevFrontierCkpt.foreach(_.unpersist(false))
     ed.unpersist(false)
     (visited, rounds)
   }
 
   /** Driver-local BFS twin: adjacency over index-compressed ids, a
     * frontier queue, exact integer levels — identical to the distributed
-    * loop because levels are order-independent. */
+    * loop (same `maxRounds` truncation included) because levels are
+    * order-independent. */
   private def bfsLocal(s: SparkSession, rows: Array[(Long, Long)],
-      root: Long): (DataFrame, Int) = {
+      root: Long, maxRounds: Int): (DataFrame, Int) = {
     import s.implicits._
     val adj = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
     val lvl = scala.collection.mutable.LongMap[Long](root -> 0L)
     var frontier = Array(root)
     var rounds = 0
-    while (frontier.nonEmpty) {
+    while (frontier.nonEmpty && rounds < maxRounds) {
       val next = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
         .distinct.filterNot(lvl.contains)
       if (next.nonEmpty) {
@@ -1033,21 +1038,29 @@ object AnalyticsQueries {
       "q_bfs_levels",
       bfsLevelsSql
     ) { (s, dir) =>
+      // cached: the distinct pair frame is the expensive part (lineitem
+      // scan + distinct) and feeds the root lookup, the BFS edge build,
+      // AND the node-total arm — bfsLevels manages (and releases) its own
+      // edge cache internally, so the reuse point must sit ABOVE it
+      // (Bench.cleanup unpersists)
       val sp = Tables(s, dir).lineitem
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
-      // cached: the edge frame feeds the BFS loop AND the node-total arm —
-      // one lineitem scan + distinct, not two (Bench.cleanup unpersists)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = sp
         .select(explode(array(
           struct(col("s").as("src"), (col("p") + 1000000L).as("dst")),
           struct((col("p") + 1000000L).as("src"), col("s").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one scalar driver action for the source id — the loop family's
       // per-round actions dwarf this
       val root = sp.agg(min(col("s"))).head.getLong(0)
       val (levels, rounds) = bfsLevels(s, edges, root, 64)
-      val totals = edges.agg(countDistinct(col("src")).as("n_nodes_total"))
+      // node total off the cached pair frame: suppliers and offset parts
+      // are disjoint, so |nodes| = |distinct s| + |distinct p| — the same
+      // count the oracle takes as count(DISTINCT src) over both edge
+      // directions
+      val totals = sp
+        .agg((countDistinct(col("s")) + countDistinct(col("p"))).as("n_nodes_total"))
         .crossJoin(broadcast(levels.agg(count(lit(1)).as("n_reached"))))
       levels.groupBy(col("lvl").as("level"))
         .agg(count(lit(1)).as("n_nodes"))

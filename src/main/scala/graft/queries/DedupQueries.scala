@@ -710,8 +710,9 @@ object DedupQueries {
       clusterStatsSql
     ) { (s, dir) =>
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // no pairs persist here: connectedComponents caches the edge frame
+      // itself (its first statement), and this builder never re-reads it
       val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .persist(MEMORY_AND_DISK)
       val cl = connectedComponents(s, pairs)
         .groupBy(col("comp")).agg(count(lit(1)).as("csize"))
         .persist(MEMORY_AND_DISK)

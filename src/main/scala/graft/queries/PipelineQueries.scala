@@ -507,7 +507,7 @@ object PipelineQueries {
     // O(langs) and broadcast; the draw is one partitioned rank. The
     // fixture's language distribution is uniform (quotas degenerate to
     // equal) — TemperatureMixSpec proves the flattening property on a
-    // planted 100:1 skew: the small language's quota share strictly
+    // planted 10:1 skew: the small language's quota share strictly
     // exceeds its corpus share, the big one's falls. At 100 TB quotas
     // above availability switch to sampling WITH replacement (an
     // explode over ceil(quota/n) copies) — same quota math.
@@ -709,16 +709,23 @@ object PipelineQueries {
     * fixed point, budget = half the corpus, quota = min(n, budget·w/Σw)
     * by integer division. Returns (lang, n, cap). Factored out so
     * TemperatureMixSpec can prove the flattening property on a planted
-    * skew the uniform fixture can't show. 64-bit headroom: budget·wt
-    * stays in range for corpora to ~1e8 docs per language at α=0.7
-    * (budget·1e6·n^0.7 < 2^63); a larger corpus drops the fixed-point
-    * scale to ×1e3 — quota granularity, not semantics. */
+    * skew the uniform fixture can't show. 64-bit headroom: budget·wt <
+    * 2^63 requires (N/2)·1e6·n^0.7 in range — worst case n = N gives
+    * N^1.7 < 1.8e13, i.e. total corpora to ~5×10⁷ docs; beyond that
+    * drop the fixed-point scale to ×1e3 (→ ~10⁹ docs) — quota
+    * granularity, not semantics. Spark's non-ANSI multiply would WRAP
+    * silently past the bound (a negative cap filters a whole language),
+    * so a wrapped-negative quota trips a loud per-row error instead. */
   private[graft] def temperatureQuotas(counts: DataFrame, alpha: Double): DataFrame = {
     val w = counts.select(col("lang"), col("n"),
       floor(pow(col("n"), lit(alpha)) * lit(1e6)).cast("long").as("wt"))
     val tot = w.agg(sum(col("wt")).as("tw"), expr("sum(n) div 2").as("budget"))
     w.crossJoin(broadcast(tot))
       .select(col("lang"), col("n"),
-        least(col("n"), expr("budget * wt div tw")).as("cap"))
+        least(col("n"),
+          when(expr("budget * wt div tw") < 0,
+            raise_error(lit("temperatureQuotas: 64-bit overflow in budget*wt — " +
+              "drop the fixed-point scale (see scaladoc)")))
+            .otherwise(expr("budget * wt div tw"))).as("cap"))
   }
 }

@@ -1079,26 +1079,41 @@ object RelationalQueries {
     * Returns the joined frame — semantically identical to the plain join
     * by construction: fact salt ∈ [0, factor) and the dim carries exactly
     * one row per salt value in that range. */
-  private[graft] def saltedAutoJoin(
-      fact: org.apache.spark.sql.DataFrame, dim: org.apache.spark.sql.DataFrame,
-      budget: Long = 256L, maxFactor: Int = 8): org.apache.spark.sql.DataFrame = {
-    // O(hot keys) by construction — cached so the count pass scans the
-    // fact ONCE (it feeds both the fact-side and dim-side broadcasts;
-    // uncached, each broadcast replans the scan — Bench.cleanup unpersists)
-    val hot = fact.groupBy(col("l_suppkey").as("hk")).agg(count(lit(1)).as("cnt"))
+  /** Per-key salt factors for [[saltedAutoJoin]]: keys whose fact row
+    * count exceeds `budget` get ceil(cnt/budget) capped at `maxFactor`.
+    * O(hot keys) by construction — cached so the count pass scans the
+    * fact ONCE (it feeds both the fact-side and dim-side broadcasts;
+    * uncached, each broadcast replans the scan — Bench.cleanup
+    * unpersists). */
+  private[graft] def autosaltFactors(fact: org.apache.spark.sql.DataFrame,
+      budget: Long, maxFactor: Int): org.apache.spark.sql.DataFrame =
+    fact.groupBy(col("l_suppkey").as("hk")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > budget)
       .select(col("hk"),
         least(ceil(col("cnt").cast("double") / budget), lit(maxFactor)).cast("int").as("factor"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The replicated dim side: each row explodes into its key's factor-many
+    * salt replicas (absent from `hot` ⇒ ×1, salt 0). Split out so
+    * SkewAutosaltSpec can assert the replication count is Σfactors — the
+    * shuffle-size property static ×maxFactor salting gives up. */
+  private[graft] def autosaltDim(dim: org.apache.spark.sql.DataFrame,
+      hot: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dim.join(broadcast(hot), col("s_suppkey") === col("hk"), "left")
+      .withColumn("salt", explode(sequence(lit(0), coalesce(col("factor"), lit(1)) - 1)))
+      .drop("hk", "factor")
+
+  private[graft] def saltedAutoJoin(
+      fact: org.apache.spark.sql.DataFrame, dim: org.apache.spark.sql.DataFrame,
+      budget: Long = 256L, maxFactor: Int = 8): org.apache.spark.sql.DataFrame = {
+    val hot = autosaltFactors(fact, budget, maxFactor)
     val f = fact.join(broadcast(hot), col("l_suppkey") === col("hk"), "left")
       .withColumn("salt",
         when(col("factor").isNull, lit(0))
           .otherwise(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
             col("factor")).cast("int")))
       .drop("hk", "factor")
-    val d = dim.join(broadcast(hot), col("s_suppkey") === col("hk"), "left")
-      .withColumn("salt", explode(sequence(lit(0), coalesce(col("factor"), lit(1)) - 1)))
-      .drop("hk", "factor")
+    val d = autosaltDim(dim, hot)
     // the dim replica's salt is redundant after the match — drop it so the
     // output has ONE unambiguous `salt` column (the fact side's)
     f.join(d, col("l_suppkey") === col("s_suppkey") && f("salt") === d("salt"))

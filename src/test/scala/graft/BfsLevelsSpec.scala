@@ -39,6 +39,19 @@ class BfsLevelsSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("maxRounds truncation is identical on both paths") {
+    // the chain's last node sits at lvl 3; a 2-round cap must omit it the
+    // SAME way locally and distributed (the local twin honors maxRounds)
+    val (lvLocal, rLocal) = AnalyticsQueries.bfsLevels(spark, edges, 1L, 2)
+    val (lvDist, rDist) =
+      AnalyticsQueries.bfsLevels(spark, edges, 1L, 2, localThreshold = 0L)
+    assert(rLocal === 2 && rDist === 2)
+    val local = collectLevels(lvLocal)
+    assert(local === collectLevels(lvDist))
+    assert(!local.contains(4L), "node beyond the round cap must be unexplored")
+    Bench.cleanup(spark)
+  }
+
   test("unreachable nodes never appear; a lone root yields zero rounds") {
     // two components: {1,2} and {5,6}; BFS from 1 must not reach 5/6
     val disc = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L)).toDF("src", "dst")

@@ -53,13 +53,16 @@ class SkewAutosaltSpec extends SparkSpec {
   }
 
   test("dim replication is Σfactors, not keys × maxFactor") {
-    // replicated dim row count: hot ×8 + warm ×3 + the other 67 keys ×1.
-    // (Observable through a count on the join's dim side before matching:
-    // rebuild the same construction the helper uses.)
+    // the replicated dim side itself (the frame that shuffles): hot key
+    // ×8 + warm key ×3 + the other 67 dim keys ×1 = 78 rows. Static ×8
+    // salting would produce 69 × 8 = 552 — this is the shuffle-size win
+    // the adaptive variant exists for, asserted on the actual frame.
+    val hot = RelationalQueries.autosaltFactors(fact, budget = 256L, maxFactor = 8)
+    val dimR = RelationalQueries.autosaltDim(dim, hot)
+    assert(dimR.count() === 8L + 3L + 67L)
+    // and each fact row still matches exactly one replica
     val joined = RelationalQueries.saltedAutoJoin(fact, dim)
-    // Each fact row matches exactly one dim replica, so the join row count
-    // must equal the fact row count for keys present in dim (1..69 all are
-    // except cold keys ≥ 70 — none here, keys run 1..62).
     assert(joined.count() === fact.count())
+    Bench.cleanup(spark)
   }
 }
