@@ -26,6 +26,92 @@ object MultimodalQueries {
 
   private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
 
+  /** Shared audio-stats lane: synthesize the WAV fixture clips, decode the
+    * container for real (RIFF walk → data-chunk offsets), and walk PCM
+    * samples into per-clip stats. `q_audio_stats` declares the stats
+    * table; `q_audio_filter` composes the curation verdict off the SAME
+    * decode — one narrow mapPartitions pass either way, no shuffle. */
+  private def audioStatsFrame(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .filter(col("doc_id") % 6 === 2)
+      .select(col("doc_id"), expr("octet_length(text)").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val rate = (8000 + ((id / 2) % 4) * 4000).toInt
+        val ch = (1 + (id / 2) % 2).toInt
+        val bits = (8 + 8 * ((id / 4) % 2)).toInt
+        val sil = if (bits == 8) 128 else 0
+        val pad = n / 8
+        val data = Array.tabulate(n) { k =>
+          if (k < pad || k >= n - pad) sil.toByte
+          else ((k.toLong * 73L + id * 131L) % 256L).toByte
+        }
+        (id, MediaCodec.encodeWav(rate, ch, bits, data))
+      }
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          for {
+            m <- MediaCodec.decode(payload)
+            st <- MediaCodec.pcmStats(payload, m)
+          } yield (id, m.width.toLong, m.height.toLong, m.bitDepth.toLong,
+            st.nSamples, st.durationMs, st.rmsQ,
+            st.peak.toLong, st.nClip, st.leadSilence, st.trailSilence)
+        }
+      }
+      .toDF("doc_id", "rate", "channels", "bits", "n_samples", "duration_ms",
+        "rms_q", "peak", "n_clip", "lead_sil", "trail_sil")
+  }
+
+  /** The DuckDB replay of the audio decode, as CTEs ending in `stats` —
+    * shared verbatim by the q_audio_stats and q_audio_filter oracles so
+    * the stats formula cannot drift between the two gates. */
+  private val audioStatsCtes: String =
+    """wavs AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    8000 + ((doc_id // 2) % 4) * 4000 AS rate,
+      |    1 + (doc_id // 2) % 2 AS channels,
+      |    8 + 8 * ((doc_id // 4) % 2) AS bits
+      |  FROM documents WHERE doc_id % 6 = 2),
+      |bts AS (
+      |  SELECT doc_id, rate, channels, bits, n,
+      |    list_transform(generate_series(0, n - 1), k ->
+      |      CASE WHEN k < n // 8 OR k >= n - n // 8
+      |        THEN CASE WHEN bits = 8 THEN 128 ELSE 0 END
+      |        ELSE (k * 73 + doc_id * 131) % 256 END) AS B
+      |  FROM wavs),
+      |samp AS (
+      |  SELECT doc_id, rate, channels, bits,
+      |    CASE WHEN bits = 8
+      |      THEN list_transform(B, b -> b - 128)
+      |      ELSE list_transform(generate_series(1, len(B) // 2), j ->
+      |        CASE WHEN B[2*j-1] + 256 * B[2*j] >= 32768
+      |          THEN B[2*j-1] + 256 * B[2*j] - 65536
+      |          ELSE B[2*j-1] + 256 * B[2*j] END)
+      |    END AS S,
+      |    CASE WHEN bits = 8 THEN 127 ELSE 32767 END AS fullsc,
+      |    CASE WHEN bits = 8 THEN 1 ELSE 511 END AS sil
+      |  FROM bts),
+      |st AS (
+      |  SELECT doc_id, rate, channels, bits, S, fullsc, sil,
+      |    len(S)::BIGINT AS n_samples,
+      |    list_position(list_transform(S, x -> abs(x) > sil), true) AS fl,
+      |    list_position(list_reverse(list_transform(S, x -> abs(x) > sil)), true) AS ll
+      |  FROM samp),
+      |stats AS (
+      |  SELECT doc_id, rate::BIGINT AS rate, channels::BIGINT AS channels,
+      |    bits::BIGINT AS bits, n_samples,
+      |    ((n_samples // channels) * 1000 // rate)::BIGINT AS duration_ms,
+      |    (CASE WHEN n_samples = 0 THEN 0
+      |      ELSE floor(sqrt(list_sum(list_transform(S, x -> x * x)) // n_samples))
+      |    END)::BIGINT AS rms_q,
+      |    coalesce(list_max(list_transform(S, x -> abs(x))), 0)::BIGINT AS peak,
+      |    len(list_filter(S, x -> abs(x) >= fullsc))::BIGINT AS n_clip,
+      |    (CASE WHEN fl IS NULL THEN n_samples ELSE fl - 1 END)::BIGINT AS lead_sil,
+      |    (CASE WHEN ll IS NULL THEN n_samples ELSE ll - 1 END)::BIGINT AS trail_sil
+      |  FROM st)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary ingest → real PNG header parse → frames sliced from the
@@ -268,78 +354,63 @@ object MultimodalQueries {
     // 100-TB corpus-filter sweep.
     q(
       "q_audio_stats",
-      """WITH wavs AS (
-        |  SELECT doc_id, strlen(text) AS n,
-        |    8000 + ((doc_id // 2) % 4) * 4000 AS rate,
-        |    1 + (doc_id // 2) % 2 AS channels,
-        |    8 + 8 * ((doc_id // 4) % 2) AS bits
-        |  FROM documents WHERE doc_id % 6 = 2),
-        |bts AS (
-        |  SELECT doc_id, rate, channels, bits, n,
-        |    list_transform(generate_series(0, n - 1), k ->
-        |      CASE WHEN k < n // 8 OR k >= n - n // 8
-        |        THEN CASE WHEN bits = 8 THEN 128 ELSE 0 END
-        |        ELSE (k * 73 + doc_id * 131) % 256 END) AS B
-        |  FROM wavs),
-        |samp AS (
-        |  SELECT doc_id, rate, channels, bits,
-        |    CASE WHEN bits = 8
-        |      THEN list_transform(B, b -> b - 128)
-        |      ELSE list_transform(generate_series(1, len(B) // 2), j ->
-        |        CASE WHEN B[2*j-1] + 256 * B[2*j] >= 32768
-        |          THEN B[2*j-1] + 256 * B[2*j] - 65536
-        |          ELSE B[2*j-1] + 256 * B[2*j] END)
-        |    END AS S,
-        |    CASE WHEN bits = 8 THEN 127 ELSE 32767 END AS fullsc,
-        |    CASE WHEN bits = 8 THEN 1 ELSE 511 END AS sil
-        |  FROM bts),
-        |st AS (
-        |  SELECT doc_id, rate, channels, bits, S, fullsc, sil,
-        |    len(S)::BIGINT AS n_samples,
-        |    list_position(list_transform(S, x -> abs(x) > sil), true) AS fl,
-        |    list_position(list_reverse(list_transform(S, x -> abs(x) > sil)), true) AS ll
-        |  FROM samp)
-        |SELECT doc_id, rate::BIGINT AS rate, channels::BIGINT AS channels,
-        |  bits::BIGINT AS bits, n_samples,
-        |  ((n_samples // channels) * 1000 // rate)::BIGINT AS duration_ms,
-        |  (CASE WHEN n_samples = 0 THEN 0
-        |    ELSE floor(sqrt(list_sum(list_transform(S, x -> x * x)) // n_samples))
-        |  END)::BIGINT AS rms_q,
-        |  coalesce(list_max(list_transform(S, x -> abs(x))), 0)::BIGINT AS peak,
-        |  len(list_filter(S, x -> abs(x) >= fullsc))::BIGINT AS n_clip,
-        |  (CASE WHEN fl IS NULL THEN n_samples ELSE fl - 1 END)::BIGINT AS lead_sil,
-        |  (CASE WHEN ll IS NULL THEN n_samples ELSE ll - 1 END)::BIGINT AS trail_sil
-        |FROM st""".stripMargin
+      s"""WITH $audioStatsCtes
+        |SELECT doc_id, rate, channels, bits, n_samples, duration_ms,
+        |  rms_q, peak, n_clip, lead_sil, trail_sil
+        |FROM stats""".stripMargin
+    ) { (s, dir) => audioStatsFrame(s, dir) },
+
+    // ★ Audio corpus FILTER — the keep/drop verdict composed off the
+    // q_audio_stats decode, mirroring q_corpus_filter's first-failing-rule
+    // idiom for the audio modality: clips are dropped for being too short
+    // (< 10 ms — no usable content), hard-clipped (> 2% of samples at
+    // full scale — limiter-destroyed recordings), mostly silence (> 24.5%
+    // of samples inside the leading/trailing quiet runs — trim failures),
+    // or too quiet (RMS below the 8-bit noise floor). All ratios ride as
+    // integer ppm (truncating div, non-negative, so Spark `div` == DuckDB
+    // `//`), so both engines agree bit-for-bit. Scale: the same single
+    // narrow decode pass as q_audio_stats — the verdict is free at any
+    // corpus size, and the reason column is the retention report a
+    // curation run ships.
+    q(
+      "q_audio_filter",
+      s"""WITH $audioStatsCtes,
+        |ppm AS (
+        |  SELECT doc_id, duration_ms, rms_q,
+        |    (CASE WHEN n_samples = 0 THEN 0
+        |      ELSE n_clip * 1000000 // n_samples END)::BIGINT AS clip_ppm,
+        |    (CASE WHEN n_samples = 0 THEN 1000000
+        |      ELSE (lead_sil + trail_sil) * 1000000 // n_samples END)::BIGINT AS sil_ppm
+        |  FROM stats)
+        |SELECT doc_id, duration_ms, rms_q, clip_ppm, sil_ppm,
+        |  CASE WHEN duration_ms < 10 THEN 'drop'
+        |       WHEN clip_ppm > 20000 THEN 'drop'
+        |       WHEN sil_ppm > 245000 THEN 'drop'
+        |       WHEN rms_q < 64 THEN 'drop' ELSE 'keep' END AS verdict,
+        |  CASE WHEN duration_ms < 10 THEN 'too_short'
+        |       WHEN clip_ppm > 20000 THEN 'clipped'
+        |       WHEN sil_ppm > 245000 THEN 'mostly_silence'
+        |       WHEN rms_q < 64 THEN 'low_level' ELSE '' END AS reason
+        |FROM ppm""".stripMargin
     ) { (s, dir) =>
-      import s.implicits._
-      Tables(s, dir).documents
-        .filter(col("doc_id") % 6 === 2)
-        .select(col("doc_id"), expr("octet_length(text)").as("n"))
-        .as[(Long, Int)]
-        .map { case (id, n) =>
-          val rate = (8000 + ((id / 2) % 4) * 4000).toInt
-          val ch = (1 + (id / 2) % 2).toInt
-          val bits = (8 + 8 * ((id / 4) % 2)).toInt
-          val sil = if (bits == 8) 128 else 0
-          val pad = n / 8
-          val data = Array.tabulate(n) { k =>
-            if (k < pad || k >= n - pad) sil.toByte
-            else ((k.toLong * 73L + id * 131L) % 256L).toByte
-          }
-          (id, MediaCodec.encodeWav(rate, ch, bits, data))
-        }
-        .mapPartitions { it =>
-          it.flatMap { case (id, payload) =>
-            for {
-              m <- MediaCodec.decode(payload)
-              st <- MediaCodec.pcmStats(payload, m)
-            } yield (id, m.width.toLong, m.height.toLong, m.bitDepth.toLong,
-              st.nSamples, st.durationMs, st.rmsQ,
-              st.peak.toLong, st.nClip, st.leadSilence, st.trailSilence)
-          }
-        }
-        .toDF("doc_id", "rate", "channels", "bits", "n_samples", "duration_ms",
-          "rms_q", "peak", "n_clip", "lead_sil", "trail_sil")
+      val ppm = audioStatsFrame(s, dir).select(
+        col("doc_id"), col("duration_ms"), col("rms_q"),
+        when(col("n_samples") === 0, lit(0L))
+          .otherwise(expr("n_clip * 1000000 div n_samples")).as("clip_ppm"),
+        when(col("n_samples") === 0, lit(1000000L))
+          .otherwise(expr("(lead_sil + trail_sil) * 1000000 div n_samples"))
+          .as("sil_ppm"))
+      ppm.select(
+        col("doc_id"), col("duration_ms"), col("rms_q"),
+        col("clip_ppm"), col("sil_ppm"),
+        when(col("duration_ms") < 10, "drop")
+          .when(col("clip_ppm") > 20000, "drop")
+          .when(col("sil_ppm") > 245000, "drop")
+          .when(col("rms_q") < 64, "drop").otherwise("keep").as("verdict"),
+        when(col("duration_ms") < 10, "too_short")
+          .when(col("clip_ppm") > 20000, "clipped")
+          .when(col("sil_ppm") > 245000, "mostly_silence")
+          .when(col("rms_q") < 64, "low_level").otherwise("").as("reason"))
     },
 
     // ★ VIDEO container + frame sampling — the third modality, completing

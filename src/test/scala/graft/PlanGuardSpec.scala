@@ -474,6 +474,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"audio stats must stay narrow:\n${plan.take(3000)}")
   }
 
+  test("q_audio_filter is shuffle-free (verdict composes onto the narrow decode pass)") {
+    // the filter is per-row arithmetic over the decode output — if an
+    // Exchange ever appears, the free verdict became a shuffle
+    val plan = planOf("q_audio_filter")
+    assert(!plan.contains("Exchange"), s"audio filter must stay narrow:\n${plan.take(3000)}")
+  }
+
   test("q_ann_recall_ivf_trained: no cartesian; nested-loops only on broadcast query/centroid sides") {
     val plan = planOf("q_ann_recall_ivf_trained")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
