@@ -68,9 +68,10 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
-      annRecallIvfpq :+ annRecallPqTrained :+ annRecallPqRerank :+ hardNegatives
+      annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
+      annRecallPqRerank :+ hardNegatives
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -229,11 +230,14 @@ object SimilarityQueries {
     * index holds exactly the in-memory assignment (vec_id, e, nrm, c_id)
     * written to disk, so both queries must produce identical rows and
     * one SQL covers them. */
-  private val ivfProbe2Sql: String =
-    """WITH v AS (
+  /** nprobe=2 serving oracle, parameterized by the centroid predicate so
+    * the incremental-index variant (centroids frozen from the BASE slice)
+    * shares the whole serving structure verbatim. */
+  private def ivfProbe2SqlWith(centPred: String): String =
+    s"""WITH v AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE $centPred),
       |assign AS (
       |  SELECT vec_id, e, nrm, c_id FROM (
       |    SELECT a.vec_id, a.e, a.nrm, c.c_id,
@@ -256,6 +260,8 @@ object SimilarityQueries {
       |      b.vec_id) AS rank
       |  FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id)
       |WHERE rank <= 3""".stripMargin
+
+  private lazy val ivfProbe2Sql: String = ivfProbe2SqlWith("vec_id % 251 = 0")
 
   val ivfProbe2: QueryDef = q(
     "q_similarity_ivf_probe2",
@@ -333,6 +339,80 @@ object SimilarityQueries {
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** ★ INCREMENTAL stored-IVF index maintenance — the ANN lane's
+    * counterpart of q_dedup_incremental_stored: a serving index must
+    * absorb new embeddings WITHOUT rebuilding. Base slice (vec_id%4≠3)
+    * builds the cell-partitioned index once with centroids FROZEN from
+    * the base (the production contract: the coarse quantizer is
+    * versioned with the index; re-deriving it per batch would silently
+    * re-cell old vectors). The new batch (vec_id%4=3) is then ingested
+    * by assigning ONLY batch rows against the frozen centroids and
+    * APPENDING files into the existing cell directories — O(batch) work,
+    * zero base reads, zero base rewrites (IvfIncrementalSpec pins both:
+    * the ingest plan never touches the stored index, and the index row
+    * count is exactly base+batch). Serving is the q_similarity_ivf_stored
+    * shape over the merged layout: probe cells as partition-filter
+    * literals, so queries read only probe-cell bytes regardless of how
+    * many increments landed. Because assignment against frozen centroids
+    * is per-row, one-shot and incremental builds yield the SAME index —
+    * the oracle recomputes the whole thing in one pass and must match
+    * bit-for-bit. At 100 TB: increments are the steady state (a corpus
+    * grows daily); this is the shape where the partitioned-write cost of
+    * the stored lane pays out, because neither ingest nor serving ever
+    * re-touches the accumulated index. */
+  val ivfIncremental: QueryDef = q(
+    "q_similarity_ivf_incremental",
+    ivfProbe2SqlWith("vec_id % 100 = 0 AND vec_id % 4 <> 3")
+  ) { (s, dir) => ivfIncrementalServe(s, dir)._3 }
+
+  /** q_similarity_ivf_incremental's build+ingest+serve, exposed
+    * private[graft] so IvfIncrementalSpec can pin the structure the SQL
+    * oracle cannot see: (index path, INGEST physical plan captured before
+    * the append, served frame). */
+  private[graft] def ivfIncrementalServe(s: SparkSession, dir: String)
+      : (String, String, DataFrame) = {
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val batch = v.filter(col("vec_id") % 4 === 3)
+    // seed mod 100: every multiple of 100 is ≡0 (mod 4), so no seed falls
+    // in the batch slice — the frozen coarse quantizer is derivable from
+    // the base alone at every SF, and the cell count stays provisioned
+    // (5 cells at sf0.01, 20 at sf0.1) where %251 would leave ONE
+    val cents = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val path = graft.plans.ScratchDirs.unique("graft-ivf-inc-index").getAbsolutePath
+    // 1) base build — the one-time cost
+    assignCells(base, cents, Seq("e", "nrm"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    // 2) incremental ingest — batch rows only, frozen centroids, append
+    val ingest = assignCells(batch, cents, Seq("e", "nrm"))
+    val ingestPlan = ingest.queryExecution.executedPlan.toString
+    ingest.write.mode("append").partitionBy("c_id").parquet(path)
+    // 3) serve probe-2 top-3 over the merged layout (queries from the
+    // full corpus — a query needn't be indexed to be asked)
+    val q2 = v.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
+    val probeCells = q2.select(col("qc")).distinct().collect().map(_.getLong(0)).sorted
+    val index = s.read.parquet(path)
+      .filter(col("c_id").isin(probeCells: _*))
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
+    val served = index
+      .join(broadcast(q2), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+    (path, ingestPlan, served)
   }
 
   /** One Lloyd (k-means) update step over the embedding corpus: assign
@@ -432,22 +512,27 @@ object SimilarityQueries {
     * MATERIALIZED — both are multi-referenced and DuckDB inlines
     * multi-referenced CTEs by default, which compounds across unrolled
     * rounds (the q_bpe_train_converge lesson: 3^rounds re-evaluations). */
-  private def kmStagesPrefixSql(rounds: Int): String = {
+  /** One unrolled Lloyd stage (assign a$r → group g$r → update c$r) over
+    * quantized corpus CTE `v` — shared by kmStagesPrefixSql and the
+    * trained-IVF×PQ oracle (which runs the same stages over the CLUSTERED
+    * corpus by defining its own `v`/`c0`). */
+  private def kmStageSql(r: Int): String = {
     val sums = (1 to 64).map(i => s"CAST(sum(vq[$i]) AS BIGINT) AS s$i").mkString(", ")
     val upd = (1 to 64).map(i => s"g.s$i // g.n").mkString(", ")
-    val stages = (1 to rounds).map { r =>
-      s"""${kmAssignSql(r, s"c${r - 1}")},
-         |g$r AS (SELECT c_id, count(*) AS n, $sums FROM a$r GROUP BY c_id),
-         |c$r AS MATERIALIZED (
-         |  SELECT p.c_id, CASE WHEN g.n IS NULL THEN p.cq ELSE [$upd] END AS cq
-         |  FROM c${r - 1} p LEFT JOIN g$r g USING (c_id))""".stripMargin
-    }.mkString(",\n")
+    s"""${kmAssignSql(r, s"c${r - 1}")},
+       |g$r AS (SELECT c_id, count(*) AS n, $sums FROM a$r GROUP BY c_id),
+       |c$r AS MATERIALIZED (
+       |  SELECT p.c_id, CASE WHEN g.n IS NULL THEN p.cq ELSE [$upd] END AS cq
+       |  FROM c${r - 1} p LEFT JOIN g$r g USING (c_id))""".stripMargin
+  }
+
+  private def kmStagesPrefixSql(rounds: Int): String = {
     s"""v AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vq
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 251 = 0),
-       |$stages""".stripMargin
+       |${(1 to rounds).map(kmStageSql).mkString(",\n")}""".stripMargin
   }
 
   private lazy val kmConvergeSql: String = {
@@ -1500,6 +1585,108 @@ object SimilarityQueries {
     }
   }
 
+  /** The CLUSTERED ANN fixture shared by the trained-codebook experiments
+    * (q_ann_recall_pq_trained, q_ann_recall_ivfpq_trained): 64 md5-parity
+    * ±1 anchors; each vector = its anchor (chosen by 6 md5 parity bits of
+    * the vec_id) + 0.5 × its real embedding as noise. */
+  private def clusteredFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.OptimizerBarrier
+    val aF = broadcast(
+      pqAnchors(64).zipWithIndex.map { case (w, k) => (k, w.toSeq) }.toSeq
+        .toDF("a_id", "aw"))
+    val h = md5(concat(lit("v"), col("vec_id").cast("string")))
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e0"))
+      .withColumn("a_id",
+        (0 until 6).map(j => (ascii(substring(h, j + 1, 1)) % 2) * lit(1 << j))
+          .reduce(_ + _))
+      .join(aF, "a_id")
+      .select(col("vec_id"),
+        OptimizerBarrier.once(
+          zip_with(col("aw"), col("e0"), (a, x) => a + lit(0.5) * x)).as("e"))
+  }
+
+  /** 8×8-dim PQ block slicing of a (vec_id, e) frame; caller persists
+    * (the blocks frame feeds the stand-in slice, every Lloyd round, and
+    * both encodes). */
+  private def pqBlocksOf(v: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    import graft.plans.OptimizerBarrier
+    v.select(
+        col("vec_id"),
+        explode(array((0 until 8).map(m =>
+          struct(lit(m).as("m"), slice(col("e"), m * 8 + 1, 8).as("sub"))): _*)).as("blk"))
+      .select(col("vec_id"), col("blk.m").as("m"),
+        OptimizerBarrier.once(col("blk.sub")).as("sub"))
+      .withColumn("sn2", dotProduct(col("sub"), col("sub")))
+  }
+
+  private def pqWithCn2(cb: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    cb.withColumn("cn2", dotProduct(col("csub"), col("csub")))
+  }
+
+  /** K-entry per-block stand-in codebook: subvectors of vec_id 0..K-1. */
+  private def pqStandinOf(blocks: DataFrame, k: Int): DataFrame =
+    pqWithCn2(blocks.filter(col("vec_id") < k)
+      .select(col("m").as("cm"), col("vec_id").as("k"), col("sub").as("csub")))
+
+  /** `rounds` Lloyd rounds per 8-dim block from the stand-in init:
+    * assignment as ONE min-struct hash agg (no per-vector window), means
+    * as vec_id-ordered folds so Spark and DuckDB add in the same IEEE
+    * order; an emptied cluster keeps its previous centroid. */
+  private def pqTrainedOf(blocks: DataFrame, standin: DataFrame,
+                          rounds: Int): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    var trained = standin
+    for (_ <- 1 to rounds) {
+      val assign = blocks
+        .join(broadcast(trained), col("m") === col("cm"))
+        .withColumn("bdist",
+          col("sn2") + col("cn2") - lit(2.0) * dotProduct(col("sub"), col("csub")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("bdist"), col("k"))).as("best"), first(col("sub")).as("sub"))
+        .select(col("vec_id"), col("m"), col("best.k").as("k"), col("sub"))
+      // ONE ordered pass accumulating all 8 dims (zip_with adds dim i of
+      // member j as the j-th addition of dim i — the same IEEE sequence
+      // as the oracle's per-dim list_sum over the vec_id-ordered list,
+      // without re-traversing the member list once per dim)
+      val upd = assign.groupBy(col("m"), col("k"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("lst"))
+        .select(col("m").as("cm"), col("k"),
+          transform(
+            aggregate(col("lst"),
+              array((0 until 8).map(_ => lit(0.0)): _*),
+              (acc, x) => zip_with(acc, x.getField("sub"), (a, b) => a + b)),
+            s => s / size(col("lst"))).as("ucsub"))
+      trained = pqWithCn2(
+        trained.select(col("cm"), col("k"), col("csub").as("ocsub"))
+          .join(upd, Seq("cm", "k"), "left")
+          .select(col("cm"), col("k"), coalesce(col("ucsub"), col("ocsub")).as("csub")))
+    }
+    trained
+  }
+
+  /** Encode a codebook into x̂ (min-struct picks (bdist, k) like rn=1). */
+  private def pqXhatOf(blocks: DataFrame, cb: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    import graft.plans.OptimizerBarrier
+    blocks
+      .join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("bdist",
+        col("sn2") + col("cn2") - lit(2.0) * dotProduct(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("bdist"), col("k"), col("csub"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.csub").as("csub"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("csub")))),
+        x => x.getField("csub"))).as("xh0"))
+      .select(col("vec_id"), OptimizerBarrier.once(col("xh0")).as("xh"))
+      .withColumn("xn2", dotProduct(col("xh"), col("xh")))
+  }
+
   /** ★ Trained-vs-stand-in PQ codebook recall — the follow-up experiment
     * the round-7 null result (codebook SIZE doesn't move recall on the
     * uniform fixture) left open: does TRAINING move it? Setup: a
@@ -1525,82 +1712,20 @@ object SimilarityQueries {
     "q_ann_recall_pq_trained",
     annRecallPqTrainedSql
   ) { (s, dir) =>
-    import s.implicits._
     import graft.functions.VectorExpressions.dotProduct
-    import graft.plans.OptimizerBarrier
     val K = 16
     val rounds = 3
-    // clustered fixture: anchor (by 6 parity bits) + 0.5 × real embedding
-    val aF = broadcast(
-      pqAnchors(64).zipWithIndex.map { case (w, k) => (k, w.toSeq) }.toSeq
-        .toDF("a_id", "aw"))
-    val h = md5(concat(lit("v"), col("vec_id").cast("string")))
-    val v = Tables(s, dir).embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("e0"))
-      .withColumn("a_id",
-        (0 until 6).map(j => (ascii(substring(h, j + 1, 1)) % 2) * lit(1 << j))
-          .reduce(_ + _))
-      .join(aF, "a_id")
-      .select(col("vec_id"),
-        OptimizerBarrier.once(
-          zip_with(col("aw"), col("e0"), (a, x) => a + lit(0.5) * x)).as("e"))
-    val blocks = v.select(
-        col("vec_id"),
-        explode(array((0 until 8).map(m =>
-          struct(lit(m).as("m"), slice(col("e"), m * 8 + 1, 8).as("sub"))): _*)).as("blk"))
-      .select(col("vec_id"), col("blk.m").as("m"),
-        OptimizerBarrier.once(col("blk.sub")).as("sub"))
-      .withColumn("sn2", dotProduct(col("sub"), col("sub")))
+    // clustered fixture + blocks + stand-in + trained codebook: the
+    // shared helpers (clusteredFixture/pqBlocksOf/pqStandinOf/
+    // pqTrainedOf/pqXhatOf), also composed by q_ann_recall_ivfpq_trained
+    val v = clusteredFixture(s, dir)
+    val blocks = pqBlocksOf(v)
       // consumed by the stand-in slice, every Lloyd assignment round, and
       // both encodes — cache once (Bench.cleanup unpersists)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def withCn2(cb: DataFrame): DataFrame =
-      cb.withColumn("cn2", dotProduct(col("csub"), col("csub")))
-    val standin = withCn2(blocks.filter(col("vec_id") < K)
-      .select(col("m").as("cm"), col("vec_id").as("k"), col("sub").as("csub")))
-    // Lloyd: assignment as ONE min-struct hash agg (no per-vector window),
-    // means as vec_id-ordered folds so Spark and DuckDB add in the same
-    // IEEE order; an emptied cluster keeps its previous centroid
-    var trained = standin
-    for (_ <- 1 to rounds) {
-      val assign = blocks
-        .join(broadcast(trained), col("m") === col("cm"))
-        .withColumn("bdist",
-          col("sn2") + col("cn2") - lit(2.0) * dotProduct(col("sub"), col("csub")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("bdist"), col("k"))).as("best"), first(col("sub")).as("sub"))
-        .select(col("vec_id"), col("m"), col("best.k").as("k"), col("sub"))
-      // ONE ordered pass accumulating all 8 dims (zip_with adds dim i of
-      // member j as the j-th addition of dim i — the same IEEE sequence
-      // as the oracle's per-dim list_sum over the vec_id-ordered list,
-      // without re-traversing the member list once per dim)
-      val upd = assign.groupBy(col("m"), col("k"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("sub")))).as("lst"))
-        .select(col("m").as("cm"), col("k"),
-          transform(
-            aggregate(col("lst"),
-              array((0 until 8).map(_ => lit(0.0)): _*),
-              (acc, x) => zip_with(acc, x.getField("sub"), (a, b) => a + b)),
-            s => s / size(col("lst"))).as("ucsub"))
-      trained = withCn2(
-        trained.select(col("cm"), col("k"), col("csub").as("ocsub"))
-          .join(upd, Seq("cm", "k"), "left")
-          .select(col("cm"), col("k"), coalesce(col("ucsub"), col("ocsub")).as("csub")))
-    }
-    // encode a codebook into x̂ (min-struct picks (bdist, k) like rn=1)
-    def xhatOf(cb: DataFrame): DataFrame = blocks
-      .join(broadcast(cb), col("m") === col("cm"))
-      .withColumn("bdist",
-        col("sn2") + col("cn2") - lit(2.0) * dotProduct(col("sub"), col("csub")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("bdist"), col("k"), col("csub"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.csub").as("csub"))
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("csub")))),
-        x => x.getField("csub"))).as("xh0"))
-      .select(col("vec_id"), OptimizerBarrier.once(col("xh0")).as("xh"))
-      .withColumn("xn2", dotProduct(col("xh"), col("xh")))
+    val standin = pqStandinOf(blocks, K)
+    val trained = pqTrainedOf(blocks, standin, rounds)
+    def xhatOf(cb: DataFrame): DataFrame = pqXhatOf(blocks, cb)
     val queries = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         dotProduct(col("e"), col("e")).as("qn2"))
@@ -1656,57 +1781,18 @@ object SimilarityQueries {
     * + parity-bit assignment), stand-in codebook, 3 unrolled Lloyd rounds
     * with list(... ORDER BY vec_id) + list_sum replaying the Spark
     * ordered folds, both encodes, both ADC top-5s, both MSEs. */
-  private lazy val annRecallPqTrainedSql: String = {
+  /** Per-block squared-L2 between a blocks row and a codebook row. */
+  private def pqDist8(b: String, c: String): String =
+    s"$b.sn2 + $c.cn2 - 2.0 * list_sum(list_transform(generate_series(1, 8), i -> $b.sub[i] * $c.csub[i]))"
+
+  /** Clustered-fixture + blocks + stand-in codebook CTE prefix (v0,
+    * anchors, cv, blocks, cb0) — shared by the trained-PQ and
+    * trained-IVF×PQ oracles so the fixture construction cannot drift. */
+  private lazy val pqClusteredPrefixSql: String = {
     val aidBits = (1 to 6).map(j =>
       s"${1 << (j - 1)} * (CASE WHEN ascii(md5('v' || vec_id)[$j]) % 2 = 1 THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    val dist8 = (b: String, c: String) =>
-      s"$b.sn2 + $c.cn2 - 2.0 * list_sum(list_transform(generate_series(1, 8), i -> $b.sub[i] * $c.csub[i]))"
-    // one Lloyd round: hash-agg-equivalent rn=1 assignment, ordered-fold
-    // means, empty clusters keep the previous centroid
-    def round(t: Int): String = {
-      val prev = if (t == 1) "cb0" else s"cb${t - 1}"
-      s"""assign$t AS (
-         |  SELECT vec_id, m, k, sub FROM (
-         |    SELECT b.vec_id, b.m, c.k, b.sub,
-         |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY ${dist8("b", "c")}, c.k) AS rn
-         |    FROM blocks b JOIN $prev c ON b.m = c.cm) WHERE rn = 1),
-         |upd$t AS (
-         |  SELECT m AS cm, k,
-         |    list_transform(generate_series(1, 8), i ->
-         |      list_sum(list_transform(lst, s -> s[i])) / len(lst)) AS csub
-         |  FROM (SELECT m, k, list(sub ORDER BY vec_id) AS lst FROM assign$t GROUP BY m, k)),
-         |cb$t AS (
-         |  SELECT c.cm, c.k, coalesce(u.csub, c.csub) AS csub,
-         |    list_sum(list_transform(coalesce(u.csub, c.csub), x -> x * x)) AS cn2
-         |  FROM $prev c LEFT JOIN upd$t u ON c.cm = u.cm AND c.k = u.k)""".stripMargin
-    }
-    def encode(cb: String, tag: String): String =
-      s"""enc_$tag AS (
-         |  SELECT vec_id, m, csub FROM (
-         |    SELECT b.vec_id, b.m, c.csub,
-         |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY ${dist8("b", "c")}, c.k) AS rn
-         |    FROM blocks b JOIN $cb c ON b.m = c.cm) WHERE rn = 1),
-         |xhat_$tag AS (
-         |  SELECT vec_id, xh, list_sum(list_transform(xh, x -> x * x)) AS xn2 FROM (
-         |    SELECT vec_id, flatten(list(csub ORDER BY m)) AS xh
-         |    FROM enc_$tag GROUP BY vec_id)),
-         |cand_$tag AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q.q_id, x.vec_id,
-         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |        q.qn2 + x.xn2 -
-         |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])),
-         |        x.vec_id) AS rank
-         |    FROM xhat_$tag x CROSS JOIN qs q WHERE x.vec_id <> q.q_id) WHERE rank <= 5),
-         |mse_$tag AS (
-         |  SELECT floor(list_sum(lst) / len(lst) * 1e6) / 1e6 AS m FROM (
-         |    SELECT list(err ORDER BY vec_id) AS lst FROM (
-         |      SELECT v.vec_id,
-         |        list_sum(list_transform(generate_series(1, 64),
-         |          i -> (v.e[i] - x.xh[i]) * (v.e[i] - x.xh[i]))) / 64.0 AS err
-         |      FROM cv v JOIN xhat_$tag x ON v.vec_id = x.vec_id)))""".stripMargin
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e0 FROM embeddings),
        |anchors AS (
        |  SELECT g.a_id, list_transform(generate_series(1, 64), d ->
@@ -1724,10 +1810,63 @@ object SimilarityQueries {
        |  FROM cv CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g),
        |cb0 AS (
        |  SELECT m AS cm, vec_id AS k, sub AS csub, sn2 AS cn2
-       |  FROM blocks WHERE vec_id < 16),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)},
+       |  FROM blocks WHERE vec_id < 16)""".stripMargin
+  }
+
+  /** One unrolled PQ Lloyd round: hash-agg-equivalent rn=1 assignment,
+    * ordered-fold means, empty clusters keep the previous centroid. */
+  private def pqRoundSql(t: Int): String = {
+    val prev = if (t == 1) "cb0" else s"cb${t - 1}"
+    s"""assign$t AS (
+       |  SELECT vec_id, m, k, sub FROM (
+       |    SELECT b.vec_id, b.m, c.k, b.sub,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY ${pqDist8("b", "c")}, c.k) AS rn
+       |    FROM blocks b JOIN $prev c ON b.m = c.cm) WHERE rn = 1),
+       |upd$t AS (
+       |  SELECT m AS cm, k,
+       |    list_transform(generate_series(1, 8), i ->
+       |      list_sum(list_transform(lst, s -> s[i])) / len(lst)) AS csub
+       |  FROM (SELECT m, k, list(sub ORDER BY vec_id) AS lst FROM assign$t GROUP BY m, k)),
+       |cb$t AS (
+       |  SELECT c.cm, c.k, coalesce(u.csub, c.csub) AS csub,
+       |    list_sum(list_transform(coalesce(u.csub, c.csub), x -> x * x)) AS cn2
+       |  FROM $prev c LEFT JOIN upd$t u ON c.cm = u.cm AND c.k = u.k)""".stripMargin
+  }
+
+  /** Encode + reconstruct CTEs (enc_$tag, xhat_$tag) for one codebook. */
+  private def pqEncXhatSql(cb: String, tag: String): String =
+    s"""enc_$tag AS (
+       |  SELECT vec_id, m, csub FROM (
+       |    SELECT b.vec_id, b.m, c.csub,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY ${pqDist8("b", "c")}, c.k) AS rn
+       |    FROM blocks b JOIN $cb c ON b.m = c.cm) WHERE rn = 1),
+       |xhat_$tag AS (
+       |  SELECT vec_id, xh, list_sum(list_transform(xh, x -> x * x)) AS xn2 FROM (
+       |    SELECT vec_id, flatten(list(csub ORDER BY m)) AS xh
+       |    FROM enc_$tag GROUP BY vec_id))""".stripMargin
+
+  private lazy val annRecallPqTrainedSql: String = {
+    def encode(cb: String, tag: String): String =
+      s"""${pqEncXhatSql(cb, tag)},
+         |cand_$tag AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, x.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        q.qn2 + x.xn2 -
+         |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])),
+         |        x.vec_id) AS rank
+         |    FROM xhat_$tag x CROSS JOIN qs q WHERE x.vec_id <> q.q_id) WHERE rank <= 5),
+         |mse_$tag AS (
+         |  SELECT floor(list_sum(lst) / len(lst) * 1e6) / 1e6 AS m FROM (
+         |    SELECT list(err ORDER BY vec_id) AS lst FROM (
+         |      SELECT v.vec_id,
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> (v.e[i] - x.xh[i]) * (v.e[i] - x.xh[i]))) / 64.0 AS err
+         |      FROM cv v JOIN xhat_$tag x ON v.vec_id = x.vec_id)))""".stripMargin
+    s"""WITH $pqClusteredPrefixSql,
+       |${pqRoundSql(1)},
+       |${pqRoundSql(2)},
+       |${pqRoundSql(3)},
        |qs AS (
        |  SELECT vec_id AS q_id, e AS qe, list_sum(list_transform(e, x -> x * x)) AS qn2
        |  FROM cv WHERE vec_id < 8),
@@ -1754,6 +1893,215 @@ object SimilarityQueries {
        |LEFT JOIN cand_trained ct ON e.q_id = ct.q_id AND e.vec_id = ct.vec_id
        |CROSS JOIN mse_standin ms CROSS JOIN mse_trained mt
        |GROUP BY e.q_id""".stripMargin
+  }
+
+  /** Fixed coarse-quantizer training depth for the trained-IVF×PQ stack:
+    * 3 integer-Lloyd rounds from the stand-in seeds, run with eps=0 so
+    * the round count is STRUCTURAL, not measured — the q_kmeans_converge
+    * pinned-constant fragility (scale-dependent rounds) cannot recur
+    * here. A delta-0 fixpoint keeps later rounds unchanged, so the
+    * unrolled oracle agrees whether or not the loop stabilized early. */
+  private val ivfpqCoarseRounds = 3
+
+  /** Coarse seed stride for the trained-IVF×PQ stack: every 29th vector,
+    * NOT the %251 of the other IVF queries — the clustered fixture has 64
+    * true anchor clusters, and a coarse layer with fewer cells than the
+    * data has modes (8 at sf0.1 under %251) is structurally under-
+    * provisioned: assignment splits true clusters across cells and no
+    * amount of training can fix a wrong K (measured — docs/SCALING.md).
+    * %29 provisions K ≈ #modes (17 cells at sf0.01, 69 at sf0.1), the
+    * IVF sizing rule (cells ≳ natural cluster count) this query exists
+    * to demonstrate. */
+  private val ivfpqSeedMod = 29
+
+  /** ★ Fully-TRAINED IVF×PQ — the ANN training story's capstone: BOTH
+    * halves of the big-index serving stack trained by the shipped
+    * trainers and composed, measured against the fully stand-in stack on
+    * the clustered fixture (the one where training provably moves
+    * metrics — docs/SCALING.md). Coarse quantizer: `lloydLocal`, the
+    * EXACT integer Lloyd q_kmeans_converge runs (micro fixed point,
+    * truncating division, c_id tie-breaks), 3 rounds from the %251
+    * stand-in seeds; PQ codebook: the 3-round per-block Lloyd of
+    * q_ann_recall_pq_trained (shared helpers — pqTrainedOf). Serving is
+    * q_similarity_ivfpq's exact shape: cosine cell assignment, probe=2,
+    * ADC ranking INSIDE the probed cells, top-5. Output per query:
+    * candidate cost + recall@5 for stand-in (s_) and trained (t_) stacks
+    * side by side — the artifact a serving deployment reads to decide
+    * whether training paid for itself. Scale: training cost is a bounded
+    * sample collect (DriverLocalGate stride) + 3 narrow block passes;
+    * serving keeps IVF×PQ's no-full-scan property — codes + cell keys
+    * are the only per-vector state, candidates are O(nprobe ·
+    * corpus/cells) per query. */
+  val annRecallIvfpqTrained: QueryDef = q(
+    "q_ann_recall_ivfpq_trained",
+    annRecallIvfpqTrainedSql
+  ) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorExpressions.{cosineSimilarity, dotProduct}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // clustered fixture feeds blocks, both cell assignments, queries, and
+    // the exact ground truth — cache it AND the blocks frame
+    val v = clusteredFixture(s, dir).persist(MEMORY_AND_DISK)
+    val blocks = pqBlocksOf(v).persist(MEMORY_AND_DISK)
+    val standin = pqStandinOf(blocks, 16)
+    val trained = pqTrainedOf(blocks, standin, 3)
+    val xhStandin = pqXhatOf(blocks, standin).persist(MEMORY_AND_DISK)
+    val xhTrained = pqXhatOf(blocks, trained).persist(MEMORY_AND_DISK)
+    // coarse training: quantize the clustered vectors to micro longs and
+    // run the shipped integer Lloyd from the stand-in seeds (bounded
+    // sample under the DriverLocalGate byte budget — codebooks need a
+    // sample, not the corpus; stride 1 at every fixture sf, so oracle
+    // parity is exact)
+    val nVec = v.count()
+    val stride = math.max(1L,
+      (nVec + DriverLocalGate.maxLocalVectors - 1) / DriverLocalGate.maxLocalVectors)
+    val vqRows = v.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"),
+        transform(col("e"), x => floor(x * 1000000d + 0.5d)).as("vq"))
+      .collect()
+    val seeds = vqRows.filter(_.getLong(0) % ivfpqSeedMod == 0)
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    val vecs = vqRows.map(_.getSeq[Long](1).toArray)
+    val (cs, _, _, _) = lloydLocal(vecs, seeds, 0L, ivfpqCoarseRounds)
+    val centsT = seeds.map(_._1).zip(cs.map(_.map(_ / 1000000.0).toSeq))
+      .toDF("c_id", "ce")
+    val centsS = v.filter(col("vec_id") % ivfpqSeedMod === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+
+    val queries = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        dotProduct(col("e"), col("e")).as("qn2"))
+    // exact squared-L2 ground truth on the raw clustered vectors, shared
+    val exactScored = v
+      .withColumn("vn2", dotProduct(col("e"), col("e")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2",
+        col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("l2"))
+    val exact = twoPhaseRank(exactScored, Seq("q_id"),
+        Seq(col("l2"), col("vec_id")), 5, "rank")
+      .select(col("q_id"), col("vec_id"))
+
+    // one full serving arm: cells → probe-2 candidates → ADC top-5 → hits
+    def arm(cents: DataFrame, xhat: DataFrame, p: String): DataFrame = {
+      val assign = assignCells(v, cents, Seq.empty)
+        .select(col("vec_id"), col("c_id"))
+      val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+        .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_id").as("qc"))
+      val cand = assign
+        .join(broadcast(qcells), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val scoredAdc = cand.join(xhat, "vec_id")
+        .join(broadcast(queries), "q_id")
+        .withColumn("adc",
+          col("qn2") + col("xn2") - lit(2.0) * dotProduct(col("qe"), col("xh")))
+        .select(col("q_id"), col("vec_id"), col("adc"))
+      val c5 = twoPhaseRank(scoredAdc, Seq("q_id"),
+          Seq(col("adc"), col("vec_id")), 5, "rank")
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val cnt = cand.groupBy(col("q_id")).agg(count(lit(1)).as(s"${p}_cand"))
+      exact
+        .join(c5, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as(s"${p}_hit"))
+        .join(cnt, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col(s"${p}_cand"), lit(0L)).as(s"${p}_cand"),
+          col(s"${p}_hit"),
+          (col(s"${p}_hit") / lit(5.0)).as(s"${p}_recall"))
+    }
+    arm(centsS, xhStandin, "s").join(arm(centsT, xhTrained, "t"), "q_id")
+  }
+
+  /** Trained-IVF×PQ oracle: the shared clustered prefix + 3 PQ Lloyd
+    * rounds + both encodes (pqEncXhatSql), a quantized-clustered `v`/`c0`
+    * feeding the SAME unrolled integer-Lloyd stages as q_kmeans_converge
+    * (kmStageSql), then per arm: cosine cell CTEs (the
+    * annRecallIvfTrained construction), probe-2 candidates, ADC top-5
+    * inside the candidates, hits vs one exact-L2 CTE. */
+  private lazy val annRecallIvfpqTrainedSql: String = {
+    val dot = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i]))"
+    def cellsSql(p: String, cents: String): String =
+      s"""assign_$p AS MATERIALIZED (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        $dot / (a.nrm * c.cn) DESC, c.c_id) AS rn
+         |    FROM nn a CROSS JOIN $cents c) WHERE rn = 1),
+         |qcells_$p AS (
+         |  SELECT vec_id AS q_id, c_id AS qc FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        $dot / (a.nrm * c.cn) DESC, c.c_id) AS rn
+         |    FROM nn a CROSS JOIN $cents c WHERE a.vec_id < 8) WHERE rn <= 2),
+         |cand_$p AS MATERIALIZED (
+         |  SELECT qc.q_id, s.vec_id
+         |  FROM assign_$p s JOIN qcells_$p qc ON s.c_id = qc.qc AND s.vec_id <> qc.q_id)""".stripMargin
+    def armSql(p: String, xhat: String): String =
+      s"""sc_$p AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    q.qn2 + x.xn2 -
+         |      2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * x.xh[i])) AS adc
+         |  FROM cand_$p c JOIN $xhat x ON c.vec_id = x.vec_id JOIN qs q ON c.q_id = q.q_id),
+         |c5_$p AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+         |    FROM sc_$p) WHERE rank <= 5),
+         |cnt_$p AS (SELECT q_id, count(*) AS ${p}_cand FROM cand_$p GROUP BY q_id),
+         |hits_$p AS (
+         |  SELECT e.q_id,
+         |    sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS ${p}_hit
+         |  FROM exact e LEFT JOIN c5_$p c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+         |  GROUP BY e.q_id)""".stripMargin
+    s"""WITH $pqClusteredPrefixSql,
+       |${pqRoundSql(1)},
+       |${pqRoundSql(2)},
+       |${pqRoundSql(3)},
+       |qs AS (
+       |  SELECT vec_id AS q_id, e AS qe, list_sum(list_transform(e, x -> x * x)) AS qn2
+       |  FROM cv WHERE vec_id < 8),
+       |${pqEncXhatSql("cb0", "standin")},
+       |${pqEncXhatSql("cb3", "trained")},
+       |v AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+       |  FROM cv),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % $ivfpqSeedMod = 0),
+       |${(1 to ivfpqCoarseRounds).map(kmStageSql).mkString(",\n")},
+       |nn AS MATERIALIZED (
+       |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM cv),
+       |cents_s AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nn WHERE vec_id % $ivfpqSeedMod = 0),
+       |cents_t AS (
+       |  SELECT c_id, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM (
+       |    SELECT c_id, list_transform(cq, x -> x / 1000000.0) AS ce
+       |    FROM c$ivfpqCoarseRounds)),
+       |vn AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS vn2 FROM cv),
+       |exact AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        q.qn2 + b.vn2 -
+       |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])),
+       |        b.vec_id) AS rank
+       |    FROM vn b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5),
+       |${cellsSql("s", "cents_s")},
+       |${cellsSql("t", "cents_t")},
+       |${armSql("s", "xhat_standin")},
+       |${armSql("t", "xhat_trained")}
+       |SELECT h1.q_id,
+       |  coalesce(c1.s_cand, 0) AS s_cand, h1.s_hit, h1.s_hit / 5.0 AS s_recall,
+       |  coalesce(c2.t_cand, 0) AS t_cand, h2.t_hit, h2.t_hit / 5.0 AS t_recall
+       |FROM hits_s h1
+       |JOIN hits_t h2 USING (q_id)
+       |LEFT JOIN cnt_s c1 USING (q_id)
+       |LEFT JOIN cnt_t c2 USING (q_id)""".stripMargin
   }
 
   /** LSH oracle: hyperplane weights from the same md5-parity construction. */

@@ -494,6 +494,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(bnl <= 10, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
   }
 
+  test("q_ann_recall_ivfpq_trained: no cartesian; nested-loops only on broadcast query/centroid sides") {
+    // the composed stack inherits both envelopes: the PQ side's broadcast
+    // codebooks (bounded K×8 rows) and the IVF side's broadcast
+    // query/probe-cell/centroid frames — never corpus × corpus; the
+    // per-vec_id and per-q_id joins stay hash/sort-merge
+    val plan = planOf("q_ann_recall_ivfpq_trained")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 14, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
+  }
+
   test("q_agg_approx_quantile: sketch and exact sides share one aggregation") {
     // percentile + percentile_approx per group plan as ONE (sort/object)
     // aggregate pair — a second scan or a join between the exact and
