@@ -68,7 +68,7 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ ivfBalance :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ hardNegatives
@@ -413,6 +413,80 @@ object SimilarityQueries {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
     (path, ingestPlan, served)
+  }
+
+  /** ★ IVF index-health report — the operational artifact the
+    * incremental lane needs next: with centroids FROZEN (the
+    * q_similarity_ivf_incremental contract), a growing corpus slowly
+    * unbalances the cells, and rebalance/retrain is a cost you schedule
+    * off a REPORT, not a guess. Per cell: member count, batch share
+    * (ppm of members that arrived in the increment slice — where is new
+    * data landing?), mean cosine-to-own-centroid (ppm — how well does
+    * the frozen centroid still represent its members?), and a status
+    * flag by count balance: 'hot' above 1.1× the mean cell size, 'cold'
+    * below 0.85× (integer cross-multiplication, no division, so both
+    * engines agree exactly). Plan: one assignment hash agg keyed by
+    * cell + a broadcast cents join + a 1-row totals crossback (the
+    * q_domain_stats pattern) — O(cells) output that stays
+    * driver-readable at any corpus size, which is the point of a
+    * health report. A hot cell is a probe-latency outlier (candidate
+    * lists scale with cell size); enough hot/cold cells is the retrain
+    * trigger that versions a NEW quantizer and rebuilds — the
+    * incremental append lane handles everything before that point. */
+  val ivfBalance: QueryDef = q(
+    "q_ivf_balance",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 100 = 0 AND vec_id % 4 <> 3),
+      |assign AS (
+      |  SELECT vec_id, c_id, cosv FROM (
+      |    SELECT a.vec_id, c.c_id,
+      |      list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) AS cosv,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+      |        c.c_id) AS rn
+      |    FROM n a CROSS JOIN c) WHERE rn = 1),
+      |pr AS (SELECT vec_id, c_id, CAST(floor(cosv * 1000000) AS BIGINT) AS ppm FROM assign),
+      |cells AS (
+      |  SELECT c_id, count(*) AS n,
+      |    sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS nb,
+      |    sum(ppm) AS sp
+      |  FROM pr GROUP BY c_id),
+      |tot AS (SELECT sum(n) AS total, count(*) AS ncells FROM cells)
+      |SELECT c_id, n::BIGINT AS n_members,
+      |  (nb * 1000000 // n)::BIGINT AS batch_ppm,
+      |  (sp // n)::BIGINT AS mean_cos_ppm,
+      |  CASE WHEN n * ncells * 10 > total * 11 THEN 'hot'
+      |       WHEN n * ncells * 100 < total * 85 THEN 'cold'
+      |       ELSE 'ok' END AS status
+      |FROM cells CROSS JOIN tot""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.cosineSimilarity
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("b", (col("vec_id") % 4 === 3).cast("long"))
+    val cents = v.filter(col("vec_id") % 100 === 0 && col("vec_id") % 4 =!= 3)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val cells = assignCells(v, cents, Seq("e", "b"))
+      .join(broadcast(cents), "c_id")
+      .withColumn("ppm", floor(cosineSimilarity(col("e"), col("ce")) * lit(1000000d)))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("nb"), sum(col("ppm")).as("sp"))
+      // O(cells) rollup cached for the 1-row totals crossback — the
+      // q_domain_stats pattern; Bench.cleanup unpersists
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = broadcast(cells.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("ncells")))
+    cells.crossJoin(tot).select(
+      col("c_id"),
+      col("n").as("n_members"),
+      expr("nb * 1000000 div n").as("batch_ppm"),
+      expr("sp div n").as("mean_cos_ppm"),
+      when(col("n") * col("ncells") * 10 > col("total") * 11, "hot")
+        .when(col("n") * col("ncells") * 100 < col("total") * 85, "cold")
+        .otherwise("ok").as("status"))
   }
 
   /** One Lloyd (k-means) update step over the embedding corpus: assign

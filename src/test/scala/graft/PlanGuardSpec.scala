@@ -494,6 +494,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(bnl <= 10, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
   }
 
+  test("q_ivf_balance: one assignment agg, broadcast cents, 1-row totals crossback") {
+    // the health report must stay O(cells): the only nested-loops are the
+    // bounded-centroid assignment cross and the 1-row totals crossback,
+    // and the O(cells) rollup is cached so the crossback doesn't re-run
+    // the corpus assignment
+    val plan = planOf("q_ivf_balance")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 4, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"cells rollup not cached for the totals crossback:\n${plan.take(3000)}")
+  }
+
   test("q_ann_recall_ivfpq_trained: no cartesian; nested-loops only on broadcast query/centroid sides") {
     // the composed stack inherits both envelopes: the PQ side's broadcast
     // codebooks (bounded K×8 rows) and the IVF side's broadcast
