@@ -331,4 +331,57 @@ class MediaCodecSpec extends AnyFunSuite {
     evil2(fi.meta.dataOffset + 7) = 0x7f.toByte
     assert(MediaCodec.aviFrames(evil2, fi.meta) === Nil)
   }
+
+  test("property: wav encode→decode→pcmStats matches an independent re-derivation at arbitrary geometry") {
+    // raw ScalaCheck with fixed seeds (the PropertySpec discipline:
+    // scalatestplus isn't on the offline classpath). Covers odd data
+    // lengths (16-bit floor'd trailing byte), 1/2 channels, both widths,
+    // all-silent and clipping-heavy payloads.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      rate <- Gen.chooseNum(1, 96000)
+      channels <- Gen.chooseNum(1, 2)
+      bits <- Gen.oneOf(8, 16)
+      len <- Gen.chooseNum(0, 257)
+      bytes <- Gen.listOfN(len, Gen.chooseNum(-128, 127))
+    } yield (rate, channels, bits, bytes.map(_.toByte).toArray)
+    (1 to 200).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong))).foreach {
+      case (rate, channels, bits, data) =>
+        val p = MediaCodec.encodeWav(rate, channels, bits, data)
+        val m = MediaCodec.decode(p).get
+        assert(m.format === "wav" && m.width === rate && m.height === channels
+          && m.bitDepth === bits && m.dataLength === data.length)
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(p, m.dataOffset, m.dataOffset + m.dataLength), data))
+
+        val st = MediaCodec.pcmStats(p, m).get
+        // independent re-derivation, straight off the INPUT bytes
+        val bytesPer = bits / 8
+        val n = data.length / bytesPer
+        val full = (1 << (bits - 1)) - 1
+        val sil = full >> 6
+        val samples = (0 until n).map { i =>
+          if (bits == 8) (data(i) & 0xff) - 128
+          else ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+        }
+        assert(st.nSamples === n.toLong)
+        assert(st.durationMs === (n / channels).toLong * 1000L / rate)
+        assert(st.peak === (if (n == 0) 0 else samples.map(math.abs).max))
+        assert(st.nClip === samples.count(s => math.abs(s) >= full).toLong)
+        assert(st.leadSilence === samples.takeWhile(s => math.abs(s) <= sil).length.toLong)
+        assert(st.trailSilence ===
+          samples.reverse.takeWhile(s => math.abs(s) <= sil).length.toLong)
+        val sumSq = samples.map(s => s.toLong * s).sum
+        assert(st.rmsQ ===
+          (if (n == 0) 0L else math.floor(math.sqrt((sumSq / n).toDouble)).toLong))
+
+        // the re-wrapped twin shifts the data offset but not the content
+        val tw = MediaCodec.encodeWavRewrapped(rate, channels, bits, data, s"c$rate")
+        val mt = MediaCodec.decode(tw).get
+        assert(mt.dataOffset !== m.dataOffset)
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(tw, mt.dataOffset, mt.dataOffset + mt.dataLength), data))
+    }
+  }
 }
