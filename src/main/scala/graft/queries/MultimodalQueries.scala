@@ -380,7 +380,8 @@ object MultimodalQueries {
         |    (CASE WHEN n_samples = 0 THEN 0
         |      ELSE n_clip * 1000000 // n_samples END)::BIGINT AS clip_ppm,
         |    (CASE WHEN n_samples = 0 THEN 1000000
-        |      ELSE (lead_sil + trail_sil) * 1000000 // n_samples END)::BIGINT AS sil_ppm
+        |      ELSE least(lead_sil + trail_sil, n_samples) * 1000000 // n_samples
+        |    END)::BIGINT AS sil_ppm
         |  FROM stats)
         |SELECT doc_id, duration_ms, rms_q, clip_ppm, sil_ppm,
         |  CASE WHEN duration_ms < 10 THEN 'drop'
@@ -397,8 +398,11 @@ object MultimodalQueries {
         col("doc_id"), col("duration_ms"), col("rms_q"),
         when(col("n_samples") === 0, lit(0L))
           .otherwise(expr("n_clip * 1000000 div n_samples")).as("clip_ppm"),
+        // least() keeps sil_ppm a true 0..1e6 proportion: for an
+        // ALL-silent clip the lead and trail runs both equal n_samples
+        // (they overlap), so the raw sum would read 200%
         when(col("n_samples") === 0, lit(1000000L))
-          .otherwise(expr("(lead_sil + trail_sil) * 1000000 div n_samples"))
+          .otherwise(expr("least(lead_sil + trail_sil, n_samples) * 1000000 div n_samples"))
           .as("sil_ppm"))
       ppm.select(
         col("doc_id"), col("duration_ms"), col("rms_q"),

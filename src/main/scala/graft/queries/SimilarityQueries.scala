@@ -46,14 +46,19 @@ object SimilarityQueries {
     * are constant within a vec_id group (they come from the corpus row),
     * so `first()` is deterministic. */
   private def assignCells(v: DataFrame, cents: DataFrame,
-                          carry: Seq[String]): DataFrame = {
+                          carry: Seq[String], keepCos: Boolean = false): DataFrame = {
     val scored = v.crossJoin(broadcast(cents))
       .withColumn("ccos",
         graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
-    scored.groupBy(col("vec_id"))
+    val base = scored.groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("c_id")).as("nc"))).as("best"),
         carry.map(c => first(col(c)).as(c)): _*)
-      .select(col("vec_id") +: carry.map(col) :+ (-col("best.nc")).as("c_id"): _*)
+    val cols = col("vec_id") +: carry.map(col) :+ (-col("best.nc")).as("c_id")
+    // the winning cosine is already in the max struct — consumers that
+    // need it (q_ivf_balance) take it for free instead of re-joining
+    // cents and recomputing the 64-dim kernel per row
+    val out = if (keepCos) cols :+ col("best.ccos").as("ccos") else cols
+    base.select(out: _*)
   }
 
   /** The same weights as a DuckDB VALUES literal `(p, w)` — evaluating the
@@ -319,9 +324,16 @@ object SimilarityQueries {
     val path = graft.plans.ScratchDirs.unique("graft-ivf-index").getAbsolutePath
     assignCells(v, cents, Seq("e", "nrm"))
       .write.mode("overwrite").partitionBy("c_id").parquet(path)
-    // query batch: probe cells become scan literals (16 values for 8
-    // queries × nprobe=2) — bounded driver data by design, like every
-    // per-query serving parameter
+    serveStoredIndex(s, v, cents, path)
+  }
+
+  /** Probe-2 top-3 serving over a cell-partitioned stored index: probe
+    * cells become scan literals (bounded driver data — per-query serving
+    * parameters), the index read is partition-filtered to them, and the
+    * rank window runs inside the pruned candidates. Shared by the stored
+    * and incremental lanes so the serving shape cannot drift. */
+  private def serveStoredIndex(s: SparkSession, v: DataFrame,
+      cents: DataFrame, path: String): DataFrame = {
     val q2 = v.filter(col("vec_id") < 8)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
@@ -364,7 +376,10 @@ object SimilarityQueries {
     * re-touches the accumulated index. */
   val ivfIncremental: QueryDef = q(
     "q_similarity_ivf_incremental",
-    ivfProbe2SqlWith("vec_id % 100 = 0 AND vec_id % 4 <> 3")
+    // every multiple of 100 is ≡0 (mod 4), so this centroid set is
+    // exactly the base-derivable frozen quantizer — no batch predicate
+    // needed (or possible: a conjunct would be dead)
+    ivfProbe2SqlWith("vec_id % 100 = 0")
   ) { (s, dir) => ivfIncrementalServe(s, dir)._3 }
 
   /** q_similarity_ivf_incremental's build+ingest+serve, exposed
@@ -394,25 +409,7 @@ object SimilarityQueries {
     ingest.write.mode("append").partitionBy("c_id").parquet(path)
     // 3) serve probe-2 top-3 over the merged layout (queries from the
     // full corpus — a query needn't be indexed to be asked)
-    val q2 = v.filter(col("vec_id") < 8)
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("rn") <= 2)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
-    val probeCells = q2.select(col("qc")).distinct().collect().map(_.getLong(0)).sorted
-    val index = s.read.parquet(path)
-      .filter(col("c_id").isin(probeCells: _*))
-      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
-    val served = index
-      .join(broadcast(q2), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
-    (path, ingestPlan, served)
+    (path, ingestPlan, serveStoredIndex(s, v, cents, path))
   }
 
   /** ★ IVF index-health report — the operational artifact the
@@ -438,7 +435,7 @@ object SimilarityQueries {
     """WITH v AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 100 = 0 AND vec_id % 4 <> 3),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 100 = 0),
       |assign AS (
       |  SELECT vec_id, c_id, cosv FROM (
       |    SELECT a.vec_id, c.c_id,
@@ -462,16 +459,16 @@ object SimilarityQueries {
       |       ELSE 'ok' END AS status
       |FROM cells CROSS JOIN tot""".stripMargin
   ) { (s, dir) =>
-    import graft.functions.VectorExpressions.cosineSimilarity
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
       .withColumn("b", (col("vec_id") % 4 === 3).cast("long"))
-    val cents = v.filter(col("vec_id") % 100 === 0 && col("vec_id") % 4 =!= 3)
+    // seeds: every multiple of 100 is ≡0 (mod 4), so this is exactly the
+    // incremental lane's base-derivable frozen quantizer
+    val cents = v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val cells = assignCells(v, cents, Seq("e", "b"))
-      .join(broadcast(cents), "c_id")
-      .withColumn("ppm", floor(cosineSimilarity(col("e"), col("ce")) * lit(1000000d)))
+    val cells = assignCells(v, cents, Seq("b"), keepCos = true)
+      .withColumn("ppm", floor(col("ccos") * lit(1000000d)))
       .groupBy(col("c_id"))
       .agg(count(lit(1)).as("n"), sum(col("b")).as("nb"), sum(col("ppm")).as("sp"))
       // O(cells) rollup cached for the 1-row totals crossback — the

@@ -26,7 +26,10 @@ class IvfBalanceSpec extends SparkSpec {
         else "ok"
       assert(r.getString(4) === expected, s"cell ${r.getLong(0)}")
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000, "batch_ppm out of range")
-      assert(r.getLong(3) > 0 && r.getLong(3) <= 1000000, "mean_cos_ppm out of range")
+      // cosine to a frozen centroid is legitimately negative — the only
+      // contract is the cosine range itself
+      assert(r.getLong(3) >= -1000000 && r.getLong(3) <= 1000000,
+        "mean_cos_ppm outside the cosine range")
     }
     // every corpus vector is in exactly one cell
     assert(total === Tables(spark, sf).embeddings.count())

@@ -34,6 +34,24 @@ class TrainedIvfPqSpec extends SparkSpec {
     }
   }
 
+  test("oracle validity: the coarse trainer's driver stride is 1 at every fixture SF") {
+    // q_ann_recall_ivf_trained and q_ann_recall_ivfpq_trained train on a
+    // DriverLocalGate-strided sample, but their oracles train on EVERY
+    // corpus row — the two agree only while the stride is 1. A fixture
+    // regeneration that grows embeddings past the gate would otherwise
+    // fail the driver gate as an opaque hash mismatch; this turns it
+    // into a named failure pointing at the scaladoc'd divergence.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val n = Tables(spark, sf).embeddings.count()
+      assert(n <= graft.queries.DriverLocalGate.maxLocalVectors,
+        s"$sf has $n vectors > DriverLocalGate.maxLocalVectors " +
+          s"(${graft.queries.DriverLocalGate.maxLocalVectors}): the trained-ANN " +
+          "queries now train on a stride sample while their oracles train on the " +
+          "full corpus — re-derive the oracle (or stride it identically) before " +
+          "trusting the hash gate for q_ann_recall_ivf_trained / q_ann_recall_ivfpq_trained")
+    }
+  }
+
   test("cell layer actually prunes: every arm's candidate set is well under the corpus") {
     val n = Tables(spark, sf).embeddings.count()
     val rows = SparkEntry.queries("q_ann_recall_ivfpq_trained")(spark, sf)
