@@ -92,6 +92,40 @@ class BpeConvergeSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("token ids are collision-free and decode losslessly back to every vocab word") {
+    // q_bpe_encode's id scheme: single chars → their code point, merged
+    // symbols → 128 + first-win rule index. The scheme is lossless ONLY
+    // while no corpus character has a code point ≥ 128 (it would collide
+    // with the first merged id) — the fixture is ASCII, and this test
+    // turns a future non-ASCII regeneration into a named failure while
+    // proving decode(encode(word)) == word over the whole vocabulary.
+    val dir = "/root/testdata/sf0.001"
+    val (learned, vocab) =
+      graft.queries.TextQueries.bpeTrainLoop(spark, Tables(spark, dir).documents)
+    try {
+      val merged = scala.collection.mutable.LinkedHashMap[String, Int]()
+      learned.zipWithIndex.foreach { case ((_, _, a, b, _, _), i) =>
+        val m = a + b
+        if (!merged.contains(m)) merged(m) = 128 + i
+      }
+      val inverse: Map[Int, String] =
+        (0 until 128).map(c => c -> c.toChar.toString).toMap ++ merged.map(_.swap)
+      val rows = vocab.select(col("word"), col("L"))
+        .as[(String, Seq[String])].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (word, syms) =>
+        val ids = syms.map { s =>
+          if (s.length == 1) {
+            assert(s.head.toInt < 128,
+              s"non-ASCII symbol '$s' (code ${s.head.toInt}) collides with merged-rule ids")
+            s.head.toInt
+          } else merged(s)
+        }
+        assert(ids.map(inverse).mkString === word, s"round trip failed for '$word'")
+      }
+    } finally Bench.cleanup(spark)
+  }
+
   test("oracle round-count constant matches the sf0.01 fixture it is valid for") {
     // bpeConvergeRounds is pinned to the sf the driver's gate runs at —
     // this test turns a fixture regeneration into a named failure
