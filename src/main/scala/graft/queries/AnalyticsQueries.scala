@@ -1189,20 +1189,96 @@ object AnalyticsQueries {
         |FROM a GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
       val tsUs = timestamp_micros(expr("ts div 1000"))
-      val p = Tables(s, dir).events
-        .select(date_format(tsUs, "yyyy-MM-dd").as("day"),
-          hour(tsUs).cast("long").as("hr"), length(col("props")).as("pb"))
-        .groupBy(col("day"), col("hr"))
-        .agg((sum(col("pb")) + lit(32L) * count(lit(1))).as("est_bytes"))
-      val w = Window.partitionBy(col("day")).orderBy(col("hr"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      p.withColumn("cum0", sum(col("est_bytes")).over(w) - col("est_bytes"))
-        .withColumn("file_id", expr("cum0 div 4096"))
+      compactBins(Tables(s, dir).events
+          .select(date_format(tsUs, "yyyy-MM-dd").as("day"),
+            hour(tsUs).cast("long").as("hr"), length(col("props")).as("pb")))
         .groupBy(col("day"), col("file_id"))
         .agg(count(lit(1)).as("n_parts"), sum(col("est_bytes")).as("bytes"),
           min(col("hr")).as("hr_from"), max(col("hr")).as("hr_to"))
-    }
+    },
+
+    // ★ Compaction APPLY — the rewrite q_compact_plan only plans, the
+    // lakehouse OPTIMIZE executed: a deliberately fragmented store (one
+    // file per (day, hour) directory — the small-file problem) is
+    // rewritten into day-partitioned files following the SAME bin
+    // assignment the plan query reports (shared compactBins, so plan and
+    // apply can never disagree). The declared output is read back from
+    // the COMPACTED store — per (day, file_id, hour) row counts — so the
+    // oracle (which recomputes the bins and hour counts straight from
+    // events) proves the rewrite lost and duplicated nothing at hour
+    // granularity; CompactApplySpec adds what SQL can't see: the rewrite
+    // plan reads the fragmented store (not the source), the physical
+    // file count actually DROPS, and row-level content is bit-identical.
+    // Scale: the rewrite is one broadcast bins join + a (day, file_id)
+    // repartition — embarrassingly parallel across day directories, no
+    // global sort; at 100 TB each day compacts independently and
+    // unaffected days are never rewritten.
+    q(
+      "q_compact_apply",
+      """WITH p AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, hour(ts)::BIGINT AS hr,
+        |    count(*) AS n_rows,
+        |    (sum(length(props)) + 32 * count(*))::BIGINT AS est_bytes
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT day, hr, n_rows, est_bytes,
+        |    (sum(est_bytes) OVER (PARTITION BY day ORDER BY hr
+        |       ROWS UNBOUNDED PRECEDING) - est_bytes)::BIGINT AS cum0
+        |  FROM p)
+        |SELECT day, (cum0 // 4096)::BIGINT AS file_id, hr,
+        |  n_rows::BIGINT AS n_rows
+        |FROM c""".stripMargin
+    ) { (s, dir) => compactApplyServe(s, dir)._4 }
   )
+
+  /** q_compact_apply's fragment→rewrite→read-back, exposed private[graft]
+    * so CompactApplySpec can pin what the SQL oracle cannot see. Returns
+    * (fragmented path, compacted path, rewrite physical plan captured
+    * before the write, served frame). */
+  private[graft] def compactApplyServe(s: SparkSession, dir: String)
+      : (String, String, String, DataFrame) = {
+    val tsUs = timestamp_micros(expr("ts div 1000"))
+    val ev = Tables(s, dir).events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
+      date_format(tsUs, "yyyy-MM-dd").as("day"), hour(tsUs).cast("long").as("hr"))
+    val fragPath = graft.plans.ScratchDirs.unique("graft-compact-frag").getAbsolutePath
+    // manufacture the small-file problem: one file per (day, hour) dir
+    ev.repartition(col("day"), col("hr"))
+      .write.mode("overwrite").partitionBy("day", "hr").parquet(fragPath)
+    val frag = s.read.parquet(fragPath).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
+      col("day").cast("string").as("day"), col("hr").cast("long").as("hr"))
+    // bins derive from the STORE's stats (the catalog-file-listing
+    // stand-in), not from the source table
+    val bins = compactBins(
+        frag.select(col("day"), col("hr"), length(col("props")).as("pb")))
+      .select(col("day"), col("hr"), col("file_id"))
+    val rewritten = frag.join(broadcast(bins), Seq("day", "hr"))
+      .repartition(col("day"), col("file_id"))
+    val rewritePlan = rewritten.queryExecution.executedPlan.toString
+    val compPath = graft.plans.ScratchDirs.unique("graft-compact-out").getAbsolutePath
+    rewritten.write.mode("overwrite").partitionBy("day").parquet(compPath)
+    val served = s.read.parquet(compPath)
+      .groupBy(col("day").cast("string").as("day"), col("file_id"), col("hr"))
+      .agg(count(lit(1)).as("n_rows"))
+    (fragPath, compPath, rewritePlan, served)
+  }
+
+  /** The compaction bin assignment shared by q_compact_plan (reports it)
+    * and q_compact_apply (executes it): per-(day, hr) stats off one row
+    * per record (day, hr, pb), prefix-sum first-fit file ids within each
+    * day at the 4 KiB fixture target. Input rows carry pb =
+    * length(props); the estimate stands in for catalog file sizes. */
+  private[graft] def compactBins(rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = rows.groupBy(col("day"), col("hr"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("pb")) + lit(32L) * count(lit(1))).as("est_bytes"))
+    val w = Window.partitionBy(col("day")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("cum0", sum(col("est_bytes")).over(w) - col("est_bytes"))
+      .withColumn("file_id", expr("cum0 div 4096"))
+  }
 
   /** The q_ohlc aggregation over a (event_type, t_us, event_id, value)
     * points frame — shared between the declared batch query and the
