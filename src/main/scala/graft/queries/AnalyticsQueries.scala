@@ -1248,6 +1248,10 @@ object AnalyticsQueries {
     val frag = s.read.parquet(fragPath).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
       col("day").cast("string").as("day"), col("hr").cast("long").as("hr"))
+      // the 720-file store feeds BOTH the bins derivation and the rewrite
+      // join — cache it so the small-file listing+scan is paid once
+      // (Bench.cleanup unpersists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bins derive from the STORE's stats (the catalog-file-listing
     // stand-in), not from the source table
     val bins = compactBins(
