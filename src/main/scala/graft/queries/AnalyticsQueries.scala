@@ -1228,15 +1228,17 @@ object AnalyticsQueries {
         |SELECT day, (cum0 // 4096)::BIGINT AS file_id, hr,
         |  n_rows::BIGINT AS n_rows
         |FROM c""".stripMargin
-    ) { (s, dir) => compactApplyServe(s, dir)._4 }
+    ) { (s, dir) => compactApplyServe(s, dir)._5 }
   )
 
   /** q_compact_apply's fragment→rewrite→read-back, exposed private[graft]
     * so CompactApplySpec can pin what the SQL oracle cannot see. Returns
-    * (fragmented path, compacted path, rewrite physical plan captured
-    * before the write, served frame). */
+    * (fragmented path, compacted path, physical plan of the frag frame
+    * captured BEFORE the cache hides its scan — the store-provenance
+    * witness, the rewrite only composes frag+bins on top — the planned
+    * bins frame, and the served frame). */
   private[graft] def compactApplyServe(s: SparkSession, dir: String)
-      : (String, String, String, DataFrame) = {
+      : (String, String, String, DataFrame, DataFrame) = {
     val tsUs = timestamp_micros(expr("ts div 1000"))
     val ev = Tables(s, dir).events.select(
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
@@ -1248,10 +1250,13 @@ object AnalyticsQueries {
     val frag = s.read.parquet(fragPath).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
       col("day").cast("string").as("day"), col("hr").cast("long").as("hr"))
-      // the 720-file store feeds BOTH the bins derivation and the rewrite
-      // join — cache it so the small-file listing+scan is paid once
-      // (Bench.cleanup unpersists)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // capture provenance while the scan is still visible: once cached,
+    // every downstream plan shows only InMemoryTableScan
+    val fragPlan = frag.queryExecution.executedPlan.toString
+    // the 720-file store feeds BOTH the bins derivation and the rewrite
+    // join — cache it so the small-file listing+scan is paid once
+    // (Bench.cleanup unpersists)
+    frag.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bins derive from the STORE's stats (the catalog-file-listing
     // stand-in), not from the source table
     val bins = compactBins(
@@ -1259,13 +1264,12 @@ object AnalyticsQueries {
       .select(col("day"), col("hr"), col("file_id"))
     val rewritten = frag.join(broadcast(bins), Seq("day", "hr"))
       .repartition(col("day"), col("file_id"))
-    val rewritePlan = rewritten.queryExecution.executedPlan.toString
     val compPath = graft.plans.ScratchDirs.unique("graft-compact-out").getAbsolutePath
     rewritten.write.mode("overwrite").partitionBy("day").parquet(compPath)
     val served = s.read.parquet(compPath)
       .groupBy(col("day").cast("string").as("day"), col("file_id"), col("hr"))
       .agg(count(lit(1)).as("n_rows"))
-    (fragPath, compPath, rewritePlan, served)
+    (fragPath, compPath, fragPlan, bins, served)
   }
 
   /** The compaction bin assignment shared by q_compact_plan (reports it)
@@ -1276,8 +1280,7 @@ object AnalyticsQueries {
   private[graft] def compactBins(rows: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val p = rows.groupBy(col("day"), col("hr"))
-      .agg(count(lit(1)).as("n_rows"),
-        (sum(col("pb")) + lit(32L) * count(lit(1))).as("est_bytes"))
+      .agg((sum(col("pb")) + lit(32L) * count(lit(1))).as("est_bytes"))
     val w = Window.partitionBy(col("day")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.withColumn("cum0", sum(col("est_bytes")).over(w) - col("est_bytes"))

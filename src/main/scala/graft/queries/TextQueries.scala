@@ -76,6 +76,21 @@ object TextQueries {
     * localCheckpoint the caller owns and must release). Shared by
     * q_bpe_train_converge (reports the rules) and q_bpe_encode (encodes
     * the corpus with them), so the two can never train differently. */
+  /** q_bpe_encode's id scheme — merged string → 128 + FIRST-WIN rule
+    * index in (round, rk) order; single chars encode as their code
+    * point. Shared with BpeConvergeSpec's round-trip proof so the
+    * lossless guarantee covers the SHIPPED mapping, not a test copy. */
+  private[graft] def bpeIdAssignment(
+      learned: Seq[(Long, Long, String, String, Long, Long)])
+      : scala.collection.mutable.LinkedHashMap[String, Int] = {
+    val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+    learned.zipWithIndex.foreach { case ((_, _, a, b, _, _), i) =>
+      val m = a + b
+      if (!ids.contains(m)) ids(m) = 128 + i
+    }
+    ids
+  }
+
   private[graft] def bpeTrainLoop(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
       targetMerges: Int = bpeTargetMerges,
@@ -343,12 +358,7 @@ object TextQueries {
       import s.implicits._
       val docs = Tables(s, dir).documents
       val (learned, finalVocab) = bpeTrainLoop(s, docs)
-      // merged string → id, first occurrence in (round, rk) order wins
-      val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
-      learned.zipWithIndex.foreach { case ((_, _, a, b, _, _), i) =>
-        val m = a + b
-        if (!ids.contains(m)) ids(m) = 128 + i
-      }
+      val ids = bpeIdAssignment(learned)
       val idMap = map_from_arrays(
         lit(ids.keys.toArray), lit(ids.values.toArray))
       val ev = finalVocab.select(col("word"),

@@ -93,21 +93,19 @@ class BpeConvergeSpec extends SparkSpec {
   }
 
   test("token ids are collision-free and decode losslessly back to every vocab word") {
-    // q_bpe_encode's id scheme: single chars → their code point, merged
-    // symbols → 128 + first-win rule index. The scheme is lossless ONLY
-    // while no corpus character has a code point ≥ 128 (it would collide
-    // with the first merged id) — the fixture is ASCII, and this test
-    // turns a future non-ASCII regeneration into a named failure while
+    // q_bpe_encode's id scheme (the SHARED bpeIdAssignment — this proof
+    // covers the shipped mapping, not a test copy): single chars → their
+    // code point, merged symbols → 128 + first-win rule index. The
+    // scheme is lossless ONLY while no corpus character has a code point
+    // ≥ 128 (it would collide with the first merged id) — so this runs
+    // at sf0.01, the fixture the driver's oracle gate actually encodes,
+    // turning a non-ASCII regeneration there into a named failure while
     // proving decode(encode(word)) == word over the whole vocabulary.
-    val dir = "/root/testdata/sf0.001"
+    val dir = "/root/testdata/sf0.01"
     val (learned, vocab) =
       graft.queries.TextQueries.bpeTrainLoop(spark, Tables(spark, dir).documents)
     try {
-      val merged = scala.collection.mutable.LinkedHashMap[String, Int]()
-      learned.zipWithIndex.foreach { case ((_, _, a, b, _, _), i) =>
-        val m = a + b
-        if (!merged.contains(m)) merged(m) = 128 + i
-      }
+      val merged = graft.queries.TextQueries.bpeIdAssignment(learned)
       val inverse: Map[Int, String] =
         (0 until 128).map(c => c -> c.toChar.toString).toMap ++ merged.map(_.swap)
       val rows = vocab.select(col("word"), col("L"))
