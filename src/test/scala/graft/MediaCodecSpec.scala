@@ -332,6 +332,55 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.aviFrames(evil2, fi.meta) === Nil)
   }
 
+  test("property: png/jpeg/avi round-trip at arbitrary geometry (incl. rewrapped png and junk-chunk avi)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.chooseNum(1, 4096)
+      h <- Gen.chooseNum(1, 4096)
+      bits <- Gen.oneOf(8, 16)
+      fps <- Gen.chooseNum(1, 120)
+      len <- Gen.chooseNum(0, 257)
+      bytes <- Gen.listOfN(len, Gen.chooseNum(-128, 127))
+      junk <- Gen.oneOf(true, false)
+    } yield (w, h, bits, fps, bytes.map(_.toByte).toArray, junk)
+    (1 to 200).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong))).foreach {
+      case (w, h, bits, fps, data, junk) =>
+        def slice(p: Array[Byte], m: MediaCodec.MediaMeta) =
+          java.util.Arrays.copyOfRange(p, m.dataOffset, m.dataOffset + m.dataLength)
+
+        val png = MediaCodec.encodePng(w, h, bits, data)
+        val mp = MediaCodec.decode(png).get
+        assert(mp.format === "png" && mp.width === w && mp.height === h
+          && mp.bitDepth === bits && mp.dataLength === data.length)
+        assert(java.util.Arrays.equals(slice(png, mp), data))
+
+        // rewrapped twin: shifted offset, identical content
+        val tw = MediaCodec.encodePngRewrapped(w, h, bits, data, s"c$w")
+        val mt = MediaCodec.decode(tw).get
+        assert(mt.dataOffset !== mp.dataOffset)
+        assert(java.util.Arrays.equals(slice(tw, mt), data))
+
+        val jpg = MediaCodec.encodeJpeg(w, h, data)
+        val mj = MediaCodec.decode(jpg).get
+        assert(mj.format === "jpeg" && mj.width === w && mj.height === h)
+        assert(java.util.Arrays.equals(slice(jpg, mj), data))
+
+        val avi = MediaCodec.encodeAvi(w, h, fps, data, junk = junk)
+        val fi = MediaCodec.aviInfo(avi).get
+        assert(fi.meta.width === w && fi.meta.height === h)
+        assert(fi.microSecPerFrame === 1000000L / fps)
+        assert(fi.totalFrames === (data.length + 63) / 64)
+        // stitched frame bytes must reconstruct the payload exactly
+        val frames = MediaCodec.aviFrames(avi, fi.meta, maxFrames = Int.MaxValue)
+        val stitched = frames.flatMap { case (off, len) =>
+          java.util.Arrays.copyOfRange(avi, off, off + len)
+        }.toArray
+        assert(java.util.Arrays.equals(stitched, data),
+          s"avi frame stitch mismatch at w=$w h=$h len=${data.length} junk=$junk")
+    }
+  }
+
   test("property: wav encode→decode→pcmStats matches an independent re-derivation at arbitrary geometry") {
     // raw ScalaCheck with fixed seeds (the PropertySpec discipline:
     // scalatestplus isn't on the offline classpath). Covers odd data
