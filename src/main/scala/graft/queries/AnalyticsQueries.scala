@@ -1125,6 +1125,67 @@ object AnalyticsQueries {
     // bit-for-bit. At 100 TB the count agg runs on a block sample instead
     // of the full fact (the factor only needs one significant digit) —
     // same plan, ~free.
+    // ★ Distribution-DRIFT monitor — the data-quality report a production
+    // ingest runs between corpus versions: split the table at the
+    // midpoint epoch-day into reference and current slices, then compare
+    // the slices' distributions per monitored column — `value` over 10
+    // equal-width bins derived from the REFERENCE slice's range (so a
+    // current-side range excursion lands in the edge bins instead of
+    // moving the edges), `event_type` over its categories. Divergence is
+    // total-variation distance in ppm (Σ|p_ref − p_cur| / 2) — a pure
+    // integer statistic over integer ppm shares, so both engines agree
+    // bit-for-bit where a PSI/KL ln() would hang cross-engine parity on
+    // libm rounding. Plan: the 3-column projection is cached; one pass
+    // derives the day range, one the reference stats + slice totals
+    // (single conditional agg), and ONE pass bins every row into its two
+    // (column, bin) contributions — a bounded hash agg + an O(bins)
+    // window. Output is O(bins + categories): the drift dashboard stays
+    // driver-readable at any table size. DriftReportSpec proves
+    // sensitivity on a planted shift and zero on identical slices.
+    q(
+      "q_drift_report",
+      """WITH e AS (
+        |  SELECT datediff('day', TIMESTAMP '1970-01-01', ts) AS day,
+        |    event_type, value
+        |  FROM events),
+        |r AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+        |st AS (
+        |  SELECT min(CASE WHEN day < mid THEN value END) AS lo,
+        |    max(CASE WHEN day < mid THEN value END) AS hi,
+        |    sum(CASE WHEN day < mid THEN 1 ELSE 0 END)::BIGINT AS tot_ref,
+        |    sum(CASE WHEN day >= mid THEN 1 ELSE 0 END)::BIGINT AS tot_cur
+        |  FROM e CROSS JOIN r),
+        |b AS (
+        |  SELECT CASE WHEN day < mid THEN 0 ELSE 1 END AS side, col, bin
+        |  FROM (
+        |    SELECT day, mid, unnest([
+        |      struct_pack(col := 'value', bin := 'b' || CAST(
+        |        CASE WHEN hi = lo THEN 0 ELSE least(greatest(
+        |          CAST(floor((value - lo) * 10 / (hi - lo)) AS BIGINT), 0), 9) END
+        |        AS VARCHAR)),
+        |      struct_pack(col := 'event_type', bin := event_type)
+        |    ], recursive := true)
+        |  FROM e CROSS JOIN r CROSS JOIN st)),
+        |c AS (
+        |  SELECT col, bin,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |  FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT col, bin,
+        |    (n_ref * 1000000 // tot_ref)::BIGINT AS ref_ppm,
+        |    (n_cur * 1000000 // tot_cur)::BIGINT AS cur_ppm
+        |  FROM c CROSS JOIN st)
+        |SELECT col, bin, ref_ppm, cur_ppm,
+        |  abs(ref_ppm - cur_ppm)::BIGINT AS diff_ppm,
+        |  (sum(abs(ref_ppm - cur_ppm)) OVER (PARTITION BY col) // 2)::BIGINT AS tv_ppm
+        |FROM p""".stripMargin
+    ) { (s, dir) =>
+      driftReport(Tables(s, dir).events.select(
+        expr("ts div 86400000000000").as("day"),
+        col("event_type"), col("value")))
+    },
+
     q(
       "q_skew_profile",
       """WITH k AS (
@@ -1270,6 +1331,45 @@ object AnalyticsQueries {
       .groupBy(col("day").cast("string").as("day"), col("file_id"), col("hr"))
       .agg(count(lit(1)).as("n_rows"))
     (fragPath, compPath, fragPlan, bins, served)
+  }
+
+  /** q_drift_report's engine over a (day, event_type, value) frame —
+    * factored so DriftReportSpec can plant a known distribution shift.
+    * Requires both slices non-empty (the ppm divisions are integer and
+    * unguarded — a one-sided frame is a caller error, and the fixture's
+    * 30-day span guarantees both sides). */
+  private[graft] def driftReport(ev0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // 3 passes (day range, reference stats, binning) over one cached
+    // 3-column projection — Bench.cleanup unpersists
+    val ev = ev0.persist(MEMORY_AND_DISK)
+    val r = broadcast(ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid")))
+    val st = broadcast(ev.crossJoin(r).agg(
+      min(when(col("day") < col("mid"), col("value"))).as("lo"),
+      max(when(col("day") < col("mid"), col("value"))).as("hi"),
+      sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("tot_ref"),
+      sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("tot_cur")))
+    val binCol = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(greatest(
+        floor((col("value") - col("lo")) * lit(10) / (col("hi") - col("lo"))),
+        lit(0L)), lit(9L)))
+    val b = ev.crossJoin(r).crossJoin(st)
+      .select(when(col("day") < col("mid"), 0).otherwise(1).as("side"),
+        explode(array(
+          struct(lit("value").as("col"),
+            concat(lit("b"), binCol.cast("string")).as("bin")),
+          struct(lit("event_type").as("col"), col("event_type").as("bin")))).as("cb"))
+      .select(col("side"), col("cb.col").as("col"), col("cb.bin").as("bin"))
+    val c = b.groupBy(col("col"), col("bin")).agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    c.crossJoin(st)
+      .select(col("col"), col("bin"),
+        expr("n_ref * 1000000 div tot_ref").as("ref_ppm"),
+        expr("n_cur * 1000000 div tot_cur").as("cur_ppm"))
+      .select(col("col"), col("bin"), col("ref_ppm"), col("cur_ppm"),
+        abs(col("ref_ppm") - col("cur_ppm")).as("diff_ppm"),
+        expr("sum(abs(ref_ppm - cur_ppm)) over (partition by col) div 2").as("tv_ppm"))
   }
 
   /** The compaction bin assignment shared by q_compact_plan (reports it)

@@ -494,6 +494,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(bnl <= 10, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
   }
 
+  test("q_drift_report: cached projection, 1-row stats broadcasts, no cartesian beyond them") {
+    // the drift monitor's only nested-loops are the two 1-row stats
+    // frames crossed back over the cached projection and the O(bins)
+    // rollup — the binning pass itself is one hash agg
+    val plan = planOf("q_drift_report")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"3-column projection not cached for its three passes:\n${plan.take(3000)}")
+    // 5 = the mid frame twice (stats + binning) and the stats frame three
+    // times (binning, ppm rollup) — every side is exactly 1 row
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 5, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
+  }
+
   test("q_ivf_balance: one assignment agg, broadcast cents, 1-row totals crossback") {
     // the health report must stay O(cells): the only nested-loops are the
     // bounded-centroid assignment cross and the 1-row totals crossback,
