@@ -1111,20 +1111,6 @@ object AnalyticsQueries {
       }
     },
 
-    // ★ Join-key skew profile — the diagnostic every 100-TB join runs
-    // FIRST: per-key counts → hottest-key list with corpus share (integer
-    // ppm) plus a global skew factor (max key count over mean key count,
-    // ×1000 fixed point). skew_x1000 ≈ 1000 means uniform; ≥ ~5000 means
-    // the hottest key funnels one sort-merge task and the join wants AQE
-    // skew split or salting (q_join_salted / q_join_salted_auto). Plan:
-    // one keyed hash agg (map-side partials), a 1-row global agg
-    // broadcast back over the key frame (BroadcastNestedLoopJoin with an
-    // O(1) side — the stats-join idiom), and a bounded top-10 TakeOrdered
-    // — no global sort, no driver collect, O(distinct keys) intermediate.
-    // All ratios are integer floor-divides so the hash matches DuckDB
-    // bit-for-bit. At 100 TB the count agg runs on a block sample instead
-    // of the full fact (the factor only needs one significant digit) —
-    // same plan, ~free.
     // ★ Distribution-DRIFT monitor — the data-quality report a production
     // ingest runs between corpus versions: split the table at the
     // midpoint epoch-day into reference and current slices, then compare
@@ -1181,11 +1167,29 @@ object AnalyticsQueries {
         |  (sum(abs(ref_ppm - cur_ppm)) OVER (PARTITION BY col) // 2)::BIGINT AS tv_ppm
         |FROM p""".stripMargin
     ) { (s, dir) =>
+      // datediff-on-date floors like the oracle's datediff (a raw
+      // `ts div 86400e9` would TRUNCATE toward zero and misclassify any
+      // pre-epoch timestamp into the wrong slice)
       driftReport(Tables(s, dir).events.select(
-        expr("ts div 86400000000000").as("day"),
+        expr("cast(datediff(cast(timestamp_micros(ts div 1000) as date), date'1970-01-01') as bigint)")
+          .as("day"),
         col("event_type"), col("value")))
     },
 
+    // ★ Join-key skew profile — the diagnostic every 100-TB join runs
+    // FIRST: per-key counts → hottest-key list with corpus share (integer
+    // ppm) plus a global skew factor (max key count over mean key count,
+    // ×1000 fixed point). skew_x1000 ≈ 1000 means uniform; ≥ ~5000 means
+    // the hottest key funnels one sort-merge task and the join wants AQE
+    // skew split or salting (q_join_salted / q_join_salted_auto). Plan:
+    // one keyed hash agg (map-side partials), a 1-row global agg
+    // broadcast back over the key frame (BroadcastNestedLoopJoin with an
+    // O(1) side — the stats-join idiom), and a bounded top-10 TakeOrdered
+    // — no global sort, no driver collect, O(distinct keys) intermediate.
+    // All ratios are integer floor-divides so the hash matches DuckDB
+    // bit-for-bit. At 100 TB the count agg runs on a block sample instead
+    // of the full fact (the factor only needs one significant digit) —
+    // same plan, ~free.
     q(
       "q_skew_profile",
       """WITH k AS (
@@ -1340,8 +1344,11 @@ object AnalyticsQueries {
     * 30-day span guarantees both sides). */
   private[graft] def driftReport(ev0: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // 3 passes (day range, reference stats, binning) over one cached
-    // 3-column projection — Bench.cleanup unpersists
+    // one cached 3-column projection; the parquet is read ONCE, and the
+    // cache is then scanned once per stats consumer (the 1-row mid and
+    // stats frames are re-derived where referenced — six cheap cache
+    // scans total, two of them full conditional aggs) — Bench.cleanup
+    // unpersists
     val ev = ev0.persist(MEMORY_AND_DISK)
     val r = broadcast(ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid")))
     val st = broadcast(ev.crossJoin(r).agg(

@@ -502,10 +502,11 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
       s"3-column projection not cached for its three passes:\n${plan.take(3000)}")
-    // 5 = the mid frame twice (stats + binning) and the stats frame three
-    // times (binning, ppm rollup) — every side is exactly 1 row
+    // 5 = the 1-row mid and stats frames crossed back wherever they are
+    // referenced — every nested-loop side is exactly 1 row
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(bnl <= 5, s"unexpected nested-loop joins ($bnl):\n${plan.take(3000)}")
+    Bench.cleanup(spark) // the guard registers the cached projection
   }
 
   test("q_ivf_balance: one assignment agg, broadcast cents, 1-row totals crossback") {
