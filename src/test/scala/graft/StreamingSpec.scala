@@ -341,6 +341,41 @@ class StreamingSpec extends SparkSpec {
     assert(byTag.values.flatten.map(_._2).sum === 2)
   }
 
+  test("late rows beyond the watermark are dropped from the closed window (§7.4 tolerance)") {
+    // the late-data contract the volume agg documents: a record arriving
+    // after the watermark passed its window is DISCARDED — the closed
+    // window's count neither re-emits nor grows
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val t = 1700000000L
+    val ws = (t / 60) * 60 // epoch-minute-aligned window start
+    val events = ms.toDF().toDF("k", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+      .withWatermark("ts", "1 minute")
+    val agg = events.groupBy(window(col("ts"), "1 minute"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), unix_timestamp(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    try {
+      ms.addData(("a", t), ("a", t + 10))
+      q.processAllAvailable()
+      // advance the watermark far past the window: closes + emits (a, ws, 2)
+      ms.addData(("b", t + 600))
+      q.processAllAvailable()
+      // a LATE row inside the already-closed window — must be discarded
+      ms.addData(("a", t + 20))
+      q.processAllAvailable()
+      // push the watermark again so any illegally-retained state would flush
+      ms.addData(("b", t + 1200))
+      q.processAllAvailable()
+      val aRows = spark.sql("SELECT k, ws, n FROM latedrop WHERE k = 'a'").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(aRows === Set(("a", ws, 2L)),
+        s"late row leaked into the closed window: $aRows")
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Long)]
