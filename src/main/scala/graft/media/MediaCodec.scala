@@ -413,6 +413,67 @@ object MediaCodec {
     if (width >= 0) Some(MediaMeta("jpeg", width, height, precision, p.length, 0)) else None
   }
 
+  // --- DIB frame content analysis ----------------------------------------
+
+  /** Per-clip pixel statistics over a parsed AVI's raw DIB frames — the
+    * video analog of [[PcmStats]], for corpus filtering. All fields are
+    * INTEGER arithmetic so a SQL oracle replays them exactly:
+    *  - nPx: total luma samples walked (each '00db' frame byte is one
+    *    8-bit luma sample — the fixtures carry grayscale DIBs whose row
+    *    stride needs no padding, width ≡ 0 mod 4);
+    *  - sumLuma: Σ v over all samples (mean = sumLuma / nPx, floor);
+    *  - nDark / nBright: samples v < 32 / v ≥ 224 — the near-black /
+    *    near-white exposure counts a curation filter thresholds on;
+    *  - per adjacent frame pair, meanDelta = Σ|v_f − v_{f−1}| / nPx(frame)
+    *    (floor); sceneChanges counts pairs with meanDelta ≥ 8 (the cut
+    *    detector), maxDeltaQ is the largest meanDelta seen. */
+  final case class VideoStats(
+      nFramesWalked: Long, nPx: Long, sumLuma: Long, nDark: Long,
+      nBright: Long, sceneChanges: Long, maxDeltaQ: Long)
+
+  /** Pixel walk over a parsed AVI's frame chunks. The frame byte ranges
+    * come from [[aviFrames]]'s chunk walk — never from arithmetic over an
+    * assumed frame size — so a junk-padded or re-wrapped container still
+    * reads the identical samples. Frame-to-frame delta is computed over
+    * the overlapping prefix when lengths differ (a truncated final frame).
+    * O(dataLength), one pass, no allocation beyond the stats. */
+  def videoStats(p: Array[Byte], info: AviInfo,
+      darkBelow: Int = 32, brightAtLeast: Int = 224,
+      sceneDeltaQ: Int = 8): Option[VideoStats] = {
+    if (info.meta.format != "avi") return None
+    val frames = aviFrames(p, info.meta)
+    var nPx, sum, dark, bright, changes, maxD = 0L
+    var pOff = -1
+    var pLen = 0
+    frames.foreach { case (off, len) =>
+      var i = 0
+      while (i < len) {
+        val v = p(off + i) & 0xff
+        sum += v
+        if (v < darkBelow) dark += 1
+        if (v >= brightAtLeast) bright += 1
+        i += 1
+      }
+      nPx += len
+      if (pOff >= 0) {
+        val m = math.min(len, pLen)
+        if (m > 0) {
+          var s = 0L
+          var j = 0
+          while (j < m) {
+            s += math.abs((p(off + j) & 0xff) - (p(pOff + j) & 0xff))
+            j += 1
+          }
+          val d = s / m
+          if (d >= sceneDeltaQ) changes += 1
+          if (d > maxD) maxD = d
+        }
+      }
+      pOff = off; pLen = len
+    }
+    Some(VideoStats(frames.length.toLong, nPx, sum, dark, bright, changes, maxD))
+  }
+
   // --- PCM content analysis ----------------------------------------------
 
   /** Per-clip PCM statistics — the audio analog of the text lane's

@@ -112,6 +112,117 @@ object MultimodalQueries {
       |    (CASE WHEN ll IS NULL THEN n_samples ELSE ll - 1 END)::BIGINT AS trail_sil
       |  FROM st)""".stripMargin
 
+  /** Shared video-stats lane: synthesize the AVI fixture clips (8-bit
+    * grayscale DIB frames from an integer pixel formula with planted
+    * pathologies — a dark fade-in prefix, an overexposed suffix, 2-frame
+    * shorts, single-scene statics), decode the container for real
+    * (hdrl/avih walk → movi chunk offsets), and walk the frame bytes into
+    * per-clip pixel stats. `q_video_stats` declares the stats table;
+    * `q_video_filter` composes the curation verdict off the SAME decode —
+    * one narrow mapPartitions pass either way, no shuffle.
+    *
+    * Clip parameters (all doc_id residues, replayed by the oracle):
+    * width 16+4·(id%8) (≡0 mod 4 — no DIB row padding), height 8+id%8,
+    * fps 10+5·(id%3), frames nf = 2 if id%7=3 else 6+id%7, scene length
+    * seg = 1000 (static) if id%5=0 else 2+id%3, dark prefix
+    * dpre = 2nf/3 if id%8=6 else 1, bright suffix bsuf = max(nf/2,1) if
+    * id%11=7 else [1 if id%4=2 else 0]. Pixel luma:
+    * dark frames k%25, bright frames 230+k%26, content
+    * ((f/seg)·61 + id·17 + (k·7)%97) % 200 + 28 — constant within a
+    * scene, so cuts are exact (mean |Δ| ≥ 61 at boundaries, 0 inside). */
+  private def videoStatsFrame(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .filter(col("doc_id") % 6 === 4)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (16 + 4 * (id % 8)).toInt
+        val h = (8 + id % 8).toInt
+        val npx = w * h
+        val fps = (10 + (id % 3) * 5).toInt
+        val nf = if (id % 7 == 3) 2 else (6 + id % 7).toInt
+        val seg = if (id % 5 == 0) 1000 else (2 + id % 3).toInt
+        val dpre = if (id % 8 == 6) nf * 2 / 3 else 1
+        val bsuf =
+          if (id % 11 == 7) math.max(nf / 2, 1)
+          else if (id % 4 == 2) 1 else 0
+        val data = Array.tabulate(nf * npx) { i =>
+          val f = i / npx
+          val k = i % npx
+          val v =
+            if (f < dpre) k % 25
+            else if (f >= nf - bsuf) 230 + k % 26
+            else (((f / seg) * 61L + id * 17L + (k * 7) % 97) % 200L + 28L).toInt
+          v.toByte
+        }
+        (id, MediaCodec.encodeAvi(w, h, fps, data, frameBytes = npx,
+          junk = id % 4 == 0))
+      }
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          for {
+            info <- MediaCodec.aviInfo(payload)
+            st <- MediaCodec.videoStats(payload, info)
+          } yield (id, info.meta.width.toLong, info.meta.height.toLong,
+            1000000L / info.microSecPerFrame,
+            info.totalFrames.toLong,
+            info.totalFrames.toLong * info.microSecPerFrame / 1000L,
+            st.nPx, st.sumLuma / math.max(st.nPx, 1L),
+            st.nDark, st.nBright, st.sceneChanges, st.maxDeltaQ)
+        }
+      }
+      .toDF("doc_id", "width", "height", "fps", "n_frames", "duration_ms",
+        "n_px", "mean_luma_q", "n_dark", "n_bright", "scene_changes",
+        "max_delta_q")
+  }
+
+  /** The DuckDB replay of the video decode, as CTEs ending in `vstats` —
+    * shared verbatim by the q_video_stats and q_video_filter oracles so
+    * the pixel formula and stats arithmetic cannot drift between gates. */
+  private val videoStatsCtes: String =
+    """clips AS (
+      |  SELECT doc_id,
+      |    16 + 4 * (doc_id % 8) AS w,
+      |    8 + doc_id % 8 AS h,
+      |    10 + (doc_id % 3) * 5 AS fps,
+      |    CASE WHEN doc_id % 7 = 3 THEN 2 ELSE 6 + doc_id % 7 END AS nf,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 2 + doc_id % 3 END AS seg
+      |  FROM documents WHERE doc_id % 6 = 4),
+      |par AS (
+      |  SELECT doc_id, w, h, fps, nf, seg, w * h AS npx,
+      |    CASE WHEN doc_id % 8 = 6 THEN nf * 2 // 3 ELSE 1 END AS dpre,
+      |    CASE WHEN doc_id % 11 = 7 THEN greatest(nf // 2, 1)
+      |         WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS bsuf
+      |  FROM clips),
+      |fr AS (
+      |  SELECT doc_id, w, h, fps, nf, npx,
+      |    list_transform(generate_series(0, nf - 1), f ->
+      |      list_transform(generate_series(0, npx - 1), k ->
+      |        CASE WHEN f < dpre THEN k % 25
+      |             WHEN f >= nf - bsuf THEN 230 + k % 26
+      |             ELSE ((f // seg) * 61 + doc_id * 17 + (k * 7) % 97) % 200 + 28
+      |        END)) AS F
+      |  FROM par),
+      |dl AS (
+      |  SELECT doc_id, w, h, fps, nf, npx, F,
+      |    list_transform(generate_series(2, nf), f ->
+      |      list_sum(list_transform(generate_series(1, npx), k ->
+      |        abs(F[f][k] - F[f-1][k]))) // npx) AS D
+      |  FROM fr),
+      |vstats AS (
+      |  SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+      |    (1000000 // (1000000 // fps))::BIGINT AS fps,
+      |    nf::BIGINT AS n_frames,
+      |    (nf * (1000000 // fps) // 1000)::BIGINT AS duration_ms,
+      |    (nf * npx)::BIGINT AS n_px,
+      |    (list_sum(flatten(F)) // (nf * npx))::BIGINT AS mean_luma_q,
+      |    len(list_filter(flatten(F), x -> x < 32))::BIGINT AS n_dark,
+      |    len(list_filter(flatten(F), x -> x >= 224))::BIGINT AS n_bright,
+      |    len(list_filter(D, d -> d >= 8))::BIGINT AS scene_changes,
+      |    coalesce(list_max(D), 0)::BIGINT AS max_delta_q
+      |  FROM dl)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary ingest → real PNG header parse → frames sliced from the
@@ -481,6 +592,84 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "width", "height", "fps", "n_frames", "duration_ms",
           "frame_idx", "frame_fp")
+    },
+
+    // ★ VIDEO CONTENT analysis — the visual analog of q_audio_stats,
+    // closing the round-11 review's lead gap (image/video coverage was
+    // header/geometry + fingerprint only; audio had content stats, the
+    // visual modalities none). Per-clip corpus-filtering stats from the
+    // raw DIB '00db' frame PIXELS themselves: mean luma, near-black /
+    // near-white sample counts (exposure), and frame-to-frame mean
+    // absolute delta as the cut detector (scene_changes / max_delta_q).
+    // The pixels are synthesized deterministically (integer formula with
+    // planted fade-in, overexposure, shorts, and static scenes) but
+    // travel as a REAL AVI container: encodeAvi → aviInfo walks the
+    // hdrl/avih tree for geometry+timing → videoStats walks the frame
+    // bytes at the movi chunk offsets (never at assumed strides — half
+    // the clips carry an odd-length JUNK chunk the walker must skip).
+    // Everything is integer arithmetic (floor divs on non-negatives), so
+    // the DuckDB oracle replays the decode bit-for-bit from the same
+    // formula. Scale: one narrow mapPartitions pass, O(bytes) per clip,
+    // no shuffle — the cheapest shape for a 100-TB corpus-filter sweep.
+    q(
+      "q_video_stats",
+      s"""WITH $videoStatsCtes
+        |SELECT doc_id, width, height, fps, n_frames, duration_ms, n_px,
+        |  mean_luma_q, n_dark, n_bright, scene_changes, max_delta_q
+        |FROM vstats""".stripMargin
+    ) { (s, dir) => videoStatsFrame(s, dir) },
+
+    // ★ Video corpus FILTER — the keep/drop verdict composed off the
+    // q_video_stats decode, mirroring q_audio_filter's first-failing-rule
+    // idiom for the visual modality: clips are dropped for being too
+    // short (< 250 ms — no usable motion), mostly black (> 40% of samples
+    // near-black — failed fade-in / dead camera), overexposed (> 35% of
+    // samples near-white — blown highlights), or static (≤ 1 scene change
+    // across ≥ 6 frames — slideshow stills masquerading as video). All
+    // ratios ride as integer ppm (truncating div on non-negatives, Spark
+    // `div` == DuckDB `//`), so both engines agree bit-for-bit. n_px is
+    // structurally ≥ 256 (nf ≥ 2, npx ≥ 128), so the ppm divides never
+    // see zero. Scale: the same single narrow decode pass as
+    // q_video_stats — the verdict is free at any corpus size, and the
+    // reason column is the retention report a curation run ships.
+    q(
+      "q_video_filter",
+      s"""WITH $videoStatsCtes,
+        |ppm AS (
+        |  SELECT doc_id, duration_ms, mean_luma_q, scene_changes,
+        |    (n_dark * 1000000 // n_px)::BIGINT AS dark_ppm,
+        |    (n_bright * 1000000 // n_px)::BIGINT AS bright_ppm
+        |  FROM vstats)
+        |SELECT doc_id, duration_ms, mean_luma_q, dark_ppm, bright_ppm,
+        |  scene_changes,
+        |  CASE WHEN duration_ms < 250 THEN 'drop'
+        |       WHEN dark_ppm > 400000 THEN 'drop'
+        |       WHEN bright_ppm > 350000 THEN 'drop'
+        |       WHEN scene_changes <= 1 THEN 'drop' ELSE 'keep' END AS verdict,
+        |  CASE WHEN duration_ms < 250 THEN 'too_short'
+        |       WHEN dark_ppm > 400000 THEN 'too_dark'
+        |       WHEN bright_ppm > 350000 THEN 'overexposed'
+        |       WHEN scene_changes <= 1 THEN 'static' ELSE '' END AS reason
+        |FROM ppm""".stripMargin
+    ) { (s, dir) =>
+      val ppm = videoStatsFrame(s, dir).select(
+        col("doc_id"), col("duration_ms"), col("mean_luma_q"),
+        col("scene_changes"),
+        expr("n_dark * 1000000 div n_px").as("dark_ppm"),
+        expr("n_bright * 1000000 div n_px").as("bright_ppm"))
+      ppm.select(
+        col("doc_id"), col("duration_ms"), col("mean_luma_q"),
+        col("dark_ppm"), col("bright_ppm"), col("scene_changes"),
+        when(col("duration_ms") < 250, "drop")
+          .when(col("dark_ppm") > 400000, "drop")
+          .when(col("bright_ppm") > 350000, "drop")
+          .when(col("scene_changes") <= 1, "drop").otherwise("keep")
+          .as("verdict"),
+        when(col("duration_ms") < 250, "too_short")
+          .when(col("dark_ppm") > 400000, "too_dark")
+          .when(col("bright_ppm") > 350000, "overexposed")
+          .when(col("scene_changes") <= 1, "static").otherwise("")
+          .as("reason"))
     }
   )
 }
