@@ -1055,12 +1055,14 @@ object AnalyticsQueries {
       // per-round actions dwarf this
       val root = sp.agg(min(col("s"))).head.getLong(0)
       val (levels, rounds) = bfsLevels(s, edges, root, 64)
-      // node total off the cached pair frame: suppliers and offset parts
-      // are disjoint, so |nodes| = |distinct s| + |distinct p| — the same
-      // count the oracle takes as count(DISTINCT src) over both edge
-      // directions
-      val totals = sp
-        .agg((countDistinct(col("s")) + countDistinct(col("p"))).as("n_nodes_total"))
+      // node total from the EDGE frame itself (count DISTINCT src over
+      // both directions) — exactly the oracle's derivation, so the two
+      // sides cannot diverge even if fixture suppkeys ever grew past the
+      // 1e6 partkey offset: a collision would then be counted once on
+      // BOTH sides instead of double-counted on one; edges derives from
+      // the cached pair frame, so this is still one scan of the cache
+      val totals = edges
+        .agg(countDistinct(col("src")).as("n_nodes_total"))
         .crossJoin(broadcast(levels.agg(count(lit(1)).as("n_reached"))))
       levels.groupBy(col("lvl").as("level"))
         .agg(count(lit(1)).as("n_nodes"))
@@ -1241,7 +1243,7 @@ object AnalyticsQueries {
       """WITH p AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, hour(ts)::BIGINT AS hr,
         |    count(*) AS n_rows,
-        |    (sum(length(props)) + 32 * count(*))::BIGINT AS est_bytes
+        |    (coalesce(sum(length(props)), 0) + 32 * count(*))::BIGINT AS est_bytes
         |  FROM events GROUP BY 1, 2),
         |c AS (
         |  SELECT day, hr, est_bytes,
@@ -1283,7 +1285,7 @@ object AnalyticsQueries {
       """WITH p AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, hour(ts)::BIGINT AS hr,
         |    count(*) AS n_rows,
-        |    (sum(length(props)) + 32 * count(*))::BIGINT AS est_bytes
+        |    (coalesce(sum(length(props)), 0) + 32 * count(*))::BIGINT AS est_bytes
         |  FROM events GROUP BY 1, 2),
         |c AS (
         |  SELECT day, hr, n_rows, est_bytes,
@@ -1387,7 +1389,9 @@ object AnalyticsQueries {
   private[graft] def compactBins(rows: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val p = rows.groupBy(col("day"), col("hr"))
-      .agg((sum(col("pb")) + lit(32L) * count(lit(1))).as("est_bytes"))
+      // coalesce: a (day,hr) group whose props are ALL NULL must still
+      // pack as a 32-bytes/record bin, not poison file_id with NULL
+      .agg((coalesce(sum(col("pb")), lit(0L)) + lit(32L) * count(lit(1))).as("est_bytes"))
     val w = Window.partitionBy(col("day")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.withColumn("cum0", sum(col("est_bytes")).over(w) - col("est_bytes"))

@@ -522,8 +522,12 @@ object KayveeQueries {
     // Scale note: the drained-record buffers here are the fixture
     // harness — a real fleet's drain hands each batch to the streaming
     // query (StreamingSpec's kinesis-lite lane), never to driver memory;
-    // the subset is bounded (event_id % 101) precisely so this DECLARED
-    // demo stays driver-safe at any sf.
+    // the driver-side sample is HARD-bounded: %101 thins by RATE (still
+    // proportional to sf), so the collect additionally takes only the
+    // first 4096 lines in event_id order — orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-K, no global sort), and
+    // the lease dance needs a few hundred lines, not a proportional
+    // sample, so the demo is driver-safe at ANY sf by construction.
     QueryDef.noOracle("q_fleet_pipeline") { (s, dir) =>
       import s.implicits._
       val lines = Tables(s, dir).events
@@ -550,6 +554,7 @@ object KayveeQueries {
               ).as("_kvmeta")
             ))).as("raw"))
         .orderBy(col("event_id"))
+        .limit(4096)
         .as[(Long, String)]
         .collect()
       val nShards = 4

@@ -500,8 +500,13 @@ object PipelineQueries {
     // ★ Temperature-flattened corpus mixing — the multilingual sampling
     // rule (select with probability ∝ share^α, α < 1) that keeps
     // low-resource languages from vanishing under proportional sampling:
-    // per-language weights n^0.7 in ×1e6 integer fixed point (floor over
-    // the same IEEE pow both engines compute), integer-divided against a
+    // per-language weights n^0.75 in ×1e6 integer fixed point — α=3/4,
+    // the canonical multilingual-sampling exponent, chosen over 0.7 so
+    // the weight is sqrt(n·sqrt(n)): a composition of IEEE
+    // correctly-rounded basic ops (×, sqrt), bit-identical across
+    // engines, where libm pow is only ~1-ulp accurate and a weight
+    // landing within an ulp of an integer could flip the floor between
+    // engines — integer-divided against a
     // half-corpus budget, capped at availability, then the same
     // deterministic md5-rank draw as q_corpus_mix. The quota table is
     // O(langs) and broadcast; the draw is one partitioned rank. The
@@ -514,7 +519,7 @@ object PipelineQueries {
     q(
       "q_corpus_mix_temperature",
       """WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
-        |w AS (SELECT lang, n, CAST(floor(pow(n, 0.7) * 1e6) AS BIGINT) AS wt FROM counts),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n * sqrt(n)) * 1e6) AS BIGINT) AS wt FROM counts),
         |tot AS (SELECT sum(wt)::BIGINT AS tw, (sum(n) // 2)::BIGINT AS budget FROM w),
         |quota AS (
         |  SELECT lang, least(n, (t.budget * w.wt) // t.tw) AS cap
@@ -528,7 +533,7 @@ object PipelineQueries {
     ) { (s, dir) =>
       val docs = Tables(s, dir).documents
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val quota = temperatureQuotas(counts, 0.7)
+      val quota = temperatureQuotas(counts, 0.75)
       val ranked = docs
         .select(col("doc_id"), col("lang"),
           md5(concat(lit("mixT#"), col("doc_id").cast("string"))).as("h"))
@@ -709,16 +714,29 @@ object PipelineQueries {
     * fixed point, budget = half the corpus, quota = min(n, budget·w/Σw)
     * by integer division. Returns (lang, n, cap). Factored out so
     * TemperatureMixSpec can prove the flattening property on a planted
-    * skew the uniform fixture can't show. 64-bit headroom: budget·wt <
-    * 2^63 requires (N/2)·1e6·n^0.7 in range — worst case n = N gives
-    * N^1.7 < 1.8e13, i.e. total corpora to ~5×10⁷ docs; beyond that
+    * skew the uniform fixture can't show.
+    *
+    * DETERMINISM: only α = 0.75 (weight sqrt(n·sqrt(n)) — IEEE
+    * correctly-rounded ×/sqrt only, bit-identical in any engine) and
+    * α = 1.0 (pure integer n·1e6) are supported; a libm pow here would
+    * hang cross-engine parity on its ~1-ulp rounding whenever a weight
+    * lands within an ulp of an integer (the same reason q_drift_report
+    * uses TV distance over KL). 64-bit headroom: budget·wt < 2^63
+    * requires (N/2)·1e6·n^0.75 in range — worst case n = N gives
+    * N^1.75 < 1.8e13, i.e. total corpora to ~4×10⁷ docs; beyond that
     * drop the fixed-point scale to ×1e3 (→ ~10⁹ docs) — quota
     * granularity, not semantics. Spark's non-ANSI multiply would WRAP
     * silently past the bound (a negative cap filters a whole language),
     * so a wrapped-negative quota trips a loud per-row error instead. */
   private[graft] def temperatureQuotas(counts: DataFrame, alpha: Double): DataFrame = {
-    val w = counts.select(col("lang"), col("n"),
-      floor(pow(col("n"), lit(alpha)) * lit(1e6)).cast("long").as("wt"))
+    val wt =
+      if (alpha == 1.0) (col("n") * lit(1000000L)).as("wt")
+      else if (alpha == 0.75)
+        floor(sqrt(col("n").cast("double") * sqrt(col("n").cast("double"))) * lit(1e6))
+          .cast("long").as("wt")
+      else throw new IllegalArgumentException(
+        s"temperatureQuotas: alpha $alpha has no deterministic integer path (use 0.75 or 1.0)")
+    val w = counts.select(col("lang"), col("n"), wt)
     val tot = w.agg(sum(col("wt")).as("tw"), expr("sum(n) div 2").as("budget"))
     w.crossJoin(broadcast(tot))
       .select(col("lang"), col("n"),

@@ -41,8 +41,19 @@ class SkewAutosaltSpec extends SparkSpec {
   }
 
   test("factors are measured per key: capped hot, intermediate warm, zero cold") {
+    // primary: the factor map itself (key -> factor) straight off
+    // autosaltFactors' output — the contract, independent of whether the
+    // fact's salt hash happens to hit every residue
+    val factors = RelationalQueries
+      .autosaltFactors(fact, budget = 256L, maxFactor = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(factors === Map(1L -> 8, 2L -> 3),
+      "hot caps at maxFactor=8, warm gets ceil(600/256)=3, cold keys absent")
+    // secondary, best-effort: distinct observed salts per key equals the
+    // factor only when pmod(xxhash64(...)) hits every residue — true for
+    // this fixture's row counts, and worth keeping as an end-to-end probe
+    // that the salting actually spreads the hot key
     val joined = RelationalQueries.saltedAutoJoin(fact, dim)
-    // distinct salt values observed per key == that key's derived factor
     val saltsByKey = joined.groupBy(col("l_suppkey"))
       .agg(countDistinct(col("salt")).as("ns"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

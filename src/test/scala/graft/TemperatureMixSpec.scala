@@ -12,10 +12,10 @@ import graft.queries.PipelineQueries
 class TemperatureMixSpec extends SparkSpec {
   import SharedSpark.spark.implicits._
 
-  test("α=0.7 flattens a 10:1 skew and caps at availability") {
+  test("α=0.75 flattens a 10:1 skew and caps at availability") {
     val counts = Seq(("big", 40000L), ("small", 4000L), ("tiny", 10L))
       .toDF("lang", "n")
-    val q = PipelineQueries.temperatureQuotas(counts, 0.7)
+    val q = PipelineQueries.temperatureQuotas(counts, 0.75)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val total = 44010.0
     val budget = 44010L / 2
