@@ -73,7 +73,7 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ ivfBalance :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ hardNegatives
@@ -484,6 +484,182 @@ object SimilarityQueries {
       when(col("n") * col("ncells") * 10 > col("total") * 11, "hot")
         .when(col("n") * col("ncells") * 100 < col("total") * 85, "cold")
         .otherwise("ok").as("status"))
+  }
+
+  /** ★ IVF RETRAIN-AND-REBUILD apply — executes what q_ivf_balance only
+    * reports, closing the index-maintenance loop the way
+    * q_compact_plan → q_compact_apply closed it for layout: append
+    * increments (q_similarity_ivf_incremental) → health report
+    * (q_ivf_balance) → THIS query, which evaluates the report's trigger
+    * and, when cells have drifted hot/cold past the documented 1.1×/0.85×
+    * balance contract, trains a NEW coarse quantizer with the SHIPPED
+    * trainer (lloydLocal — 3 integer Lloyd rounds at eps=0, so the round
+    * count is structural, never a measured constant), rebuilds the
+    * cell-partitioned store as a new EPOCH directory, and serves from it.
+    * The decision is genuinely data-driven and both engines replay it:
+    * the fixture trips the trigger at sf0.01/sf0.1 (3/4 flagged cells)
+    * and stays balanced at sf0.001 (0 flagged — no rebuild, epoch 0
+    * serves), so both branches are exercised across SFs and the oracle
+    * guards its two serving arms with complementary n_flagged predicates.
+    *
+    * Everything is micro-fixed-point INTEGER arithmetic (the
+    * q_kmeans_converge metric): assignment is argmin squared-L2 over
+    * quantized vectors with c_id tie-breaks, served distances are exact
+    * BIGINTs — no rounding hazard anywhere. Scale: the report is O(cells)
+    * off the stored epoch-0 index; training collects a
+    * DriverLocalGate-strided sample (stride 1 at every fixture sf, so
+    * oracle parity is exact — the q_ann_recall_pq_trained device); the
+    * rebuild is one assignment pass + one partitioned write, after which
+    * epoch 0 is RETIRED READ-ONLY — never rewritten, never deleted by the
+    * apply (IvfRetrainSpec pins byte-identical epoch-0 files across the
+    * retrain and partition-pruned serving over the new epoch). Driver
+    * arithmetic note: the trigger's cross-multiplied n·ncells·10 stays in
+    * 64-bit up to ~10⁹ vectors at the %100 seed rate — far past any
+    * driver-readable cell report. */
+  val ivfRetrainApply: QueryDef = q(
+    "q_ivf_retrain_apply",
+    ivfRetrainSql
+  ) { (s, dir) => ivfRetrainFinish(s, ivfRetrainBuildV0(s, dir)) }
+
+  /** Context handed from the epoch-0 build to the retrain decision —
+    * split so IvfRetrainSpec can snapshot epoch-0 files between the two
+    * steps and prove the apply never rewrites them. */
+  private[graft] final case class RetrainCtx(
+      store: String, vq: DataFrame, seeds: Seq[(Long, Array[Long])])
+
+  /** Step 1: quantize the corpus, freeze the seed quantizer (vec_id%100 —
+    * the incremental lane's base-derivable centroid set), build the
+    * epoch-0 cell-partitioned index. */
+  private[graft] def ivfRetrainBuildV0(s: SparkSession, dir: String): RetrainCtx = {
+    val vq = Tables(s, dir).embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d)).as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds: Seq[(Long, Array[Long])] = vq
+      .filter(col("vec_id") % 100 === 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    val store = graft.plans.ScratchDirs.unique("graft-ivf-retrain").getAbsolutePath
+    assignL2(vq, seeds)
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$store/v0")
+    RetrainCtx(store, vq, seeds)
+  }
+
+  /** Integer-L2 cell assignment with centroids as literals: the min
+    * struct (d, c_id) is the oracle's row_number tie-break as one
+    * codegen'd expression (kmeansConvergeFrame's shape). */
+  private def assignL2(vq: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame =
+    vq.withColumn("a",
+      array_min(array(cents.map { case (id, cq) =>
+        struct(
+          aggregate(zip_with(col("vq"), lit(cq), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(id).as("c"))
+      }: _*)))
+      .select(col("vec_id"), col("vq"), col("a.c").as("c_id"))
+
+  /** Step 2: O(cells) health report off the stored epoch-0 index, the
+    * trigger decision, the conditional retrain+rebuild, and serving from
+    * the epoch the decision selects. */
+  private[graft] def ivfRetrainFinish(s: SparkSession, ctx: RetrainCtx): DataFrame = {
+    import s.implicits._
+    val counts = s.read.parquet(s"${ctx.store}/v0")
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Number]("c_id").longValue(), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val ncells = counts.length.toLong
+    val flagged = counts.count { case (_, n) =>
+      n * ncells * 10 > total * 11 || n * ncells * 100 < total * 85
+    }.toLong
+    val (epoch, cents) =
+      if (flagged == 0) (0L, ctx.seeds)
+      else {
+        // retrain on a byte-budgeted sample (stride 1 at fixture SFs, so
+        // the oracle's full-corpus training replays it exactly), seeded
+        // from the frozen quantizer; eps=0 makes the 3 rounds structural
+        val nVec = ctx.vq.count()
+        val stride = math.max(1L,
+          (nVec + DriverLocalGate.maxLocalVectors - 1) / DriverLocalGate.maxLocalVectors)
+        val vecs = ctx.vq.filter(col("vec_id") % stride === 0)
+          .collect().map(_.getSeq[Long](1).toArray)
+        val (cs, _, _, _) = lloydLocal(vecs, ctx.seeds, epsMicro = 0L, maxRounds = 3)
+        val trained = ctx.seeds.map(_._1).zip(cs)
+        assignL2(ctx.vq, trained)
+          .write.mode("overwrite").partitionBy("c_id").parquet(s"${ctx.store}/v1")
+        (1L, trained)
+      }
+    // probe-2 top-3 serving over the selected epoch: probe cells as
+    // partition-filter literals, exactly the stored-serving contract
+    val centsDf = cents.toDF("c_id", "cq")
+    val q2 = ctx.vq.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(centsDf))
+      .withColumn("cd",
+        aggregate(zip_with(col("vq"), col("cq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cd"), col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("vq").as("qv"), col("c_id").as("qc"))
+    val probeCells = q2.select(col("qc")).distinct().collect().map(_.getLong(0)).sorted
+    val index = s.read.parquet(s"${ctx.store}/v$epoch")
+      .filter(col("c_id").isin(probeCells: _*))
+      .select(col("vec_id"), col("vq"), col("c_id").cast("long").as("c_id"))
+    index.join(broadcast(q2), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .withColumn("d",
+        aggregate(zip_with(col("qv"), col("vq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("d"),
+        lit(epoch).as("epoch"), lit(flagged).as("n_flagged"))
+  }
+
+  /** q_ivf_retrain_apply oracle: the shared quantized corpus, the frozen
+    * %100 seed quantizer, THREE unrolled Lloyd stages (the same kmStageSql
+    * fragments q_kmeans_converge pins, over the %100 seeds), the balance
+    * trigger off the epoch-0 assignment, and two serving arms guarded by
+    * complementary n_flagged predicates — the branch is replayed, not
+    * assumed. */
+  private lazy val ivfRetrainSql: String = {
+    val dist = "list_sum(list_transform(generate_series(1, 64), " +
+      "i -> (q.qv[i] - b.vq[i]) * (q.qv[i] - b.vq[i])))"
+    def qcells(from: String): String =
+      s"""SELECT vec_id AS q_id, vq AS qv, c_id AS qc FROM (
+         |    SELECT v.vec_id, v.vq, c.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, 64), i -> (v.vq[i] - c.cq[i]) * (v.vq[i] - c.cq[i]))), c.c_id) AS rn
+         |    FROM v CROSS JOIN $from c WHERE v.vec_id < 8) WHERE rn <= 2""".stripMargin
+    def serve(qsrc: String, asrc: String): String =
+      s"""SELECT q.q_id, b.vec_id, $dist AS d,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY $dist, b.vec_id) AS rank
+         |  FROM $qsrc q JOIN $asrc b ON b.c_id = q.qc AND b.vec_id <> q.q_id""".stripMargin
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 100 = 0),
+       |${(1 to 3).map(kmStageSql).mkString(",\n")},
+       |${kmAssignSql(90, "c0")},
+       |bal AS (SELECT c_id, count(*) AS n FROM a90 GROUP BY c_id),
+       |tot AS (SELECT sum(n) AS total, count(*) AS ncells FROM bal),
+       |trig AS (
+       |  SELECT count(*)::BIGINT AS n_flagged FROM bal CROSS JOIN tot
+       |  WHERE n * ncells * 10 > total * 11 OR n * ncells * 100 < total * 85),
+       |${kmAssignSql(99, "c3")},
+       |q0 AS (${qcells("c0")}),
+       |q1 AS (${qcells("c3")}),
+       |serve0 AS (${serve("q0", "a90")}),
+       |serve1 AS (${serve("q1", "a99")})
+       |SELECT q_id, vec_id, rank, d::BIGINT AS d, 0::BIGINT AS epoch,
+       |  (SELECT n_flagged FROM trig) AS n_flagged
+       |FROM serve0 WHERE rank <= 3 AND (SELECT n_flagged FROM trig) = 0
+       |UNION ALL
+       |SELECT q_id, vec_id, rank, d::BIGINT AS d, 1::BIGINT AS epoch,
+       |  (SELECT n_flagged FROM trig) AS n_flagged
+       |FROM serve1 WHERE rank <= 3 AND (SELECT n_flagged FROM trig) > 0""".stripMargin
   }
 
   /** One Lloyd (k-means) update step over the embedding corpus: assign

@@ -1,0 +1,80 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimilarityQueries
+
+/** The retrain-and-rebuild contract — the structure the SQL oracle cannot
+  * see (it only proves the served results and the replayed branch match):
+  *
+  *  - RETIRED EPOCHS ARE READ-ONLY: the apply writes the NEW epoch
+  *    directory and never rewrites (or deletes) a byte of epoch 0 — the
+  *    versioned-index contract that makes a rollback and a concurrent
+  *    reader safe during a retrain.
+  *  - THE BRANCH IS DATA-DRIVEN: the fixture trips the 1.1×/0.85× balance
+  *    trigger at sf0.01 (rebuild, serve epoch 1) and stays balanced at
+  *    sf0.001 (no epoch-1 directory is ever created; epoch 0 serves) —
+  *    both arms re-derived here from the stored index's own cell counts.
+  *  - SERVING STAYS PRUNED: whichever epoch serves, the index scan reads
+  *    through probe-cell partition filters.
+  */
+class IvfRetrainSpec extends SparkSpec {
+
+  private def snapshot(dir: File): Map[String, (Long, Long)] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  private def flaggedFromStore(store: String): Long = {
+    val counts = spark.read.parquet(s"$store/v0")
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val total = counts.sum
+    val ncells = counts.length.toLong
+    counts.count(n => n * ncells * 10 > total * 11 || n * ncells * 100 < total * 85).toLong
+  }
+
+  test("sf0.01: trigger fires, epoch 1 is built, epoch 0 files are untouched bytes") {
+    val ctx = SimilarityQueries.ivfRetrainBuildV0(spark, "/root/testdata/sf0.01")
+    val before = snapshot(new File(s"${ctx.store}/v0"))
+    assert(before.nonEmpty, "epoch-0 index was not written")
+    val served = SimilarityQueries.ivfRetrainFinish(spark, ctx)
+    val rows = served.collect()
+    val after = snapshot(new File(s"${ctx.store}/v0"))
+    assert(after === before,
+      "retrain rewrote epoch-0 files — retired epochs must be read-only")
+    assert(new File(s"${ctx.store}/v1").isDirectory,
+      "trigger fired but no epoch-1 directory was built")
+    // branch re-derivation from the stored index's own counts
+    val flagged = flaggedFromStore(ctx.store)
+    assert(flagged > 0, "fixture no longer trips the trigger at sf0.01")
+    assert(rows.map(_.getLong(5)).distinct.toSeq === Seq(flagged))
+    assert(rows.map(_.getLong(4)).distinct.toSeq === Seq(1L), "must serve epoch 1")
+    Bench.cleanup(spark)
+  }
+
+  test("sf0.001: balanced index skips the rebuild entirely and serves epoch 0, pruned") {
+    val ctx = SimilarityQueries.ivfRetrainBuildV0(spark, "/root/testdata/sf0.001")
+    val served = SimilarityQueries.ivfRetrainFinish(spark, ctx)
+    val rows = served.collect()
+    assert(flaggedFromStore(ctx.store) === 0L,
+      "fixture unexpectedly trips the trigger at sf0.001")
+    assert(!new File(s"${ctx.store}/v1").exists(),
+      "no-op branch must not create an epoch-1 directory")
+    assert(rows.map(_.getLong(4)).distinct.toSeq === Seq(0L), "must serve epoch 0")
+    assert(rows.map(_.getLong(5)).distinct.toSeq === Seq(0L))
+    // serving is partition-pruned to the probe cells on the serving epoch
+    val plan = served.queryExecution.executedPlan.toString
+    val indexScans = plan.linesIterator
+      .filter(_.contains("graft-ivf-retrain")).mkString("\n")
+    assert(indexScans.nonEmpty, s"index scan not found:\n${plan.take(3000)}")
+    assert(indexScans.contains("PartitionFilters: [c_id"),
+      s"no partition filter on the index scan:\n$indexScans")
+    assert(indexScans.contains(" IN ("),
+      s"probe cells not pushed as IN literals:\n$indexScans")
+    Bench.cleanup(spark)
+  }
+}
