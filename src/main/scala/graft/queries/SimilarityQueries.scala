@@ -76,7 +76,7 @@ object SimilarityQueries {
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
-      annRecallPqRerank :+ hardNegatives
+      annRecallPqRerank :+ hardNegatives :+ hybridRetrieval
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -238,8 +238,13 @@ object SimilarityQueries {
   /** nprobe=2 serving oracle, parameterized by the centroid predicate so
     * the incremental-index variant (centroids frozen from the BASE slice)
     * shares the whole serving structure verbatim. */
-  private def ivfProbe2SqlWith(centPred: String): String =
-    s"""WITH v AS (
+  /** The nprobe=2 serving pipeline as CTEs ending in
+    * `served(q_id, vec_id, rank, cos)`, parameterized by the centroid
+    * predicate, the query-set predicate, and the cut depth — shared by
+    * the stored/incremental serving oracles AND the hybrid-retrieval
+    * vector arm so none of them can drift. */
+  private def ivfServeCtes(centPred: String, queryPred: String, topK: Int): String =
+    s"""v AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
       |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE $centPred),
@@ -256,15 +261,20 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
       |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
       |        c.c_id) AS rn
-      |    FROM n a CROSS JOIN c WHERE a.vec_id < 8) WHERE rn <= 2)
-      |SELECT q_id, vec_id, rank, round(cos, 4) AS cos FROM (
-      |  SELECT qc.q_id, b.vec_id,
-      |    list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) AS cos,
-      |    row_number() OVER (PARTITION BY qc.q_id ORDER BY
-      |      list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) DESC,
-      |      b.vec_id) AS rank
-      |  FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id)
-      |WHERE rank <= 3""".stripMargin
+      |    FROM n a CROSS JOIN c WHERE $queryPred) WHERE rn <= 2),
+      |served AS (
+      |  SELECT q_id, vec_id, rank, cos FROM (
+      |    SELECT qc.q_id, b.vec_id,
+      |      list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) AS cos,
+      |      row_number() OVER (PARTITION BY qc.q_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) DESC,
+      |        b.vec_id) AS rank
+      |    FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id)
+      |  WHERE rank <= $topK)""".stripMargin
+
+  private def ivfProbe2SqlWith(centPred: String): String =
+    s"""WITH ${ivfServeCtes(centPred, "a.vec_id < 8", 3)}
+      |SELECT q_id, vec_id, rank, round(cos, 4) AS cos FROM served""".stripMargin
 
   private lazy val ivfProbe2Sql: String = ivfProbe2SqlWith("vec_id % 251 = 0")
 
@@ -333,8 +343,9 @@ object SimilarityQueries {
     * rank window runs inside the pruned candidates. Shared by the stored
     * and incremental lanes so the serving shape cannot drift. */
   private def serveStoredIndex(s: SparkSession, v: DataFrame,
-      cents: DataFrame, path: String): DataFrame = {
-    val q2 = v.filter(col("vec_id") < 8)
+      cents: DataFrame, path: String,
+      queryPred: Column = col("vec_id") < 8, topK: Int = 3): DataFrame = {
+    val q2 = v.filter(queryPred)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
@@ -349,7 +360,7 @@ object SimilarityQueries {
       .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
@@ -661,6 +672,74 @@ object SimilarityQueries {
        |  (SELECT n_flagged FROM trig) AS n_flagged
        |FROM serve1 WHERE rank <= 3 AND (SELECT n_flagged FROM trig) > 0""".stripMargin
   }
+
+  /** ★ HYBRID retrieval — the lexical and vector serving stacks COMPOSED,
+    * the shape every RAG-corpus pipeline serves: BM25 top-L (the exact
+    * q_bm25 scorer, TextQueries.bm25Scored — shared code, not a
+    * reimplementation) fused with stored-IVF ANN top-L (the exact
+    * q_similarity_ivf_stored serving path, probe-2 partition-pruned, for
+    * the request's embedding = vec_id 0) by reciprocal-rank fusion.
+    * RRF rides as INTEGER fixed point — 1e9/(60+rank) by truncating
+    * division on positive ranks, k=60 the canonical constant — so the
+    * fused ordering is bit-deterministic cross-engine; an id absent from
+    * one arm contributes 0 and reports rank 0 in that arm's column. The
+    * embeddings and documents fixtures share the 0..N id space, so the
+    * fusion joins directly on doc_id. Scale: both arms end in bounded
+    * top-L lists (TakeOrderedAndProject / pruned-cell rank windows);
+    * the fusion is a full-outer join of two ≤L-row frames and the final
+    * rank window runs over ≤2L rows — serving-side cost, independent of
+    * corpus size. */
+  val hybridRetrieval: QueryDef = q(
+    "q_hybrid_retrieval",
+    hybridSql
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = v.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val path = graft.plans.ScratchDirs.unique("graft-hybrid-index").getAbsolutePath
+    assignCells(v, cents, Seq("e", "nrm"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    val vec = serveStoredIndex(s, v, cents, path,
+        queryPred = col("vec_id") === 0, topK = 10)
+      .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+    // rank the already-bounded lexical top-10 (TakeOrderedAndProject
+    // feeds a 10-row window — single tiny partition, not a global sort)
+    val lex = TextQueries.bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
+        coalesce(col("r_vec"), lit(0)).cast("long").as("r_vec"))
+      .withColumn("rrf_q",
+        when(col("r_lex") > 0, expr("1000000000 div (60 + r_lex)")).otherwise(lit(0L)) +
+        when(col("r_vec") > 0, expr("1000000000 div (60 + r_vec)")).otherwise(lit(0L)))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** q_hybrid_retrieval oracle: the q_bm25 CTEs and the stored-IVF
+    * serving CTEs verbatim (both shared with their source oracles), plus
+    * the integer RRF fold. */
+  private lazy val hybridSql: String =
+    s"""WITH ${TextQueries.bm25ScoredCtes},
+       |${ivfServeCtes("vec_id % 251 = 0", "a.vec_id = 0", 10)},
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+       |  FROM scored QUALIFY rl <= 10),
+       |vecr AS (SELECT vec_id AS doc_id, rank AS rv FROM served),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce(l.rl, 0)::BIGINT AS r_lex, coalesce(r.rv, 0)::BIGINT AS r_vec,
+       |    (CASE WHEN l.rl IS NULL THEN 0 ELSE 1000000000 // (60 + l.rl) END
+       |     + CASE WHEN r.rv IS NULL THEN 0 ELSE 1000000000 // (60 + r.rv) END)::BIGINT AS rrf_q
+       |  FROM lex l FULL OUTER JOIN vecr r ON l.doc_id = r.doc_id)
+       |SELECT doc_id, r_lex, r_vec, rrf_q FROM fused
+       |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
 
   /** One Lloyd (k-means) update step over the embedding corpus: assign
     * every vector to its max-cosine centroid (broadcast centroids, narrow

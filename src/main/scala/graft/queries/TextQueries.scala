@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -282,6 +283,64 @@ object TextQueries {
        |  (sum(n_tokens) * 1000000 // 2048)::BIGINT AS fill_ppm
        |FROM wl GROUP BY 1, 2""".stripMargin
   }
+
+  /** BM25-scored documents (doc_id, bm25 — floored to 1e-6) for the fixed
+    * 3-term query, factored out of q_bm25 so the hybrid-retrieval lane
+    * reuses the EXACT lexical scorer (a reimplementation could drift).
+    * The corresponding oracle CTEs are [[bm25ScoredCtes]], shared the
+    * same way. */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "filter", "scan")
+    val tok = Tables(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val qtok = tok.filter(col("token").isin(terms: _*))
+    val tf = qtok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = qtok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val term = tf
+      .join(broadcast(dfT), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"), col("token"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+              + lit(0.75) * col("dl") / col("avgdl")))).as("s"))
+    term
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("token"), col("s")))).as("terms"))
+      .select(
+        col("doc_id"),
+        (floor(expr("aggregate(terms, 0.0d, (acc, t) -> acc + t.s)") * 1e6) / 1e6)
+          .as("bm25"))
+  }
+
+  /** The q_bm25 scoring pipeline as DuckDB CTEs ending in
+    * `scored(doc_id, bm25)` — shared verbatim by the q_bm25 and
+    * q_hybrid_retrieval oracles so the lexical arm cannot drift. */
+  private[queries] def bm25ScoredCtes: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+      |       WHERE token IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+      |       WHERE token IN ('join', 'filter', 'scan') GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+      |term AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT doc_id,
+      |    floor(list_sum(list(s ORDER BY token)) * 1e6) / 1e6 AS bm25
+      |  FROM term GROUP BY doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1028,53 +1087,10 @@ object TextQueries {
     // ALREADY-floored score.
     q(
       "q_bm25",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |       WHERE token IN ('join', 'filter', 'scan') GROUP BY 1, 2),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
-        |       WHERE token IN ('join', 'filter', 'scan') GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-        |term AS (
-        |  SELECT tf.doc_id, tf.token,
-        |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
-        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
-        |scored AS (
-        |  SELECT doc_id,
-        |    floor(list_sum(list(s ORDER BY token)) * 1e6) / 1e6 AS bm25
-        |  FROM term GROUP BY doc_id)
+      s"""WITH $bm25ScoredCtes
         |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
     ) { (s, dir) =>
-      val terms = Seq("join", "filter", "scan")
-      val tok = Tables(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val qtok = tok.filter(col("token").isin(terms: _*))
-      val tf = qtok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfT = qtok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val stats = dl.agg(
-        count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val term = tf
-        .join(broadcast(dfT), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(
-          col("doc_id"), col("token"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
-                + lit(0.75) * col("dl") / col("avgdl")))).as("s"))
-      term
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("token"), col("s")))).as("terms"))
-        .select(
-          col("doc_id"),
-          (floor(expr("aggregate(terms, 0.0d, (acc, t) -> acc + t.s)") * 1e6) / 1e6)
-            .as("bm25"))
+      bm25Scored(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)
     }
