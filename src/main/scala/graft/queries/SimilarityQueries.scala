@@ -45,7 +45,7 @@ object SimilarityQueries {
     * window paid over n×k rows (round-6 verdict item). Carried columns
     * are constant within a vec_id group (they come from the corpus row),
     * so `first()` is deterministic. */
-  private def assignCells(v: DataFrame, cents: DataFrame,
+  private[graft] def assignCells(v: DataFrame, cents: DataFrame,
                           carry: Seq[String], keepCos: Boolean = false): DataFrame = {
     val scored = v.crossJoin(broadcast(cents))
       .withColumn("ccos",

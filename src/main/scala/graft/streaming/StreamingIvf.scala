@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.SimilarityQueries
+
+/** Streaming IVF ingest — the continuous-ingestion composition of the
+  * incremental stored-index lane (q_similarity_ivf_incremental) with
+  * Structured Streaming, the ANN twin of [[StreamingDedup]]: the
+  * cell-partitioned index is built ONCE from the base corpus with the
+  * coarse quantizer FROZEN from it (the versioned-quantizer contract),
+  * and every arriving micro-batch of embeddings is assigned against the
+  * frozen centroids and APPENDED into the existing cell directories.
+  *
+  * Per-trigger work is O(batch): one broadcast of the (tiny) centroid
+  * table into a narrow assignment expression, one partitioned append —
+  * the ingest never reads, rewrites, or even lists the accumulated
+  * index (StreamingIvfSpec pins the plan). Because frozen-centroid
+  * assignment is per-row, the final layout after ANY arrival chunking
+  * is bit-identical to the batch incremental lane's — ingest order
+  * changes file names inside a cell directory, never cell membership —
+  * so at-least-once redelivery dedups at the layout level (same
+  * (vec_id, c_id) row re-appended) rather than corrupting cells, and a
+  * serving read over the stream-built store equals one over the
+  * batch-built store row-for-row. Serving keeps the stored lane's
+  * probe-cell partition pruning regardless of how many triggers have
+  * appended (the q_similarity_ivf_stored contract).
+  *
+  * At 100 TB this is the steady-state shape: the corpus grows by
+  * micro-batches, each paying only its own assignment + append, and the
+  * q_ivf_balance → q_ivf_retrain_apply pair watches the frozen
+  * quantizer's drift and versions a new epoch when cells run hot/cold.
+  */
+object StreamingIvf {
+
+  /** The stored serving artifact: the cell-partitioned index path and
+    * the FROZEN centroid frame (c_id, ce) it was built with — the pair a
+    * serving system versions together. */
+  final case class StoredIvfIndex(path: String, cents: DataFrame)
+
+  /** Normalize a raw (vec_id, e) embedding frame with the corpus norm
+    * column the assignment and serving kernels expect. */
+  private def withNorm(v: DataFrame): DataFrame =
+    v.withColumn("nrm",
+      sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+
+  /** One-time base build: freeze the centroid set from the base corpus
+    * (the same %100 seed rule as the batch incremental lane) and write
+    * the cell-partitioned index. `base` is (vec_id, e). */
+  def buildIndex(s: SparkSession, base: DataFrame): StoredIvfIndex = {
+    val v = withNorm(base)
+    val cents = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val path = graft.plans.ScratchDirs.unique("graft-stream-ivf-index").getAbsolutePath
+    SimilarityQueries.assignCells(v, cents, Seq("e", "nrm"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    StoredIvfIndex(path, cents)
+  }
+
+  /** Assign ONE micro-batch (vec_id, e) against the frozen centroids and
+    * append it into the cell directories. Returns the ingest plan string
+    * (captured before the write) so callers/specs can prove the append
+    * is O(batch) — it must never touch the stored index. */
+  def appendBatch(index: StoredIvfIndex, batch: DataFrame): String = {
+    val ingest = SimilarityQueries.assignCells(
+      withNorm(batch), index.cents, Seq("e", "nrm"))
+    val plan = ingest.queryExecution.executedPlan.toString
+    ingest.write.mode("append").partitionBy("c_id").parquet(index.path)
+    plan
+  }
+
+  /** Wire an embedding stream (vec_id, e) to the stored index via
+    * foreachBatch — the stream-static shape where the static side is the
+    * frozen centroid table and each trigger pays only its own batch. */
+  def run(vecStream: DataFrame, index: StoredIvfIndex): StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(index, batch): Unit
+      }
+      .start()
+}
