@@ -790,34 +790,34 @@ object SimilarityQueries {
        |FROM agg a JOIN c ON a.c_id = c.c_id""".stripMargin
   }
 
-  /** Round count the q_kmeans_converge loop reaches at sf0.01 with
-    * eps = 5000 micro (max per-dim centroid move < 5e-3) — the oracle
-    * unrolls exactly this many Lloyd stages and emits it as the n_rounds
-    * literal. Deterministic because every operation is integer (micro
-    * fixed point): assignment argmin ties break on c_id, sums commute,
-    * centroid updates are truncating integer division — the same
-    * determinism-and-scale move as q_pagerank_converge. eps sits ABOVE
-    * the integer-truncation limit-cycle amplitude (measured ~1.2-4.2k
-    * micro at sf0.1, where exact fixpoint is never reached): a tighter
-    * tolerance would spin to the round cap, a property of integer Lloyd
-    * worth remembering. Measured rounds: 8 @ sf0.001, 7 @ sf0.01,
-    * 10 @ sf0.1 — SCALE-DEPENDENT (unlike pagerank's damping-set 15), so
-    * this constant is valid ONLY for the sf the driver's correctness
-    * gate runs at (sf0.01). A fixture regeneration that shifts the
-    * convergence trajectory fails the gate as an opaque hash mismatch;
-    * KmeansConvergeSpec's "oracle round-count constant" test exists to
-    * turn that into a named, diagnosable failure — it runs the loop on
-    * the sf0.01 fixture and compares against this constant, so `sbt
-    * test` says "update kmConvergeRounds to N" instead. */
-  private[graft] val kmConvergeRounds = 7
+  /** Unroll cap for the convergence oracles — the round count is NO
+    * LONGER a measured per-SF constant (it used to be: 8 @ sf0.001,
+    * 7 @ sf0.01, 10 @ sf0.1 — scale-dependent, so a fixture regeneration
+    * failed the gate as an opaque hash mismatch until a spec pointed at
+    * the stale constant). The oracle now DERIVES convergence in SQL: it
+    * unrolls this many stages, computes each stage's max per-dim centroid
+    * move as a scalar (d1..dN), takes n_rounds = the first stage whose
+    * move drops under eps — exactly the engine's stopping rule — and
+    * selects that stage's centroid table through n_flagged-style guarded
+    * arms (cfin). The engine's round cap is set to the SAME value, so
+    * even the never-converges regime agrees: both sides stop at the cap
+    * with the cap's centroids. eps sits ABOVE the integer-truncation
+    * limit-cycle amplitude (measured ~1.2-4.2k micro at sf0.1): a
+    * tighter tolerance would spin every run to the cap — a property of
+    * integer Lloyd worth remembering. 14 gives ~40% headroom over the
+    * largest measured fixture count (10); KmeansConvergeSpec asserts the
+    * fixtures converge strictly below it, so growth toward the cap is a
+    * named failure, not a silent cap-regime switch. */
+  private[graft] val kmMaxUnrolledRounds = 14
 
   private val kmEpsMicro = 5000L
 
   /** DuckDB oracle for q_kmeans_converge: quantize to micro longs, then
-    * `kmConvergeRounds` unrolled (assign → group → update) stages with a
-    * final assignment against the converged centroids for member counts
-    * and inertia. `//` and Spark's `div` both truncate toward zero, so
-    * the centroid updates agree on negative sums too. */
+    * `kmMaxUnrolledRounds` unrolled (assign → group → update) stages, the
+    * in-SQL convergence rule selecting the stopping stage, and a final
+    * assignment against the converged centroids for member counts and
+    * inertia. `//` and Spark's `div` both truncate toward zero, so the
+    * centroid updates agree on negative sums too. */
   /** One Lloyd assignment CTE (a$r) of the quantized corpus v against
     * centroid table `from` — shared by kmConvergeSql and the trained-IVF
     * recall oracle so the trainer the harness evaluates can never drift
@@ -861,16 +861,41 @@ object SimilarityQueries {
        |${(1 to rounds).map(kmStageSql).mkString(",\n")}""".stripMargin
   }
 
+  /** Per-stage max-move scalars, the SQL convergence rule, and the
+    * dynamically-selected converged centroid table `cfin` — appended to
+    * [[kmStagesPrefixSql]] so every consumer of the converged quantizer
+    * (q_kmeans_converge, the trained-IVF harness) reads `cfin` and
+    * `nrounds` instead of a measured per-SF stage constant. */
+  private def kmConvergedSuffixSql(rounds: Int): String = {
+    val deltas = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT max(list_max(list_transform(generate_series(1, 64),
+         |    i -> abs(a.cq[i] - b.cq[i])))) AS d
+         |  FROM c$r a JOIN c${r - 1} b USING (c_id))""".stripMargin
+    }.mkString(",\n")
+    val vals = (1 to rounds).map(r => s"($r, (SELECT d FROM d$r))").mkString(", ")
+    val arms = (1 to rounds).map(r =>
+      s"  SELECT c_id, cq FROM c$r WHERE (SELECT nr FROM nrounds) = $r")
+      .mkString("\n  UNION ALL\n")
+    s"""$deltas,
+       |nrounds AS (
+       |  SELECT coalesce(min(r), $rounds)::BIGINT AS nr
+       |  FROM (VALUES $vals) t(r, d) WHERE d < $kmEpsMicro),
+       |cfin AS MATERIALIZED (
+       |$arms)""".stripMargin
+  }
+
   private lazy val kmConvergeSql: String = {
-    s"""WITH ${kmStagesPrefixSql(kmConvergeRounds)},
-       |${kmAssignSql(99, s"c$kmConvergeRounds")},
+    s"""WITH ${kmStagesPrefixSql(kmMaxUnrolledRounds)},
+       |${kmConvergedSuffixSql(kmMaxUnrolledRounds)},
+       |${kmAssignSql(99, "cfin")},
        |fin AS (
        |  SELECT c_id, count(*)::BIGINT AS n_members, CAST(sum(d) AS BIGINT) AS inertia
        |  FROM a99 GROUP BY c_id)
-       |SELECT f.c_id, f.n_members, ${kmConvergeRounds}::BIGINT AS n_rounds,
+       |SELECT f.c_id, f.n_members, (SELECT nr FROM nrounds) AS n_rounds,
        |  CAST(list_sum(c.cq) AS BIGINT) AS c_sum,
        |  list_min(c.cq) AS c_min, list_max(c.cq) AS c_max, f.inertia
-       |FROM fin f JOIN c$kmConvergeRounds c USING (c_id)""".stripMargin
+       |FROM fin f JOIN cfin c USING (c_id)""".stripMargin
   }
 
   /** ★ k-means to CONVERGENCE — Lloyd iterated until max per-dim centroid
@@ -891,7 +916,7 @@ object SimilarityQueries {
   val kmeansConverge: QueryDef = q(
     "q_kmeans_converge",
     kmConvergeSql
-  ) { (s, dir) => kmeansConvergeFrame(s, dir, kmEpsMicro, 40) }
+  ) { (s, dir) => kmeansConvergeFrame(s, dir, kmEpsMicro, kmMaxUnrolledRounds) }
 
   /** The q_kmeans_converge body, parameterized so the spec can force the
     * distributed path (localThreshold = 0) and diff it against the local
@@ -1567,7 +1592,7 @@ object SimilarityQueries {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).toSeq
     val vecs = vqRows.map(_.getSeq[Long](1).toArray)
-    val (cs, _, _, _) = lloydLocal(vecs, seeds, kmEpsMicro, 40)
+    val (cs, _, _, _) = lloydLocal(vecs, seeds, kmEpsMicro, kmMaxUnrolledRounds)
     val centsT = seeds.map(_._1).zip(cs.map(_.map(_ / 1000000.0).toSeq))
       .toDF("c_id", "ce")
 
@@ -1653,7 +1678,8 @@ object SimilarityQueries {
          |    sum(CASE WHEN c.probe IS NULL THEN 0 ELSE 1 END)::BIGINT AS ${p}_hit_p2
          |  FROM exact e LEFT JOIN cand_$p c ON e.q_id = c.q_id AND e.vec_id = c.vec_id
          |  GROUP BY e.q_id)""".stripMargin
-    s"""WITH ${kmStagesPrefixSql(kmConvergeRounds)},
+    s"""WITH ${kmStagesPrefixSql(kmMaxUnrolledRounds)},
+       |${kmConvergedSuffixSql(kmMaxUnrolledRounds)},
        |n AS MATERIALIZED (
        |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM (
        |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)),
@@ -1661,7 +1687,7 @@ object SimilarityQueries {
        |ct AS (
        |  SELECT c_id, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM (
        |    SELECT c_id, list_transform(cq, x -> x / 1000000.0) AS ce
-       |    FROM c$kmConvergeRounds)),
+       |    FROM cfin)),
        |exact AS MATERIALIZED (
        |  SELECT q_id, vec_id FROM (
        |    SELECT a.vec_id AS q_id, b.vec_id,

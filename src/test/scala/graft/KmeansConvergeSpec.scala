@@ -23,21 +23,26 @@ class KmeansConvergeSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
-  test("oracle round-count constant matches the sf0.01 fixture it is valid for") {
-    // kmConvergeRounds is SCALE-DEPENDENT (8 @ sf0.001, 7 @ sf0.01,
-    // 10 @ sf0.1) and the driver's gate runs at sf0.01 — if the driver
-    // regenerates fixtures and the trajectory shifts, the oracle would
-    // fail as an opaque hash mismatch. This test names the cause first.
-    val rounds = graft.queries.SimilarityQueries
-      .kmeansConvergeFrame(spark, "/root/testdata/sf0.01",
-        5000L, 40)
-      .collect().head.getLong(2)
-    assert(rounds === graft.queries.SimilarityQueries.kmConvergeRounds.toLong,
-      s"\nsf0.01 fixture now converges in $rounds rounds but the DuckDB " +
-        s"oracle unrolls kmConvergeRounds = " +
-        s"${graft.queries.SimilarityQueries.kmConvergeRounds} stages — " +
-        "the fixture was probably regenerated; update " +
-        "SimilarityQueries.kmConvergeRounds to the new measured count.")
+  test("every fixture converges strictly below the oracle's unroll cap") {
+    // The oracle derives n_rounds IN SQL (first stage whose max move
+    // drops under eps) from kmMaxUnrolledRounds unrolled stages, so it
+    // is SF-independent — no more per-SF measured constant. What remains
+    // to guard is the CAP: a regenerated fixture that converges slower
+    // than the unroll headroom would silently flip both sides into the
+    // stop-at-cap regime (still hash-equal, but no longer a converged
+    // quantizer). Name that drift here before it becomes invisible.
+    val cap = graft.queries.SimilarityQueries.kmMaxUnrolledRounds
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val rounds = graft.queries.SimilarityQueries
+        .kmeansConvergeFrame(spark, s"/root/testdata/$sf", 5000L, cap)
+        .collect().head.getLong(2)
+      assert(rounds < cap,
+        s"\n$sf now needs >= $rounds rounds against an unroll cap of " +
+          s"$cap — the fixture was probably regenerated; raise " +
+          "SimilarityQueries.kmMaxUnrolledRounds (both sides stop at the " +
+          "cap, so results still match, but the quantizer is no longer " +
+          "converged).")
+    }
     Bench.cleanup(spark)
   }
 
