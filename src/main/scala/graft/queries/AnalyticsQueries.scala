@@ -1299,7 +1299,11 @@ object AnalyticsQueries {
   )
 
   /** q_compact_apply's fragment→rewrite→read-back, exposed private[graft]
-    * so CompactApplySpec can pin what the SQL oracle cannot see. Returns
+    * so CompactApplySpec can pin what the SQL oracle cannot see. Builds
+    * eagerly by design (the served frame reads the compacted store this
+    * body writes — docs/SCALING.md "Why stored-lane query bodies build
+    * eagerly"); Bench splits the cost into manufacture/rewrite phase
+    * timers. Returns
     * (fragmented path, compacted path, physical plan of the frag frame
     * captured BEFORE the cache hides its scan — the store-provenance
     * witness, the rewrite only composes frag+bins on top — the planned
@@ -1311,9 +1315,15 @@ object AnalyticsQueries {
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
       date_format(tsUs, "yyyy-MM-dd").as("day"), hour(tsUs).cast("long").as("hr"))
     val fragPath = graft.plans.ScratchDirs.unique("graft-compact-frag").getAbsolutePath
-    // manufacture the small-file problem: one file per (day, hour) dir
-    ev.repartition(col("day"), col("hr"))
-      .write.mode("overwrite").partitionBy("day", "hr").parquet(fragPath)
+    // manufacture the small-file problem: one file per (day, hour) dir.
+    // Phase-timed (Bench emits it as q_compact_apply.manufacture): the
+    // ~720 physical file creates here are the PATHOLOGY, not the
+    // OPTIMIZE — splitting the timer makes a regression in the headline
+    // number attributable without re-profiling (round-11 review item).
+    graft.Bench.phase("q_compact_apply.manufacture") {
+      ev.repartition(col("day"), col("hr"))
+        .write.mode("overwrite").partitionBy("day", "hr").parquet(fragPath)
+    }
     val frag = s.read.parquet(fragPath).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
       col("day").cast("string").as("day"), col("hr").cast("long").as("hr"))
@@ -1332,7 +1342,12 @@ object AnalyticsQueries {
     val rewritten = frag.join(broadcast(bins), Seq("day", "hr"))
       .repartition(col("day"), col("file_id"))
     val compPath = graft.plans.ScratchDirs.unique("graft-compact-out").getAbsolutePath
-    rewritten.write.mode("overwrite").partitionBy("day").parquet(compPath)
+    // phase-timed as q_compact_apply.rewrite: the actual OPTIMIZE work —
+    // bins join + compacted write (the read-back proof stays in the
+    // untimed remainder, it runs when the returned frame is consumed)
+    graft.Bench.phase("q_compact_apply.rewrite") {
+      rewritten.write.mode("overwrite").partitionBy("day").parquet(compPath)
+    }
     val served = s.read.parquet(compPath)
       .groupBy(col("day").cast("string").as("day"), col("file_id"), col("hr"))
       .agg(count(lit(1)).as("n_rows"))

@@ -396,7 +396,10 @@ object SimilarityQueries {
   /** q_similarity_ivf_incremental's build+ingest+serve, exposed
     * private[graft] so IvfIncrementalSpec can pin the structure the SQL
     * oracle cannot see: (index path, INGEST physical plan captured before
-    * the append, served frame). */
+    * the append, served frame). Builds EAGERLY by design: the served
+    * plan embeds a scan (+ probe-cell partition filters) over the index
+    * this body writes — see docs/SCALING.md "Why stored-lane query
+    * bodies build eagerly". */
   private[graft] def ivfIncrementalServe(s: SparkSession, dir: String)
       : (String, String, DataFrame) = {
     val v = Tables(s, dir).embeddings
