@@ -153,6 +153,107 @@ object MediaCodec {
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
+  // --- BMP (DIB still image) ---------------------------------------------
+
+  /** 8-bit palette grayscale BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * 256-entry gray palette + bottom-up pixel rows padded to 4-byte
+    * stride). `pixels` is the logical TOP-DOWN row-major luma array
+    * (w × h bytes); the encoder flips to the on-disk bottom-up order and
+    * inserts the row padding — so a naive fixed-stride walk of the file
+    * reads garbage pad bytes and the wrong row order, the honest-parse
+    * device of this container. Size: 14 + 40 + 1024 + stride·h. */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && pixels.length == width * height,
+      s"bad bmp geometry: $width x $height vs ${pixels.length}")
+    val stride = (width + 3) & ~3
+    val pixOff = 14 + 40 + 256 * 4
+    val fileSize = pixOff + stride * height
+    val file = "BM".getBytes("US-ASCII") ++ le32(fileSize) ++
+      le16(0) ++ le16(0) ++ le32(pixOff)
+    val info = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(8) ++
+      le32(0) ++ le32(stride * height) ++ le32(2835) ++ le32(2835) ++
+      le32(256) ++ le32(0)
+    val palette = Array.tabulate(256 * 4) { i =>
+      if (i % 4 == 3) 0.toByte else (i / 4).toByte
+    }
+    val rows = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      // bottom-up: logical row y lands at physical row (height - 1 - y)
+      System.arraycopy(pixels, y * width, rows,
+        (height - 1 - y) * stride, width)
+      y += 1
+    }
+    file ++ info ++ palette ++ rows
+  }
+
+  /** BMP header parse: geometry from BITMAPINFOHEADER, the pixel array
+    * located by the FILE HEADER's stored bfOffBits field (never by
+    * arithmetic over the palette size — a container with a gap before
+    * the pixel array still parses). Only the fixture shape (8-bit,
+    * uncompressed, bottom-up) is supported; anything else sniffs to
+    * None like every other hostile input. */
+  private def decodeBmp(p: Array[Byte]): Option[MediaMeta] = {
+    if (p.length < 54) return None
+    val pixOff = readLe32(p, 10)
+    val biSize = readLe32(p, 14)
+    val w = readLe32(p, 18)
+    val h = readLe32(p, 22)
+    val bits = readLe16(p, 28)
+    val compression = readLe32(p, 30)
+    if (biSize < 40 || w <= 0 || h <= 0 || bits != 8 || compression != 0)
+      return None
+    val stride = (w + 3) & ~3
+    // subtraction form, as in every other walk: a hostile offset/geometry
+    // must fail the guard, not overflow past it
+    if (pixOff < 54 || stride > (p.length - pixOff) / math.max(h, 1)) return None
+    Some(MediaMeta("bmp", w, h, bits, pixOff, stride * h))
+  }
+
+  /** Per-image pixel statistics over a parsed BMP — the still-image
+    * member of the content-analysis family ([[PcmStats]], [[VideoStats]]).
+    * The walk skips the row PADDING bytes (nPx counts only real pixels)
+    * and is row-orientation-free (every stat aggregates within rows or
+    * globally, so bottom-up storage never shows). All integer:
+    *  - sumLuma / nDark / nBright as in [[VideoStats]];
+    *  - contrast = max − min luma (the low-contrast cut);
+    *  - gradQ = Σ within-row |v(x) − v(x−1)| / nPx (mean horizontal
+    *    gradient — the flat/blur detector; 0 for a pure vertical
+    *    gradient image, high for textured content). */
+  final case class BmpStats(
+      nPx: Long, sumLuma: Long, nDark: Long, nBright: Long,
+      contrast: Long, gradQ: Long)
+
+  def bmpStats(p: Array[Byte], m: MediaMeta,
+      darkBelow: Int = 32, brightAtLeast: Int = 224): Option[BmpStats] = {
+    if (m.format != "bmp" || m.bitDepth != 8) return None
+    val stride = (m.width + 3) & ~3
+    var sum, dark, bright, grad = 0L
+    var minV = 255
+    var maxV = 0
+    var row = 0
+    while (row < m.height) {
+      val base = m.dataOffset + row * stride
+      var x = 0
+      var prev = -1
+      while (x < m.width) {
+        val v = p(base + x) & 0xff
+        sum += v
+        if (v < darkBelow) dark += 1
+        if (v >= brightAtLeast) bright += 1
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
+        if (prev >= 0) grad += math.abs(v - prev)
+        prev = v
+        x += 1
+      }
+      row += 1
+    }
+    val nPx = m.width.toLong * m.height
+    Some(BmpStats(nPx, sum, dark, bright,
+      (maxV - minV).toLong.max(0L), grad / nPx))
+  }
+
   // --- AVI (RIFF video) --------------------------------------------------
 
   /** Video-specific header fields beyond the generic [[MediaMeta]] row:
@@ -323,6 +424,7 @@ object MediaCodec {
     else if (p.length >= 12 &&
       new String(p, 0, 4, "US-ASCII") == "RIFF" &&
       new String(p, 8, 4, "US-ASCII") == "AVI ") decodeAvi(p).map(_.meta)
+    else if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) decodeBmp(p)
     else None
 
   /** Walk RIFF chunks: "fmt " carries the audio geometry (channels,

@@ -223,6 +223,87 @@ object MultimodalQueries {
       |    coalesce(list_max(D), 0)::BIGINT AS max_delta_q
       |  FROM dl)""".stripMargin
 
+  /** Shared still-image stats lane: synthesize the BMP fixture images
+    * (8-bit grayscale palette BMPs from an integer pixel formula with
+    * planted pathologies — all-dark, all-bright, low-contrast,
+    * vertical-gradient "flat" images), decode the container for real
+    * (file-header bfOffBits → padded bottom-up rows) and walk the pixels
+    * into per-image stats. The row STRIDE is the honest-parse device:
+    * widths are mostly non-multiples of 4, so a naive w-stride walk
+    * reads pad bytes and shears every row. Classes by doc_id residue
+    * (precedence replayed verbatim by the oracle): dark id%8=5, bright
+    * id%11=3, low-contrast id%7=2, flat id%9=7, else textured content. */
+  private def imageStatsFrame(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .filter(col("doc_id") % 6 === 1)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (13 + id % 9).toInt
+        val h = (6 + id % 6).toInt
+        val cls =
+          if (id % 8 == 5) 0 else if (id % 11 == 3) 1
+          else if (id % 7 == 2) 2 else if (id % 9 == 7) 3 else 4
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w
+          val y = i / w
+          val v = cls match {
+            case 0 => (x * 3 + y * 5) % 28
+            case 1 => 228 + (x + y) % 28
+            case 2 => 120 + (x + y) % 9
+            case 3 => 28 + (y * 199) / (h - 1)
+            case _ => ((x * 7 + y * 11 + id * 13L) % 200L + 28L).toInt
+          }
+          v.toByte
+        }
+        (id, MediaCodec.encodeBmp(w, h, px))
+      }
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          for {
+            m <- MediaCodec.decode(payload)
+            st <- MediaCodec.bmpStats(payload, m)
+          } yield (id, m.width.toLong, m.height.toLong, st.nPx,
+            st.sumLuma / st.nPx, st.nDark, st.nBright, st.contrast, st.gradQ)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_px", "mean_luma_q", "n_dark",
+        "n_bright", "contrast", "grad_q")
+  }
+
+  /** The DuckDB replay of the image decode, CTEs ending in `istats` —
+    * shared verbatim by the q_image_stats and q_image_filter oracles. */
+  private val imageStatsCtes: String =
+    """imgs AS (
+      |  SELECT doc_id, 13 + doc_id % 9 AS w, 6 + doc_id % 6 AS h,
+      |    CASE WHEN doc_id % 8 = 5 THEN 0 WHEN doc_id % 11 = 3 THEN 1
+      |         WHEN doc_id % 7 = 2 THEN 2 WHEN doc_id % 9 = 7 THEN 3
+      |         ELSE 4 END AS cls
+      |  FROM documents WHERE doc_id % 6 = 1),
+      |px AS (
+      |  SELECT doc_id, w, h, w * h AS npx,
+      |    list_transform(generate_series(0, w * h - 1), i ->
+      |      CASE cls
+      |        WHEN 0 THEN ((i % w) * 3 + (i // w) * 5) % 28
+      |        WHEN 1 THEN 228 + ((i % w) + (i // w)) % 28
+      |        WHEN 2 THEN 120 + ((i % w) + (i // w)) % 9
+      |        WHEN 3 THEN 28 + ((i // w) * 199) // (h - 1)
+      |        ELSE ((i % w) * 7 + (i // w) * 11 + doc_id * 13) % 200 + 28
+      |      END) AS P
+      |  FROM imgs),
+      |istats AS (
+      |  SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+      |    npx::BIGINT AS n_px,
+      |    (list_sum(P) // npx)::BIGINT AS mean_luma_q,
+      |    len(list_filter(P, v -> v < 32))::BIGINT AS n_dark,
+      |    len(list_filter(P, v -> v >= 224))::BIGINT AS n_bright,
+      |    (list_max(P) - list_min(P))::BIGINT AS contrast,
+      |    (list_sum(list_transform(generate_series(2, npx), i ->
+      |       CASE WHEN (i - 1) % w = 0 THEN 0
+      |            ELSE abs(P[i] - P[i-1]) END)) // npx)::BIGINT AS grad_q
+      |  FROM px)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary ingest → real PNG header parse → frames sliced from the
@@ -670,6 +751,73 @@ object MultimodalQueries {
           .when(col("bright_ppm") > 350000, "overexposed")
           .when(col("scene_changes") <= 1, "static").otherwise("")
           .as("reason"))
+    },
+
+    // ★ STILL-IMAGE content analysis — the fourth container (BMP) and the
+    // image member of the content-stats family (pcmStats → videoStats →
+    // bmpStats): per-image mean luma, near-black/near-white counts,
+    // contrast (max−min) and mean horizontal gradient (the flat/blur
+    // detector) walked from the DECODED pixel array — bottom-up padded
+    // rows located by the file header's stored bfOffBits, with the pad
+    // bytes skipped (widths are mostly non-multiples of 4, so a naive
+    // fixed-stride walk shears every row). BMP is the one fixture
+    // container whose pixel path the JDK can fully cross-validate
+    // (MediaCodecSpec reads the same bytes through ImageIO). All stats
+    // are integer, replayed bit-for-bit by the oracle from the shared
+    // pixel formula. Scale: one narrow mapPartitions pass, O(bytes) per
+    // image, zero shuffle.
+    q(
+      "q_image_stats",
+      s"""WITH $imageStatsCtes
+        |SELECT doc_id, width, height, n_px, mean_luma_q, n_dark, n_bright,
+        |  contrast, grad_q
+        |FROM istats""".stripMargin
+    ) { (s, dir) => imageStatsFrame(s, dir) },
+
+    // ★ Image corpus FILTER — the keep/drop verdict off the q_image_stats
+    // decode, the first-failing-rule idiom now spanning ALL FOUR content
+    // lanes (text, audio, video, image): images drop for being mostly
+    // black (> 40% near-black — dead sensor / failed exposure),
+    // overexposed (> 35% near-white), low-contrast (max−min < 64 — the
+    // washed-out scan), or flat (mean horizontal gradient < 4 — blank or
+    // pure-gradient fills masquerading as content). Ratios as truncating
+    // integer ppm; n_px ≥ 78 structurally, so the divides never see
+    // zero. Same single narrow decode pass; the reason column is the
+    // retention report.
+    q(
+      "q_image_filter",
+      s"""WITH $imageStatsCtes,
+        |ppm AS (
+        |  SELECT doc_id, mean_luma_q, contrast, grad_q,
+        |    (n_dark * 1000000 // n_px)::BIGINT AS dark_ppm,
+        |    (n_bright * 1000000 // n_px)::BIGINT AS bright_ppm
+        |  FROM istats)
+        |SELECT doc_id, mean_luma_q, dark_ppm, bright_ppm, contrast, grad_q,
+        |  CASE WHEN dark_ppm > 400000 THEN 'drop'
+        |       WHEN bright_ppm > 350000 THEN 'drop'
+        |       WHEN contrast < 64 THEN 'drop'
+        |       WHEN grad_q < 4 THEN 'drop' ELSE 'keep' END AS verdict,
+        |  CASE WHEN dark_ppm > 400000 THEN 'too_dark'
+        |       WHEN bright_ppm > 350000 THEN 'overexposed'
+        |       WHEN contrast < 64 THEN 'low_contrast'
+        |       WHEN grad_q < 4 THEN 'flat' ELSE '' END AS reason
+        |FROM ppm""".stripMargin
+    ) { (s, dir) =>
+      val ppm = imageStatsFrame(s, dir).select(
+        col("doc_id"), col("mean_luma_q"), col("contrast"), col("grad_q"),
+        expr("n_dark * 1000000 div n_px").as("dark_ppm"),
+        expr("n_bright * 1000000 div n_px").as("bright_ppm"))
+      ppm.select(
+        col("doc_id"), col("mean_luma_q"), col("dark_ppm"), col("bright_ppm"),
+        col("contrast"), col("grad_q"),
+        when(col("dark_ppm") > 400000, "drop")
+          .when(col("bright_ppm") > 350000, "drop")
+          .when(col("contrast") < 64, "drop")
+          .when(col("grad_q") < 4, "drop").otherwise("keep").as("verdict"),
+        when(col("dark_ppm") > 400000, "too_dark")
+          .when(col("bright_ppm") > 350000, "overexposed")
+          .when(col("contrast") < 64, "low_contrast")
+          .when(col("grad_q") < 4, "flat").otherwise("").as("reason"))
     }
   )
 }

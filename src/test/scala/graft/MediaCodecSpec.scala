@@ -52,6 +52,56 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("bmp: geometry, stride-padded bottom-up rows, and PIXEL-EXACT JDK agreement") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 20).foreach { _ =>
+      // odd widths on purpose: stride = (w+3)&~3 > w exercises the pad skip
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(24)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val bytes = MediaCodec.encodeBmp(w, h, px)
+      val m = MediaCodec.decode(bytes).get
+      assert(m.format === "bmp" && m.width === w && m.height === h && m.bitDepth === 8)
+      // the JDK's BMP reader decodes the same bytes — cross-validate
+      // every pixel, not just the header (the one fixture container
+      // where the JDK can check the PIXEL path, padding and row order
+      // included). The identity-gray palette collapses the image to
+      // TYPE_BYTE_GRAY, whose getRGB applies a gray→sRGB transform, so
+      // compare RAW raster samples (= the palette index = the luma byte).
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = px(y * w + x) & 0xff
+        assert(img.getRaster.getSample(x, y, 0) === expected,
+          s"pixel ($x,$y) of ${w}x$h")
+      }
+      // and bmpStats must match a direct recompute over the logical array
+      val st = MediaCodec.bmpStats(bytes, m).get
+      val vs = px.map(_ & 0xff)
+      assert(st.nPx === w.toLong * h)
+      assert(st.sumLuma === vs.map(_.toLong).sum)
+      assert(st.nDark === vs.count(_ < 32).toLong)
+      assert(st.nBright === vs.count(_ >= 224).toLong)
+      assert(st.contrast === (vs.max - vs.min).toLong)
+      val grads = for (y <- 0 until h; x <- 1 until w)
+        yield math.abs(vs(y * w + x) - vs(y * w + x - 1)).toLong
+      assert(st.gradQ === grads.sum / (w.toLong * h))
+    }
+  }
+
+  test("bmp: hostile headers sniff to None, never throw") {
+    val good = MediaCodec.encodeBmp(13, 7, Array.fill(91)(7.toByte))
+    (1 until 54 by 6).foreach(n => assert(MediaCodec.decode(good.take(n)).isEmpty))
+    val badOff = good.clone(); badOff(10) = 0xff.toByte; badOff(13) = 0x7f.toByte
+    assert(MediaCodec.decode(badOff).isEmpty, "absurd bfOffBits must fail the guard")
+    val badBits = good.clone(); badBits(28) = 24.toByte
+    assert(MediaCodec.decode(badBits).isEmpty, "only 8-bit fixtures parse")
+    val badComp = good.clone(); badComp(30) = 1.toByte
+    assert(MediaCodec.decode(badComp).isEmpty, "compressed BMPs sniff to None")
+    val truncated = good.take(good.length - 8)
+    assert(MediaCodec.decode(truncated).isEmpty, "truncated pixel array must fail")
+  }
+
   test("unsupported and corrupt payloads sniff to None, never throw") {
     assert(MediaCodec.decode(MediaCodec.encodeWebp(data)).isEmpty)
     assert(MediaCodec.decode(Array.empty[Byte]).isEmpty)
