@@ -289,17 +289,15 @@ object TextQueries {
     * reuses the EXACT lexical scorer (a reimplementation could drift).
     * The corresponding oracle CTEs are [[bm25ScoredCtes]], shared the
     * same way. */
-  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("join", "filter", "scan")
-    val tok = Tables(s, dir).documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val qtok = tok.filter(col("token").isin(terms: _*))
-    val tf = qtok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfT = qtok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+  private[queries] val bm25Terms = Seq("join", "filter", "scan")
+
+  /** The BM25 scoring tail over its four component frames — tf(doc_id,
+    * token, tf), dfT(token, df), dl(doc_id, dl), stats(n_docs, avgdl) —
+    * shared by the one-shot scorer and the incremental stored-index
+    * serving path so the formula (k1=1.2, b=0.75, the sorted-token IEEE
+    * fold, the 1e-6 floor) exists exactly once. */
+  private def bm25Score(tf: DataFrame, dfT: DataFrame, dl: DataFrame,
+      stats: DataFrame): DataFrame = {
     val term = tf
       .join(broadcast(dfT), "token")
       .join(dl, "doc_id")
@@ -317,6 +315,73 @@ object TextQueries {
         col("doc_id"),
         (floor(expr("aggregate(terms, 0.0d, (acc, t) -> acc + t.s)") * 1e6) / 1e6)
           .as("bm25"))
+  }
+
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val qtok = tok.filter(col("token").isin(bm25Terms: _*))
+    val tf = qtok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = qtok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    bm25Score(tf, dfT, dl, stats)
+  }
+
+  /** ★ INCREMENTAL lexical index — the BM25 counterpart of
+    * q_similarity_ivf_incremental, giving the lexical retrieval arm the
+    * same maintenance story the vector arm has: the inverted-index
+    * artifacts (postings (doc_id, token, tf), doc-stats (doc_id, dl),
+    * and MERGEABLE corpus totals (n_docs, sum_dl) — one partial row per
+    * ingest, the sketch-union idiom) are built once from the base slice
+    * and each arriving batch APPENDS its own O(batch-tokens) rows; no
+    * stored row is ever read or rewritten by an ingest (spec pins the
+    * plan). Serving reads term postings through parquet predicate
+    * pushdown (token IN (...) reaches the scan), folds the totals
+    * partials into exact integer corpus stats, and scores through the
+    * SAME bm25Score tail as q_bm25 — so the merged-artifact serving must
+    * equal the one-shot recompute bit-for-bit (integer df/tf/dl/N merge
+    * exactly; avgdl divides the same integers). Returns (store path,
+    * ingest plan, served frame). */
+  private[graft] def bm25IncrementalServe(s: SparkSession, dir: String)
+      : (String, String, DataFrame) = {
+    val docs = Tables(s, dir).documents
+    def parts(d: DataFrame) = {
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val postings = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      (postings, dl, totals)
+    }
+    val store = graft.plans.ScratchDirs.unique("graft-bm25-index").getAbsolutePath
+    // base build — the one-time cost
+    val (bp, bd, bt) = parts(docs.filter(col("doc_id") % 4 =!= 3))
+    bp.write.mode("overwrite").parquet(s"$store/postings")
+    bd.write.mode("overwrite").parquet(s"$store/docstats")
+    bt.write.mode("overwrite").parquet(s"$store/totals")
+    // incremental ingest — batch rows only, pure appends
+    val (ip, id, it) = parts(docs.filter(col("doc_id") % 4 === 3))
+    val ingestPlan = ip.queryExecution.executedPlan.toString + "\n" +
+      id.queryExecution.executedPlan.toString + "\n" +
+      it.queryExecution.executedPlan.toString
+    ip.write.mode("append").parquet(s"$store/postings")
+    id.write.mode("append").parquet(s"$store/docstats")
+    it.write.mode("append").parquet(s"$store/totals")
+    // serve over the merged artifacts
+    val qtok = s.read.parquet(s"$store/postings")
+      .filter(col("token").isin(bm25Terms: _*))
+    val tf = qtok.select(col("doc_id"), col("token"), col("tf"))
+    val dfT = qtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = s.read.parquet(s"$store/docstats")
+    val stats = s.read.parquet(s"$store/totals")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    (store, ingestPlan,
+      bm25Score(tf, dfT, dl, stats)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10))
   }
 
   /** The q_bm25 scoring pipeline as DuckDB CTEs ending in
@@ -1093,6 +1158,19 @@ object TextQueries {
       bm25Scored(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)
-    }
+    },
+
+    // ★ Incremental lexical index serving — see bm25IncrementalServe's
+    // scaladoc: base postings/doc-stats/totals artifacts + O(batch)
+    // appends, term-pushdown serving through the SAME bm25Score tail as
+    // q_bm25. Oracle = q_bm25's one-shot full-corpus recompute, shared
+    // CTEs verbatim — the merged artifacts must reproduce it
+    // bit-for-bit, which is the whole correctness claim of an
+    // incrementally-maintained index.
+    q(
+      "q_bm25_incremental",
+      s"""WITH $bm25ScoredCtes
+        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) => bm25IncrementalServe(s, dir)._3 }
   )
 }
