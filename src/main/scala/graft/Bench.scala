@@ -129,14 +129,16 @@ object Bench {
   val phaseTimes =
     new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
 
-  /** Time `body` into [[phaseTimes]] under `name`. */
+  /** Time `body` into [[phaseTimes]] under `name`. Records ONLY on
+    * successful completion: a body that throws mid-phase would otherwise
+    * contribute a truncated sample, and the emitted per-phase min could
+    * then undercut the query's own min (which comes only from successful
+    * reps) — exactly the misattribution the field exists to prevent. */
   def phase[A](name: String)(body: => A): A = {
     val t0 = System.nanoTime()
-    try body
-    finally {
-      phaseTimes.merge(name, List((System.nanoTime() - t0) / 1e9), _ ++ _)
-      ()
-    }
+    val r = body
+    phaseTimes.merge(name, List((System.nanoTime() - t0) / 1e9), _ ++ _)
+    r
   }
 
   /** The single-thread calibration time measured on the reference host

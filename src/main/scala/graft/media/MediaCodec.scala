@@ -163,7 +163,12 @@ object MediaCodec {
     * reads garbage pad bytes and the wrong row order, the honest-parse
     * device of this container. Size: 14 + 40 + 1024 + stride·h. */
   def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
-    require(width >= 1 && height >= 1 && pixels.length == width * height,
+    // Long comparisons: width*height can wrap Int for absurd geometry,
+    // which would slip past an Int equality and surface later as an
+    // opaque ArrayIndexOutOfBoundsException instead of this message
+    require(width >= 1 && height >= 1 &&
+      pixels.length.toLong == width.toLong * height &&
+      ((width.toLong + 3) & ~3L) * height + 1078L <= Int.MaxValue,
       s"bad bmp geometry: $width x $height vs ${pixels.length}")
     val stride = (width + 3) & ~3
     val pixOff = 14 + 40 + 256 * 4
@@ -203,11 +208,14 @@ object MediaCodec {
     val compression = readLe32(p, 30)
     if (biSize < 40 || w <= 0 || h <= 0 || bits != 8 || compression != 0)
       return None
-    val stride = (w + 3) & ~3
+    // Long arithmetic: (w+3)&~3 wraps NEGATIVE for w near Int.MaxValue,
+    // which would pass the size guard below and parse a hostile header
+    // to garbage meta — the never-throw contract demands None instead
+    val stride = (w.toLong + 3) & ~3L
     // subtraction form, as in every other walk: a hostile offset/geometry
     // must fail the guard, not overflow past it
-    if (pixOff < 54 || stride > (p.length - pixOff) / math.max(h, 1)) return None
-    Some(MediaMeta("bmp", w, h, bits, pixOff, stride * h))
+    if (pixOff < 54 || stride > (p.length - pixOff).toLong / h) return None
+    Some(MediaMeta("bmp", w, h, bits, pixOff, (stride * h).toInt))
   }
 
   /** Per-image pixel statistics over a parsed BMP — the still-image

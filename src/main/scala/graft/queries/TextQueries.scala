@@ -17,11 +17,17 @@ object TextQueries {
 
   /** Round count the q_bpe_train_converge loop runs at sf0.01 to learn
     * its 64-merge vocabulary in rounds of 8 — the oracle unrolls exactly
-    * this many (stats → top-8 → apply) stages, the kmConvergeRounds
-    * pattern. The count is data-dependent in principle (a round can
-    * learn fewer than 8 rules if the ≥2-occurrence pair supply dries
-    * up, extending the loop), so like kmConvergeRounds it is pinned to
-    * the sf the driver's gate runs at; BpeConvergeSpec runs the loop on
+    * this many (stats → top-8 → apply) stages. The count is
+    * data-dependent in principle (a round can learn fewer than 8 rules
+    * if the ≥2-occurrence pair supply dries up, extending the loop), so
+    * it is pinned to the sf the driver's gate runs at, with
+    * BpeConvergeSpec naming the constant on drift. (k-means retired its
+    * analogous measured constant in round 12 by deriving convergence IN
+    * SQL under kmMaxUnrolledRounds; that works there because a Lloyd
+    * stage is fixed-shape — a BPE stage's merge TABLE feeds the next
+    * stage's apply expression, so the unroll cannot be branch-selected
+    * the same way without materializing every candidate vocabulary.)
+    * BpeConvergeSpec runs the loop on
     * the sf0.01 fixture and names this constant in its failure message
     * so a fixture regeneration is diagnosable, not an opaque hash
     * mismatch. Measured: 8 full rounds at sf0.001, sf0.01 AND sf0.1

@@ -14,19 +14,26 @@ import graft.queries.SimilarityQueries
   * and every arriving micro-batch of embeddings is assigned against the
   * frozen centroids and APPENDED into the existing cell directories.
   *
-  * Per-trigger work is O(batch): one broadcast of the (tiny) centroid
-  * table into a narrow assignment expression, one partitioned append —
-  * the ingest never reads, rewrites, or even lists the accumulated
-  * index (StreamingIvfSpec pins the plan). Because frozen-centroid
-  * assignment is per-row, the final layout after ANY arrival chunking
-  * is bit-identical to the batch incremental lane's — ingest order
-  * changes file names inside a cell directory, never cell membership —
-  * so at-least-once redelivery dedups at the layout level (same
-  * (vec_id, c_id) row re-appended) rather than corrupting cells, and a
-  * serving read over the stream-built store equals one over the
-  * batch-built store row-for-row. Serving keeps the stored lane's
-  * probe-cell partition pruning regardless of how many triggers have
-  * appended (the q_similarity_ivf_stored contract).
+  * Per-trigger work is O(batch): the centroid table is COLLECTED once
+  * at build time (O(cells) driver rows — the frozen-quantizer contract
+  * made physical: a trigger can never accidentally re-derive cells
+  * from a moved corpus, and no per-batch plan re-scans the base) and
+  * rides into each assignment as a broadcast of local rows; the append
+  * never reads, rewrites, or even lists the accumulated index
+  * (StreamingIvfSpec pins both properties in the ingest plan). Because
+  * frozen-centroid assignment is per-row, the final layout after ANY
+  * arrival chunking is SET-identical to the batch incremental lane's —
+  * ingest order changes file names inside a cell directory, never cell
+  * membership. Delivery is foreachBatch's at-least-once: a REDELIVERED
+  * batch appends a second physical copy of its rows (set-level layout
+  * unchanged, but a duplicate vec_id would surface twice in a top-K
+  * serve) — a production sink makes the append idempotent by writing
+  * each batch to batchId-named files and skipping ids already present,
+  * exactly the device Delivery.scala's dd lane uses; the fixture spec
+  * drives each batch once, so the equality it pins is the
+  * no-redelivery path. Serving keeps the stored lane's probe-cell
+  * partition pruning regardless of how many triggers have appended
+  * (the q_similarity_ivf_stored contract).
   *
   * At 100 TB this is the steady-state shape: the corpus grows by
   * micro-batches, each paying only its own assignment + append, and the
@@ -50,9 +57,17 @@ object StreamingIvf {
     * (the same %100 seed rule as the batch incremental lane) and write
     * the cell-partitioned index. `base` is (vec_id, e). */
   def buildIndex(s: SparkSession, base: DataFrame): StoredIvfIndex = {
+    import s.implicits._
     val v = withNorm(base)
-    val cents = v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // FREEZE the quantizer physically: collect the O(cells) centroid
+    // rows and rebuild them as a local relation, so every later
+    // assignment broadcasts driver rows instead of re-planning (and
+    // re-scanning) the base corpus per micro-batch
+    val centRows: Seq[(Long, Seq[Double])] = v
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    val cents = centRows.toDF("c_id", "ce")
     val path = graft.plans.ScratchDirs.unique("graft-stream-ivf-index").getAbsolutePath
     SimilarityQueries.assignCells(v, cents, Seq("e", "nrm"))
       .write.mode("overwrite").partitionBy("c_id").parquet(path)

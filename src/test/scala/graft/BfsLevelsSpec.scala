@@ -7,7 +7,7 @@ import graft.queries.AnalyticsQueries
 /** BFS levels (q_bfs_levels): exact hop distances on hand-solvable
   * graphs, driver-local vs distributed path identity, and the oracle's
   * unroll constant re-measured against the sf0.01 fixture (the
-  * kmConvergeRounds discipline — a fixture regeneration that stretches
+  * (retired) measured-round-constant discipline — a fixture regeneration that stretches
   * the graph fails HERE with a named message, not at the driver gate as
   * an opaque hash mismatch).
   */

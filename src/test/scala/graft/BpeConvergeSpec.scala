@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * the merge sequence is fully derivable by hand, with batched rounds
   * the curve must fall monotonically, and a corpus whose ≥2-count pair
   * supply dries up must terminate early instead of spinning to the
-  * target. Plus the kmConvergeRounds-style constant pin against the
+  * target. Plus the measured-constant pin (bpeConvergeRounds) against the
   * sf0.01 fixture the driver's oracle gate runs at.
   */
 class BpeConvergeSpec extends SparkSpec {
@@ -127,7 +127,7 @@ class BpeConvergeSpec extends SparkSpec {
   test("oracle round-count constant matches the sf0.01 fixture it is valid for") {
     // bpeConvergeRounds is pinned to the sf the driver's gate runs at —
     // this test turns a fixture regeneration into a named failure
-    // instead of an opaque oracle hash mismatch (kmConvergeRounds
+    // instead of an opaque oracle hash mismatch (the measured-round-constant
     // pattern).
     val rounds = graft.queries.TextQueries
       .bpeTrainConverge(spark, Tables(spark, "/root/testdata/sf0.01").documents)

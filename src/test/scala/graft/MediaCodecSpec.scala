@@ -100,6 +100,13 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decode(badComp).isEmpty, "compressed BMPs sniff to None")
     val truncated = good.take(good.length - 8)
     assert(MediaCodec.decode(truncated).isEmpty, "truncated pixel array must fail")
+    // width near Int.MaxValue: (w+3)&~3 wraps NEGATIVE in Int arithmetic,
+    // which would sail past the size guard and parse garbage meta — the
+    // review-found overflow case, pinned
+    val badW = good.clone()
+    badW(18) = 0xfd.toByte; badW(19) = 0xff.toByte
+    badW(20) = 0xff.toByte; badW(21) = 0x7f.toByte
+    assert(MediaCodec.decode(badW).isEmpty, "wrap-around width must sniff to None")
   }
 
   test("unsupported and corrupt payloads sniff to None, never throw") {

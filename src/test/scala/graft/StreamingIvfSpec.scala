@@ -55,6 +55,12 @@ class StreamingIvfSpec extends SparkSpec {
     plans.foreach { p =>
       assert(!p.contains("graft-stream-ivf-index"),
         s"a streamed append read the stored index (rebuild in disguise):\n${p.take(2000)}")
+      // the frozen centroids are LOCAL rows collected at build time and
+      // the batch comes from the stream, so a correct ingest plan scans
+      // NO parquet at all — a 'Scan parquet' here means a trigger is
+      // re-deriving centroids from the base corpus (O(base) per batch)
+      assert(!p.contains("Scan parquet"),
+        s"a streamed append re-scans the corpus (unfrozen centroids):\n${p.take(2000)}")
     }
 
     // the batch lane's one-shot layout over the same corpus split
