@@ -76,7 +76,7 @@ object SimilarityQueries {
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
-      annRecallPqRerank :+ hardNegatives :+ hybridRetrieval
+      annRecallPqRerank :+ hardNegatives :+ hybridRetrieval :+ hybridIncremental
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -400,7 +400,8 @@ object SimilarityQueries {
     * plan embeds a scan (+ probe-cell partition filters) over the index
     * this body writes — see docs/SCALING.md "Why stored-lane query
     * bodies build eagerly". */
-  private[graft] def ivfIncrementalServe(s: SparkSession, dir: String)
+  private[graft] def ivfIncrementalServe(s: SparkSession, dir: String,
+      queryPred: Column = col("vec_id") < 8, topK: Int = 3)
       : (String, String, DataFrame) = {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -423,7 +424,7 @@ object SimilarityQueries {
     ingest.write.mode("append").partitionBy("c_id").parquet(path)
     // 3) serve probe-2 top-3 over the merged layout (queries from the
     // full corpus — a query needn't be indexed to be asked)
-    (path, ingestPlan, serveStoredIndex(s, v, cents, path))
+    (path, ingestPlan, serveStoredIndex(s, v, cents, path, queryPred, topK))
   }
 
   /** ★ IVF index-health report — the operational artifact the
@@ -707,13 +708,22 @@ object SimilarityQueries {
     val vec = serveStoredIndex(s, v, cents, path,
         queryPred = col("vec_id") === 0, topK = 10)
       .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
-    // rank the already-bounded lexical top-10 (TakeOrderedAndProject
-    // feeds a 10-row window — single tiny partition, not a global sort)
-    val lex = TextQueries.bm25Scored(s, dir)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
-      .withColumn("r_lex", row_number().over(
+    rrfFuse(rankLex(TextQueries.bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)), vec)
+  }
+
+  /** Rank an already-bounded lexical top-10 frame (doc_id, bm25):
+    * TakeOrderedAndProject feeds a 10-row window — single tiny
+    * partition, not a global sort. */
+  private def rankLex(top: DataFrame): DataFrame =
+    top.withColumn("r_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("r_lex"))
+
+  /** The integer reciprocal-rank fusion tail over lex(doc_id, r_lex) and
+    * vec(doc_id, r_vec) top-L lists — shared by q_hybrid_retrieval and
+    * q_hybrid_incremental so the fusion arithmetic exists once. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
@@ -723,14 +733,38 @@ object SimilarityQueries {
         when(col("r_vec") > 0, expr("1000000000 div (60 + r_vec)")).otherwise(lit(0L)))
       .orderBy(col("rrf_q").desc, col("doc_id"))
       .limit(10)
+
+  /** ★ Hybrid retrieval over the MAINTAINED indexes — the round's
+    * capstone composition: the same BM25 ∪ ANN ∪ integer-RRF serving
+    * shape as q_hybrid_retrieval, but BOTH arms read the incrementally
+    * maintained stores (q_bm25_incremental's postings/doc-stats/totals
+    * artifacts; q_similarity_ivf_incremental's frozen-centroid
+    * cell-partitioned index with its appended batch) instead of
+    * one-shot builds — the proof that the RAG serving stack stays
+    * bit-for-bit correct under continuous ingestion. The oracle is the
+    * one-shot full-corpus recompute of both arms (the %100 frozen
+    * quantizer on the vector side), which the merged artifacts must
+    * reproduce exactly; the fusion SQL and both arm CTEs are shared
+    * verbatim with their source oracles. */
+  val hybridIncremental: QueryDef = q(
+    "q_hybrid_incremental",
+    hybridSqlWith("vec_id % 100 = 0")
+  ) { (s, dir) =>
+    val (_, _, vecServed) = ivfIncrementalServe(s, dir,
+      queryPred = col("vec_id") === 0, topK = 10)
+    val vec = vecServed.select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+    val (_, _, lexServed) = TextQueries.bm25IncrementalServe(s, dir)
+    rrfFuse(rankLex(lexServed), vec)
   }
 
-  /** q_hybrid_retrieval oracle: the q_bm25 CTEs and the stored-IVF
-    * serving CTEs verbatim (both shared with their source oracles), plus
-    * the integer RRF fold. */
-  private lazy val hybridSql: String =
+  /** Hybrid oracle: the q_bm25 CTEs and the stored-IVF serving CTEs
+    * verbatim (both shared with their source oracles), plus the integer
+    * RRF fold — parameterized by the centroid predicate so the
+    * incremental variant (%100 frozen quantizer) shares the whole
+    * structure. */
+  private def hybridSqlWith(centPred: String): String =
     s"""WITH ${TextQueries.bm25ScoredCtes},
-       |${ivfServeCtes("vec_id % 251 = 0", "a.vec_id = 0", 10)},
+       |${ivfServeCtes(centPred, "a.vec_id = 0", 10)},
        |lex AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
        |  FROM scored QUALIFY rl <= 10),
@@ -743,6 +777,8 @@ object SimilarityQueries {
        |  FROM lex l FULL OUTER JOIN vecr r ON l.doc_id = r.doc_id)
        |SELECT doc_id, r_lex, r_vec, rrf_q FROM fused
        |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
+
+  private lazy val hybridSql: String = hybridSqlWith("vec_id % 251 = 0")
 
   /** One Lloyd (k-means) update step over the embedding corpus: assign
     * every vector to its max-cosine centroid (broadcast centroids, narrow

@@ -49,4 +49,27 @@ class HybridRetrievalSpec extends SparkSpec {
       s"dual-arm doc $dd must outrank single-arm doc $sd")
     Bench.cleanup(spark)
   }
+
+  test("incremental hybrid: same fusion contract off the maintained stores") {
+    val rows = SparkEntry.queries("q_hybrid_incremental")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10)
+    rows.foreach { case (doc, rl, rv, rrf) =>
+      val expected = (if (rl > 0) 1000000000L / (60 + rl) else 0L) +
+        (if (rv > 0) 1000000000L / (60 + rv) else 0L)
+      assert(rrf === expected, s"doc $doc rrf drifted")
+    }
+    // the lexical arm must be q_bm25_incremental's own top-10 order —
+    // which Bm25IncrementalSpec already pins to the one-shot scorer, so
+    // this closes the chain: incremental hybrid == fused one-shot arms
+    val lexOrder = SparkEntry.queries("q_bm25_incremental")(spark, sf)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    rows.filter(_._2 > 0).foreach { case (doc, rl, _, _) =>
+      assert(lexOrder.get(doc) === Some(rl),
+        s"doc $doc lexical rank drifted from q_bm25_incremental's ordering")
+    }
+    Bench.cleanup(spark)
+  }
 }
