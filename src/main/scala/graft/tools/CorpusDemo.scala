@@ -9,8 +9,10 @@ import graft.{GraftSession, SparkEntry}
   * order a corpus-preparation pipeline composes them:
   *
   *   hygiene:    corpus_filter → pii_scrub → decontaminate
+  *   modalities: audio/video/image stats → keep/drop filters (the
+  *               content-quality sweep across all four lanes)
   *   dedup:      exact → minhash pairs → substring spans → span scrub
-  *               → multimodal re-wraps
+  *               → multimodal re-wraps → perceptual (dHash) image twins
   *   mixing:     corpus_mix → pack_sequences → shuffle_order
   *   similarity: brute-force top-k → PQ shortlist+rerank recall
   *
@@ -26,15 +28,19 @@ object CorpusDemo {
       ("q_corpus_filter", "quality gate: keep/drop verdicts with first-failing-rule reasons"),
       ("q_pii_scrub", "PII redaction: email/IPv4 extract-count + md5-pinned rewrite"),
       ("q_decontaminate", "benchmark leak detection vs broadcast eval shingle index"),
+      ("q_audio_filter", "audio keep/drop: duration/clipping/silence/level off PCM stats"),
+      ("q_video_filter", "video keep/drop: exposure/static-scene cuts off DIB frame stats"),
+      ("q_image_filter", "image keep/drop: exposure/contrast/flatness off BMP pixel stats"),
       ("q_dedup_exact", "exact dedup: distinct value tuples"),
       ("q_dedup_minhash", "fuzzy dedup: MinHash+LSH banded candidate pairs"),
       ("q_dedup_substring", "exact substring dedup: shared 20-token spans w/ positions"),
       ("q_dedup_substring_scrub", "span removal: shared windows excised from non-keepers"),
       ("q_multimodal_dedup", "multimodal near-dup: re-wrapped containers by parsed-frame hash"),
+      ("q_dedup_phash", "perceptual image near-dup: brightness-shifted twins by dHash bands"),
       ("q_domain_stats", "per-domain curation table: volume, quality, clamped keep_ppm"),
       ("q_cluster_stats", "dup-cluster size report: histogram + singleton row"),
       ("q_corpus_mix", "language re-weighting: data-derived quotas"),
-      ("q_corpus_mix_temperature", "temperature-flattened quotas: share^0.7, capped"),
+      ("q_corpus_mix_temperature", "temperature-flattened quotas: share^0.75, capped"),
       ("q_pack_sequences", "context-window packing: token-budget bins per language"),
       ("q_tokenize_pack", "packing against TRAINED token counts: achieved fill ppm"),
       ("q_shuffle_order", "reproducible training-order shuffle"),
