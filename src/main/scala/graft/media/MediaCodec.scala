@@ -167,9 +167,10 @@ object MediaCodec {
     // which would slip past an Int equality and surface later as an
     // opaque ArrayIndexOutOfBoundsException instead of this message
     require(width >= 1 && height >= 1 &&
-      pixels.length.toLong == width.toLong * height &&
-      ((width.toLong + 3) & ~3L) * height + 1078L <= Int.MaxValue,
+      pixels.length.toLong == width.toLong * height,
       s"bad bmp geometry: $width x $height vs ${pixels.length}")
+    require(((width.toLong + 3) & ~3L) * height + 1078L <= Int.MaxValue,
+      s"bmp container for $width x $height exceeds the Int-addressable array limit")
     val stride = (width + 3) & ~3
     val pixOff = 14 + 40 + 256 * 4
     val fileSize = pixOff + stride * height

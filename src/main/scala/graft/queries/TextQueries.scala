@@ -290,11 +290,7 @@ object TextQueries {
        |FROM wl GROUP BY 1, 2""".stripMargin
   }
 
-  /** BM25-scored documents (doc_id, bm25 — floored to 1e-6) for the fixed
-    * 3-term query, factored out of q_bm25 so the hybrid-retrieval lane
-    * reuses the EXACT lexical scorer (a reimplementation could drift).
-    * The corresponding oracle CTEs are [[bm25ScoredCtes]], shared the
-    * same way. */
+  /** The fixed 3-term retrieval query every BM25 lane serves. */
   private[queries] val bm25Terms = Seq("join", "filter", "scan")
 
   /** The BM25 scoring tail over its four component frames — tf(doc_id,
@@ -323,6 +319,11 @@ object TextQueries {
           .as("bm25"))
   }
 
+  /** BM25-scored documents (doc_id, bm25 — floored to 1e-6) for the fixed
+    * 3-term query, factored out of q_bm25 so the hybrid-retrieval lane
+    * reuses the EXACT lexical scorer (a reimplementation could drift).
+    * The corresponding oracle CTEs are [[bm25ScoredCtes]], shared the
+    * same way. */
   private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables(s, dir).documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
