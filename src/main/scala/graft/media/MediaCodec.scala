@@ -281,6 +281,23 @@ object MediaCodec {
     val h = m.height
     if (w < 9 || h < 8) return None
     val stride = (w + 3) & ~3
+    // logical row y lives at physical row h-1-y (bottom-up storage)
+    Some(gridDhash(w, h, (x, y) => p(m.dataOffset + (h - 1 - y) * stride + x) & 0xff))
+  }
+
+  /** dHash of one raw VIDEO frame — a logical top-down w×h luma array at
+    * `off` (the shape '00db' chunks carry; no stride, no flip). None for
+    * frames smaller than the grid or shorter than w·h bytes. */
+  def dhashFrame(p: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Option[Array[Int]] = {
+    if (w < 9 || h < 8 || len < w * h || off < 0 || off > p.length - len) return None
+    Some(gridDhash(w, h, (x, y) => p(off + y * w + x) & 0xff))
+  }
+
+  /** The shared 9×8 grid-mean difference-hash core over a logical
+    * (x, y) pixel accessor — the container wrappers above differ only in
+    * how storage maps to logical coordinates. */
+  private def gridDhash(w: Int, h: Int, pix: (Int, Int) => Int): Array[Int] = {
     val means = new Array[Long](72)
     var ci = 0
     while (ci < 72) {
@@ -293,9 +310,8 @@ object MediaCodec {
       var sum = 0L
       var y = y0
       while (y < y1) {
-        val base = m.dataOffset + (h - 1 - y) * stride
         var x = x0
-        while (x < x1) { sum += (p(base + x) & 0xff); x += 1 }
+        while (x < x1) { sum += pix(x, y); x += 1 }
         y += 1
       }
       means(ci) = sum / ((x1 - x0).toLong * (y1 - y0))
@@ -309,7 +325,7 @@ object MediaCodec {
       if (means(gy * 9 + gx + 1) > means(gy * 9 + gx)) bands(b / 16) |= 1 << (b % 16)
       b += 1
     }
-    Some(bands)
+    bands
   }
 
   // --- AVI (RIFF video) --------------------------------------------------

@@ -82,4 +82,32 @@ class PhashSpec extends SparkSpec {
     }
     Bench.cleanup(spark)
   }
+
+  test("video twins recovered at max-hamming 0 with aligned frame counts; no false positives") {
+    val rows = SparkEntry.queries("q_dedup_phash_video")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val expected = Tables(spark, sf).documents
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 6 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 3000000L, 4L + id % 4, 0L)).toSet
+    assert(rows.toSet === expected,
+      "output must be exactly the twin clip pairs at max-hamming 0")
+  }
+
+  test("dhashFrame == dhashBands of the same pixels through a BMP (cross-container)") {
+    // the two wrappers differ only in storage mapping (raw logical frame
+    // vs stride-padded bottom-up rows); same pixels must hash identically
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 15).foreach { _ =>
+      val w = 9 + rnd.nextInt(25)
+      val h = 8 + rnd.nextInt(15)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val bmp = MediaCodec.encodeBmp(w, h, px)
+      val viaBmp = MediaCodec.dhashBands(bmp, MediaCodec.decode(bmp).get).get
+      val viaFrame = MediaCodec.dhashFrame(px, 0, px.length, w, h).get
+      assert(viaFrame.toSeq === viaBmp.toSeq, s"${w}x$h wrappers disagree")
+    }
+    Bench.cleanup(spark)
+  }
 }
