@@ -565,7 +565,7 @@ object SimilarityQueries {
   /** Integer-L2 cell assignment with centroids as literals: the min
     * struct (d, c_id) is the oracle's row_number tie-break as one
     * codegen'd expression (kmeansConvergeFrame's shape). */
-  private def assignL2(vq: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame =
+  private[graft] def assignL2(vq: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame =
     vq.withColumn("a",
       array_min(array(cents.map { case (id, cq) =>
         struct(
@@ -578,6 +578,10 @@ object SimilarityQueries {
   /** Step 2: O(cells) health report off the stored epoch-0 index, the
     * trigger decision, the conditional retrain+rebuild, and serving from
     * the epoch the decision selects. */
+  /** Trained centroids of the LAST ivfRetrainFinish that rebuilt (for
+    * the lifecycle spec: appends continue against the NEW quantizer). */
+  @volatile private[graft] var lastTrainedCents: Seq[(Long, Array[Long])] = Nil
+
   private[graft] def ivfRetrainFinish(s: SparkSession, ctx: RetrainCtx): DataFrame = {
     import s.implicits._
     val counts = s.read.parquet(s"${ctx.store}/v0")
@@ -601,6 +605,7 @@ object SimilarityQueries {
           .collect().map(_.getSeq[Long](1).toArray)
         val (cs, _, _, _) = lloydLocal(vecs, ctx.seeds, epsMicro = 0L, maxRounds = 3)
         val trained = ctx.seeds.map(_._1).zip(cs)
+        lastTrainedCents = trained
         assignL2(ctx.vq, trained)
           .write.mode("overwrite").partitionBy("c_id").parquet(s"${ctx.store}/v1")
         (1L, trained)

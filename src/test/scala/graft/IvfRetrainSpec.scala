@@ -53,6 +53,31 @@ class IvfRetrainSpec extends SparkSpec {
     assert(flagged > 0, "fixture no longer trips the trigger at sf0.01")
     assert(rows.map(_.getLong(5)).distinct.toSeq === Seq(flagged))
     assert(rows.map(_.getLong(4)).distinct.toSeq === Seq(1L), "must serve epoch 1")
+
+    // THE LOOP CONTINUES: after the retrain, a new increment appends
+    // against the TRAINED quantizer into epoch 1 — O(batch), both
+    // retired artifacts untouched — so retrain never interrupts the
+    // steady-state ingest lane, it only moves which epoch absorbs it
+    val trained = SimilarityQueries.lastTrainedCents
+    assert(trained.nonEmpty, "retrain must have published its quantizer")
+    val v1Before = snapshot(new File(s"${ctx.store}/v1"))
+    val n1Before = spark.read.parquet(s"${ctx.store}/v1").count()
+    import SharedSpark.spark.implicits._
+    val batch = ctx.vq.limit(7).collect()
+      .map(r => (r.getLong(0) + 10000000L, r.getSeq[Long](1))).toSeq
+    SimilarityQueries.assignL2(batch.toDF("vec_id", "vq"), trained)
+      .write.mode("append").partitionBy("c_id").parquet(s"${ctx.store}/v1")
+    assert(snapshot(new File(s"${ctx.store}/v0")) === before,
+      "post-retrain append touched retired epoch 0")
+    // data files only: the _SUCCESS job marker is legitimately refreshed
+    // by the append job; the immutability contract is about row bytes
+    val v1After = snapshot(new File(s"${ctx.store}/v1"))
+    v1Before.filter(_._1.endsWith(".parquet")).foreach { case (path, attrs) =>
+      assert(v1After.get(path) === Some(attrs),
+        s"post-retrain append rewrote existing epoch-1 data file $path")
+    }
+    assert(spark.read.parquet(s"${ctx.store}/v1").count() === n1Before + batch.length,
+      "epoch 1 must hold exactly the old rows plus the increment")
     Bench.cleanup(spark)
   }
 
