@@ -356,9 +356,15 @@ object TextQueries {
       : (String, String, DataFrame) = {
     val docs = Tables(s, dir).documents
     def parts(d: DataFrame) = {
-      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val postings = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // one token explode feeds all three artifacts: postings are cached
+      // (Bench.cleanup unpersists), doc lengths are Σtf over the cached
+      // frame (identical to a direct token count), totals fold the
+      // lengths — three corpus scans become one
+      val postings = d
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       (postings, dl, totals)
     }
