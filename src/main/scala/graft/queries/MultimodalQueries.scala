@@ -842,7 +842,10 @@ object MultimodalQueries {
     // formula keeps distinct images apart: measured at sf0.01, all 83
     // twin pairs at hamming 0, zero false positives. Scale: one narrow
     // decode pass, O(Σ bucket²) pair generation over 16-bit band
-    // buckets, never an all-pairs scan.
+    // buckets, never an all-pairs scan; at 100 TB a bucket cap on
+    // degenerate bands (a flat-image corpus collapses whole classes
+    // into one all-zeros band value) bounds the worst bucket — the
+    // substring lane's boilerplate df-cap device.
     q(
       "q_dedup_phash",
       """WITH base AS (
@@ -966,7 +969,8 @@ object MultimodalQueries {
     // apart). Scale: one narrow decode pass computing O(frames)
     // signatures per clip, band-bucket pair generation, and a verify
     // join that touches only candidate pairs' signature rows — the
-    // corpus' frame bytes are read exactly once.
+    // corpus' frame bytes are read exactly once. The image lane's
+    // degenerate-band bucket-cap note applies to frame-0 bands too.
     q(
       "q_dedup_phash_video",
       """WITH base AS (
