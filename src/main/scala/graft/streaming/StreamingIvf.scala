@@ -24,14 +24,14 @@ import graft.queries.SimilarityQueries
   * frozen-centroid assignment is per-row, the final layout after ANY
   * arrival chunking is SET-identical to the batch incremental lane's —
   * ingest order changes file names inside a cell directory, never cell
-  * membership. Delivery is foreachBatch's at-least-once: a REDELIVERED
-  * batch appends a second physical copy of its rows (set-level layout
-  * unchanged, but a duplicate vec_id would surface twice in a top-K
-  * serve) — a production sink makes the append idempotent by writing
-  * each batch to batchId-named files and skipping ids already present,
-  * exactly the device Delivery.scala's dd lane uses; the fixture spec
-  * drives each batch once, so the equality it pins is the
-  * no-redelivery path. Serving keeps the stored lane's probe-cell
+  * membership. foreachBatch delivery is at-least-once, so the append is
+  * made IDEMPOTENT: each batch lands in its own (c_id, batch_id)
+  * partitions under dynamic partition overwrite, and a redelivered
+  * batch overwrites exactly those partitions with the same rows (the
+  * replayable-source contract) — a no-op at the layout level, the same
+  * idempotent-sink device Delivery.scala's dd lane uses
+  * (StreamingIvfSpec drives a redelivery and pins the layout
+  * unchanged). Serving keeps the stored lane's probe-cell
   * partition pruning regardless of how many triggers have appended
   * (the q_similarity_ivf_stored contract).
   *
@@ -54,35 +54,49 @@ object StreamingIvf {
       sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
 
   /** One-time base build: freeze the centroid set from the base corpus
-    * (the same %100 seed rule as the batch incremental lane) and write
+    * (the same bounded [[SimilarityQueries.IvfProvision]] strided rule
+    * as the batch incremental lane — K rows, never ∝ N) and write
     * the cell-partitioned index. `base` is (vec_id, e). */
   def buildIndex(s: SparkSession, base: DataFrame): StoredIvfIndex = {
     import s.implicits._
     val v = withNorm(base)
-    // FREEZE the quantizer physically: collect the O(cells) centroid
-    // rows and rebuild them as a local relation, so every later
-    // assignment broadcasts driver rows instead of re-planning (and
-    // re-scanning) the base corpus per micro-batch
-    val centRows: Seq[(Long, Seq[Double])] = v
-      .filter(col("vec_id") % 100 === 0)
+    // FREEZE the quantizer physically: collect the ≤ K centroid rows
+    // (a HARD bound — the provisioning rule, not a corpus rate) and
+    // rebuild them as a local relation, so every later assignment
+    // broadcasts driver rows instead of re-planning (and re-scanning)
+    // the base corpus per micro-batch
+    val centRows: Seq[(Long, Seq[Double])] = SimilarityQueries.IvfProvision.seeds(v)
       .select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
       .collect().sortBy(_._1).toSeq
     val cents = centRows.toDF("c_id", "ce")
     val path = graft.plans.ScratchDirs.unique("graft-stream-ivf-index").getAbsolutePath
     SimilarityQueries.assignCells(v, cents, Seq("e", "nrm"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("c_id", "batch_id").parquet(path)
     StoredIvfIndex(path, cents)
   }
 
   /** Assign ONE micro-batch (vec_id, e) against the frozen centroids and
-    * append it into the cell directories. Returns the ingest plan string
+    * land it in the cell directories as that batch's OWN
+    * (c_id, batch_id) partitions via dynamic partition overwrite — the
+    * idempotence device that turns foreachBatch's at-least-once into
+    * exactly-once layout: a REDELIVERED batch (same batchId, same rows —
+    * the replayable-source contract) overwrites its own partitions with
+    * identical content instead of appending a second physical copy, so
+    * no duplicate vec_id can ever surface in a top-K serve
+    * (StreamingIvfSpec drives the redelivery path). The base build owns
+    * batch_id = -1; serving partition-pruning on c_id is untouched
+    * (c_id is the OUTER partition level). Returns the ingest plan string
     * (captured before the write) so callers/specs can prove the append
     * is O(batch) — it must never touch the stored index. */
-  def appendBatch(index: StoredIvfIndex, batch: DataFrame): String = {
+  def appendBatch(index: StoredIvfIndex, batch: DataFrame, batchId: Long): String = {
     val ingest = SimilarityQueries.assignCells(
-      withNorm(batch), index.cents, Seq("e", "nrm"))
+        withNorm(batch), index.cents, Seq("e", "nrm"))
+      .withColumn("batch_id", lit(batchId))
     val plan = ingest.queryExecution.executedPlan.toString
-    ingest.write.mode("append").partitionBy("c_id").parquet(index.path)
+    ingest.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("c_id", "batch_id").parquet(index.path)
     plan
   }
 
@@ -92,8 +106,8 @@ object StreamingIvf {
   def run(vecStream: DataFrame, index: StoredIvfIndex): StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendBatch(index, batch): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(index, batch, batchId): Unit
       }
       .start()
 }

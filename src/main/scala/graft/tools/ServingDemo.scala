@@ -54,7 +54,7 @@ object ServingDemo {
 
     println("== 3) retrain-and-rebuild apply: trigger -> new epoch -> serve")
     val ctx = SimilarityQueries.ivfRetrainBuildV0(spark, sfDir)
-    val retrainServed = SimilarityQueries.ivfRetrainFinish(spark, ctx)
+    val retrainServed = SimilarityQueries.ivfRetrainFinish(spark, ctx).served
     val v1 = new java.io.File(s"${ctx.store}/v1")
     println(s"   store: ${ctx.store} (epoch-1 built: ${v1.isDirectory})")
     retrainServed.show(6, truncate = false)

@@ -41,8 +41,8 @@ class IvfRetrainSpec extends SparkSpec {
     val ctx = SimilarityQueries.ivfRetrainBuildV0(spark, "/root/testdata/sf0.01")
     val before = snapshot(new File(s"${ctx.store}/v0"))
     assert(before.nonEmpty, "epoch-0 index was not written")
-    val served = SimilarityQueries.ivfRetrainFinish(spark, ctx)
-    val rows = served.collect()
+    val result = SimilarityQueries.ivfRetrainFinish(spark, ctx)
+    val rows = result.served.collect()
     val after = snapshot(new File(s"${ctx.store}/v0"))
     assert(after === before,
       "retrain rewrote epoch-0 files — retired epochs must be read-only")
@@ -58,14 +58,18 @@ class IvfRetrainSpec extends SparkSpec {
     // against the TRAINED quantizer into epoch 1 — O(batch), both
     // retired artifacts untouched — so retrain never interrupts the
     // steady-state ingest lane, it only moves which epoch absorbs it
-    val trained = SimilarityQueries.lastTrainedCents
-    assert(trained.nonEmpty, "retrain must have published its quantizer")
+    val trained = result.cents
+    assert(result.epoch === 1L)
+    assert(trained.nonEmpty, "retrain must have returned its quantizer")
+    assert(trained.map(_._2.toSeq) !== ctx.seeds.map(_._2.toSeq),
+      "epoch-1 quantizer must be the TRAINED one, not the seeds")
     val v1Before = snapshot(new File(s"${ctx.store}/v1"))
     val n1Before = spark.read.parquet(s"${ctx.store}/v1").count()
     import SharedSpark.spark.implicits._
     val batch = ctx.vq.limit(7).collect()
       .map(r => (r.getLong(0) + 10000000L, r.getSeq[Long](1))).toSeq
-    SimilarityQueries.assignL2(batch.toDF("vec_id", "vq"), trained)
+    SimilarityQueries.assignCellsL2(batch.toDF("vec_id", "vq"),
+        SimilarityQueries.broadcastableCents(spark, trained))
       .write.mode("append").partitionBy("c_id").parquet(s"${ctx.store}/v1")
     assert(snapshot(new File(s"${ctx.store}/v0")) === before,
       "post-retrain append touched retired epoch 0")
@@ -83,7 +87,11 @@ class IvfRetrainSpec extends SparkSpec {
 
   test("sf0.001: balanced index skips the rebuild entirely and serves epoch 0, pruned") {
     val ctx = SimilarityQueries.ivfRetrainBuildV0(spark, "/root/testdata/sf0.001")
-    val served = SimilarityQueries.ivfRetrainFinish(spark, ctx)
+    val result = SimilarityQueries.ivfRetrainFinish(spark, ctx)
+    assert(result.epoch === 0L)
+    assert(result.cents.map(_._1) === ctx.seeds.map(_._1),
+      "no-op branch must keep serving the seed quantizer")
+    val served = result.served
     val rows = served.collect()
     assert(flaggedFromStore(ctx.store) === 0L,
       "fixture unexpectedly trips the trigger at sf0.001")

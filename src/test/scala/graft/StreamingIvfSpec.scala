@@ -36,9 +36,9 @@ class StreamingIvfSpec extends SparkSpec {
     val ms = MemoryStream[(Long, Seq[Double])]
     val stream = ms.toDF().toDF("vec_id", "e")
     val q = stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) plans.synchronized {
-          plans += StreamingIvf.appendBatch(index, batch)
+          plans += StreamingIvf.appendBatch(index, batch, batchId)
         }: Unit
       }
       .start()
@@ -73,6 +73,33 @@ class StreamingIvfSpec extends SparkSpec {
     assert(streamed === layout(batchPath),
       "streamed layout diverged from the batch incremental lane")
     assert(streamed.size === v.count(), "index must hold every corpus row exactly once")
+    Bench.cleanup(spark)
+  }
+
+  test("a REDELIVERED batch is a layout no-op: same batchId overwrites its own partitions") {
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val index = StreamingIvf.buildIndex(spark, v.filter(col("vec_id") % 4 =!= 3))
+    val batch = v.filter(col("vec_id") % 4 === 3)
+
+    StreamingIvf.appendBatch(index, batch, batchId = 7L)
+    def state(): (Long, Set[(Long, Long)]) = {
+      val df = spark.read.parquet(index.path)
+      (df.count(),
+        df.select(col("vec_id"), col("c_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val (n1, l1) = state()
+    assert(n1 === v.count(), "first delivery must land every corpus row once")
+
+    // at-least-once redelivery: foreachBatch re-invokes with the SAME
+    // batchId and rows (the replayable-source contract) — the dynamic
+    // partition overwrite must replace, not duplicate
+    StreamingIvf.appendBatch(index, batch, batchId = 7L)
+    val (n2, l2) = state()
+    assert(n2 === n1, s"redelivery duplicated rows: $n1 -> $n2")
+    assert(l2 === l1, "redelivery changed the (vec_id, c_id) layout")
     Bench.cleanup(spark)
   }
 }
