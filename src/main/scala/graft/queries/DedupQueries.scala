@@ -27,6 +27,21 @@ object DedupQueries {
   private val embedBands = 16
   private val embedPlanesPerBand = 8
 
+  /** Per-bucket size cap for the banded/posting-list dedup lanes
+    * (q_dedup_substring's fingerprint buckets, the phash lanes' band
+    * buckets): a bucket keeps only its `bandBucketCap` LOWEST doc_ids
+    * (deterministic, replayed verbatim in the oracles as a
+    * row_number-over-bucket filter), so one degenerate key — a
+    * boilerplate span, a flat-image all-zeros band — bounds BOTH the
+    * per-bucket pair cost (≤ cap²/2 instead of O(bucket²)) and the
+    * widest row any executor materializes. 64 is ~2.5× the largest
+    * bucket any fixture SF produces (measured: 24 at sf0.1 for the
+    * image bands, 8 for substring fingerprints), so at fixture scale
+    * the cap provably never drops a pair; at 100 TB it is the
+    * stop-list device that keeps a pathological key from an
+    * executor-memory cliff. */
+  private[graft] val bandBucketCap = 64
+
   // --- corpus + shingles, Spark side ------------------------------------
 
   /** documents ∪ mutated copy (drop tokens at 0-based positions ≡ 0 mod 7). */
@@ -414,13 +429,15 @@ object DedupQueries {
     // cross-document repeated-span case this family exists for.
     // Scale: per-doc fingerprints are a linear explode (O(tokens) windows
     // per doc); pair generation is the same bounded posting-list shape as
-    // the ngram index — one exchange to group by fingerprint, O(Σ df²)
-    // pairs emitted per bucket, one exchange to count — never O(n²) docs.
-    // At 100 TB a df cap on fingerprint buckets (boilerplate spans) bounds
-    // the worst bucket, the same stop-list trick as common shingles.
+    // the ngram index — dedup each doc to its first occurrence per
+    // fingerprint (one hash agg), CAP each fingerprint bucket at its
+    // [[bandBucketCap]] lowest doc_ids (a spillable window rank — no
+    // bucket is ever materialized as one row), then a keyed self-join
+    // emits ≤ cap²/2 pairs per bucket — never O(n²) docs and never an
+    // unbounded boilerplate bucket. The oracle replays the cap verbatim.
     q(
       "q_dedup_substring",
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[8:], ' ')
@@ -430,39 +447,17 @@ object DedupQueries {
         |  SELECT doc_id, unnest(generate_series(1, len(l) - 19)) AS pos, l
         |  FROM tok),
         |wf AS (SELECT doc_id, pos, md5(array_to_string(l[pos:pos+19], ' ')) AS fp FROM w),
-        |wmin AS (SELECT doc_id, fp, min(pos) AS pos FROM wf GROUP BY 1, 2)
+        |wmin AS (SELECT doc_id, fp, min(pos) AS pos FROM wf GROUP BY 1, 2),
+        |wcap AS (SELECT doc_id, fp, pos FROM (
+        |  SELECT doc_id, fp, pos,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM wmin) WHERE rn <= $bandBucketCap)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared,
         |  min(a.pos)::BIGINT AS first_pos_a, min(b.pos)::BIGINT AS first_pos_b
-        |FROM wmin a JOIN wmin b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM wcap a JOIN wcap b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
-      import s.implicits._
-      val fps = windowFingerprints(substringCorpus(s, dir), 20)
-      // posting lists carry (doc_id, pos); per-bucket emission dedups each
-      // doc to its FIRST occurrence (sorted order makes that the head),
-      // then pairs — same bounded O(Σ df²) shape, still 2 exchanges
-      val pairs = fps
-        .groupBy(col("fp"))
-        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
-        .select(col("ds")).as[Seq[(Long, Long)]]
-        .flatMap { ds0 =>
-          val ds = ds0.sorted
-          val uniq = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          var last = Long.MinValue
-          ds.foreach { case (doc, p) =>
-            if (doc != last) { uniq += ((doc, p)); last = doc }
-          }
-          if (uniq.length < 2) Iterator.empty
-          else uniq.indices.iterator.flatMap(i =>
-            (i + 1 until uniq.length).iterator.map(j =>
-              (uniq(i)._1, uniq(j)._1, uniq(i)._2, uniq(j)._2)))
-        }
-        .toDF("doc_a", "doc_b", "pos_a", "pos_b")
-      pairs
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"),
-          min(col("pos_a")).as("first_pos_a"),
-          min(col("pos_b")).as("first_pos_b"))
+      substringPairs(windowFingerprints(substringCorpus(s, dir), 20))
     },
 
     // ★ Repeated-span REMOVAL — what substring dedup is FOR in a training
@@ -907,6 +902,29 @@ object DedupQueries {
           i => md5(concat_ws(" ", slice(col("l"), i, lit(w)))))))
       .toDF("doc_id", "p0", "fp")
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
+
+  /** q_dedup_substring's pair generation over a (doc_id, pos, fp) window
+    * frame: dedup each doc to its first occurrence per fingerprint, cap
+    * each fingerprint bucket at its [[bandBucketCap]] lowest doc_ids
+    * (spillable window rank, replayed verbatim in the oracle), self-join
+    * capped buckets into pairs, and aggregate shared-window evidence per
+    * pair. Exposed private[graft] so the degenerate-bucket spec can
+    * drive it with a planted boilerplate fingerprint wider than the cap. */
+  private[graft] def substringPairs(fps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wmin = fps.groupBy(col("fp"), col("doc_id")).agg(min(col("pos")).as("pos"))
+    val capped = wmin
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= bandBucketCap)
+    val a = capped.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = capped.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos_a")).as("first_pos_a"),
+        min(col("pos_b")).as("first_pos_b"))
+  }
 
   /** Repeated-span removal over a (doc_id, text) frame: for every w-token
     * window fingerprint appearing in ≥2 docs, the highest doc_id keeps its

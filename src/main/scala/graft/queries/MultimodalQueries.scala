@@ -2,6 +2,8 @@ package graft.queries
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -841,14 +843,15 @@ object MultimodalQueries {
     // grid and every hash). The fixture's per-id gradient+curvature
     // formula keeps distinct images apart: measured at sf0.01, all 83
     // twin pairs at hamming 0, zero false positives. Scale: one narrow
-    // decode pass, O(Σ bucket²) pair generation over 16-bit band
-    // buckets, never an all-pairs scan; at 100 TB a bucket cap on
-    // degenerate bands (a flat-image corpus collapses whole classes
-    // into one all-zeros band value) bounds the worst bucket — the
-    // substring lane's boilerplate df-cap device.
+    // decode pass, then phashPairs — band buckets CAPPED at their
+    // bandBucketCap lowest doc_ids through a spillable window rank (a
+    // flat-image corpus collapsing whole classes into one all-zeros
+    // band value costs ≤ cap²/2 pairs, and no bucket is ever
+    // materialized as a single row), pair generation as a keyed
+    // self-join, never an all-pairs scan; the oracle replays the cap.
     q(
       "q_dedup_phash",
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, 18 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
         |    doc_id AS src, 0 AS shift
         |  FROM documents WHERE doc_id % 6 = 3
@@ -885,7 +888,10 @@ object MultimodalQueries {
         |      (list_sum(list_transform(generate_series(1, 16), j ->
         |        B[k * 16 + j] * (1 << (j - 1)))))::BIGINT) AS bands
         |  FROM bits),
-        |br AS (SELECT doc_id, k, bands[k + 1] AS bv FROM hx, generate_series(0, 3) t(k)),
+        |br AS (SELECT doc_id, k, bv FROM (
+        |  SELECT doc_id, k, bands[k + 1] AS bv,
+        |    row_number() OVER (PARTITION BY k, bands[k + 1] ORDER BY doc_id) AS rn
+        |  FROM hx, generate_series(0, 3) t(k)) WHERE rn <= ${DedupQueries.bandBucketCap}),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM br a JOIN br b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
@@ -923,33 +929,7 @@ object MultimodalQueries {
           }
         }
         .toDF("doc_id", "b0", "b1", "b2", "b3")
-      // posting-list pairs per (band index, band value) bucket; exact
-      // hamming over all four bands is the verify step
-      hashes
-        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-          explode(array(
-            struct(lit(0).as("k"), col("b0").as("bv")),
-            struct(lit(1).as("k"), col("b1").as("bv")),
-            struct(lit(2).as("k"), col("b2").as("bv")),
-            struct(lit(3).as("k"), col("b3").as("bv")))).as("band"))
-        .groupBy(col("band.k"), col("band.bv"))
-        .agg(collect_list(struct(
-          col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))).as("ds"))
-        .select(col("ds")).as[Seq[(Long, Int, Int, Int, Int)]]
-        .flatMap { ds0 =>
-          val ds = ds0.sortBy(_._1)
-          ds.indices.iterator.flatMap { i =>
-            (i + 1 until ds.length).iterator.map { j =>
-              val a = ds(i); val b = ds(j)
-              val ham = Integer.bitCount(a._2 ^ b._2) + Integer.bitCount(a._3 ^ b._3) +
-                Integer.bitCount(a._4 ^ b._4) + Integer.bitCount(a._5 ^ b._5)
-              (a._1, b._1, ham.toLong)
-            }
-          }
-        }
-        .toDF("doc_a", "doc_b", "hamming")
-        .filter(col("hamming") <= 6)
-        .distinct()
+      phashPairs(hashes, maxHamming = 6)
     },
 
     // ★ Perceptual VIDEO near-dup — q_dedup_phash's idiom lifted to the
@@ -967,13 +947,14 @@ object MultimodalQueries {
     // zero false positives (the per-id curvature formula plus a
     // per-frame phase term keeps distinct clips AND adjacent frames
     // apart). Scale: one narrow decode pass computing O(frames)
-    // signatures per clip, band-bucket pair generation, and a verify
-    // join that touches only candidate pairs' signature rows — the
-    // corpus' frame bytes are read exactly once. The image lane's
-    // degenerate-band bucket-cap note applies to frame-0 bands too.
+    // signatures per clip, band-bucket pair generation with the image
+    // lane's bandBucketCap applied per (band, value, nf) frame-0 bucket
+    // (oracle-replayed), and a verify join that touches only candidate
+    // pairs' signature rows — the corpus' frame bytes are read exactly
+    // once.
     q(
       "q_dedup_phash_video",
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, 18 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
         |    4 + doc_id % 4 AS nf, doc_id AS src, 0 AS shift
         |  FROM documents WHERE doc_id % 6 = 0
@@ -1011,9 +992,10 @@ object MultimodalQueries {
         |                 > M[((k * 16 + j - 1) // 8) * 9 + ((k * 16 + j - 1) % 8) + 1]
         |          THEN 1 ELSE 0 END) * (1 << (j - 1)))))::BIGINT) AS bands
         |  FROM cells),
-        |br AS (
-        |  SELECT doc_id, nf, k, bands[k + 1] AS bv
-        |  FROM hx, generate_series(0, 3) t(k) WHERE f = 0),
+        |br AS (SELECT doc_id, nf, k, bv FROM (
+        |  SELECT doc_id, nf, k, bands[k + 1] AS bv,
+        |    row_number() OVER (PARTITION BY k, bands[k + 1], nf ORDER BY doc_id) AS rn
+        |  FROM hx, generate_series(0, 3) t(k) WHERE f = 0) WHERE rn <= ${DedupQueries.bandBucketCap}),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM br a JOIN br b ON a.k = b.k AND a.bv = b.bv AND a.nf = b.nf
@@ -1067,25 +1049,28 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "f", "nf", "b0", "b1", "b2", "b3")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // block on frame-0 bands + equal frame counts; the posting-list
-      // pairs then verify against the FULL signature table (candidate
-      // rows only) — Bench.cleanup unpersists the signature cache
-      val pairs = sigs.filter(col("f") === 0)
+      // block on frame-0 bands + equal frame counts, each (band, value,
+      // nf) bucket CAPPED at its bandBucketCap lowest doc_ids (the
+      // image lane's degenerate-band guard — a spillable window rank,
+      // no whole-bucket collect_list rows); the capped posting pairs
+      // then verify against the FULL signature table (candidate rows
+      // only) — Bench.cleanup unpersists the signature cache
+      val capped = sigs.filter(col("f") === 0)
         .select(col("doc_id"), col("nf"),
           explode(array(
             struct(lit(0).as("k"), col("b0").as("bv")),
             struct(lit(1).as("k"), col("b1").as("bv")),
             struct(lit(2).as("k"), col("b2").as("bv")),
             struct(lit(3).as("k"), col("b3").as("bv")))).as("band"))
-        .groupBy(col("band.k"), col("band.bv"), col("nf"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .select(col("ds")).as[Seq[Long]]
-        .flatMap { ds0 =>
-          val ds = ds0.sorted
-          ds.indices.iterator.flatMap(i =>
-            (i + 1 until ds.length).iterator.map(j => (ds(i), ds(j))))
-        }
-        .toDF("doc_a", "doc_b").distinct()
+        .select(col("doc_id"), col("nf"), col("band.k").as("k"), col("band.bv").as("bv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("bv"), col("nf")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= DedupQueries.bandBucketCap)
+      val pairs = capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_b")),
+          Seq("k", "bv", "nf"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
       val a = sigs.select(col("doc_id").as("doc_a"), col("f"), col("nf"),
         col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("f"),
@@ -1101,4 +1086,41 @@ object MultimodalQueries {
           col("max_hamming").cast("long").as("max_hamming"))
     }
   )
+
+  /** q_dedup_phash's band→bucket→verify tail over a (doc_id, b0..b3)
+    * signature frame: explode the four 16-bit bands, CAP each (band,
+    * value) bucket at its [[DedupQueries.bandBucketCap]] lowest doc_ids
+    * (a spillable window rank — the degenerate-band guard: a flat-image
+    * corpus collapses whole classes into one all-zeros band value, and
+    * without the cap that bucket is both an O(bucket²) pair bomb and,
+    * in the old collect_list shape, ONE executor row holding the whole
+    * bucket), self-join capped buckets into candidate pairs, verify
+    * exact hamming over all four bands, dedup across bands. Exposed
+    * private[graft] so the degenerate-bucket spec can drive it with a
+    * planted flat-image class wider than the cap. */
+  private[graft] def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val capped = hashes
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array(
+          struct(lit(0).as("k"), col("b0").as("bv")),
+          struct(lit(1).as("k"), col("b1").as("bv")),
+          struct(lit(2).as("k"), col("b2").as("bv")),
+          struct(lit(3).as("k"), col("b3").as("bv")))).as("band"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("band.k").as("k"), col("band.bv").as("bv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("bv")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= DedupQueries.bandBucketCap)
+    val a = capped.select(col("k"), col("bv"), col("doc_id").as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = capped.select(col("k"), col("bv"), col("doc_id").as("doc_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    a.join(b, Seq("k", "bv")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) " +
+          "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, MultimodalQueries}
+
+/** The banded-dedup bucket-cap contract (round-12 verdict item): a
+  * DEGENERATE bucket — a flat-image class collapsing into one all-zeros
+  * band value, a boilerplate span shared corpus-wide — must cost at most
+  * cap²/2 pairs and never materialize the whole bucket, instead of the
+  * uncapped O(bucket²) pair bomb / single-collect_list-row memory cliff.
+  * The keep rule is deterministic (lowest doc_ids) and both engines
+  * replay it, so capping is a semantics the oracle shares, not a
+  * silent truncation.
+  */
+class BucketCapSpec extends SparkSpec {
+  import SharedSpark.spark.implicits._
+
+  private val cap = DedupQueries.bandBucketCap
+
+  test("phash: a flat-image class wider than the cap is capped at its lowest doc_ids") {
+    val n = cap + 36
+    // a perfectly flat corpus: every dHash bit 0, all four bands 0 —
+    // one bucket of n docs per band index
+    val hashes = (0 until n).map(i => (i.toLong * 10, 0, 0, 0, 0))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    val pairs = MultimodalQueries.phashPairs(hashes, maxHamming = 6).collect()
+    assert(pairs.length === cap * (cap - 1) / 2,
+      s"expected C($cap,2) capped pairs, got ${pairs.length}")
+    val maxKeptId = (cap - 1).toLong * 10
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(1) <= maxKeptId,
+        s"pair ${r.getLong(0)}-${r.getLong(1)} includes a doc beyond the cap keep-set")
+      assert(r.getLong(2) === 0L)
+    }
+    Bench.cleanup(spark)
+  }
+
+  test("phash: buckets under the cap are untouched") {
+    val hashes = Seq(
+      (1L, 7, 7, 7, 7), (2L, 7, 7, 7, 7),   // twins, hamming 0
+      (3L, 1 << 9, 2, 3, 4)                  // unrelated
+    ).toDF("doc_id", "b0", "b1", "b2", "b3")
+    val pairs = MultimodalQueries.phashPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+    Bench.cleanup(spark)
+  }
+
+  test("substring: a boilerplate fingerprint shared corpus-wide is df-capped") {
+    val n = cap + 20
+    val fps = (0 until n).map(i => (i.toLong, (i % 3 + 1).toLong, "boilerplate-fp"))
+      .toDF("doc_id", "pos", "fp")
+    val pairs = DedupQueries.substringPairs(fps).collect()
+    assert(pairs.length === cap * (cap - 1) / 2,
+      s"expected C($cap,2) capped pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getLong(1) < cap.toLong,
+        "a doc beyond the cap keep-set slipped into the pairs")
+      assert(r.getLong(2) === 1L) // n_shared: exactly the one boilerplate window
+    }
+    Bench.cleanup(spark)
+  }
+
+  test("substring: per-doc first-occurrence and positions survive the capped path") {
+    val fps = Seq(
+      (10L, 5L, "fpA"), (10L, 2L, "fpA"),   // doc 10 hits fpA twice; min pos 2
+      (20L, 9L, "fpA"),
+      (20L, 1L, "fpB"), (30L, 4L, "fpB")
+    ).toDF("doc_id", "pos", "fp")
+    val got = DedupQueries.substringPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (10L, 20L, 1L, 2L, 9L),   // shared fpA; first positions 2 and 9
+      (20L, 30L, 1L, 1L, 4L)))  // shared fpB
+    Bench.cleanup(spark)
+  }
+}
