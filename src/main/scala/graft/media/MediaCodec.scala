@@ -673,6 +673,17 @@ object MediaCodec {
       rmsQ: Long, peak: Int, nClip: Long, leadSilence: Long,
       trailSilence: Long)
 
+  /** Decode PCM sample `i` of a parsed wav's data section: 8-bit
+    * unsigned-midpoint-128 or 16-bit signed LE — the shared sample core
+    * of [[pcmStats]] and [[pcmDhashBands]] (one decoder, so the stats
+    * walk and the perceptual hash can never disagree on what a sample
+    * IS). */
+  private def pcmSample(p: Array[Byte], m: MediaMeta, bytesPer: Int, i: Int): Int = {
+    val off = m.dataOffset + i * bytesPer
+    if (bytesPer == 1) (p(off) & 0xff) - 128
+    else (readLe16(p, off) << 16) >> 16 // sign-extend
+  }
+
   /** PCM walk over a parsed wav's data section; None for non-wav metas
     * or unsupported sample widths (only 8/16-bit PCM, the canonical
     * fixture widths). O(dataLength), no allocation beyond the stats. */
@@ -683,11 +694,7 @@ object MediaCodec {
     val channels = math.max(m.height, 1)
     val full = (1 << (m.bitDepth - 1)) - 1
     val silence = full >> 6
-    def sample(i: Int): Int = {
-      val off = m.dataOffset + i * bytesPer
-      if (bytesPer == 1) (p(off) & 0xff) - 128
-      else (readLe16(p, off) << 16) >> 16 // sign-extend
-    }
+    def sample(i: Int): Int = pcmSample(p, m, bytesPer, i)
     var sumSq = 0L
     var peak = 0
     var nClip = 0L
@@ -723,5 +730,53 @@ object MediaCodec {
       nClip = nClip,
       leadSilence = lead,
       trailSilence = trail))
+  }
+
+  /** Sign-of-delta perceptual hash over a parsed wav's PCM — the audio
+    * member of the dHash family ([[gridDhash]]'s argument lifted to the
+    * 1-D sample stream): partition the samples into 65 contiguous
+    * windows (sample i belongs to window i·65 div n — the same
+    * floor-boundary rule as the dHash pixel grid), aggregate each
+    * window's integer sum and count, and set bit k when window k+1's
+    * MEAN exceeds window k's, compared by exact cross-multiplication
+    * (`W[k+1]·c[k] > W[k]·c[k+1]` — window sizes differ by ±1 under the
+    * floor rule, and comparing raw sums would let the shared 2/3-sample
+    * size alternation dominate the bits: every clip's hash would
+    * collapse toward the same zigzag pattern, measured as hundreds of
+    * cross-clip collisions at sf0.1 before the mean fix). The 64 bits
+    * split into four 16-bit bands, [[dhashBands]]' layout, so the
+    * banded pair machinery is shared across all three modalities.
+    *
+    * Invariance: a positive GAIN (s → g·s, the audio analog of the
+    * image lanes' brightness shift) scales every window sum by g and
+    * leaves every cross-multiplied comparison — and therefore the hash
+    * — exactly unchanged, including sum ties (integer scaling preserves
+    * equality). Sensitivity: window means track the low-frequency
+    * envelope, so distinct content diverges (PhashAudioSpec pins both,
+    * and the measured corpus shows zero cross-clip false positives at
+    * every fixture SF). None for non-wav metas, unsupported widths, or
+    * clips shorter than 65 samples (fewer samples than windows). */
+  def pcmDhashBands(p: Array[Byte], m: MediaMeta): Option[Array[Int]] = {
+    if (m.format != "wav" || (m.bitDepth != 8 && m.bitDepth != 16)) return None
+    val bytesPer = m.bitDepth / 8
+    val n = m.dataLength / bytesPer
+    if (n < 65) return None
+    val w = new Array[Long](65)
+    val c = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * 65L / n).toInt
+      w(k) += pcmSample(p, m, bytesPer, i)
+      c(k) += 1
+      i += 1
+    }
+    val bands = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (w(k + 1) * c(k) > w(k) * c(k + 1))
+        bands(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    Some(bands)
   }
 }
