@@ -150,6 +150,9 @@ object Bench {
     */
   val REF_CALIB = 0.085
 
+  private def d4s(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+
   // a rep is suspect when >5% of machine capacity was stolen during it,
   // or when the two reps of a query disagree by >3× — either way a third
   // interleaved rep runs and the min is taken.
@@ -175,7 +178,27 @@ object Bench {
     // every later probe and skew min(pre, post) — all recorded probes
     // must measure the same (hot) quantity
     calibrate()
-    val calibPre = calibrate()
+    // Calibration-health gate (round-12 verdict: both r12 runs shipped
+    // calib_pre ≈ 0.110 vs ref 0.085 and the ~27% uniform "regression"
+    // cost the judge an hour to attribute to contention). A round's
+    // official artifact should come from a calibration-healthy window:
+    // when the scalar probe reads > CALIB_HEALTHY_RATIO × REF_CALIB the
+    // box is contended NOW, so wait and re-probe instead of measuring
+    // garbage. If the window never comes the run proceeds — a late
+    // number beats no number — but the artifact self-certifies via
+    // "calib_pre_healthy" so a polluted run can never masquerade as a
+    // clean one.
+    val CALIB_HEALTHY_RATIO = 1.1
+    var calibPre = calibrate()
+    var calibWaits = 0
+    while (calibPre > CALIB_HEALTHY_RATIO * REF_CALIB && calibWaits < 12) {
+      calibWaits += 1
+      System.err.println(
+        s"BENCH CALIB UNHEALTHY (${d4s(calibPre)} > ${CALIB_HEALTHY_RATIO}x$REF_CALIB), wait $calibWaits/12")
+      Thread.sleep(10000)
+      calibPre = calibrate()
+    }
+    val calibPreHealthy = calibPre <= CALIB_HEALTHY_RATIO * REF_CALIB
     val calibParPre = calibratePar()
 
     // warm-up (not timed): smallest sf exercises the same code paths.
@@ -257,8 +280,7 @@ object Bench {
     // JSON must be locale-independent: f"%.4f" uses the JVM default
     // locale (comma decimals under e.g. de_DE break parsers), so all
     // fixed-point formatting goes through Locale.ROOT.
-    def d4(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+    def d4(x: Double): String = d4s(x)
     def arr(xs: List[Double]) = xs.map(d4).mkString("[", ",", "]")
     def obj(m: Iterable[(String, String)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -302,7 +324,7 @@ object Bench {
       obj(phaseTimes.asScala.toSeq.sortBy(_._1)
         .map { case (k, ts) => k -> d4(ts.min) })
     }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
     println(full)
     // The full line is long and has been tail-truncated in past round
     // artifacts; persist it and follow with a SHORT headline line so any
@@ -314,7 +336,7 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"BENCH: could not write bench_latest.json: ${e.getMessage}")
     }
-    println(s"""{"metric":"total_summary","value":${d4(total)},"unit":"sec","nqueries":${names.size},"failed":${results.values.count(_ < 0)},"retried":${suspects.size},"calib_pre":${d4(calibPre)},"calib_post":${d4(calibPost)},"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${d4(total)},"unit":"sec","nqueries":${names.size},"failed":${results.values.count(_ < 0)},"retried":${suspects.size},"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_post":${d4(calibPost)},"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

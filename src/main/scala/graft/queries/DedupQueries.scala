@@ -913,10 +913,14 @@ object DedupQueries {
   private[graft] def substringPairs(fps: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wmin = fps.groupBy(col("fp"), col("doc_id")).agg(min(col("pos")).as("pos"))
+    // cached: both sides of the pair self-join read the capped frame —
+    // without this the whole fingerprint explode + bucket cap runs
+    // twice (Bench.cleanup unpersists)
     val capped = wmin
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") <= bandBucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = capped.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))

@@ -1416,6 +1416,10 @@ object MultimodalQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("k"), col("bv")).orderBy(col("doc_id"))))
       .filter(col("rn") <= DedupQueries.bandBucketCap)
+      // cached: both self-join sides read this, and its lineage holds
+      // the whole media-decode pass — without the cache every payload
+      // would decode twice (Bench.cleanup unpersists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("k"), col("bv"), col("doc_id").as("doc_a"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val b = capped.select(col("k"), col("bv"), col("doc_id").as("doc_b"),

@@ -411,7 +411,7 @@ object SimilarityQueries {
     * parameters), the index read is partition-filtered to them, and the
     * rank window runs inside the pruned candidates. Shared by the stored
     * and incremental lanes so the serving shape cannot drift. */
-  private def serveStoredIndex(s: SparkSession, v: DataFrame,
+  private[graft] def serveStoredIndex(s: SparkSession, v: DataFrame,
       cents: DataFrame, path: String,
       queryPred: Column = col("vec_id") < 8, topK: Int = 3): DataFrame = {
     val q2 = v.filter(queryPred)
@@ -801,7 +801,7 @@ object SimilarityQueries {
   /** Rank an already-bounded lexical top-10 frame (doc_id, bm25):
     * TakeOrderedAndProject feeds a 10-row window — single tiny
     * partition, not a global sort. */
-  private def rankLex(top: DataFrame): DataFrame =
+  private[graft] def rankLex(top: DataFrame): DataFrame =
     top.withColumn("r_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("r_lex"))
@@ -809,7 +809,7 @@ object SimilarityQueries {
   /** The integer reciprocal-rank fusion tail over lex(doc_id, r_lex) and
     * vec(doc_id, r_vec) top-L lists — shared by q_hybrid_retrieval and
     * q_hybrid_incremental so the fusion arithmetic exists once. */
-  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
@@ -836,10 +836,17 @@ object SimilarityQueries {
     "q_hybrid_incremental",
     hybridSqlWith("n WHERE vec_id % 4 <> 3")
   ) { (s, dir) =>
-    val (_, _, vecServed) = ivfIncrementalServe(s, dir,
-      queryPred = col("vec_id") === 0, topK = 10)
+    // the headline is build-dominated (both maintained stores are built
+    // in-body, the documented eager-build position); phase timers make
+    // the split attributable from the bench artifact alone — the serve
+    // cost is the headline minus the two build phases
+    val (_, _, vecServed) = graft.Bench.phase("q_hybrid_incremental.build_ivf") {
+      ivfIncrementalServe(s, dir, queryPred = col("vec_id") === 0, topK = 10)
+    }
     val vec = vecServed.select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
-    val (_, _, lexServed) = TextQueries.bm25IncrementalServe(s, dir)
+    val (_, _, lexServed) = graft.Bench.phase("q_hybrid_incremental.build_bm25") {
+      TextQueries.bm25IncrementalServe(s, dir)
+    }
     rrfFuse(rankLex(lexServed), vec)
   }
 

@@ -324,8 +324,15 @@ object TextQueries {
     * reuses the EXACT lexical scorer (a reimplementation could drift).
     * The corresponding oracle CTEs are [[bm25ScoredCtes]], shared the
     * same way. */
-  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(s, dir).documents
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25ScoredDocs(Tables(s, dir).documents)
+
+  /** The one-shot scorer over an explicit (doc_id, text) frame —
+    * bm25Scored's body, exposed private[graft] so StreamingHybridSpec
+    * can recompute the lexical arm over exactly the ingested corpus
+    * subset and diff it against maintained-store serving. */
+  private[graft] def bm25ScoredDocs(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val qtok = tok.filter(col("token").isin(bm25Terms: _*))
@@ -352,49 +359,61 @@ object TextQueries {
     * equal the one-shot recompute bit-for-bit (integer df/tf/dl/N merge
     * exactly; avgdl divides the same integers). Returns (store path,
     * ingest plan, served frame). */
+  /** The three inverted-index artifacts of a (doc_id, text) frame — ONE
+    * token explode feeds all three: postings are cached (callers
+    * unpersist via Bench.cleanup or directly), doc lengths are Σtf over
+    * the cached frame (identical to a direct token count), totals fold
+    * the lengths — three corpus scans become one. Shared by the batch
+    * incremental lane and [[graft.streaming.StreamingBm25]]. */
+  private[graft] def bm25Parts(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val postings = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (postings, dl, totals)
+  }
+
+  /** Serve the fixed 3-term BM25 top-10 off a stored artifact directory
+    * (postings/docstats/totals): term postings read through token-IN
+    * predicate pushdown, totals partials folded into exact integer
+    * corpus stats, scored through the SAME bm25Score tail as q_bm25.
+    * Works over both the batch lane's flat layout and the streaming
+    * twin's (batch_id)-partitioned layout — partition directories are
+    * transparent to the reader. */
+  private[graft] def bm25ServeStored(s: SparkSession, store: String): DataFrame = {
+    val qtok = s.read.parquet(s"$store/postings")
+      .filter(col("token").isin(bm25Terms: _*))
+    val tf = qtok.select(col("doc_id"), col("token"), col("tf"))
+    val dfT = qtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = s.read.parquet(s"$store/docstats").select(col("doc_id"), col("dl"))
+    val stats = s.read.parquet(s"$store/totals")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    bm25Score(tf, dfT, dl, stats)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   private[graft] def bm25IncrementalServe(s: SparkSession, dir: String)
       : (String, String, DataFrame) = {
     val docs = Tables(s, dir).documents
-    def parts(d: DataFrame) = {
-      // one token explode feeds all three artifacts: postings are cached
-      // (Bench.cleanup unpersists), doc lengths are Σtf over the cached
-      // frame (identical to a direct token count), totals fold the
-      // lengths — three corpus scans become one
-      val postings = d
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      (postings, dl, totals)
-    }
     val store = graft.plans.ScratchDirs.unique("graft-bm25-index").getAbsolutePath
     // base build — the one-time cost
-    val (bp, bd, bt) = parts(docs.filter(col("doc_id") % 4 =!= 3))
+    val (bp, bd, bt) = bm25Parts(docs.filter(col("doc_id") % 4 =!= 3))
     bp.write.mode("overwrite").parquet(s"$store/postings")
     bd.write.mode("overwrite").parquet(s"$store/docstats")
     bt.write.mode("overwrite").parquet(s"$store/totals")
     // incremental ingest — batch rows only, pure appends
-    val (ip, id, it) = parts(docs.filter(col("doc_id") % 4 === 3))
+    val (ip, id, it) = bm25Parts(docs.filter(col("doc_id") % 4 === 3))
     val ingestPlan = ip.queryExecution.executedPlan.toString + "\n" +
       id.queryExecution.executedPlan.toString + "\n" +
       it.queryExecution.executedPlan.toString
     ip.write.mode("append").parquet(s"$store/postings")
     id.write.mode("append").parquet(s"$store/docstats")
     it.write.mode("append").parquet(s"$store/totals")
-    // serve over the merged artifacts
-    val qtok = s.read.parquet(s"$store/postings")
-      .filter(col("token").isin(bm25Terms: _*))
-    val tf = qtok.select(col("doc_id"), col("token"), col("tf"))
-    val dfT = qtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = s.read.parquet(s"$store/docstats")
-    val stats = s.read.parquet(s"$store/totals")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
-    (store, ingestPlan,
-      bm25Score(tf, dfT, dl, stats)
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(10))
+    (store, ingestPlan, bm25ServeStored(s, store))
   }
 
   /** The q_bm25 scoring pipeline as DuckDB CTEs ending in

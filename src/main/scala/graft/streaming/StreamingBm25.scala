@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.TextQueries
+
+/** Streaming BM25 index maintenance — the LEXICAL twin of
+  * [[StreamingIvf]], completing the maintained-RAG story's second arm
+  * under continuous arrival: the inverted-index artifacts
+  * (postings (doc_id, token, tf), doc-stats (doc_id, dl), and MERGEABLE
+  * corpus totals — one partial row per ingest, the sketch-union idiom)
+  * are built once from the base corpus, and every arriving micro-batch
+  * of documents lands its own O(batch-tokens) artifact rows. No stored
+  * row is ever read or rewritten by an ingest (the batch lane's
+  * Bm25IncrementalSpec contract, pinned at the streaming boundary by
+  * StreamingHybridSpec); serving reads the merged artifacts through the
+  * one shared scorer (`TextQueries.bm25ServeStored`), so maintained
+  * serving equals the one-shot recompute bit-for-bit — integer
+  * df/tf/dl/N merge exactly, avgdl divides the same integers.
+  *
+  * foreachBatch delivery is at-least-once, so the append is made
+  * IDEMPOTENT the same way [[StreamingIvf.appendBatch]] is: each batch
+  * writes its own batch_id partition under dynamic partition overwrite,
+  * and a redelivered batch (same batchId, same rows — the
+  * replayable-source contract) overwrites its own partition with
+  * identical content instead of appending a second copy. The base build
+  * owns batch_id = -1. Partition directories are transparent to the
+  * serving reader, and token-IN predicate pushdown on postings is a
+  * data-column filter, untouched by the layout.
+  */
+object StreamingBm25 {
+
+  private def write(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+
+  /** One-time base build: the three artifacts from the base corpus
+    * (doc_id, text), landed as batch_id = -1. Returns the store path. */
+  def buildIndex(s: SparkSession, baseDocs: DataFrame): String = {
+    val store = graft.plans.ScratchDirs.unique("graft-stream-bm25-index").getAbsolutePath
+    val (p, d, t) = TextQueries.bm25Parts(baseDocs)
+    write(p, s"$store/postings", -1L)
+    write(d, s"$store/docstats", -1L)
+    write(t, s"$store/totals", -1L)
+    p.unpersist()
+    store
+  }
+
+  /** Ingest ONE micro-batch of documents: O(batch-tokens) artifact rows
+    * into the batch's own partitions. Returns the ingest plan strings
+    * (captured before the writes) so specs can prove the append never
+    * touches the stored artifacts. */
+  def appendBatch(store: String, batch: DataFrame, batchId: Long): String = {
+    val (p, d, t) = TextQueries.bm25Parts(batch)
+    val plan = p.queryExecution.executedPlan.toString + "\n" +
+      d.queryExecution.executedPlan.toString + "\n" +
+      t.queryExecution.executedPlan.toString
+    write(p, s"$store/postings", batchId)
+    write(d, s"$store/docstats", batchId)
+    write(t, s"$store/totals", batchId)
+    p.unpersist()
+    plan
+  }
+
+  /** Wire a document stream (doc_id, text) to the stored artifacts via
+    * foreachBatch — each trigger pays only its own batch. */
+  def run(docStream: DataFrame, store: String): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(store, batch, batchId): Unit
+      }
+      .start()
+}

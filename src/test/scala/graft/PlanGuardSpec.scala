@@ -133,15 +133,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(vec_id"), plan.take(3000))
   }
 
-  test("q_dedup_substring keeps the 2-exchange posting-list shape (no self-join)") {
-    // one exchange groups fingerprints into posting lists, one counts the
-    // emitted pairs; an index self-join would add a third exchange and a
-    // SortMergeJoin over the exploded window index
+  test("q_dedup_substring: spillable bucket cap + keyed self-join over the CACHED capped frame") {
+    // round-13 shape (the bucket-cap implementation): the per-bucket
+    // keep-lowest-64 rank plans as WindowGroupLimit (partial + final —
+    // a bounded, SPILLABLE per-bucket top-k, never a whole-bucket
+    // collect_list row), pair emission is a KEYED self-join on fp over
+    // the cached capped frame (both sides InMemoryTableScan — the
+    // fingerprint explode runs once), and nothing is a cartesian
     val plan = planOf("q_dedup_substring")
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges === 2, s"expected 2 exchanges, found $exchanges:\n${plan.take(3000)}")
-    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"),
+      s"bucket cap lost its group-limit pushdown:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("collect_list"),
+      s"a whole-bucket collect_list row reappeared:\n${plan.take(3000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"capped frame not cached — the fingerprint pass would run per join side:\n${plan.take(3000)}")
   }
 
   test("q_similarity_ivfpq: cell-pruned ADC search, no unbounded cartesian") {
