@@ -253,17 +253,21 @@ object SimilarityQueries {
     }
   )
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every 251st vector is
-    * a "centroid"), one-pass cell assignment by max cosine, then top-3
-    * search restricted to the query's cell (nprobe=1). At 100 TB: centroids
-    * broadcast, assignment is a narrow map, search is a cell-partitioned
-    * join instead of a full scan. */
+  /** IVF-style ANN: a deterministic coarse quantizer (the bounded
+    * [[IvfProvision]] strided rule — K cells at ANY corpus size, round
+    * 13: the serving family's K is a provisioned constant, never ∝ N),
+    * one-pass cell assignment by max cosine, then top-3
+    * search restricted to the query's cell (nprobe=1). At 100 TB: the
+    * K-row centroid table broadcasts, assignment is a narrow map, search
+    * is a cell-partitioned join instead of a full scan. */
   val ivf: QueryDef = q(
     "q_similarity_ivf",
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+      |${IvfProvision.prmSql("n")},
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn
+      |  FROM n CROSS JOIN cprm WHERE ${IvfProvision.predSql}),
       |assign AS (
       |  SELECT vec_id, e, nrm, c_id FROM (
       |    SELECT a.vec_id, a.e, a.nrm, c.c_id,
@@ -283,8 +287,8 @@ object SimilarityQueries {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
-    val cents = v.filter(col("vec_id") % 251 === 0)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val cents = IvfProvision.seeds(v)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val assign = assignCells(v, cents, Seq("e", "nrm"))
     val queries = assign.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))

@@ -22,7 +22,13 @@ import graft.queries.{AnalyticsQueries, SimilarityQueries}
   *   4. small-file compaction of a fragmented day-store, with the
   *      before/after physical file counts (q_compact_apply's pipeline),
   *   5. hybrid lexical+vector serving over the stored index
-  *      (q_hybrid_retrieval — BM25 ∪ ANN under integer RRF).
+  *      (q_hybrid_retrieval — BM25 ∪ ANN under integer RRF),
+  *   6. the MAINTAINED hybrid under continuous arrival (round 13): both
+  *      arms' stores built from the base slice, micro-batches appended
+  *      through the idempotent streaming sinks (StreamingIvf /
+  *      StreamingBm25 — one append deliberately REDELIVERED to show the
+  *      per-batch dynamic-partition-overwrite no-op), fused serving off
+  *      the live-maintained stores.
   *
   * Usage: `sbt "runMain graft.tools.ServingDemo [sfDir]"`
   */
@@ -70,6 +76,37 @@ object ServingDemo {
 
     println("== 5) hybrid retrieval: BM25 ∪ stored-IVF ANN under integer RRF")
     SparkEntry.queries("q_hybrid_retrieval")(spark, sfDir).show(10, truncate = false)
+    graft.Bench.cleanup(spark)
+
+    println("== 6) maintained hybrid under continuous arrival (idempotent appends)")
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
+      val v = graft.Tables(spark, sfDir).embeddings
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+        .withColumn("nrm",
+          sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+      val ivf = graft.streaming.StreamingIvf.buildIndex(spark,
+        v.filter(col("vec_id") % 4 =!= 3).select(col("vec_id"), col("e")))
+      val lex = graft.streaming.StreamingBm25.buildIndex(spark,
+        docs.filter(col("doc_id") % 4 =!= 3))
+      Seq(3L, 7L, 11L).zipWithIndex.foreach { case (r, b) =>
+        graft.streaming.StreamingIvf.appendBatch(ivf,
+          v.filter(col("vec_id") % 12 === r).select(col("vec_id"), col("e")), b.toLong)
+        graft.streaming.StreamingBm25.appendBatch(lex,
+          docs.filter(col("doc_id") % 12 === r), b.toLong)
+      }
+      // at-least-once in action: redeliver batch 1 — a layout no-op
+      graft.streaming.StreamingBm25.appendBatch(lex,
+        docs.filter(col("doc_id") % 12 === 7), 1L)
+      val fusedLex = SimilarityQueries.rankLex(
+        graft.queries.TextQueries.bm25ServeStored(spark, lex))
+      val fusedVec = SimilarityQueries.serveStoredIndex(spark, v, ivf.cents, ivf.path,
+          queryPred = col("vec_id") === 0, topK = 10)
+        .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+      println("   fused top-10 off the live-maintained stores (redelivery absorbed):")
+      SimilarityQueries.rrfFuse(fusedLex, fusedVec).show(10, truncate = false)
+    }
     graft.Bench.cleanup(spark)
 
     spark.stop()
