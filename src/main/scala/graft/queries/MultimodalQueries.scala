@@ -857,85 +857,9 @@ object MultimodalQueries {
     // self-join, never an all-pairs scan; the oracle replays the cap.
     q(
       "q_dedup_phash",
-      s"""WITH base AS (
-        |  SELECT doc_id, 18 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
-        |    doc_id AS src, 0 AS shift
-        |  FROM documents WHERE doc_id % 6 = 3
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, 18 + doc_id % 8, 12 + doc_id % 6, doc_id, 6
-        |  FROM documents WHERE doc_id % 6 = 3),
-        |px AS (
-        |  SELECT doc_id, w, h,
-        |    list_transform(generate_series(0, w * h - 1), i ->
-        |      ((i % w) * (3 + src % 17) + (i // w) * (5 + src % 19)
-        |        + ((i % w) * (i // w)) * (1 + src % 5) + src * 13) % 200
-        |        + 28 + shift) AS P
-        |  FROM base),
-        |cells AS (
-        |  SELECT doc_id, w, h,
-        |    list_transform(generate_series(0, 71), ci ->
-        |      list_sum(flatten(list_transform(
-        |        generate_series((ci // 9) * h // 8, ((ci // 9) + 1) * h // 8 - 1), y ->
-        |        list_transform(
-        |          generate_series((ci % 9) * w // 9, ((ci % 9) + 1) * w // 9 - 1), x ->
-        |          P[y * w + x + 1]))))
-        |      // ((((ci // 9) + 1) * h // 8 - (ci // 9) * h // 8)
-        |         * (((ci % 9) + 1) * w // 9 - (ci % 9) * w // 9))) AS M
-        |  FROM px),
-        |bits AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(0, 63), b ->
-        |      CASE WHEN M[(b // 8) * 9 + (b % 8) + 2] > M[(b // 8) * 9 + (b % 8) + 1]
-        |        THEN 1 ELSE 0 END) AS B
-        |  FROM cells),
-        |hx AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(0, 3), k ->
-        |      (list_sum(list_transform(generate_series(1, 16), j ->
-        |        B[k * 16 + j] * (1 << (j - 1)))))::BIGINT) AS bands
-        |  FROM bits),
-        |br AS (SELECT doc_id, k, bv FROM (
-        |  SELECT doc_id, k, bands[k + 1] AS bv,
-        |    row_number() OVER (PARTITION BY k, bands[k + 1] ORDER BY doc_id) AS rn
-        |  FROM hx, generate_series(0, 3) t(k)) WHERE rn <= ${DedupQueries.bandBucketCap}),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM br a JOIN br b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
-        |ham AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |    (bit_count(xor(ha.bands[1], hb.bands[1])) + bit_count(xor(ha.bands[2], hb.bands[2]))
-        |     + bit_count(xor(ha.bands[3], hb.bands[3])) + bit_count(xor(ha.bands[4], hb.bands[4])))::BIGINT AS hamming
-        |  FROM cand c JOIN hx ha ON c.doc_a = ha.doc_id JOIN hx hb ON c.doc_b = hb.doc_id)
-        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6""".stripMargin
+      phashImagePairsSql
     ) { (s, dir) =>
-      import s.implicits._
-      val hashes = Tables(s, dir).documents
-        .filter(col("doc_id") % 6 === 3)
-        .select(col("doc_id")).as[Long]
-        .flatMap { id =>
-          val w = (18 + id % 8).toInt
-          val h = (12 + id % 6).toInt
-          def img(shift: Int): Array[Byte] = Array.tabulate(w * h) { i =>
-            val x = i % w
-            val y = i / w
-            (((x * (3 + id % 17) + y * (5 + id % 19)
-              + (x.toLong * y) * (1 + id % 5) + id * 13L) % 200L)
-              + 28L + shift).toInt.toByte
-          }
-          Iterator(
-            (id, MediaCodec.encodeBmp(w, h, img(0))),
-            (id + 2000000L, MediaCodec.encodeBmp(w, h, img(6))))
-        }
-        .mapPartitions { it =>
-          it.flatMap { case (id, payload) =>
-            for {
-              m <- MediaCodec.decode(payload)
-              bs <- MediaCodec.dhashBands(payload, m)
-            } yield (id, bs(0), bs(1), bs(2), bs(3))
-          }
-        }
-        .toDF("doc_id", "b0", "b1", "b2", "b3")
-      phashPairs(hashes, maxHamming = 6)
+      phashPairs(phashImageHashes(s, dir), maxHamming = 6)
     },
 
     // ★ Perceptual VIDEO near-dup — q_dedup_phash's idiom lifted to the
@@ -1351,8 +1275,144 @@ object MultimodalQueries {
           expr("sum(rec) * 1000000 div count(1)").as("recall_ppm"),
           min(col("ham")).as("min_hamming"), max(col("ham")).as("max_hamming"))
         .withColumn("guaranteed", when(col("t") <= 3, "yes").otherwise("no"))
+    },
+
+    // ★ Perceptual near-dup CLUSTERING — the dedup ACTION the phash
+    // pairs exist for, completing the family symmetry (q_dedup_cluster
+    // does this for SimHash, q_dedup_embed_cluster for embeddings): the
+    // image lane's verified hamming-<=6 pair set fed through the SAME
+    // hybrid connected-components engine, yielding cluster -> canonical
+    // assignments (keep the minimum doc_id per component — is_rep is
+    // the keep/drop verdict a curation run executes). At sf0.01 every
+    // component is a twin pair; at sf0.1 the genuine sub-threshold
+    // near-dup pairs CHAIN — multi-member perceptual classes, exactly
+    // the case where pair output alone under-counts what dedup must
+    // drop. Same 100-TB shape end to end: capped band buckets bound the
+    // edge set, CC is O(log diameter) rounds of join+min-agg or the
+    // byte-bounded local endgame; nothing scans pairs beyond the
+    // verified edges. Oracle: the shared pair SQL under the family's
+    // recursive-CTE min-label reachability.
+    q(
+      "q_dedup_phash_cluster",
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($phashImagePairsSql)),
+        |nodes AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+        |lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS csize,
+        |  doc_id = cluster_id AS is_rep
+        |FROM lab""".stripMargin
+    ) { (s, dir) =>
+      val pairs = phashPairs(phashImageHashes(s, dir), maxHamming = 6)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      DedupQueries.connectedComponents(s, pairs)
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("comp"))))
+        .select(
+          col("doc_id"),
+          col("comp").as("cluster_id"),
+          col("csize"),
+          (col("doc_id") === col("comp")).as("is_rep"))
     }
   )
+
+  /** The q_dedup_phash oracle: synthesized twin corpus -> 9x8 cell
+    * means -> dHash bits -> capped 16-bit band buckets -> exact-hamming
+    * verify. A def (not lazy val): object-init order — `defs` forces
+    * the query SQL. Shared with the cluster lane's recursive-CTE
+    * oracle so the pair semantics cannot drift. */
+  private def phashImagePairsSql: String =
+          s"""WITH base AS (
+        |  SELECT doc_id, 18 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
+        |    doc_id AS src, 0 AS shift
+        |  FROM documents WHERE doc_id % 6 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 18 + doc_id % 8, 12 + doc_id % 6, doc_id, 6
+        |  FROM documents WHERE doc_id % 6 = 3),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(generate_series(0, w * h - 1), i ->
+        |      ((i % w) * (3 + src % 17) + (i // w) * (5 + src % 19)
+        |        + ((i % w) * (i // w)) * (1 + src % 5) + src * 13) % 200
+        |        + 28 + shift) AS P
+        |  FROM base),
+        |cells AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(generate_series(0, 71), ci ->
+        |      list_sum(flatten(list_transform(
+        |        generate_series((ci // 9) * h // 8, ((ci // 9) + 1) * h // 8 - 1), y ->
+        |        list_transform(
+        |          generate_series((ci % 9) * w // 9, ((ci % 9) + 1) * w // 9 - 1), x ->
+        |          P[y * w + x + 1]))))
+        |      // ((((ci // 9) + 1) * h // 8 - (ci // 9) * h // 8)
+        |         * (((ci % 9) + 1) * w // 9 - (ci % 9) * w // 9))) AS M
+        |  FROM px),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN M[(b // 8) * 9 + (b % 8) + 2] > M[(b // 8) * 9 + (b % 8) + 1]
+        |        THEN 1 ELSE 0 END) AS B
+        |  FROM cells),
+        |hx AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 3), k ->
+        |      (list_sum(list_transform(generate_series(1, 16), j ->
+        |        B[k * 16 + j] * (1 << (j - 1)))))::BIGINT) AS bands
+        |  FROM bits),
+        |br AS (SELECT doc_id, k, bv FROM (
+        |  SELECT doc_id, k, bands[k + 1] AS bv,
+        |    row_number() OVER (PARTITION BY k, bands[k + 1] ORDER BY doc_id) AS rn
+        |  FROM hx, generate_series(0, 3) t(k)) WHERE rn <= ${DedupQueries.bandBucketCap}),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM br a JOIN br b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (bit_count(xor(ha.bands[1], hb.bands[1])) + bit_count(xor(ha.bands[2], hb.bands[2]))
+        |     + bit_count(xor(ha.bands[3], hb.bands[3])) + bit_count(xor(ha.bands[4], hb.bands[4])))::BIGINT AS hamming
+        |  FROM cand c JOIN hx ha ON c.doc_a = ha.doc_id JOIN hx hb ON c.doc_b = hb.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6""".stripMargin
+
+  /** The image corpus' (doc_id, b0..b3) dHash signature frame —
+    * synthesized twin BMPs decoded through the real container — shared
+    * by q_dedup_phash and q_dedup_phash_cluster. */
+  private def phashImageHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+        .filter(col("doc_id") % 6 === 3)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = (18 + id % 8).toInt
+          val h = (12 + id % 6).toInt
+          def img(shift: Int): Array[Byte] = Array.tabulate(w * h) { i =>
+            val x = i % w
+            val y = i / w
+            (((x * (3 + id % 17) + y * (5 + id % 19)
+              + (x.toLong * y) * (1 + id % 5) + id * 13L) % 200L)
+              + 28L + shift).toInt.toByte
+          }
+          Iterator(
+            (id, MediaCodec.encodeBmp(w, h, img(0))),
+            (id + 2000000L, MediaCodec.encodeBmp(w, h, img(6))))
+        }
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            for {
+              m <- MediaCodec.decode(payload)
+              bs <- MediaCodec.dhashBands(payload, m)
+            } yield (id, bs(0), bs(1), bs(2), bs(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
 
   /** q_dedup_phash_audio's fixture PRF: two multiply-xorshift rounds mod
     * 2³¹ folded to a ±100 step — nonlinear on purpose. (A single
