@@ -357,9 +357,9 @@ object DedupQueries {
       "q_dedup_cluster",
       clusterSql
     ) { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // no lane-level persist: connectedComponents caches the edge
+      // frame itself before branching (a second persist is a no-op)
       val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .persist(MEMORY_AND_DISK)
       connectedComponents(s, pairs)
         .withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
@@ -398,10 +398,8 @@ object DedupQueries {
       "q_dedup_embed_cluster",
       dedupEmbedClusterSql
     ) { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val pairs = embedDupPairs(s, dir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-        .persist(MEMORY_AND_DISK)
       connectedComponents(s, pairs)
         .withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))

@@ -996,6 +996,10 @@ object MultimodalQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("k"), col("bv"), col("nf")).orderBy(col("doc_id"))))
         .filter(col("rn") <= DedupQueries.bandBucketCap)
+        // cached like phashPairs' capped frame: both self-join sides
+        // read it — without this the band explode + rank shuffle runs
+        // twice over the sigs cache (Bench.cleanup unpersists)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_a"))
         .join(capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_b")),
           Seq("k", "bv", "nf"))
@@ -1309,9 +1313,10 @@ object MultimodalQueries {
         |  doc_id = cluster_id AS is_rep
         |FROM lab""".stripMargin
     ) { (s, dir) =>
+      // no lane-level persist: connectedComponents caches the edge
+      // frame itself before branching (a second persist is a no-op)
       val pairs = phashPairs(phashImageHashes(s, dir), maxHamming = 6)
         .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       DedupQueries.connectedComponents(s, pairs)
         .withColumn("csize",
           count(lit(1)).over(Window.partitionBy(col("comp"))))

@@ -520,12 +520,12 @@ object SimilarityQueries {
     * incremental append lane handles everything before that point. */
   val ivfBalance: QueryDef = q(
     "q_ivf_balance",
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-      |cprm AS (SELECT 4 * greatest((count(*) // 20), 1) AS s FROM n WHERE vec_id % 4 <> 3),
+      |${IvfProvision.prmSql("n WHERE vec_id % 4 <> 3")},
       |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn
-      |  FROM n CROSS JOIN cprm WHERE vec_id % s = 0 AND vec_id < s * 5),
+      |  FROM n CROSS JOIN cprm WHERE ${IvfProvision.predSql}),
       |assign AS (
       |  SELECT vec_id, c_id, cosv FROM (
       |    SELECT a.vec_id, c.c_id,

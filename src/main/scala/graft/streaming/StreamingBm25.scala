@@ -40,14 +40,12 @@ object StreamingBm25 {
       .parquet(dir)
 
   /** One-time base build: the three artifacts from the base corpus
-    * (doc_id, text), landed as batch_id = -1. Returns the store path. */
+    * (doc_id, text), landed as batch_id = -1 through the SAME
+    * artifact-landing sequence every ingest uses — one code path, so
+    * base and batch layouts cannot diverge. Returns the store path. */
   def buildIndex(s: SparkSession, baseDocs: DataFrame): String = {
     val store = graft.plans.ScratchDirs.unique("graft-stream-bm25-index").getAbsolutePath
-    val (p, d, t) = TextQueries.bm25Parts(baseDocs)
-    write(p, s"$store/postings", -1L)
-    write(d, s"$store/docstats", -1L)
-    write(t, s"$store/totals", -1L)
-    p.unpersist()
+    appendBatch(store, baseDocs, batchId = -1L)
     store
   }
 
