@@ -985,26 +985,7 @@ object MultimodalQueries {
       // no whole-bucket collect_list rows); the capped posting pairs
       // then verify against the FULL signature table (candidate rows
       // only) — Bench.cleanup unpersists the signature cache
-      val capped = sigs.filter(col("f") === 0)
-        .select(col("doc_id"), col("nf"),
-          explode(array(
-            struct(lit(0).as("k"), col("b0").as("bv")),
-            struct(lit(1).as("k"), col("b1").as("bv")),
-            struct(lit(2).as("k"), col("b2").as("bv")),
-            struct(lit(3).as("k"), col("b3").as("bv")))).as("band"))
-        .select(col("doc_id"), col("nf"), col("band.k").as("k"), col("band.bv").as("bv"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("k"), col("bv"), col("nf")).orderBy(col("doc_id"))))
-        .filter(col("rn") <= DedupQueries.bandBucketCap)
-        // cached like phashPairs' capped frame: both self-join sides
-        // read it — without this the band explode + rank shuffle runs
-        // twice over the sigs cache (Bench.cleanup unpersists)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_a"))
-        .join(capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_b")),
-          Seq("k", "bv", "nf"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val pairs = videoPhashCandidates(sigs)
       val a = sigs.select(col("doc_id").as("doc_a"), col("f"), col("nf"),
         col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("f"),
@@ -1455,6 +1436,37 @@ object MultimodalQueries {
       i += 1
     }
     MediaCodec.encodeWav(16000, 1, 16, data)
+  }
+
+  /** q_dedup_phash_video's frame-0 blocking step over a
+    * (doc_id, f, nf, b0..b3) signature frame: explode the four bands of
+    * frame 0, CAP each (band, value, nf) bucket at its
+    * [[DedupQueries.bandBucketCap]] lowest doc_ids (the image lane's
+    * degenerate-band guard — a spillable window rank, no whole-bucket
+    * collect_list rows), and self-join capped buckets into candidate
+    * clip pairs. The capped frame is cached: both self-join sides read
+    * it, and without the cache the band explode + rank shuffle would
+    * run twice over the sigs cache (Bench.cleanup unpersists). Exposed
+    * private[graft] so the degenerate-bucket spec can drive it with a
+    * planted flat-clip class wider than the cap. */
+  private[graft] def videoPhashCandidates(sigs: DataFrame): DataFrame = {
+    val capped = sigs.filter(col("f") === 0)
+      .select(col("doc_id"), col("nf"),
+        explode(array(
+          struct(lit(0).as("k"), col("b0").as("bv")),
+          struct(lit(1).as("k"), col("b1").as("bv")),
+          struct(lit(2).as("k"), col("b2").as("bv")),
+          struct(lit(3).as("k"), col("b3").as("bv")))).as("band"))
+      .select(col("doc_id"), col("nf"), col("band.k").as("k"), col("band.bv").as("bv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("bv"), col("nf")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= DedupQueries.bandBucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("k"), col("bv"), col("nf"), col("doc_id").as("doc_b")),
+        Seq("k", "bv", "nf"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** q_dedup_phash's band→bucket→verify tail over a (doc_id, b0..b3)

@@ -48,6 +48,28 @@ class BucketCapSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("video: a flat-clip class wider than the cap is capped per (band, value, nf) bucket") {
+    val n = cap + 25
+    // n clips, all 4-frame, every frame-0 band zero (flat first frames)
+    // plus a second population at a different frame count that must NOT
+    // mix into the same buckets
+    val sigs = ((0 until n).map(i => (i.toLong, 0L, 4L, 0, 0, 0, 0)) ++
+      (0 until 10).map(i => (1000L + i, 0L, 6L, 0, 0, 0, 0)))
+      .toDF("doc_id", "f", "nf", "b0", "b1", "b2", "b3")
+    val cands = MultimodalQueries.videoPhashCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val within4 = cands.filter(_._2 < 1000L)
+    val within6 = cands.filter(_._1 >= 1000L)
+    assert(within4.length === cap * (cap - 1) / 2,
+      s"expected C($cap,2) capped 4-frame pairs, got ${within4.length}")
+    assert(within4.forall(p => p._2 < cap.toLong),
+      "a clip beyond the cap keep-set slipped into the 4-frame pairs")
+    assert(within6.length === 10 * 9 / 2, "6-frame bucket under the cap must be untouched")
+    assert(cands.length === within4.length + within6.length,
+      "a pair crossed the frame-count blocking key")
+    Bench.cleanup(spark)
+  }
+
   test("substring: a boilerplate fingerprint shared corpus-wide is df-capped") {
     val n = cap + 20
     val fps = (0 until n).map(i => (i.toLong, (i % 3 + 1).toLong, "boilerplate-fp"))
