@@ -209,4 +209,56 @@ class PropertySpec extends SparkSpec {
     }
     Bench.cleanup(spark)
   }
+
+  test("pcm dHash: gain invariance holds for ANY clip at ANY clip-safe gain (round 13)") {
+    // the perceptual-audio contract as a property, not just the fixture:
+    // for arbitrary 16-bit PCM whose amplitude leaves headroom, scaling
+    // by any positive integer gain changes every nonzero sample byte but
+    // not one hash bit — window sums scale together and the
+    // cross-multiplied mean comparisons (ties included) are
+    // scale-invariant by construction
+    import graft.media.MediaCodec
+    val lens = Gen.chooseNum(65, 400)
+    val amps = Gen.chooseNum(1, 8000)
+    samples(Gen.zip(lens, amps, Gen.chooseNum(1L, 1000000L)), 40).foreach {
+      case (n, amp, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val s0 = Array.fill(n)(rnd.nextInt(2 * amp + 1) - amp)
+        def wav(g: Int): Array[Byte] = {
+          val data = new Array[Byte](2 * n)
+          s0.indices.foreach { i =>
+            val v = s0(i) * g
+            data(2 * i) = v.toByte; data(2 * i + 1) = (v >> 8).toByte
+          }
+          MediaCodec.encodeWav(16000, 1, 16, data)
+        }
+        val gains = Seq(2, 3, 4).filter(g => amp.toLong * g <= 32767L)
+        val p1 = wav(1)
+        val base = MediaCodec.pcmDhashBands(p1, MediaCodec.decode(p1).get).get.toSeq
+        gains.foreach { g =>
+          val pg = wav(g)
+          val got = MediaCodec.pcmDhashBands(pg, MediaCodec.decode(pg).get).get.toSeq
+          assert(got === base, s"gain x$g flipped a bit (n=$n amp=$amp seed=$seed)")
+        }
+    }
+  }
+
+  test("IvfProvision: K is exactly the provisioned bound at any corpus size (round 13)") {
+    // the scale claim as arithmetic: for every n >= 4K the strided rule
+    // yields exactly K seeds, all multiples of 4 (base-derivable), all
+    // inside the corpus — no corpus size can inflate the centroid count
+    import graft.queries.SimilarityQueries.IvfProvision
+    val k = IvfProvision.cells
+    samples(Gen.chooseNum(4L * k, 2000000000000L), 200).foreach { n =>
+      val s = IvfProvision.stride(n)
+      assert(s % 4 === 0, s"stride not a multiple of 4 at n=$n")
+      // seeds are s*{0..K-1}: count K, last one strictly inside the corpus
+      assert((k - 1).toLong * s < n, s"last seed outside the corpus at n=$n")
+      assert(s * k.toLong >= 0, s"stride overflow at n=$n")
+      // the filter's closed form: ids with id % s == 0 && id < s*K
+      // number exactly K on [0, n) because s*K <= n + 4K (floor slack)
+      val nSeeds = math.min((n + s - 1) / s, k.toLong)
+      assert(nSeeds === k.toLong, s"seed count ${nSeeds} != $k at n=$n")
+    }
+  }
 }
