@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -629,10 +629,19 @@ object TextQueries {
     // score — the classic cheap pre-filter before expensive dedup stages.
     q(
       "q_quality_score",
+      // floor-first rounding (floor(x·1e4 + 0.5)/1e4), NOT round(x, 4):
+      // these columns are ratios of small integers, which land on EXACT
+      // decimal halves (an sf0.1 row scores exactly 0.53875) — and on a
+      // .5 boundary Spark's BigDecimal-via-toString rounds the printed
+      // decimal UP while DuckDB rounds the binary double DOWN. The
+      // floor composition is the same IEEE ops in both engines, so the
+      // boundary case is deterministic instead of engine-dependent
+      // (found by the off-gate sf0.1 oracle sweep, round 13).
       """SELECT doc_id, n_tokens,
-        |  round(uniq_ratio, 4) AS uniq_ratio, round(avg_len, 4) AS avg_len,
-        |  round(0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * uniq_ratio +
-        |        0.2 * least(avg_len / 8.0, 1.0), 4) AS score
+        |  floor(uniq_ratio * 10000 + 0.5) / 10000 AS uniq_ratio,
+        |  floor(avg_len * 10000 + 0.5) / 10000 AS avg_len,
+        |  floor((0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * uniq_ratio +
+        |         0.2 * least(avg_len / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS score
         |FROM (
         |  SELECT doc_id, len(l) AS n_tokens,
         |    len(list_distinct(l))::DOUBLE / len(l) AS uniq_ratio,
@@ -648,15 +657,15 @@ object TextQueries {
           (aggregate(transform(col("l"), x => length(x).cast("long")), lit(0L), (a, x) => a + x)
             .cast("double") / size(col("l"))).as("avg_len")
         )
+      def r4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
       base.select(
         col("doc_id"), col("n_tokens"),
-        round(col("uniq_ratio"), 4).as("uniq_ratio"),
-        round(col("avg_len"), 4).as("avg_len"),
-        round(
+        r4(col("uniq_ratio")).as("uniq_ratio"),
+        r4(col("avg_len")).as("avg_len"),
+        r4(
           lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
             lit(0.4) * col("uniq_ratio") +
-            lit(0.2) * least(col("avg_len") / 8.0, lit(1.0)),
-          4
+            lit(0.2) * least(col("avg_len") / 8.0, lit(1.0))
         ).as("score")
       )
     },
@@ -678,8 +687,8 @@ object TextQueries {
         |        i -> l[i] || '_' || l[i+1])))::DOUBLE / (len(l) - 1)
         |    ELSE 0.0 END AS dup2
         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
-        |SELECT f.doc_id, round(f.dup2, 4) AS dup2_ratio,
-        |  round(m.top::DOUBLE / f.n, 4) AS top_tok_ratio,
+        |SELECT f.doc_id, floor(f.dup2 * 10000 + 0.5) / 10000 AS dup2_ratio,
+        |  floor(m.top::DOUBLE / f.n * 10000 + 0.5) / 10000 AS top_tok_ratio,
         |  (f.dup2 > 0.5 OR m.top::DOUBLE / f.n > 0.2) AS low_quality
         |FROM feats f JOIN mode_freq m ON f.doc_id = m.doc_id""".stripMargin
     ) { (s, dir) =>
@@ -705,10 +714,14 @@ object TextQueries {
             ))).cast("double") / (size(col("l")) - 1)
           ).otherwise(lit(0.0)).as("dup2")
         )
+      // floor-first rounding: both ratios are small-integer quotients,
+      // the exact-decimal-half class where engine round() semantics
+      // diverge (the q_quality_score sf0.1 lesson, round 13)
       feats.join(modeFreq, "doc_id").select(
         col("doc_id"),
-        round(col("dup2"), 4).as("dup2_ratio"),
-        round(col("top").cast("double") / col("n"), 4).as("top_tok_ratio"),
+        (floor(col("dup2") * 10000d + 0.5d) / 10000d).as("dup2_ratio"),
+        (floor(col("top").cast("double") / col("n") * 10000d + 0.5d) / 10000d)
+          .as("top_tok_ratio"),
         (col("dup2") > 0.5 || col("top").cast("double") / col("n") > 0.2).as("low_quality")
       )
     },
