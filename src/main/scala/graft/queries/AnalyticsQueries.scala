@@ -337,10 +337,14 @@ object AnalyticsQueries {
     // are q_agg_percentile's job (approx_percentile, mergeable sketches).
     q(
       "q_window_ntile",
+      // floor-first rounding, not round(): percent_rank/cume_dist are
+      // ratios of small integers ((rank-1)/(n-1), rank/n), the
+      // exact-decimal-half class where Spark's and DuckDB's round()
+      // disagree (the q_quality_score sf0.1 lesson, round 13)
       """SELECT o_orderkey, o_orderpriority,
         |  ntile(4) OVER w AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cdist
+        |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cdist
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
     ) { (s, dir) =>
@@ -349,8 +353,8 @@ object AnalyticsQueries {
       Tables(s, dir).orders.select(
         col("o_orderkey"), col("o_orderpriority"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cdist")
+        (floor(percent_rank().over(w) * 1000000d + 0.5d) / 1000000d).as("pct_rank"),
+        (floor(cume_dist().over(w) * 1000000d + 0.5d) / 1000000d).as("cdist")
       )
     },
 

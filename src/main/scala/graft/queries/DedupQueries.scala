@@ -264,7 +264,9 @@ object DedupQueries {
           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
         .crossJoin(broadcast(nCand))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
-          round(col("n_hit") / col("n_truth"), 4).as("recall"))
+          // floor-first: recall is a small-integer ratio (the decimal-
+          // half class where engine round() semantics diverge)
+          (floor(col("n_hit") / col("n_truth") * 10000d + 0.5d) / 10000d).as("recall"))
     },
 
     // ★ Edit-distance verify — the character-level near-dup family:
@@ -1024,7 +1026,7 @@ object DedupQueries {
        |cc AS (SELECT count(*) AS n_cand FROM cands)
        |SELECT count(*) AS n_truth, cc.n_cand,
        |  sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
-       |  round(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS recall
+       |  floor(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS recall
        |FROM truth t
        |LEFT JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
        |CROSS JOIN cc
