@@ -353,8 +353,8 @@ object AnalyticsQueries {
       Tables(s, dir).orders.select(
         col("o_orderkey"), col("o_orderpriority"),
         ntile(4).over(w).as("quartile"),
-        (floor(percent_rank().over(w) * 1000000d + 0.5d) / 1000000d).as("pct_rank"),
-        (floor(cume_dist().over(w) * 1000000d + 0.5d) / 1000000d).as("cdist")
+        CrossRound.col(percent_rank().over(w), 6).as("pct_rank"),
+        CrossRound.col(cume_dist().over(w), 6).as("cdist")
       )
     },
 

@@ -101,7 +101,7 @@ object DedupQueries {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .select(col("doc_a"), col("doc_b"), CrossRound.col(col("jac"), 4).as("jac"))
 
   /** Exact n-gram Jaccard pairs (doc_a, doc_b, jac ≥ 0.3) off a cached
     * shingle-array frame — the q_dedup_ngram_jaccard body, shared with the
@@ -180,8 +180,11 @@ object DedupQueries {
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM corpus)),
       |sc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  // floor-first rounding: Jaccard is intersection/union, an integer
+  // ratio — the exact-decimal-half class where engine round() diverges
+  // (11/32 = 0.34375 rounds differently in Spark and DuckDB)
   private def jaccardSql(pairsCte: String, threshold: Double) =
-    s"""SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
+    s"""SELECT doc_a, doc_b, floor(jac * 1e4 + 0.5) / 1e4 AS jac FROM (
        |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
        |  FROM $pairsCte p
        |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
@@ -208,7 +211,7 @@ object DedupQueries {
       val sa = shingleArrays(corpus(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ngramJaccardFrom(s, sa)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        .select(col("doc_a"), col("doc_b"), CrossRound.col(col("jac"), 4).as("jac"))
     },
 
     // MinHash (8 string-min hashes over shingles) + LSH banding (4 bands of
@@ -266,7 +269,7 @@ object DedupQueries {
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           // floor-first: recall is a small-integer ratio (the decimal-
           // half class where engine round() semantics diverge)
-          (floor(col("n_hit") / col("n_truth") * 10000d + 0.5d) / 10000d).as("recall"))
+          CrossRound.col(col("n_hit") / col("n_truth"), 4).as("recall"))
     },
 
     // ★ Edit-distance verify — the character-level near-dup family:
@@ -608,7 +611,7 @@ object DedupQueries {
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
          |  GROUP BY 1, 2)
-         |SELECT doc_a AS doc_batch, doc_b AS dup_of, round(jac, 4) AS jac FROM (
+         |SELECT doc_a AS doc_batch, doc_b AS dup_of, floor(jac * 1e4 + 0.5) / 1e4 AS jac FROM (
          |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
          |  FROM pairs p
          |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
@@ -649,7 +652,7 @@ object DedupQueries {
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
          |  GROUP BY 1, 2)
-         |SELECT doc_a AS doc_batch, doc_b AS dup_of, round(jac, 4) AS jac FROM (
+         |SELECT doc_a AS doc_batch, doc_b AS dup_of, floor(jac * 1e4 + 0.5) / 1e4 AS jac FROM (
          |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
          |  FROM pairs p
          |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)

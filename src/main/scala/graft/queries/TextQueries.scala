@@ -564,7 +564,7 @@ object TextQueries {
     q(
       "q_token_count",
       """SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct,
-        |  round(list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l), 4) AS avg_token_len
+        |  floor(list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l) * 1e4 + 0.5) / 1e4 AS avg_token_len
         |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)""".stripMargin
     ) { (s, dir) =>
       Tables(s, dir).documents
@@ -573,7 +573,9 @@ object TextQueries {
           col("doc_id"),
           size(col("l")).as("n_tokens"),
           size(array_distinct(col("l"))).as("n_distinct"),
-          round(
+          // floor-first: avg token length is an integer ratio — the
+          // exact-decimal-half class where engine round() diverges
+          CrossRound.col(
             aggregate(transform(col("l"), x => length(x).cast("long")), lit(0L), (a, x) => a + x)
               .cast("double") / size(col("l")),
             4
@@ -657,7 +659,7 @@ object TextQueries {
           (aggregate(transform(col("l"), x => length(x).cast("long")), lit(0L), (a, x) => a + x)
             .cast("double") / size(col("l"))).as("avg_len")
         )
-      def r4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
+      def r4(c: Column): Column = CrossRound.col(c, 4)
       base.select(
         col("doc_id"), col("n_tokens"),
         r4(col("uniq_ratio")).as("uniq_ratio"),
@@ -719,9 +721,8 @@ object TextQueries {
       // diverge (the q_quality_score sf0.1 lesson, round 13)
       feats.join(modeFreq, "doc_id").select(
         col("doc_id"),
-        (floor(col("dup2") * 10000d + 0.5d) / 10000d).as("dup2_ratio"),
-        (floor(col("top").cast("double") / col("n") * 10000d + 0.5d) / 10000d)
-          .as("top_tok_ratio"),
+        CrossRound.col(col("dup2"), 4).as("dup2_ratio"),
+        CrossRound.col(col("top").cast("double") / col("n"), 4).as("top_tok_ratio"),
         (col("dup2") > 0.5 || col("top").cast("double") / col("n") > 0.2).as("low_quality")
       )
     },
@@ -735,8 +736,8 @@ object TextQueries {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_bpe,
         |  CASE WHEN len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) > 0
-        |    THEN round(length(text)::DOUBLE /
-        |      len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')), 4)
+        |    THEN floor(length(text)::DOUBLE /
+        |      len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) * 1e4 + 0.5) / 1e4
         |    ELSE 0.0 END AS chars_per_token
         |FROM documents""".stripMargin
     ) { (s, dir) =>
@@ -745,7 +746,8 @@ object TextQueries {
       Tables(s, dir).documents.select(
         col("doc_id"),
         size(toks).as("n_bpe"),
-        when(size(toks) > 0, round(length(col("text")).cast("double") / size(toks), 4))
+        when(size(toks) > 0,
+            CrossRound.col(length(col("text")).cast("double") / size(toks), 4))
           .otherwise(0.0).as("chars_per_token")
       )
     },
@@ -756,11 +758,11 @@ object TextQueries {
     q(
       "q_quality_stopword",
       """SELECT doc_id,
-        |  round(len(list_filter(string_split(text, ' '),
+        |  floor(len(list_filter(string_split(text, ' '),
         |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with'], lower(t))))::DOUBLE
-        |    / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |    / len(string_split(text, ' ')) * 1e4 + 0.5) / 1e4 AS stop_ratio,
         |  CASE WHEN length(text) > 0
-        |    THEN round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text), 4)
+        |    THEN floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text) * 1e4 + 0.5) / 1e4
         |    ELSE 0.0 END AS punct_ratio
         |FROM documents""".stripMargin
     ) { (s, dir) =>
@@ -769,12 +771,14 @@ object TextQueries {
       val l = split(col("text"), " ")
       Tables(s, dir).documents.select(
         col("doc_id"),
-        round(
+        // floor-first: both ratios are integer quotients (decimal-half class)
+        CrossRound.col(
           size(filter(l, t => array_contains(stop, lower(t)))).cast("double") / size(l), 4
         ).as("stop_ratio"),
         when(
           length(col("text")) > 0,
-          round(length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") / length(col("text")), 4)
+          CrossRound.col(
+            length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") / length(col("text")), 4)
         ).otherwise(0.0).as("punct_ratio")
       )
     },

@@ -255,10 +255,20 @@ class PropertySpec extends SparkSpec {
       // seeds are s*{0..K-1}: count K, last one strictly inside the corpus
       assert((k - 1).toLong * s < n, s"last seed outside the corpus at n=$n")
       assert(s * k.toLong >= 0, s"stride overflow at n=$n")
-      // the filter's closed form: ids with id % s == 0 && id < s*K
-      // number exactly K on [0, n) because s*K <= n + 4K (floor slack)
-      val nSeeds = math.min((n + s - 1) / s, k.toLong)
-      assert(nSeeds === k.toLong, s"seed count ${nSeeds} != $k at n=$n")
     }
+    // and the REAL predicate, executed (not re-derived arithmetic — a
+    // regression in seedFilter itself, e.g. '<' flipping to '<=', must
+    // fail here): exactly min(K, ceil(n/4)) seeds, all multiples of 4
+    Seq(10L, 20L, 37L, 500L, 2000L, 99999L).foreach { n =>
+      val seeds = spark.range(n).toDF("vec_id")
+        .filter(IvfProvision.seedFilter(IvfProvision.stride(n)))
+        .collect().map(_.getLong(0))
+      val expected = math.min(k.toLong, (n + 3) / 4)
+      assert(seeds.length.toLong === expected,
+        s"seedFilter yielded ${seeds.length} seeds at n=$n, expected $expected")
+      assert(seeds.forall(_ % 4 == 0), s"a seed escaped the base slice at n=$n")
+      assert(seeds.forall(_ < n), s"a seed landed outside the corpus at n=$n")
+    }
+    Bench.cleanup(spark)
   }
 }
