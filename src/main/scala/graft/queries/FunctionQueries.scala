@@ -137,8 +137,8 @@ object FunctionQueries {
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
         |  len(list_filter(string_split(text, ' '), t -> length(t) > 4))::BIGINT AS n_long,
         |  list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::BIGINT AS total_chars,
-        |  round(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::DOUBLE
-        |        / len(string_split(text, ' ')), 4) AS avg_len
+        |  floor(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::DOUBLE
+        |        / len(string_split(text, ' ')) * 1e4 + 0.5) / 1e4 AS avg_len
         |FROM documents""".stripMargin
     ) { (s, dir) =>
       val ts = split(col("text"), " ")
@@ -147,7 +147,8 @@ object FunctionQueries {
         size(ts).cast("long").as("n_tokens"),
         size(filter(ts, t => length(t) > 4)).cast("long").as("n_long"),
         aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
-        round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        // floor-first: integer ratio (decimal-half class — see CrossRound)
+        CrossRound.col(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
           size(ts), 4).as("avg_len")
       )
     },

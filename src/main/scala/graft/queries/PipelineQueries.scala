@@ -311,11 +311,11 @@ object PipelineQueries {
       "q_domain_stats",
       """WITH f AS (
         |  SELECT source, lang, len(l) AS n_tokens,
-        |    CAST(round(10000 * round(
+        |    CAST(round(10000 * (floor((
         |      0.4 * least(len(l) / 100.0, 1.0)
         |      + 0.4 * (len(list_distinct(l))::DOUBLE / len(l))
         |      + 0.2 * least((list_sum(list_transform(l, x -> length(x)))::DOUBLE
-        |                     / len(l)) / 8.0, 1.0), 4)) AS BIGINT) AS sc
+        |                     / len(l)) / 8.0, 1.0)) * 1e4 + 0.5) / 1e4)) AS BIGINT) AS sc
         |  FROM (SELECT source, lang, string_split(text, ' ') AS l FROM documents)),
         |s AS (
         |  SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
@@ -333,7 +333,10 @@ object PipelineQueries {
       val f = Tables(s, dir).documents
         .withColumn("l", split(col("text"), " "))
         .select(col("source"), col("lang"), size(col("l")).as("n_tokens"),
-          round(lit(10000) * round(
+          // the q_quality_score formula carried as x10000 fixed point —
+          // same floor-first rounding as that lane (decimal-half class),
+          // so the two scores cannot drift
+          round(lit(10000) * CrossRound.col(
             lit(0.4) * least(size(col("l")) / 100.0, lit(1.0)) +
               lit(0.4) * (size(array_distinct(col("l"))).cast("double") / size(col("l"))) +
               lit(0.2) * least(

@@ -42,7 +42,7 @@ object RelationalQueries {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  floor(avg(l_quantity) * 1e2 + 0.5) / 1e2 AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
     ) { (s, dir) =>
@@ -52,7 +52,9 @@ object RelationalQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          // floor-first: avg over integer quantities is a small-integer
+        // ratio (decimal-half class — see CrossRound)
+        CrossRound.col(avg(col("l_quantity")), 2).as("avg_qty"),
           count(lit(1)).as("count_order")
         )
     },
@@ -63,7 +65,7 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor(avg(l_discount) * 1e4 + 0.5) / 1e4 AS avg_disc,
         |  round(stddev(l_quantity), 4) AS sd_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin
@@ -73,7 +75,7 @@ object RelationalQueries {
         .agg(
           round(min(col("l_extendedprice")), 2).as("min_price"),
           round(max(col("l_extendedprice")), 2).as("max_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          CrossRound.col(avg(col("l_discount")), 4).as("avg_disc"),
           round(stddev(col("l_quantity")), 4).as("sd_qty"),
           count(lit(1)).as("n")
         )
