@@ -341,10 +341,10 @@ object AnalyticsQueries {
       // ratios of small integers ((rank-1)/(n-1), rank/n), the
       // exact-decimal-half class where Spark's and DuckDB's round()
       // disagree (the q_quality_score sf0.1 lesson, round 13)
-      """SELECT o_orderkey, o_orderpriority,
+      s"""SELECT o_orderkey, o_orderpriority,
         |  ntile(4) OVER w AS quartile,
-        |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
-        |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cdist
+        |  ${CrossRound.sql("percent_rank() OVER w", 6)} AS pct_rank,
+        |  ${CrossRound.sql("cume_dist() OVER w", 6)} AS cdist
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
     ) { (s, dir) =>

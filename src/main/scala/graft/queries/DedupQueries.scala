@@ -184,7 +184,7 @@ object DedupQueries {
   // ratio — the exact-decimal-half class where engine round() diverges
   // (11/32 = 0.34375 rounds differently in Spark and DuckDB)
   private def jaccardSql(pairsCte: String, threshold: Double) =
-    s"""SELECT doc_a, doc_b, floor(jac * 1e4 + 0.5) / 1e4 AS jac FROM (
+    s"""SELECT doc_a, doc_b, ${CrossRound.sql("jac", 4)} AS jac FROM (
        |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
        |  FROM $pairsCte p
        |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
@@ -611,11 +611,8 @@ object DedupQueries {
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
          |  GROUP BY 1, 2)
-         |SELECT doc_a AS doc_batch, doc_b AS dup_of, floor(jac * 1e4 + 0.5) / 1e4 AS jac FROM (
-         |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
-         |  FROM pairs p
-         |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
-         |WHERE jac >= 0.3""".stripMargin
+         |SELECT doc_a AS doc_batch, doc_b AS dup_of, jac FROM (
+         |${jaccardSql("pairs", 0.3)})""".stripMargin
     ) { (s, dir) =>
       incrementalDedup(corpus(s, dir), 1000000L, 0.3)
     },
@@ -652,11 +649,8 @@ object DedupQueries {
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
          |  GROUP BY 1, 2)
-         |SELECT doc_a AS doc_batch, doc_b AS dup_of, floor(jac * 1e4 + 0.5) / 1e4 AS jac FROM (
-         |  SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
-         |  FROM pairs p
-         |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
-         |WHERE jac >= 0.3""".stripMargin
+         |SELECT doc_a AS doc_batch, doc_b AS dup_of, jac FROM (
+         |${jaccardSql("pairs", 0.3)})""".stripMargin
     ) { (s, dir) =>
       incrementalDedupStored(s, corpus(s, dir), 1000000L, 0.3)
     },
@@ -1029,7 +1023,7 @@ object DedupQueries {
        |cc AS (SELECT count(*) AS n_cand FROM cands)
        |SELECT count(*) AS n_truth, cc.n_cand,
        |  sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
-       |  floor(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS recall
+       |  ${CrossRound.sql("sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*)", 4)} AS recall
        |FROM truth t
        |LEFT JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
        |CROSS JOIN cc

@@ -133,12 +133,11 @@ object FunctionQueries {
     // identical sum/len arithmetic on both engines.
     q(
       "q_array_funcs",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
         |  len(list_filter(string_split(text, ' '), t -> length(t) > 4))::BIGINT AS n_long,
         |  list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::BIGINT AS total_chars,
-        |  floor(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::DOUBLE
-        |        / len(string_split(text, ' ')) * 1e4 + 0.5) / 1e4 AS avg_len
+        |  ${CrossRound.sql("list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::DOUBLE / len(string_split(text, ' '))", 4)} AS avg_len
         |FROM documents""".stripMargin
     ) { (s, dir) =>
       val ts = split(col("text"), " ")

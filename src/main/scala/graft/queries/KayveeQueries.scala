@@ -512,13 +512,18 @@ object KayveeQueries {
     // release, and re-claim until the fleet is balanced and every shard
     // is drained — the KCL join/rebalance dance — then the union of all
     // drained batches runs through the REAL distributed parse→route→
-    // project pass once. Output: one row per (worker, shard) with the
-    // delivered record span plus the fleet-wide dd-projection total —
-    // ownership is a delivery concern, invisible in the projected data.
-    // No DuckDB oracle: lease assignment is protocol state, not SQL
-    // (driver records the rows>0 check); the PROJECTION semantics are
-    // oracle-covered by the O3-O13 kayvee queries, and the equality
-    // contract union==single-pass is spec-pinned (MultiWorkerLeaseSpec).
+    // project pass once. Output (round-14: hash-checkable): one row per
+    // SHARD with the delivered record count, the seq span, and the
+    // fleet-wide dd-projection total. WHICH worker delivered each record
+    // is protocol state (not SQL — that story stays spec-pinned in
+    // MultiWorkerLeaseSpec); WHAT the fleet delivered is exactly the
+    // union==single-batch-pass contract, and that IS declarative: with
+    // exactly-once graceful handoffs every shard drains completely in
+    // file order, so per-shard n_records equals the shard's line count,
+    // the seq span is exactly [0, n-1], and the dd rollup is 1:1 with
+    // the synthesized lines (each carries one alerts route). The oracle
+    // states that contract from `events` alone — a dropped, doubled, or
+    // reordered delivery during the rebalance dance breaks the hash.
     // Scale note: the drained-record buffers here are the fixture
     // harness — a real fleet's drain hands each batch to the streaming
     // query (StreamingSpec's kinesis-lite lane), never to driver memory;
@@ -528,7 +533,20 @@ object KayveeQueries {
     // TakeOrderedAndProject (per-partition top-K, no global sort), and
     // the lease dance needs a few hundred lines, not a proportional
     // sample, so the demo is driver-safe at ANY sf by construction.
-    QueryDef.noOracle("q_fleet_pipeline") { (s, dir) =>
+    q(
+      "q_fleet_pipeline",
+      """WITH sel AS (
+        |  SELECT event_id FROM events WHERE event_id % 101 = 0
+        |  ORDER BY event_id LIMIT 4096),
+        |agg AS (
+        |  SELECT 'shard-' || (event_id % 4) || '.txt' AS shard,
+        |    count(*)::BIGINT AS n_records
+        |  FROM sel GROUP BY 1)
+        |SELECT shard, n_records, 0::BIGINT AS seq_min,
+        |  n_records - 1 AS seq_max,
+        |  (SELECT count(*)::BIGINT FROM sel) AS fleet_dd_rows
+        |FROM agg ORDER BY shard""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       val lines = Tables(s, dir).events
         .filter(col("event_id") % 101 === 0)
@@ -629,11 +647,11 @@ object KayveeQueries {
       // ScratchDirs' exit hook only covers abnormal paths)
       graft.plans.ScratchDirs.remove(base)
       drained.toSeq.toDF("worker", "shard", "seq", "raw")
-        .groupBy(col("worker"), col("shard"))
+        .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_records"),
           min(col("seq")).as("seq_min"), max(col("seq")).as("seq_max"))
         .withColumn("fleet_dd_rows", lit(nDd))
-        .orderBy(col("worker"), col("shard"))
+        .orderBy(col("shard"))
     }
   )
 }

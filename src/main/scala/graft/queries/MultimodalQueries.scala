@@ -1045,8 +1045,8 @@ object MultimodalQueries {
         |  FROM base),
         |mix AS (
         |  SELECT doc_id, n, gain, i,
-        |    xor((((i + sk) * 2654435761) % 2147483648),
-        |        (((i + sk) * 2654435761) % 2147483648) // 32768) AS z1
+        |    xor(((((i + sk) % 2147483648) * 2654435761) % 2147483648),
+        |        ((((i + sk) % 2147483648) * 2654435761) % 2147483648) // 32768) AS z1
         |  FROM stp),
         |walk AS (
         |  SELECT doc_id, n, gain, i,
@@ -1262,6 +1262,305 @@ object MultimodalQueries {
         .withColumn("guaranteed", when(col("t") <= 3, "yes").otherwise("no"))
     },
 
+    // ★ VIDEO banded-recall harness — the image harness's device lifted
+    // to the clip level so the measure-don't-guess standard is uniform
+    // across the perceptual family (round-13 verdict: video carried a
+    // measured zero-FP/hamming-0 twin claim but no t=1..6 curve). The
+    // planted pairs perturb the BLOCKING frame: partner (doc_id+6000000)
+    // gets frame 0's right-edge cells (r,8) overwritten — the cell that
+    // feeds exactly bit (r,7) and no other — for t distinct rows, while
+    // frames 1..nf-1 stay byte-identical; so the pair's WORST-frame
+    // hamming is exactly t (pinned min=max=t in the output) and the
+    // per-t recall measures what the video lane's frame-0 band blocking
+    // actually recovers at that distance. Both arms travel as real AVI
+    // containers (junk-chunk variant included) through aviFrames +
+    // dhashFrame — the worst-frame max is computed from decoded bytes
+    // over ALL frames, so a codec fault on any frame breaks the hash.
+    // Same O(n) keyed self-join shape as the image harness.
+    q(
+      "q_dedup_phash_recall_video",
+      """WITH base AS (
+        |  SELECT doc_id, 18 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
+        |    doc_id AS src, 1 + (doc_id // 6) % 6 AS t
+        |  FROM documents WHERE doc_id % 6 = 5),
+        |px AS (
+        |  SELECT doc_id, w, h, t,
+        |    list_transform(generate_series(0, w * h - 1), i ->
+        |      ((i % w) * (3 + src % 17) + (i // w) * (5 + src % 19)
+        |        + ((i % w) * (i // w)) * (1 + src % 5) + src * 13) % 200
+        |        + 28) AS P
+        |  FROM base),
+        |cells AS (
+        |  SELECT doc_id, w, h, t,
+        |    list_transform(generate_series(0, 71), ci ->
+        |      list_sum(flatten(list_transform(
+        |        generate_series((ci // 9) * h // 8, ((ci // 9) + 1) * h // 8 - 1), y ->
+        |        list_transform(
+        |          generate_series((ci % 9) * w // 9, ((ci % 9) + 1) * w // 9 - 1), x ->
+        |          P[y * w + x + 1]))))
+        |      // ((((ci // 9) + 1) * h // 8 - (ci // 9) * h // 8)
+        |         * (((ci % 9) + 1) * w // 9 - (ci % 9) * w // 9))) AS M
+        |  FROM px),
+        |bits AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN M[(b // 8) * 9 + (b % 8) + 2] > M[(b // 8) * 9 + (b % 8) + 1]
+        |        THEN 1 ELSE 0 END) AS B
+        |  FROM cells),
+        |pbits AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN b % 8 = 7 AND len(list_filter(generate_series(0, t - 1),
+        |          j -> ((doc_id // 36) + 3 * j) % 8 = b // 8)) > 0
+        |        THEN 1 - B[b + 1] ELSE B[b + 1] END) AS B2
+        |  FROM bits),
+        |ob AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(0, 3), k ->
+        |      (list_sum(list_transform(generate_series(1, 16), j ->
+        |        B[k * 16 + j] * (1 << (j - 1)))))::BIGINT) AS bo
+        |  FROM bits),
+        |pb AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 3), k ->
+        |      (list_sum(list_transform(generate_series(1, 16), j ->
+        |        B2[k * 16 + j] * (1 << (j - 1)))))::BIGINT) AS bp
+        |  FROM pbits),
+        |pairs AS (
+        |  SELECT o.doc_id, o.t,
+        |    (bit_count(xor(bo[1], bp[1])) + bit_count(xor(bo[2], bp[2]))
+        |     + bit_count(xor(bo[3], bp[3])) + bit_count(xor(bo[4], bp[4])))::BIGINT AS ham,
+        |    CASE WHEN bo[1] = bp[1] OR bo[2] = bp[2] OR bo[3] = bp[3] OR bo[4] = bp[4]
+        |      THEN 1 ELSE 0 END AS rec
+        |  FROM ob o JOIN pb p ON o.doc_id = p.doc_id)
+        |SELECT t::BIGINT AS t, count(*)::BIGINT AS n_pairs,
+        |  sum(rec)::BIGINT AS n_recovered,
+        |  (sum(rec) * 1000000 // count(*))::BIGINT AS recall_ppm,
+        |  min(ham)::BIGINT AS min_hamming, max(ham)::BIGINT AS max_hamming,
+        |  CASE WHEN t <= 3 THEN 'yes' ELSE 'no' END AS guaranteed
+        |FROM pairs GROUP BY t""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val sigs = Tables(s, dir).documents
+        .filter(col("doc_id") % 6 === 5)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = (18 + id % 8).toInt
+          val h = (12 + id % 6).toInt
+          val nf = (4 + id % 4).toInt
+          val orig = Array.tabulate(nf * w * h) { i =>
+            val f = i / (w * h)
+            val k = i % (w * h)
+            val x = k % w
+            val y = k / w
+            (((x * (3 + id % 17) + y * (5 + id % 19)
+              + (x.toLong * y) * (1 + id % 5) + f * 29L + id * 13L) % 200L)
+              + 28L).toInt.toByte
+          }
+          // frame-0 cell means (f = 0 reduces the clip formula to the
+          // image harness's pixel plane — the device lifts verbatim)
+          def cellMean(gx: Int, gy: Int): Int = {
+            var sum = 0L; var cnt = 0L
+            var y = gy * h / 8
+            while (y < (gy + 1) * h / 8) {
+              var x = gx * w / 9
+              while (x < (gx + 1) * w / 9) {
+                sum += orig(y * w + x) & 0xff; cnt += 1; x += 1
+              }
+              y += 1
+            }
+            (sum / cnt).toInt
+          }
+          val t = (1 + (id / 6) % 6).toInt
+          val pert = orig.clone()
+          (0 until t).foreach { j =>
+            val r = ((id / 36 + 3L * j) % 8L).toInt
+            val forced = (if (cellMean(8, r) > cellMean(7, r)) 0 else 255).toByte
+            var y = r * h / 8
+            while (y < (r + 1) * h / 8) {
+              var x = 8 * w / 9
+              while (x < w) { pert(y * w + x) = forced; x += 1 } // frame 0 only
+              y += 1
+            }
+          }
+          Iterator(
+            (id, MediaCodec.encodeAvi(w, h, 12, orig, frameBytes = w * h,
+              junk = id % 4 == 0)),
+            (id + 6000000L, MediaCodec.encodeAvi(w, h, 12, pert,
+              frameBytes = w * h, junk = id % 4 == 0)))
+        }
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            MediaCodec.aviInfo(payload).iterator.flatMap { info =>
+              val m = info.meta
+              val frames = MediaCodec.aviFrames(payload, m)
+              frames.iterator.zipWithIndex.flatMap { case ((off, len), f) =>
+                MediaCodec.dhashFrame(payload, off, len, m.width, m.height)
+                  .map(bs => (id, f.toLong, bs(0), bs(1), bs(2), bs(3)))
+              }
+            }
+          }
+        }
+        .toDF("doc_id", "f", "b0", "b1", "b2", "b3")
+      val o = sigs.filter(col("doc_id") < 6000000L)
+        .select(col("doc_id"), col("f"), col("b0").as("o0"), col("b1").as("o1"),
+          col("b2").as("o2"), col("b3").as("o3"))
+      val p = sigs.filter(col("doc_id") >= 6000000L)
+        .select((col("doc_id") - 6000000L).as("doc_id"), col("f"),
+          col("b0").as("p0"), col("b1").as("p1"), col("b2").as("p2"), col("b3").as("p3"))
+      o.join(p, Seq("doc_id", "f"))
+        .withColumn("t", (lit(1) + expr("doc_id div 6") % 6).cast("long"))
+        .withColumn("ham",
+          expr("bit_count(o0 ^ p0) + bit_count(o1 ^ p1) " +
+            "+ bit_count(o2 ^ p2) + bit_count(o3 ^ p3)").cast("long"))
+        .withColumn("rec0", when(col("f") === 0,
+          (col("o0") === col("p0") || col("o1") === col("p1") ||
+            col("o2") === col("p2") || col("o3") === col("p3")).cast("long"))
+          .otherwise(lit(0L)))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(max(col("ham")).as("wham"), max(col("rec0")).as("rec"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("rec")).as("n_recovered"),
+          expr("sum(rec) * 1000000 div count(1)").as("recall_ppm"),
+          min(col("wham")).as("min_hamming"), max(col("wham")).as("max_hamming"))
+        .withColumn("guaranteed", when(col("t") <= 3, "yes").otherwise("no"))
+    },
+
+    // ★ AUDIO banded-recall harness — the chain-structure analog of the
+    // image/video right-edge-cell device, for the PCM sign-of-delta hash
+    // (bit b compares window mean b+1 against mean b). Surgical t-bit
+    // flips need a perturbation that touches ONE comparison: clips are
+    // synthesized from an explicit 65-entry window-mean sequence (every
+    // sample in window k equals mean k, so the decoded means are exact);
+    // at each target bit p = 8·r + 2 (rows r = ((id div 36) + 3j) % 8,
+    // the image harness's spread device, so flips damage varied bands)
+    // the ORIGINAL sequence is locally descending by construction
+    // (m[p+1] = m[p] − 700, m[p+2] = m[p] − 1400 ⇒ bits p and p+1 both
+    // 0), and the partner (doc_id+6000000) pushes m[p+1] to 25000 —
+    // flipping bit p to 1 while bit p+1 stays 0 ([m[p+2] > 25000] is
+    // still false) and touching nothing else. Exact hamming t, pinned
+    // min=max=t. Both arms travel as real 16-bit WAV through decode +
+    // pcmDhashBands; measured curve 1.0/1.0/1.0/~0.5/0/0 — identical
+    // shape to the image lane, as the banding math predicts.
+    q(
+      "q_dedup_phash_recall_audio",
+      """WITH base AS (
+        |  SELECT doc_id, 1 + (doc_id // 6) % 6 AS t, doc_id * 997 AS sk
+        |  FROM documents WHERE doc_id % 6 = 5),
+        |ks AS (
+        |  SELECT doc_id, t, sk, unnest(generate_series(0, 64)) AS k
+        |  FROM base),
+        |z0 AS (
+        |  SELECT doc_id, t, k,
+        |    (((k + sk) % 2147483648) * 2654435761) % 2147483648 AS z
+        |  FROM ks),
+        |z2 AS (
+        |  SELECT doc_id, t, k,
+        |    (xor(z, z // 32768) * 1597334677) % 2147483648 AS z
+        |  FROM z0),
+        |mr AS (
+        |  SELECT doc_id, t, k, 4000 + xor(z, z // 65536) % 8000 AS mraw
+        |  FROM z2),
+        |rawl AS (SELECT doc_id, t, list(mraw ORDER BY k) AS R FROM mr GROUP BY 1, 2),
+        |ml AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(0, 64), k ->
+        |      CASE WHEN len(list_filter(generate_series(0, t - 1),
+        |          j -> k = 8 * ((doc_id // 36 + 3 * j) % 8) + 3)) > 0 THEN R[k] - 700
+        |        WHEN len(list_filter(generate_series(0, t - 1),
+        |          j -> k = 8 * ((doc_id // 36 + 3 * j) % 8) + 4)) > 0 THEN R[k - 1] - 1400
+        |        ELSE R[k + 1] END) AS M,
+        |    list_transform(generate_series(0, 64), k ->
+        |      CASE WHEN len(list_filter(generate_series(0, t - 1),
+        |          j -> k = 8 * ((doc_id // 36 + 3 * j) % 8) + 3)) > 0 THEN 25000
+        |        WHEN len(list_filter(generate_series(0, t - 1),
+        |          j -> k = 8 * ((doc_id // 36 + 3 * j) % 8) + 4)) > 0 THEN R[k - 1] - 1400
+        |        ELSE R[k + 1] END) AS MP
+        |  FROM rawl),
+        |hx AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(0, 3), g ->
+        |      (list_sum(list_transform(generate_series(1, 16), j ->
+        |        (CASE WHEN M[g * 16 + j + 1] > M[g * 16 + j] THEN 1 ELSE 0 END)
+        |          * (1 << (j - 1)))))::BIGINT) AS bo,
+        |    list_transform(generate_series(0, 3), g ->
+        |      (list_sum(list_transform(generate_series(1, 16), j ->
+        |        (CASE WHEN MP[g * 16 + j + 1] > MP[g * 16 + j] THEN 1 ELSE 0 END)
+        |          * (1 << (j - 1)))))::BIGINT) AS bp
+        |  FROM ml),
+        |pairs AS (
+        |  SELECT doc_id, t,
+        |    (bit_count(xor(bo[1], bp[1])) + bit_count(xor(bo[2], bp[2]))
+        |     + bit_count(xor(bo[3], bp[3])) + bit_count(xor(bo[4], bp[4])))::BIGINT AS ham,
+        |    CASE WHEN bo[1] = bp[1] OR bo[2] = bp[2] OR bo[3] = bp[3] OR bo[4] = bp[4]
+        |      THEN 1 ELSE 0 END AS rec
+        |  FROM hx)
+        |SELECT t::BIGINT AS t, count(*)::BIGINT AS n_pairs,
+        |  sum(rec)::BIGINT AS n_recovered,
+        |  (sum(rec) * 1000000 // count(*))::BIGINT AS recall_ppm,
+        |  min(ham)::BIGINT AS min_hamming, max(ham)::BIGINT AS max_hamming,
+        |  CASE WHEN t <= 3 THEN 'yes' ELSE 'no' END AS guaranteed
+        |FROM pairs GROUP BY t""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val hashes = Tables(s, dir).documents
+        .filter(col("doc_id") % 6 === 5)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = (130 + id % 64).toInt
+          val t = (1 + (id / 6) % 6).toInt
+          val raw = Array.tabulate(65)(k => meanPrf(k + id * 997L))
+          val m = raw.clone()
+          val mp = raw.clone()
+          (0 until t).foreach { j =>
+            val r = ((id / 36 + 3L * j) % 8L).toInt
+            val p = 8 * r + 2
+            m(p + 1) = raw(p) - 700L; m(p + 2) = raw(p) - 1400L
+            mp(p + 1) = 25000L; mp(p + 2) = raw(p) - 1400L
+          }
+          def wav(means: Array[Long]): Array[Byte] = {
+            val data = new Array[Byte](2 * n)
+            var i = 0
+            while (i < n) {
+              val v = means((i.toLong * 65L / n).toInt).toInt
+              data(2 * i) = v.toByte
+              data(2 * i + 1) = (v >> 8).toByte
+              i += 1
+            }
+            MediaCodec.encodeWav(16000, 1, 16, data)
+          }
+          Iterator((id, wav(m)), (id + 6000000L, wav(mp)))
+        }
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            for {
+              m <- MediaCodec.decode(payload)
+              bs <- MediaCodec.pcmDhashBands(payload, m)
+            } yield (id, bs(0), bs(1), bs(2), bs(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      val o = hashes.filter(col("doc_id") < 6000000L)
+        .select(col("doc_id"), col("b0").as("o0"), col("b1").as("o1"),
+          col("b2").as("o2"), col("b3").as("o3"))
+      val p = hashes.filter(col("doc_id") >= 6000000L)
+        .select((col("doc_id") - 6000000L).as("doc_id"), col("b0").as("p0"),
+          col("b1").as("p1"), col("b2").as("p2"), col("b3").as("p3"))
+      o.join(p, "doc_id")
+        .withColumn("t", (lit(1) + expr("doc_id div 6") % 6).cast("long"))
+        .withColumn("ham",
+          expr("bit_count(o0 ^ p0) + bit_count(o1 ^ p1) " +
+            "+ bit_count(o2 ^ p2) + bit_count(o3 ^ p3)").cast("long"))
+        .withColumn("rec",
+          (col("o0") === col("p0") || col("o1") === col("p1") ||
+            col("o2") === col("p2") || col("o3") === col("p3")).cast("long"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("rec")).as("n_recovered"),
+          expr("sum(rec) * 1000000 div count(1)").as("recall_ppm"),
+          min(col("ham")).as("min_hamming"), max(col("ham")).as("max_hamming"))
+        .withColumn("guaranteed", when(col("t") <= 3, "yes").otherwise("no"))
+    },
+
     // ★ Perceptual near-dup CLUSTERING — the dedup ACTION the phash
     // pairs exist for, completing the family symmetry (q_dedup_cluster
     // does this for SimHash, q_dedup_embed_cluster for embeddings): the
@@ -1407,14 +1706,28 @@ object MultimodalQueries {
     * same-length clips collided at hamming ≤ 2; one squaring keeps
     * polynomial structure mod 2³¹ and still collided. The xor folds are
     * what make the streams independent — measured in the lane's
-    * scaladoc.) Replayed verbatim by the oracle's mix/walk CTEs. */
-  private def pcmWalkStep(x: Long): Long = {
-    val z0 = (x * 2654435761L) % 2147483648L
+    * scaladoc.) Replayed verbatim by the oracle's mix/walk CTEs. The
+    * input reduces mod 2³¹ BEFORE the multiply: 2³¹ · 2654435761 fits
+    * Int64 with 38% headroom, where the unreduced product would wrap
+    * Scala silently (negative % results) but raise out-of-range in
+    * DuckDB once doc_id·997 passes ~3.5e6 — a cross-engine divergence
+    * a larger regenerated fixture would have hit. */
+  private def pcmWalkStep(x: Long): Long = mix31(x) % 167L - 83L
+
+  /** The shared two-round multiply-xorshift mixer mod 2³¹ behind every
+    * audio fixture PRF (walk steps above, window means in the recall
+    * harness). Input reduced mod 2³¹ first — see [[pcmWalkStep]]. */
+  private def mix31(x: Long): Long = {
+    val z0 = ((x % 2147483648L) * 2654435761L) % 2147483648L
     val z1 = z0 ^ (z0 / 32768L)
     val z2 = (z1 * 1597334677L) % 2147483648L
-    val z3 = z2 ^ (z2 / 65536L)
-    z3 % 167L - 83L
+    z2 ^ (z2 / 65536L)
   }
+
+  /** Recall-harness window mean PRF: mid-scale positive levels with
+    * enough spread that the planted local-descent overrides (−700 /
+    * −1400) and the +25000 push stay inside int16 with margin. */
+  private def meanPrf(x: Long): Long = 4000L + mix31(x) % 8000L
 
   /** Synthesize clip `id` as a 16-bit mono WAV: n = 130 + id%64 samples
     * of the integer random walk Σ pcmWalkStep(i + id·997), scaled by

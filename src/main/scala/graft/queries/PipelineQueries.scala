@@ -204,6 +204,15 @@ object PipelineQueries {
          |FROM c""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // Per-stage phase timers (the q_compact_apply precedent): each
+      // persisted stage frame is FORCED inside its phase — the same
+      // materializations the final count would trigger anyway, just
+      // sequenced so Bench's artifact attributes the composite headline
+      // to filter/exact-dedup vs minhash vs decontaminate without
+      // re-profiling (the round-13 artifact's rising rep profile was
+      // unattributable exactly because this lane had no phases; the
+      // residual after these phases is the mix+pack tail, which runs in
+      // the caller's action over cached `d`).
       // ONE parquet scan: every stage derives from this persisted base
       val base = Tables(s, dir).documents
         .select(col("doc_id"), col("lang"), col("text"))
@@ -223,28 +232,40 @@ object PipelineQueries {
           size(array_distinct(col("l"))).cast("double") / col("n_tokens") >= 0.3)
         .drop("l")
       // stage 2 — exact dedup, keep-first by content hash
-      val e = f.withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1).drop("rn")
-        .persist(MEMORY_AND_DISK) // feeds shingles, anti-join, output lineage
+      val e = graft.Bench.phase("q_corpus_pipeline.filter_exact") {
+        val e0 = f.withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .persist(MEMORY_AND_DISK) // feeds shingles, anti-join, output lineage
+        e0.count()
+        e0
+      }
       // stage 3 — MinHash-LSH near-dup dedup: candidates off the cached
       // shingle frame, exact-Jaccard verify, greedy keep-lowest-id
-      val sa = DedupQueries.shingleArrays(e).persist(MEMORY_AND_DISK)
-      val pairs = DedupQueries.jaccardVerify(sa, DedupQueries.minhashCandsFrom(s, sa), 0.3)
-      val m = e.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-        .persist(MEMORY_AND_DISK) // feeds the contamination grams + survivor side
+      val m = graft.Bench.phase("q_corpus_pipeline.minhash") {
+        val sa = DedupQueries.shingleArrays(e).persist(MEMORY_AND_DISK)
+        val pairs = DedupQueries.jaccardVerify(sa, DedupQueries.minhashCandsFrom(s, sa), 0.3)
+        val m0 = e.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .persist(MEMORY_AND_DISK) // feeds the contamination grams + survivor side
+        m0.count()
+        m0
+      }
       // stage 4 — decontaminate: drop the eval slice itself plus any
       // survivor sharing a word-8-gram with it (eval index broadcasts)
-      val evalG = grams8(s,
-        base.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")),
-        "eval_id")
-      val contaminated = grams8(s, m.select(col("doc_id"), col("text")), "doc_id")
-        .join(broadcast(evalG.select(col("s")).distinct()), "s")
-        .select(col("doc_id")).distinct()
-      val d = m.filter(col("doc_id") % evalMod =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .persist(MEMORY_AND_DISK) // feeds the quota agg + the ranked side
+      val d = graft.Bench.phase("q_corpus_pipeline.decontaminate") {
+        val evalG = grams8(s,
+          base.filter(col("doc_id") % evalMod === 0).select(col("doc_id"), col("text")),
+          "eval_id")
+        val contaminated = grams8(s, m.select(col("doc_id"), col("text")), "doc_id")
+          .join(broadcast(evalG.select(col("s")).distinct()), "s")
+          .select(col("doc_id")).distinct()
+        val d0 = m.filter(col("doc_id") % evalMod =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .persist(MEMORY_AND_DISK) // feeds the quota agg + the ranked side
+        d0.count()
+        d0
+      }
       // stage 5 — corpus mix: data-derived per-language quota (2× min)
       val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       val quota = counts
@@ -309,13 +330,13 @@ object PipelineQueries {
     // driver-readable no matter the corpus size, which is the point.
     q(
       "q_domain_stats",
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT source, lang, len(l) AS n_tokens,
-        |    CAST(round(10000 * (floor((
-        |      0.4 * least(len(l) / 100.0, 1.0)
-        |      + 0.4 * (len(list_distinct(l))::DOUBLE / len(l))
-        |      + 0.2 * least((list_sum(list_transform(l, x -> length(x)))::DOUBLE
-        |                     / len(l)) / 8.0, 1.0)) * 1e4 + 0.5) / 1e4)) AS BIGINT) AS sc
+        |    CAST(round(10000 * ${CrossRound.sql(
+          "0.4 * least(len(l) / 100.0, 1.0)" +
+            " + 0.4 * (len(list_distinct(l))::DOUBLE / len(l))" +
+            " + 0.2 * least((list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l)) / 8.0, 1.0)",
+          4)}) AS BIGINT) AS sc
         |  FROM (SELECT source, lang, string_split(text, ' ') AS l FROM documents)),
         |s AS (
         |  SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,

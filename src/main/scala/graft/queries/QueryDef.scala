@@ -3,10 +3,13 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One driver-facing query: a Spark implementation over the parquet test
-  * tables plus (usually) a DuckDB-equivalent SQL oracle. Column names must
-  * match between the two — the driver sorts columns by name and hashes
-  * values — so every computed column is aliased identically on both sides.
-  * Oracle-less queries get a weaker rows-only check from the driver.
+  * tables plus a DuckDB-equivalent SQL oracle. Column names must match
+  * between the two — the driver sorts columns by name and hashes values —
+  * so every computed column is aliased identically on both sides. The
+  * oracle is an Option only for the DataFrame shape; since round 14 every
+  * declared query carries one (the last oracle-less lane,
+  * q_fleet_pipeline, now declares its batch-equivalence contract as a
+  * hash-checkable per-shard aggregate).
   */
 final case class QueryDef(
     name: String,
@@ -17,9 +20,6 @@ final case class QueryDef(
 object QueryDef {
   def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Some(oracle))
-
-  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, None)
 }
 
 /** Cross-engine rounding for RATIONAL-valued output columns (ratios of

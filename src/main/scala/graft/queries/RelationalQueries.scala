@@ -38,11 +38,11 @@ object RelationalQueries {
     // (map-side combine) keeps the shuffle at |groups| per partition.
     q(
       "q1_agg",
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  floor(avg(l_quantity) * 1e2 + 0.5) / 1e2 AS avg_qty,
+        |  ${CrossRound.sql("avg(l_quantity)", 2)} AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
     ) { (s, dir) =>
@@ -62,10 +62,10 @@ object RelationalQueries {
     // Multi-measure stats incl. stddev (sample, both engines).
     q(
       "q_agg_stats",
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price,
-        |  floor(avg(l_discount) * 1e4 + 0.5) / 1e4 AS avg_disc,
+        |  ${CrossRound.sql("avg(l_discount)", 4)} AS avg_disc,
         |  round(stddev(l_quantity), 4) AS sd_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin

@@ -66,9 +66,15 @@ object SimilarityQueries {
     * (`4 * greatest(count(*) // 4K, 1)`) cross-joined into the seed
     * filter, so oracle parity is exact at any SF. */
   private[graft] object IvfProvision {
-    /** Provisioned cell count — the config knob; everything downstream
-      * is O(cells) or O(corpus · cells / corpus-partitions), never O(N²). */
-    val cells = 5
+    /** Provisioned cell count — the deployment config knob (JVM property
+      * `graft.ivf.cells`, read once at class init so the Spark lanes and
+      * the generated oracle SQL always agree). With nprobe=1 a probe
+      * scans ~N/cells of the corpus, so serving cost at large N is
+      * provisioned HERE: a 100 TB deployment raises cells (√N-ish, e.g.
+      * 4096) to keep per-probe bytes flat — nothing else in the family
+      * scales with the corpus. Default 5 reproduces the fixture-scale
+      * seed sets the retrain-trigger behavior is pinned against. */
+    val cells: Int = sys.props.getOrElse("graft.ivf.cells", "5").toInt
 
     def stride(n: Long): Long = 4L * math.max(1L, n / (4L * cells))
 
@@ -143,7 +149,7 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ hardNegatives :+ hybridRetrieval :+ hybridIncremental
@@ -317,16 +323,20 @@ object SimilarityQueries {
     * predicate, the query-set predicate, and the cut depth — shared by
     * the stored/incremental serving oracles AND the hybrid-retrieval
     * vector arm so none of them can drift. */
-  private def ivfServeCtes(centPrmFrom: String, queryPred: String, topK: Int): String =
+  /** `candPred` (over alias `b`, the candidate side of the serve join) is
+    * the metadata predicate of the filtered-serving lane — TRUE for the
+    * unfiltered lanes, so their oracle text stays one shared definition. */
+  private def ivfServeCtes(centPrmFrom: String, queryPred: String, topK: Int,
+      candPred: String = "TRUE"): String =
     s"""v AS (
-      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
       |${IvfProvision.prmSql(centPrmFrom)},
       |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn
       |  FROM n CROSS JOIN cprm WHERE ${IvfProvision.predSql}),
       |assign AS (
-      |  SELECT vec_id, e, nrm, c_id FROM (
-      |    SELECT a.vec_id, a.e, a.nrm, c.c_id,
+      |  SELECT vec_id, label, e, nrm, c_id FROM (
+      |    SELECT a.vec_id, a.label, a.e, a.nrm, c.c_id,
       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
       |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
       |        c.c_id) AS rn
@@ -345,7 +355,8 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY qc.q_id ORDER BY
       |        list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) DESC,
       |        b.vec_id) AS rank
-      |    FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id)
+      |    FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id
+      |    WHERE $candPred)
       |  WHERE rank <= $topK)""".stripMargin
 
   private def ivfProbe2SqlWith(centPrmFrom: String): String =
@@ -410,6 +421,42 @@ object SimilarityQueries {
     serveStoredIndex(s, v, cents, path)
   }
 
+  /** ★ FILTERED stored-IVF serving — metadata-constrained vector search,
+    * the shape every production RAG deployment runs (search WITHIN a
+    * tenant/lang/date slice). The metadata column (`label`, the fixture's
+    * tenant analog) is carried INTO the cell-partitioned index as a data
+    * column, and serving applies the predicate to the index scan together
+    * with the probe-cell partition filters — so it reaches the parquet
+    * reader as a pushed data filter inside the probed cells, upstream of
+    * the top-K window (StoredIvfSpec plan-guards both filter kinds on the
+    * one scan, plus the near-zero-selectivity cell case). Post-filtering
+    * a top-K would be WRONG (a filtered-out neighbor must not occupy a
+    * rank); filtering before the window is also the only shape whose
+    * serving bytes stay O(nprobe × corpus/cells × selectivity) at 100 TB.
+    * Reference analog for predicate-inside-the-per-record-path:
+    * `allowlist.go:8-10` / `alerts_consumer.go:206-223` — membership is
+    * evaluated where the record is read, not on the emitted stream.
+    * Probe-2 under a filter is still approximate (a true filtered
+    * neighbor can live outside the probed cells): the oracle replays the
+    * exact filtered-probe-2 semantics, and StoredIvfSpec pins the
+    * measured brute-force-filtered recall honestly. */
+  val ivfFiltered: QueryDef = q(
+    "q_similarity_ivf_filtered",
+    s"""WITH ${ivfServeCtes("n", "a.vec_id < 8", 3, candPred = "b.label = 3")}
+      |SELECT q_id, vec_id, rank, round(cos, 4) AS cos FROM served""".stripMargin
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = IvfProvision.seeds(v)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val path = graft.plans.ScratchDirs.unique("graft-ivf-filtered-index").getAbsolutePath
+    assignCells(v, cents, Seq("label", "e", "nrm"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    serveStoredIndex(s, v.drop("label"), cents, path,
+      candPred = col("label") === 3)
+  }
+
   /** Probe-2 top-3 serving over a cell-partitioned stored index: probe
     * cells become scan literals (bounded driver data — per-query serving
     * parameters), the index read is partition-filtered to them, and the
@@ -417,7 +464,8 @@ object SimilarityQueries {
     * and incremental lanes so the serving shape cannot drift. */
   private[graft] def serveStoredIndex(s: SparkSession, v: DataFrame,
       cents: DataFrame, path: String,
-      queryPred: Column = col("vec_id") < 8, topK: Int = 3): DataFrame = {
+      queryPred: Column = col("vec_id") < 8, topK: Int = 3,
+      candPred: Column = lit(true)): DataFrame = {
     val q2 = v.filter(queryPred)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
@@ -426,8 +474,13 @@ object SimilarityQueries {
       .filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
     val probeCells = q2.select(col("qc")).distinct().collect().map(_.getLong(0)).sorted
+    // candPred is the filtered-serving metadata predicate: applied to the
+    // index scan ALONGSIDE the probe-cell partition filters, so it reaches
+    // parquet as a pushed data filter INSIDE the probed cells — candidates
+    // are filtered before the top-K window, never after (the allow-list
+    // membership-in-path idiom, reference allowlist.go:8-10)
     val index = s.read.parquet(path)
-      .filter(col("c_id").isin(probeCells: _*))
+      .filter(col("c_id").isin(probeCells: _*) && candPred)
       .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
     index.join(broadcast(q2), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
@@ -851,7 +904,16 @@ object SimilarityQueries {
     val (_, _, lexServed) = graft.Bench.phase("q_hybrid_incremental.build_bm25") {
       TextQueries.bm25IncrementalServe(s, dir)
     }
-    rrfFuse(rankLex(lexServed), vec)
+    // .serve phase: the RRF fusion over both maintained stores, forced
+    // here so the bench artifact carries build_ivf / build_bm25 / serve
+    // explicitly (the 10-row fused result is cached; the caller's action
+    // re-reads the cache)
+    graft.Bench.phase("q_hybrid_incremental.serve") {
+      val fused = rrfFuse(rankLex(lexServed), vec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fused.count()
+      fused
+    }
   }
 
   /** Hybrid oracle: the q_bm25 CTEs and the stored-IVF serving CTEs
@@ -2212,7 +2274,17 @@ object SimilarityQueries {
       // both encodes — cache once (Bench.cleanup unpersists)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val standin = pqStandinOf(blocks, K)
-    val trained = pqTrainedOf(blocks, standin, rounds)
+    // .train phase: fixture manufacture + blocks + the 3 Lloyd rounds,
+    // forced to the trained codebook (the headline is train-dominated;
+    // the residual after this phase is the scoring pass — both encodes,
+    // ADC top-5s, MSEs, exact ground truth — so the bench artifact
+    // explains the split without re-profiling)
+    val trained = graft.Bench.phase("q_ann_recall_pq_trained.train") {
+      val tr = pqTrainedOf(blocks, standin, rounds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tr.count()
+      tr
+    }
     def xhatOf(cb: DataFrame): DataFrame = pqXhatOf(blocks, cb)
     val queries = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),

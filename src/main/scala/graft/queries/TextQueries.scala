@@ -563,8 +563,8 @@ object TextQueries {
     // mean token length. No shuffle at all — pure per-row array math.
     q(
       "q_token_count",
-      """SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct,
-        |  floor(list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l) * 1e4 + 0.5) / 1e4 AS avg_token_len
+      s"""SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct,
+        |  ${CrossRound.sql("list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l)", 4)} AS avg_token_len
         |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)""".stripMargin
     ) { (s, dir) =>
       Tables(s, dir).documents
@@ -639,11 +639,12 @@ object TextQueries {
       // floor composition is the same IEEE ops in both engines, so the
       // boundary case is deterministic instead of engine-dependent
       // (found by the off-gate sf0.1 oracle sweep, round 13).
-      """SELECT doc_id, n_tokens,
-        |  floor(uniq_ratio * 10000 + 0.5) / 10000 AS uniq_ratio,
-        |  floor(avg_len * 10000 + 0.5) / 10000 AS avg_len,
-        |  floor((0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * uniq_ratio +
-        |         0.2 * least(avg_len / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS score
+      s"""SELECT doc_id, n_tokens,
+        |  ${CrossRound.sql("uniq_ratio", 4)} AS uniq_ratio,
+        |  ${CrossRound.sql("avg_len", 4)} AS avg_len,
+        |  ${CrossRound.sql(
+          "0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * uniq_ratio + 0.2 * least(avg_len / 8.0, 1.0)",
+          4)} AS score
         |FROM (
         |  SELECT doc_id, len(l) AS n_tokens,
         |    len(list_distinct(l))::DOUBLE / len(l) AS uniq_ratio,
@@ -677,7 +678,7 @@ object TextQueries {
     // row + one small groupBy for the token mode).
     q(
       "q_quality_repetition",
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |mode_freq AS (
         |  SELECT doc_id, max(c) AS top FROM (
@@ -689,8 +690,8 @@ object TextQueries {
         |        i -> l[i] || '_' || l[i+1])))::DOUBLE / (len(l) - 1)
         |    ELSE 0.0 END AS dup2
         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
-        |SELECT f.doc_id, floor(f.dup2 * 10000 + 0.5) / 10000 AS dup2_ratio,
-        |  floor(m.top::DOUBLE / f.n * 10000 + 0.5) / 10000 AS top_tok_ratio,
+        |SELECT f.doc_id, ${CrossRound.sql("f.dup2", 4)} AS dup2_ratio,
+        |  ${CrossRound.sql("m.top::DOUBLE / f.n", 4)} AS top_tok_ratio,
         |  (f.dup2 > 0.5 OR m.top::DOUBLE / f.n > 0.2) AS low_quality
         |FROM feats f JOIN mode_freq m ON f.doc_id = m.doc_id""".stripMargin
     ) { (s, dir) =>
@@ -733,11 +734,12 @@ object TextQueries {
     // with identical semantics in Java regex (Spark) and RE2 (DuckDB).
     q(
       "q_token_bpe",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_bpe,
         |  CASE WHEN len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) > 0
-        |    THEN floor(length(text)::DOUBLE /
-        |      len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) * 1e4 + 0.5) / 1e4
+        |    THEN ${CrossRound.sql(
+          "length(text)::DOUBLE / len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))",
+          4)}
         |    ELSE 0.0 END AS chars_per_token
         |FROM documents""".stripMargin
     ) { (s, dir) =>
@@ -757,12 +759,12 @@ object TextQueries {
     // broadcast-literal list, punctuation ratio via a char-class scrub.
     q(
       "q_quality_stopword",
-      """SELECT doc_id,
-        |  floor(len(list_filter(string_split(text, ' '),
-        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with'], lower(t))))::DOUBLE
-        |    / len(string_split(text, ' ')) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+      s"""SELECT doc_id,
+        |  ${CrossRound.sql(
+          "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with'], lower(t))))::DOUBLE / len(string_split(text, ' '))",
+          4)} AS stop_ratio,
         |  CASE WHEN length(text) > 0
-        |    THEN floor(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text) * 1e4 + 0.5) / 1e4
+        |    THEN ${CrossRound.sql("length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)", 4)}
         |    ELSE 0.0 END AS punct_ratio
         |FROM documents""".stripMargin
     ) { (s, dir) =>

@@ -71,7 +71,9 @@ object StreamingBm25 {
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(store, batch, batchId): Unit
+        // empty-trigger guard (same as the StreamingIvf wiring): an empty
+        // micro-batch must not land three empty batch_id partition dirs
+        if (!batch.isEmpty) appendBatch(store, batch, batchId): Unit
       }
       .start()
 }
