@@ -81,8 +81,12 @@ object SimilarityQueries {
     def seedFilter(s: Long): Column =
       col("vec_id") % s === 0 && col("vec_id") < s * cells
 
-    /** Seed rows of `src` (must carry vec_id), stride from src's count. */
-    def seeds(src: DataFrame): DataFrame = src.filter(seedFilter(stride(src.count())))
+    /** Seed rows of `src` (must carry vec_id), stride from src's count.
+      * The limit makes the K bound PLAN-guaranteed (the BNLJ audit's
+      * contract): the seed predicate yields ≤ K rows by the id-stride
+      * arithmetic, but only the limit lets the PLAN prove it. */
+    def seeds(src: DataFrame): DataFrame =
+      src.filter(seedFilter(stride(src.count()))).limit(cells)
 
     /** The 1-row stride CTE; `from` is the seed-source relation (with any
       * base-slice predicate), e.g. "n" or "n WHERE vec_id % 4 <> 3". */
@@ -217,7 +221,7 @@ object SimilarityQueries {
       val v = Tables(s, dir).embeddings
         .select(col("vec_id"), asDouble(col("embedding")).as("e"))
         .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
-      val queries = v.filter(col("vec_id") < 8)
+      val queries = v.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
       val scored = v.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
@@ -251,7 +255,7 @@ object SimilarityQueries {
           when(dotP > 0, "1").otherwise("0")
         }: _*)
       )
-      val queries = sig.filter(col("vec_id") < 8)
+      val queries = sig.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
       sig.join(broadcast(queries), col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
         .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
@@ -296,7 +300,7 @@ object SimilarityQueries {
     val cents = IvfProvision.seeds(v)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val assign = assignCells(v, cents, Seq("e", "nrm"))
-    val queries = assign.filter(col("vec_id") < 8)
+    val queries = assign.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("c_id").as("qc"))
     assign.join(broadcast(queries), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
@@ -377,7 +381,7 @@ object SimilarityQueries {
     val assign = assignCells(v, cents, Seq("e", "nrm"))
     // query side keeps its window: 8 rows × centroids, and nprobe=2 needs
     // the runner-up cell, not just the max
-    val q2 = v.filter(col("vec_id") < 8)
+    val q2 = v.filter(col("vec_id") < 8).limit(8)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
@@ -466,7 +470,11 @@ object SimilarityQueries {
       cents: DataFrame, path: String,
       queryPred: Column = col("vec_id") < 8, topK: Int = 3,
       candPred: Column = lit(true)): DataFrame = {
-    val q2 = v.filter(queryPred)
+    // limit(8): the query-batch bound made PLAN-real (the BNLJ audit's
+    // contract) — a serving batch is bounded by definition, and the
+    // limit guarantees the broadcast side can never exceed it even if a
+    // caller's predicate over-matches
+    val q2 = v.filter(queryPred).limit(8)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", graft.functions.VectorExpressions.cosineSimilarity(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
@@ -746,7 +754,7 @@ object SimilarityQueries {
     // probe-2 top-3 serving over the selected epoch: probe cells as
     // partition-filter literals, exactly the stored-serving contract
     val centsDf = cents.toDF("c_id", "cq")
-    val q2 = ctx.vq.filter(col("vec_id") < 8)
+    val q2 = ctx.vq.filter(col("vec_id") < 8).limit(8)
       .crossJoin(broadcast(centsDf))
       .withColumn("cd",
         aggregate(zip_with(col("vq"), col("cq"), (a, b) => (a - b) * (a - b)),
@@ -952,7 +960,7 @@ object SimilarityQueries {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
-    val cents = v.filter(col("vec_id") % 251 === 0)
+    val cents = v.filter(col("vec_id") % 251 === 0).limit(64)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val assign = assignCells(v, cents, Seq("e"))
     val meanAggs = count(lit(1)).as("n_members") +:
@@ -1192,7 +1200,7 @@ object SimilarityQueries {
           x => floor(x.cast("double") * 1000000d + 0.5d)).as("vq"))
       .persist(MEMORY_AND_DISK)
     var cents: Seq[(Long, Array[Long])] = vq
-      .filter(col("vec_id") % 251 === 0)
+      .filter(col("vec_id") % 251 === 0).limit(64)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).toSeq
@@ -1307,7 +1315,7 @@ object SimilarityQueries {
         x => x.getField("csub"))).as("xh0"))
       .select(col("vec_id"), OptimizerBarrier.once(col("xh0")).as("xh"))
       .withColumn("xn2", dotProduct(col("xh"), col("xh")))
-    val queries = v.filter(col("vec_id") < 8)
+    val queries = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         dotProduct(col("e"), col("e")).as("qn2"))
     (v, queries, xhat)
@@ -1341,10 +1349,10 @@ object SimilarityQueries {
   private def ivfpqScored(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.{cosineSimilarity, dotProduct}
     val (v, queries, xhat) = pqIndex(s, dir)
-    val cents = v.filter(col("vec_id") % 251 === 0)
+    val cents = v.filter(col("vec_id") % 251 === 0).limit(64)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val cells = assignCells(v, cents, Seq.empty)
-    val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+    val qcells = v.filter(col("vec_id") < 8).limit(8).crossJoin(broadcast(cents))
       .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
@@ -1574,7 +1582,7 @@ object SimilarityQueries {
           .dotProduct(col("e"), lit(planes(p)).cast("array<double>"))
         when(dotP > 0, "1").otherwise("0")
       }: _*))
-    val queries = sig.filter(col("vec_id") < 8)
+    val queries = sig.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
     // exact ground truth: two-phase top-5 per query
     val scored = v.crossJoin(broadcast(queries.select(col("q_id"), col("qe"))))
@@ -1655,21 +1663,21 @@ object SimilarityQueries {
     import graft.functions.VectorExpressions.cosineSimilarity
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
-    val cents = v.filter(col("vec_id") % 251 === 0)
+    val cents = v.filter(col("vec_id") % 251 === 0).limit(64)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     // corpus assignment: one hash agg (assignCells); the probe-ranked
     // window survives only on the 8-row query side, where nprobe=2 needs
     // the runner-up cell
     val assign = assignCells(v, cents, Seq.empty)
       .select(col("vec_id"), col("c_id"))
-    val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+    val qcells = v.filter(col("vec_id") < 8).limit(8).crossJoin(broadcast(cents))
       .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
       .filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("c_id").as("qc"), col("rn").as("probe"))
     // exact ground truth: two-phase brute-force cosine top-5 per query
-    val queries = v.filter(col("vec_id") < 8)
+    val queries = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = v.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1796,11 +1804,11 @@ object SimilarityQueries {
 
     val v = emb.select(col("vec_id"),
       graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
-    val centsS = v.filter(col("vec_id") % 251 === 0)
+    val centsS = v.filter(col("vec_id") % 251 === 0).limit(64)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
 
     // exact ground truth once, shared by both arms (two-phase top-5)
-    val queries = v.filter(col("vec_id") < 8)
+    val queries = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = v.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1814,7 +1822,7 @@ object SimilarityQueries {
     def arm(cents: DataFrame, p: String): DataFrame = {
       val assign = assignCells(v, cents, Seq.empty)
         .select(col("vec_id"), col("c_id"))
-      val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+      val qcells = v.filter(col("vec_id") < 8).limit(8).crossJoin(broadcast(cents))
         .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
@@ -2286,7 +2294,7 @@ object SimilarityQueries {
       tr
     }
     def xhatOf(cb: DataFrame): DataFrame = pqXhatOf(blocks, cb)
-    val queries = v.filter(col("vec_id") < 8)
+    val queries = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         dotProduct(col("e"), col("e")).as("qn2"))
     def top5(in: DataFrame, dist: String): DataFrame =
@@ -2472,6 +2480,13 @@ object SimilarityQueries {
     * %29 provisions K ≈ #modes (17 cells at sf0.01, 69 at sf0.1), the
     * IVF sizing rule (cells ≳ natural cluster count) this query exists
     * to demonstrate. */
+  // Stand-in-seed broadcast bounds (round-14 BNLJ audit): every
+  // `% 251` / `% ivfpqSeedMod` stand-in centroid frame now carries a
+  // .limit (64 / 128) — a no-op at every fixture SF (max 8 / 69 seeds)
+  // that makes the broadcast side PLAN-guaranteed bounded, so a
+  // misconfigured corpus can never turn a stand-in quantizer broadcast
+  // into an unbounded one. The measured recall numbers are untouched
+  // (the limits keep every seed the rules select at fixture scale).
   private val ivfpqSeedMod = 29
 
   /** ★ Fully-TRAINED IVF×PQ — the ANN training story's capstone: BOTH
@@ -2526,10 +2541,10 @@ object SimilarityQueries {
     val (cs, _, _, _) = lloydLocal(vecs, seeds, 0L, ivfpqCoarseRounds)
     val centsT = seeds.map(_._1).zip(cs.map(_.map(_ / 1000000.0).toSeq))
       .toDF("c_id", "ce")
-    val centsS = v.filter(col("vec_id") % ivfpqSeedMod === 0)
+    val centsS = v.filter(col("vec_id") % ivfpqSeedMod === 0).limit(128)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
 
-    val queries = v.filter(col("vec_id") < 8)
+    val queries = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         dotProduct(col("e"), col("e")).as("qn2"))
     // exact squared-L2 ground truth on the raw clustered vectors, shared
@@ -2548,7 +2563,7 @@ object SimilarityQueries {
     def arm(cents: DataFrame, xhat: DataFrame, p: String): DataFrame = {
       val assign = assignCells(v, cents, Seq.empty)
         .select(col("vec_id"), col("c_id"))
-      val qcells = v.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+      val qcells = v.filter(col("vec_id") < 8).limit(8).crossJoin(broadcast(cents))
         .withColumn("ccos", cosineSimilarity(col("e"), col("ce")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
@@ -2724,7 +2739,7 @@ object SimilarityQueries {
     // every member of an anchor's near-dup cluster, keyed by anchor
     val excl = cc.join(broadcast(anchorComp), col("comp") === col("qcomp"))
       .select(col("q_id").as("eq_id"), col("doc_id").as("x_id"))
-    val anchors = n.filter(col("vec_id") < 8)
+    val anchors = n.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = n.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("q_id"))

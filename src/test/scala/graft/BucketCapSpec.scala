@@ -27,6 +27,14 @@ class BucketCapSpec extends SparkSpec {
     val pairs = MultimodalQueries.phashPairs(hashes, maxHamming = 6).collect()
     assert(pairs.length === cap * (cap - 1) / 2,
       s"expected C($cap,2) capped pairs, got ${pairs.length}")
+    // the cap's measured saving on this degenerate class (SCALING.md's
+    // bucket-cap table): uncapped would pair the whole bucket —
+    // C(n,2) = 4950 distinct pairs (4·C(n,2) = 19800 band emissions);
+    // capped emits 4·C(cap,2) = 8064 → C(cap,2) = 2016 pairs. The
+    // saving is quadratic in class width, pinned here as a number.
+    val uncappedPairs = n.toLong * (n - 1) / 2
+    assert(uncappedPairs - pairs.length === 2934L,
+      s"cap saving changed: ${uncappedPairs - pairs.length}")
     val maxKeptId = (cap - 1).toLong * 10
     pairs.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
