@@ -11,6 +11,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/graft_gate}"
+mkdir -p "$OUT"
 fail=0
 for sf in sf0.001 sf0.01 sf0.1; do
   dir="/root/testdata/$sf"
