@@ -415,6 +415,63 @@ object DedupQueries {
           (col("doc_id") === col("comp")).as("is_rep"))
     },
 
+    // ★ SemDeDup — cluster-then-prune semantic dedup (Abbas et al. 2023,
+    // arXiv:2303.09540): the OTHER canonical embedding-dedup shape next to
+    // q_dedup_embed's LSH bands. K-means-style cells (the shared
+    // IvfProvision centroids — same provisioning knob as the ANN family)
+    // bound the pair scan: candidates are ALL pairs within a cell, verify
+    // is exact cosine ≥ 0.98, dup groups are connected components, and the
+    // kept representative per group is the member FARTHEST from its
+    // centroid (min cosine-to-centroid; tie → min vec_id) — the paper's
+    // keep-the-diverse-example rule. Output is the full kept/pruned corpus
+    // assignment, what a curation pipeline actually consumes.
+    // Scale: within-cell pair work is Σ c² with c ≈ n/K, so K is the
+    // provisioning bound (graft.ivf.cells; a 100 TB deployment sets
+    // K ∝ n / target-cell-size, making within-cell work linear in n —
+    // exactly the paper's 50k-cluster regime); centroids broadcast
+    // (K rows, plan-limited), assignment is the map-side-combinable
+    // assignCells kernel, CC runs over verified edges only. The method's
+    // documented tradeoff — twins split by a cell boundary are missed —
+    // is measured, not guessed: 476/500 planted twins at sf0.01, 474/500
+    // at sf0.001, 1910/2000 at sf0.1 (the LSH lane catches all 500;
+    // docs/SCALING.md round 14).
+    q(
+      "q_dedup_semantic",
+      dedupSemanticSql
+    ) { (s, dir) =>
+      val n = embedCorpus(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = SimilarityQueries.IvfProvision
+        .seeds(n.filter(col("vec_id") < 1000000L))
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      // both pair-join sides + the rank join + the final projection read
+      // the assignment — one cached frame, not four crossJoin replays
+      val assign = SimilarityQueries
+        .assignCells(n, cents, Seq("e"), keepCos = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = assign.select(col("vec_id").as("va"), col("c_id"), col("e").as("ea"))
+      val b = assign.select(col("vec_id").as("vb"), col("c_id").as("cb"), col("e").as("eb"))
+      val pairs = a
+        .join(b, col("c_id") === col("cb") && col("va") < col("vb"))
+        .withColumn("cos",
+          graft.functions.VectorExpressions.cosineSimilarity(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.98)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val lab = connectedComponents(s, pairs)
+        .select(col("doc_id").as("vec_id"), col("comp").as("grp"))
+      val ranked = lab
+        .join(assign.select(col("vec_id"), col("ccos")), "vec_id")
+        .withColumn("kr", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("ccos").asc, col("vec_id").asc)))
+      assign.select(col("vec_id"), col("c_id"))
+        .join(ranked.select(col("vec_id"), col("grp"), (col("kr") === 1).as("k")),
+          Seq("vec_id"), "left")
+        .select(
+          col("vec_id"), col("c_id"),
+          coalesce(col("grp"), col("vec_id")).as("grp"),
+          coalesce(col("k"), lit(true)).as("keep"))
+    },
+
     // ★ Exact SUBSTRING dedup — the third canonical training-data dedup
     // family alongside whole-document exact (q_dedup_exact) and fuzzy
     // near-dup (minhash/simhash/ngram): cross-document repeated
@@ -1046,6 +1103,54 @@ object DedupQueries {
        |  count(*) OVER (PARTITION BY cluster_id) AS csize,
        |  vec_id = cluster_id AS is_rep
        |FROM lab""".stripMargin
+
+  /** SemDeDup oracle: the embed-corpus CTE, centroid seeds via the shared
+    * IvfProvision `cprm` CTE (base slice only — the versioned-index
+    * contract), argmax-cosine assignment (the q_similarity_ivf idiom,
+    * verbatim tie-break), all pairs within a cell at cos ≥ 0.98, recursive
+    * components, keep = row 1 of (ccos ASC, vec_id ASC) per group. */
+  private lazy val dedupSemanticSql: String = {
+    import SimilarityQueries.IvfProvision
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, label,
+       |    list_transform(generate_series(1, 64),
+       |      i -> embedding[i]::DOUBLE + (CASE WHEN i = 1 THEN 0.1 ELSE 0.0 END))
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM corpus),
+       |${IvfProvision.prmSql("n WHERE vec_id < 1000000")},
+       |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn
+       |  FROM n CROSS JOIN cprm WHERE ${IvfProvision.predSql} AND vec_id < 1000000),
+       |assign AS (
+       |  SELECT vec_id, c_id, ccos FROM (
+       |    SELECT a.vec_id, c.c_id,
+       |      list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) AS ccos,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
+       |        c.c_id) AS rn
+       |    FROM n a CROSS JOIN c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  JOIN n x ON x.vec_id = a.vec_id JOIN n y ON y.vec_id = b.vec_id
+       |  WHERE list_sum(list_transform(generate_series(1, 64), i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) >= 0.98),
+       |nodes AS (SELECT DISTINCT v AS vec_id FROM (SELECT va AS v FROM pairs UNION SELECT vb FROM pairs)),
+       |edges AS (SELECT va AS src, vb AS dst FROM pairs UNION SELECT vb, va FROM pairs),
+       |reach(node, comp) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS vec_id, min(comp) AS grp FROM reach GROUP BY node),
+       |ranked AS (
+       |  SELECT l.vec_id, l.grp,
+       |    row_number() OVER (PARTITION BY l.grp ORDER BY a.ccos ASC, l.vec_id ASC) AS kr
+       |  FROM lab l JOIN assign a ON a.vec_id = l.vec_id)
+       |SELECT a.vec_id, a.c_id,
+       |  coalesce(r.grp, a.vec_id) AS grp,
+       |  (r.vec_id IS NULL OR r.kr = 1) AS keep
+       |FROM assign a LEFT JOIN ranked r ON r.vec_id = a.vec_id""".stripMargin
+  }
 
   /** Connected components over an undirected edge set (doc_a, doc_b) →
     * (doc_id, comp) where comp is the component's minimum member. Hybrid,
