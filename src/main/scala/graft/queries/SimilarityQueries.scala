@@ -153,10 +153,10 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallGraph :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
-      annRecallPqRerank :+ hardNegatives :+ hybridRetrieval :+ hybridIncremental
+      annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ hardNegatives :+ hybridRetrieval :+ hybridIncremental
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -459,6 +459,126 @@ object SimilarityQueries {
       .write.mode("overwrite").partitionBy("c_id").parquet(path)
     serveStoredIndex(s, v.drop("label"), cents, path,
       candPred = col("label") === 3)
+  }
+
+  /** One adaptive lane's oracle CTEs: the EXACT pre-filter arm (brute-force
+    * top-3 over the predicate's rows), the IVF post-filter arm (the shared
+    * `qcells`/`assign` serving CTEs with the predicate inside the candidate
+    * join — q_similarity_ivf_filtered's semantics), and the guarded UNION
+    * that picks by the measured count (the q_ivf_retrain_apply
+    * complementary-guard idiom: both engines compute the same count, so
+    * the oracle REPLAYS the branch rather than assuming it). */
+  private def adaptiveLaneSql(lane: String, pred: String, cntCol: String): String = {
+    val d = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
+    val qd = "list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i]))"
+    s"""exact_$lane AS (
+      |  SELECT q_id, vec_id, rank, cos FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id, $d / (a.nrm * b.nrm) AS cos,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+      |    FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id AND ($pred))
+      |  WHERE rank <= 3),
+      |ivf_$lane AS (
+      |  SELECT q_id, vec_id, rank, cos FROM (
+      |    SELECT qc.q_id, b.vec_id, $qd / (qc.qn * b.nrm) AS cos,
+      |      row_number() OVER (PARTITION BY qc.q_id ORDER BY $qd / (qc.qn * b.nrm) DESC, b.vec_id) AS rank
+      |    FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id AND ($pred))
+      |  WHERE rank <= 3),
+      |lane_$lane AS (
+      |  SELECT '$lane' AS lane, 'exact_prefilter' AS mode, * FROM exact_$lane
+      |    WHERE (SELECT $cntCol FROM cnt) <= 100
+      |  UNION ALL
+      |  SELECT '$lane', 'ivf_postfilter', * FROM ivf_$lane
+      |    WHERE (SELECT $cntCol FROM cnt) > 100)""".stripMargin
+  }
+
+  /** ★ ADAPTIVE filtered serving — the pre-filter/post-filter STRATEGY
+    * CHOICE production vector stores make per request: when the metadata
+    * predicate is highly selective, scanning its few rows exactly beats
+    * probing the ANN index (and is exact — no cell-boundary misses); when
+    * it matches a large slice, the filtered stored-IVF probe is the only
+    * shape whose serving bytes stay sublinear in the corpus. The engine
+    * measures each predicate's cardinality and branches on a CONSTANT
+    * threshold (T=100 — a bound, not a corpus rate: the exact branch's
+    * work is ≤ T·|batch| comparisons by construction). The selectivity
+    * probe here is one column-pruned aggregate over the metadata column;
+    * a deployment serves it from index statistics (the per-cell label
+    * histogram q_ivf_balance's report shape already carries). Three lanes
+    * make the branch itself testable: `narrow` (label ∧ id-bound, ≤ 100
+    * rows at every SF → exact), `half` (label % 2, half the corpus → IVF),
+    * and `wide` (label = 3 — 43/59/201 rows across fixture SFs, so the
+    * branch FLIPS with the data at sf0.1, and the oracle's complementary
+    * count guards replay whichever arm the data selects, the
+    * q_ivf_retrain_apply idiom). Exactness asymmetry is the point of the
+    * strategy: the exact arm returns true filtered top-3, the IVF arm
+    * returns probed-cell top-3 (AdaptiveServeSpec pins the branch rule,
+    * forced-threshold flips, and the exact arm against an independent
+    * window recompute). Reference analog for evaluate-where-the-record-is:
+    * `allowlist.go:8-10` — membership checked in the per-record path, the
+    * same place both arms put the predicate (scan pushdown / in-cell data
+    * filter), never on the emitted top-K. */
+  val ivfFilteredAdaptive: QueryDef = q(
+    "q_similarity_filtered_adaptive",
+    s"""WITH ${ivfServeCtes("n", "a.vec_id < 8", 3)},
+      |cnt AS (SELECT
+      |  (SELECT count(*) FROM n WHERE label = 3 AND vec_id < 300) AS c_narrow,
+      |  (SELECT count(*) FROM n WHERE label % 2 = 1) AS c_half,
+      |  (SELECT count(*) FROM n WHERE label = 3) AS c_wide),
+      |${adaptiveLaneSql("narrow", "b.label = 3 AND b.vec_id < 300", "c_narrow")},
+      |${adaptiveLaneSql("half", "b.label % 2 = 1", "c_half")},
+      |${adaptiveLaneSql("wide", "b.label = 3", "c_wide")}
+      |SELECT lane, mode, q_id, vec_id, rank, round(cos, 4) AS cos
+      |FROM (SELECT * FROM lane_narrow UNION ALL SELECT * FROM lane_half UNION ALL SELECT * FROM lane_wide)""".stripMargin
+  ) { (s, dir) => adaptiveServe(s, dir) }
+
+  /** q_similarity_filtered_adaptive's body with the branch threshold
+    * exposed so AdaptiveServeSpec can force either arm (T=0 → every lane
+    * serves through the index; T=Long.Max → every lane serves exact). */
+  private[graft] def adaptiveServe(s: SparkSession, dir: String,
+      threshold: Long = 100L): DataFrame = {
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val lanes = Seq(
+      ("narrow", col("label") === 3 && col("vec_id") < 300),
+      ("half", col("label") % 2 === 1),
+      ("wide", col("label") === 3))
+    // the selectivity probe: ONE column-pruned pass computing every lane's
+    // cardinality (bounded driver data — one row, |lanes| longs)
+    val cntRow = v.agg(
+      count(when(lanes(0)._2, true)).as("narrow"),
+      count(when(lanes(1)._2, true)).as("half"),
+      count(when(lanes(2)._2, true)).as("wide")).collect()(0)
+    val cnts = lanes.map(_._1).zipWithIndex.map { case (l, i) => l -> cntRow.getLong(i) }.toMap
+    // the index exists regardless of today's branch decisions — a serving
+    // system maintains it continuously (the incremental/streaming lanes);
+    // building it here is the stored-lane build cost, not a per-request one
+    val cents = IvfProvision.seeds(v)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val path = graft.plans.ScratchDirs.unique("graft-ivf-adaptive-index").getAbsolutePath
+    assignCells(v, cents, Seq("label", "e", "nrm"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    val queries = v.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val parts = lanes.map { case (lane, pred) =>
+      if (cnts(lane) <= threshold) {
+        // EXACT pre-filter arm: the predicate prunes the scan (pushed to
+        // parquet), the surviving ≤ T rows meet the broadcast query batch
+        val scored = v.filter(pred).crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", graft.functions.VectorExpressions.cosineSimilarity(col("qe"), col("e")))
+        twoPhaseRank(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")), 3, "rank")
+          .select(lit(lane).as("lane"), lit("exact_prefilter").as("mode"),
+            col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      } else {
+        // IVF post-filter arm: q_similarity_ivf_filtered's serving shape —
+        // probe-cell partition filters + the predicate as an in-cell
+        // pushed data filter, upstream of the top-K window
+        serveStoredIndex(s, v.drop("label"), cents, path, candPred = pred)
+          .select(lit(lane).as("lane"), lit("ivf_postfilter").as("mode"),
+            col("q_id"), col("vec_id"), col("rank"), col("cos"))
+      }
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   /** Probe-2 top-3 serving over a cell-partitioned stored index: probe
@@ -2313,6 +2433,230 @@ object SimilarityQueries {
        |          2.0 * list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])),
        |        b.vec_id) AS rank
        |    FROM vn b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5)$perL""".stripMargin
+  }
+
+  /** ★ Binary-quantization retrieval — the 1-bit-per-dimension compression
+    * production vector stores ship as their cheapest serving tier (64× the
+    * footprint reduction of float32, distance = XOR + popcount): each
+    * embedding binarizes to its per-dimension SIGNS, the 64 bits pack into
+    * two 32-bit words carried as BIGINT columns, and serving ranks by
+    * hamming distance, then reranks the top-L shortlist by exact cosine
+    * (the q_ann_recall_pq_rerank two-stage shape — the rerank fetches raw
+    * vectors by key, never scans the corpus). This is NOT the SRP-LSH lane
+    * (q_similarity_lsh buckets on 8 projected signs and compares only
+    * bucket-mates): binary quantization keeps the identity basis, RANKS
+    * the whole corpus by code distance, and its recall knob is the
+    * shortlist depth L, not a bucket count. The harness measures recall@5
+    * vs brute-force cosine for L ∈ {8, 32, 128}: 10/24-ish at L=8 rising
+    * to 27-40/40 at L=128 across fixture SFs (pinned in docs/SCALING.md).
+    * Scale: codes are 16 bytes/vector (a 100-TB float corpus's codes fit
+    * in ~25 GB — memory-resident per executor), the hamming pass is two
+    * XOR+POPCNT per candidate inside whole-stage codegen, and only
+    * L × |queries| raw vectors are ever fetched. */
+  val annRecallBinary: QueryDef = q(
+    "q_ann_recall_binary",
+    annRecallBinarySql
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.dotProduct
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    // sign-bit packing: word(lo) = Σ_j [e[lo+j+1] > 0] << j — a flat sum of
+    // 32 codegen'd conditionals, no UDF, no array shuffle
+    def word(lo: Int): Column = (0 until 32).map { j =>
+      when(element_at(col("e"), lo + j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val codes = v.withColumn("w1", word(0)).withColumn("w2", word(32))
+    val queries = codes.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+        col("w1").as("qw1"), col("w2").as("qw2"))
+    val Ls = Seq(8, 32, 128)
+    val maxL = Ls.max
+    // stage 1: hamming-rank the CODES (two words per side; the raw vector
+    // never enters this pass), keep the deepest shortlist once — the hr
+    // rank serves the whole L sweep
+    val hammed = codes.select(col("vec_id"), col("w1"), col("w2"))
+      .crossJoin(broadcast(queries.select(col("q_id"), col("qw1"), col("qw2"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        expr("bit_count(w1 ^ qw1)") + expr("bit_count(w2 ^ qw2)"))
+    val shortlist = twoPhaseRank(hammed, Seq("q_id"),
+        Seq(col("ham"), col("vec_id")), maxL, "hr")
+      .select(col("q_id"), col("vec_id"), col("hr"))
+    // stage 2: exact cosine for shortlisted rows only — raw vectors are
+    // fetched by key, L × |queries| rows total
+    val rr = shortlist
+      .join(v, "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("qe"), col("qn"))), "q_id")
+      .withColumn("cos", dotProduct(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("hr"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactScored = v.crossJoin(broadcast(queries.select(col("q_id"), col("qe"), col("qn"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotProduct(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val exact = twoPhaseRank(exactScored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), 5, "rank")
+      .select(col("q_id"), col("vec_id"))
+    Ls.map { l =>
+      val re5 = rr.filter(col("hr") <= l)
+        .withColumn("rr", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rr") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      exact
+        .join(re5.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("q_id"), lit(l).cast("long").as("shortlist_l"),
+          col("n_hit"), (col("n_hit") / lit(5.0)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Binary-quantization oracle: the same two-word sign packing (DuckDB's
+    * `1::BIGINT << (i-1)` shifts — never pow, and each 32-bit word's sum
+    * stays far inside BIGINT), xor+bit_count hamming ranks, exact-cosine
+    * rerank, one UNION ALL branch per shortlist depth (the
+    * q_ann_recall_pq_rerank oracle shape). */
+  private lazy val annRecallBinarySql: String = {
+    val perL = Seq(8, 32, 128).map { l =>
+      s"""SELECT e.q_id, ${l}::BIGINT AS shortlist_l,
+         |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+         |  sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall
+         |FROM exact e
+         |LEFT JOIN (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rr
+         |    FROM cand WHERE hr <= $l) WHERE rr <= 5) c
+         |ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+         |GROUP BY e.q_id""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |codes AS (SELECT vec_id, e,
+       |  list_sum(list_transform(generate_series(1, 32), i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END))::BIGINT AS w1,
+       |  list_sum(list_transform(generate_series(33, 64), i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END))::BIGINT AS w2,
+       |  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |qs AS (SELECT vec_id AS q_id, e AS qe, w1 AS qw1, w2 AS qw2, nrm AS qn
+       |  FROM codes WHERE vec_id < 8),
+       |hamr AS (SELECT q_id, vec_id, hr FROM (
+       |  SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |    bit_count(xor(b.w1, q.qw1)) + bit_count(xor(b.w2, q.qw2)), b.vec_id) AS hr
+       |  FROM codes b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE hr <= 128),
+       |cand AS (SELECT h.q_id, h.vec_id, h.hr,
+       |  list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])) / (q.qn * b.nrm) AS cos
+       |  FROM hamr h JOIN codes b ON b.vec_id = h.vec_id JOIN qs q ON q.q_id = h.q_id),
+       |exact AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])) / (q.qn * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM codes b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5)$perL""".stripMargin
+  }
+
+  /** ★ Truncated-dimension (Matryoshka-style) adaptive retrieval — the
+    * other production embedding-compression axis: where binary quantization
+    * drops bits per dimension, prefix truncation drops DIMENSIONS
+    * (Kusupati et al. 2022's serving recipe: first-pass rank with a short
+    * prefix of the embedding, exact-rerank the shortlist with full
+    * dimensions — a d/64 cost first pass when embeddings are MRL-trained).
+    * The harness measures that funnel on this corpus for prefix d ∈
+    * {8, 16, 32} at shortlist depth L=50: prefix-cosine ranks the corpus,
+    * the top-50 are reranked by full-dim exact cosine, recall@5 is scored
+    * against the full-dim brute-force truth. These fixture embeddings are
+    * NOT Matryoshka-trained — information is spread evenly across
+    * dimensions — so the measured curve (15-19/40 at d=8 rising to
+    * 23-30/40 at d=32; raw truncated top-5 without the rerank bottoms at
+    * 0-4/40) quantifies exactly how much the rerank stage recovers and
+    * what truncation costs on untrained embeddings: the honest-null
+    * discipline of q_ann_recall_ivf_trained, pinned in docs/SCALING.md.
+    * Scale: the first pass reads a d-prefix projection of the vector
+    * column (columnar layout makes the prefix a cheaper scan, or a
+    * separate d-dim sidecar column at ingest), and only L × |queries|
+    * full vectors are fetched for the rerank. */
+  val annRecallMrl: QueryDef = q(
+    "q_ann_recall_mrl",
+    annRecallMrlSql
+  ) { (s, dir) =>
+    import graft.functions.VectorExpressions.dotProduct
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val queries = v.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val exactScored = v.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotProduct(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val exact = twoPhaseRank(exactScored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), 5, "rank")
+      .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Ds = Seq(8, 16, 32)
+    Ds.map { d =>
+      // first pass: cosine over the d-PREFIX only (slice both sides; the
+      // prefix norm is the truncated vector's own norm, not the full one)
+      def pcos(a: Column, b: Column): Column = {
+        val (pa, pb) = (slice(a, 1, d), slice(b, 1, d))
+        dotProduct(pa, pb) /
+          (sqrt(dotProduct(pa, pa)) * sqrt(dotProduct(pb, pb)))
+      }
+      val prefScored = v.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("pcos", pcos(col("qe"), col("e")))
+        .select(col("q_id"), col("vec_id"), col("pcos"))
+      val shortlist = twoPhaseRank(prefScored, Seq("q_id"),
+          Seq(col("pcos").desc, col("vec_id")), 50, "rank")
+        .select(col("q_id"), col("vec_id"))
+      // rerank: full-dim exact cosine, shortlisted rows fetched by key
+      val re5 = shortlist
+        .join(v, "vec_id")
+        .join(broadcast(queries), "q_id")
+        .withColumn("cos", dotProduct(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rr") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      exact
+        .join(re5.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("q_id"), lit(d).cast("long").as("dims"),
+          col("n_hit"), (col("n_hit") / lit(5.0)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Matryoshka-funnel oracle: per prefix depth, DuckDB's 1-based
+    * inclusive list slice `qe[1:d]` matches Spark's `slice(e, 1, d)`;
+    * prefix-cosine shortlist (L=50), full-dim rerank, one UNION ALL
+    * branch per d (the recall-harness oracle shape). */
+  private lazy val annRecallMrlSql: String = {
+    val arms = Seq(8, 16, 32).map { d =>
+      val dot = s"list_sum(list_transform(generate_series(1, $d), i -> q.qe[i] * b.e[i]))"
+      val qn = s"sqrt(list_sum(list_transform(q.qe[1:$d], x -> x * x)))"
+      val bn = s"sqrt(list_sum(list_transform(b.e[1:$d], x -> x * x)))"
+      s"""SELECT e.q_id, ${d}::BIGINT AS dims,
+         |  sum(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+         |  sum(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall
+         |FROM exact e LEFT JOIN (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])) / (q.qn * b.nrm) DESC, s.vec_id) AS rr
+         |    FROM (SELECT q_id, vec_id FROM (
+         |        SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |          $dot / ($qn * $bn) DESC, b.vec_id) AS rank
+         |        FROM n b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 50) s
+         |      JOIN n b ON b.vec_id = s.vec_id JOIN qs q ON q.q_id = s.q_id) WHERE rr <= 5) t
+         |ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+         |GROUP BY e.q_id""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |qs AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 8),
+       |exact AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, b.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), i -> q.qe[i] * b.e[i])) / (q.qn * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rank <= 5)$arms""".stripMargin
   }
 
   // --- trained-PQ codebook experiment (round 8) ---------------------------
