@@ -47,6 +47,42 @@ object PipelineQueries {
     }.toDF(idCol, "s")
   }
 
+  /** q_decontaminate_fuzzy's oracle: the q_dedup_minhash CTE chain with
+    * cross-set sides (train vs eval), width-1 bands, and the shared
+    * floor-first Jaccard rounding. */
+  private lazy val fuzzyDecontSql: String = {
+    def sh3(src: String) =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(l) - 2), i -> l[i] || '_' || l[i+1] || '_' || l[i+2]))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $src)""".stripMargin
+    def bands1(shCte: String) =
+      s"""SELECT doc_id, j AS b, min(md5(j || '#' || s)) AS bv
+         |  FROM $shCte CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+         |  GROUP BY doc_id, j""".stripMargin
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % $evalMod = 0),
+       |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % $evalMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 5 != 1), ' ')
+       |  FROM documents WHERE doc_id % $evalMod = 0),
+       |evsh AS (${sh3("ev")}),
+       |trsh AS (${sh3("tr")}),
+       |evc AS (SELECT doc_id, count(*) AS n FROM evsh GROUP BY doc_id),
+       |trc AS (SELECT doc_id, count(*) AS n FROM trsh GROUP BY doc_id),
+       |evbands AS (${bands1("evsh")}),
+       |trbands AS (${bands1("trsh")}),
+       |cands AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+       |  FROM trbands t JOIN evbands e ON t.b = e.b AND t.bv = e.bv),
+       |pairs AS (SELECT c.train_id, c.eval_id, count(*) AS inter
+       |  FROM cands c JOIN trsh x ON x.doc_id = c.train_id
+       |  JOIN evsh y ON y.doc_id = c.eval_id AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT train_id, eval_id, ${CrossRound.sql("jac", 4)} AS jac FROM (
+       |  SELECT p.train_id, p.eval_id, p.inter::DOUBLE / (a.n + b.n - p.inter) AS jac
+       |  FROM pairs p JOIN trc a ON p.train_id = a.doc_id JOIN evc b ON p.eval_id = b.doc_id)
+       |WHERE jac >= 0.2""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ★ Benchmark decontamination: find training documents that leak eval
@@ -101,6 +137,61 @@ object PipelineQueries {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("s")).as("n_shared"),
           countDistinct(col("eval_id")).as("n_eval_docs"))
+    },
+
+    // ★ FUZZY benchmark decontamination — the near-duplicate leak the
+    // exact-8-gram arm structurally cannot see: a paraphrase-level copy
+    // (here: every 5th token dropped, so the longest unbroken run is 4
+    // tokens and NO word-8-gram survives — the planted set provably
+    // defeats q_decontaminate) still shares ~30% of its word-3-gram
+    // shingles with its eval source. Pipeline: 3-gram shingles both
+    // sides, 8 min-hashes, and WIDTH-1 LSH bands — decontamination is
+    // recall-asymmetric (a missed leak silently poisons every eval score
+    // downstream, a false candidate costs one bounded verify), so the
+    // banding is provisioned at r=1: P(candidate) = 1-(1-j)^8, 0.94 at
+    // j=0.3 vs 0.31 for the dedup family's 4×2 bands. Candidates verify
+    // by exact Jaccard ≥ 0.2 (shared jaccardVerifyAcross — the formula,
+    // rounding, and threshold semantics cannot drift from the dedup
+    // lanes). Measured on the planted leaks (all exact-jac ≥ 0.267):
+    // 6/6 caught at sf0.001, 5/6 at sf0.01, 45/52 at sf0.1 — every miss
+    // is a banding miss (the ~8% per-pair analytic rate), pinned in
+    // FuzzyDecontSpec with the exact arm's structural zero.
+    // Scale: the eval side is the tiny fixed set at any corpus size →
+    // its width-1 band index BROADCASTS; the train side streams by it
+    // (no shuffle of the big side); verify touches candidate pairs only.
+    q(
+      "q_decontaminate_fuzzy",
+      fuzzyDecontSql
+    ) { (s, dir) =>
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("text"))
+      val ev = d.filter(col("doc_id") % evalMod === 0)
+      val train = d.filter(col("doc_id") % evalMod =!= 0)
+        .unionByName(ev.select(
+          (col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          concat_ws(" ", filter(split(col("text"), " "), (_, i) => i % 5 =!= 0)).as("text")))
+      // both shingle frames feed two consumers (bands + verify) — persist
+      val evSarr = DedupQueries.shingleArrays(ev)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trSarr = DedupQueries.shingleArrays(train)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // width-1 bands: each of the 8 min-hashes is its own blocking key
+      def bands1(sarr: DataFrame, id: String): DataFrame = sarr
+        .select(col("doc_id").as(id),
+          graft.plans.OptimizerBarrier.once(
+            graft.functions.TextHashExpressions.minHash(col("sarr"), 8)).as("hs"))
+        .filter(col("hs").isNotNull)
+        .select(col(id), explode(array((0 to 7).map(j =>
+          struct(lit(j).as("b"), element_at(col("hs"), j + 1).as("bv"))): _*)).as("band"))
+        .select(col(id), col("band.b").as("b"), col("band.bv").as("bv"))
+      val cands = bands1(trSarr, "train_id")
+        .join(broadcast(bands1(evSarr, "eval_id")), Seq("b", "bv"))
+        .select(col("train_id"), col("eval_id")).distinct()
+      DedupQueries.jaccardVerifyAcross(
+          trSarr.select(col("doc_id").as("doc_a"), col("sarr").as("sa")),
+          evSarr.select(col("doc_id").as("doc_b"), col("sarr").as("sb")),
+          cands.select(col("train_id").as("doc_a"), col("eval_id").as("doc_b")),
+          0.2)
+        .select(col("doc_a").as("train_id"), col("doc_b").as("eval_id"), col("jac"))
     },
 
     // ★ End-to-end corpus pipeline — the product story in ONE declared,
