@@ -153,7 +153,7 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfIncremental :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallGraph :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ hardNegatives :+ hybridRetrieval :+ hybridIncremental
@@ -679,6 +679,75 @@ object SimilarityQueries {
     // 3) serve probe-2 top-3 over the merged layout (queries from the
     // full corpus — a query needn't be indexed to be asked)
     (path, ingestPlan, serveStoredIndex(s, v, cents, path, queryPred, topK))
+  }
+
+  /** ★ IVF index COMPACTION — the layout-maintenance step the
+    * incremental/streaming ingest story requires: every O(batch) append
+    * (q_similarity_ivf_incremental, StreamingIvf) adds at least one new
+    * parquet file to each touched cell directory, so under continuous
+    * ingest a cell's file count grows with trigger count and the serving
+    * read pays per-file open/footer costs the probe-cell byte math never
+    * shows. The compactor rewrites the accumulated store ONE FILE PER
+    * CELL into a fresh epoch directory (the q_ivf_retrain_apply
+    * retire-pattern: the old layout stays read-only byte-for-byte while
+    * serving moves), reading ONLY the store — compaction is layout-only
+    * and never recomputes an assignment (IvfCompactSpec pins the rewrite
+    * plan against embeddings scans, the exact 1-file-per-cell result, row
+    * multiset identity across layouts, and served bit-equality between
+    * the fragmented and compacted stores). The declared output is probe-2
+    * serving over the COMPACTED epoch, which must equal the one-shot
+    * frozen-centroid rebuild — the same oracle the incremental lane
+    * shares, so fragmentation state can never leak into results. At
+    * 100 TB: compaction shuffles each cell's rows once (hash partition by
+    * c_id — parallel across cells, no global sort), runs per cell
+    * directory on whatever cells a file-count threshold flags, and is
+    * the q_compact_apply idiom applied to the index store instead of the
+    * event lake (reference analog for periodic maintenance alongside
+    * serving: the 1-minute flush loop, alerts_consumer.go's ticker). */
+  val ivfCompact: QueryDef = q(
+    "q_similarity_ivf_compact",
+    ivfProbe2SqlWith("n WHERE vec_id % 4 <> 3")
+  ) { (s, dir) => ivfCompactServe(s, dir)._4 }
+
+  /** q_similarity_ivf_compact's build+ingest+compact+serve, exposed
+    * private[graft] so IvfCompactSpec can pin the layouts and plans the
+    * SQL oracle cannot see: (fragmented path, compacted epoch path,
+    * rewrite physical plan, served frame). Eager by design, like every
+    * stored-lane body. */
+  private[graft] def ivfCompactServe(s: SparkSession, dir: String)
+      : (String, String, String, DataFrame) = {
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val batch = v.filter(col("vec_id") % 4 === 3)
+    val cents = IvfProvision.seeds(base)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val fragPath = graft.plans.ScratchDirs.unique("graft-ivf-frag-index").getAbsolutePath
+    // manufacture the fragmentation: base build + THREE append triggers
+    // (the batch split by arrival order), each adding files per touched
+    // cell — phase-timed so the pathology cost never hides in the
+    // headline (the q_compact_apply.manufacture precedent)
+    graft.Bench.phase("q_similarity_ivf_compact.manufacture") {
+      assignCells(base, cents, Seq("e", "nrm"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(fragPath)
+      (0 until 3).foreach { k =>
+        assignCells(batch.filter(pmod(col("vec_id"), lit(3)) === k), cents, Seq("e", "nrm"))
+          .write.mode("append").partitionBy("c_id").parquet(fragPath)
+      }
+    }
+    // compaction: one shuffle keyed on c_id → exactly one file per cell
+    // directory in a NEW epoch; reads only the store
+    val frag = s.read.parquet(fragPath)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
+    val rewrite = frag.repartition(col("c_id"))
+    val rewritePlan = rewrite.queryExecution.executedPlan.toString
+    val compPath = graft.plans.ScratchDirs.unique("graft-ivf-compact-epoch").getAbsolutePath
+    graft.Bench.phase("q_similarity_ivf_compact.compact") {
+      rewrite.write.mode("overwrite").partitionBy("c_id").parquet(compPath)
+    }
+    (fragPath, compPath, rewritePlan,
+      serveStoredIndex(s, v, cents, compPath))
   }
 
   /** ★ IVF index-health report — the operational artifact the
