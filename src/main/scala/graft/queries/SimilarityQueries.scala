@@ -156,7 +156,7 @@ object SimilarityQueries {
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallGraph :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
-      annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ hardNegatives :+ hybridRetrieval :+ hybridIncremental
+      annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -1135,6 +1135,79 @@ object SimilarityQueries {
        |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
 
   private lazy val hybridSql: String = hybridSqlWith("n")
+
+  /** ★ FILTERED hybrid retrieval — the tenant/language-scoped RAG request,
+    * the filtered-serving idiom (q_similarity_ivf_filtered) composed into
+    * the hybrid shape: ONE metadata predicate (documents.lang = 'de' — the
+    * fixtures share the doc/vec id space, so lang is the corpus-wide
+    * metadata) applied to BOTH arms UPSTREAM of their top-L ranks.
+    * Post-filtering a fused top-K would be wrong twice over — a
+    * filtered-out doc must neither occupy an arm rank nor absorb an RRF
+    * contribution. Scoring stays GLOBAL in both arms (BM25 uses corpus
+    * IDF/avgdl; the coarse quantizer is corpus-trained): the production
+    * contract for a shared index serving per-tenant requests — the filter
+    * selects candidates, it does not re-train statistics per request. The
+    * vector arm carries lang INTO the cell-partitioned index and serves
+    * with the predicate as an in-cell pushed data filter next to the
+    * probe-cell partition filters; the lexical arm joins the lang column
+    * onto the scored frame before its rank window (at scale: lang rides
+    * in the doc-stats artifact of the incremental BM25 store — same
+    * column, same place the dl lives). HybridFilteredSpec pins end-to-end
+    * membership, contiguous post-filter arm ranks, and both filter kinds
+    * on the index scan. */
+  val hybridFiltered: QueryDef = q(
+    "q_hybrid_filtered",
+    hybridFilteredSql
+  ) { (s, dir) =>
+    val docsLang = Tables(s, dir).documents.select(col("doc_id"), col("lang"))
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = IvfProvision.seeds(v)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val path = graft.plans.ScratchDirs.unique("graft-hybrid-filtered-index").getAbsolutePath
+    // lang rides into the index as a data column (the ivfFiltered move)
+    assignCells(
+        v.join(docsLang.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id")),
+        cents, Seq("lang", "e", "nrm"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    val vec = serveStoredIndex(s, v, cents, path,
+        queryPred = col("vec_id") === 0, topK = 10,
+        candPred = col("lang") === "de")
+      .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+    val lex = TextQueries.bm25Scored(s, dir)
+      .join(docsLang, "doc_id").filter(col("lang") === "de")
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    rrfFuse(rankLex(lex), vec)
+  }
+
+  /** Filtered-hybrid oracle: the shared BM25 + IVF serving CTEs with the
+    * lang predicate joined into each arm upstream of its rank window,
+    * fused by the shared integer-RRF tail. */
+  private lazy val hybridFilteredSql: String =
+    s"""WITH ${TextQueries.bm25ScoredCtes},
+       |${ivfServeCtes("n", "a.vec_id = 0", 10)},
+       |lexf AS (
+       |  SELECT s.doc_id, row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS rl
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |  WHERE d.lang = 'de' QUALIFY rl <= 10),
+       |vecf AS (
+       |  SELECT vec_id AS doc_id, rank AS rv FROM (
+       |    SELECT qc.q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY qc.q_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) DESC,
+       |        b.vec_id) AS rank
+       |    FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id
+       |    JOIN documents d ON d.doc_id = b.vec_id AND d.lang = 'de')
+       |  WHERE rank <= 10),
+       |fusedf AS (
+       |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce(l.rl, 0)::BIGINT AS r_lex, coalesce(r.rv, 0)::BIGINT AS r_vec,
+       |    (CASE WHEN l.rl IS NULL THEN 0 ELSE 1000000000 // (60 + l.rl) END
+       |     + CASE WHEN r.rv IS NULL THEN 0 ELSE 1000000000 // (60 + r.rv) END)::BIGINT AS rrf_q
+       |  FROM lexf l FULL OUTER JOIN vecf r ON l.doc_id = r.doc_id)
+       |SELECT doc_id, r_lex, r_vec, rrf_q FROM fusedf
+       |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
 
   /** One Lloyd (k-means) update step over the embedding corpus: assign
     * every vector to its max-cosine centroid (broadcast centroids, narrow
