@@ -56,6 +56,31 @@ class CompressedRecallSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("int8 codes stay inside int8 (|code| <= 127, max element exactly 127)") {
+    // the q_embed_quantize codec needs no clamp: with s = max|x|/127 the
+    // max element rounds to exactly ±127 and nothing exceeds it — the
+    // property that makes the recall lane's reconstruction a faithful
+    // int8 serving model
+    val v = Tables(spark, sf).embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("s", aggregate(transform(col("e"), x => abs(x)),
+        lit(0.0), (a, x) => greatest(a, x)) / 127.0)
+      .filter(col("s") > 0)
+      .withColumn("mx", aggregate(
+        transform(col("e"), x => abs(floor(x / col("s") + 0.5))),
+        lit(0.0), (a, x) => greatest(a, x)))
+    assert(v.filter(col("mx") =!= 127.0).count() === 0L)
+    Bench.cleanup(spark)
+  }
+
+  test("int8 recall: 39/40 direct and 40/40 reranked at sf0.001") {
+    val rows = SparkEntry.queries("q_ann_recall_int8")(spark, sf)
+      .groupBy(col("shortlist_l")).agg(sum(col("n_hit")).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(5L -> 39L, 20L -> 40L))
+    Bench.cleanup(spark)
+  }
+
   test("the rerank stage earns its cost: funnel beats raw truncated top-5") {
     // raw truncated retrieval (prefix-cosine top-5, NO rerank) at d=16,
     // recomputed here: the funnel's 20 hits vs the raw pass's 6 is the
