@@ -139,6 +139,46 @@ object PipelineQueries {
           countDistinct(col("eval_id")).as("n_eval_docs"))
     },
 
+    // ★ Cross-document n-gram novelty — the boilerplate signal that is
+    // NOT q_quality_repetition (within-doc repeats) and NOT dedup
+    // (whole-doc similarity): per document, what fraction of its distinct
+    // word-8-grams appears in NO other document. Low novelty flags
+    // template/boilerplate content (headers, licenses, navigation) that
+    // survives both dedup (docs differ overall) and repetition scoring
+    // (the boilerplate occurs once per doc) — the Gopher-style curation
+    // signal between the two. On this corpus ~5% of 8-grams are shared
+    // (df up to 4, measured), so the score separates naturally. Shape:
+    // the shared grams8 per-partition shingler (one pass), one exchange
+    // to df-count grams, one exchange back to per-doc ratios — the TF-IDF
+    // cost envelope, O(corpus tokens) with no pairwise work. Docs under 8
+    // tokens emit no row in both engines (empty gram set).
+    q(
+      "q_ngram_novelty",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(l) - 7),
+         |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+         |         l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         |  count(*) FILTER (d.df = 1)::BIGINT AS n_novel,
+         |  ${CrossRound.sql("count(*) FILTER (d.df = 1)::DOUBLE / count(*)", 4)} AS novelty
+         |FROM sh g JOIN df d ON g.s = d.s
+         |GROUP BY g.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val g = grams8(s,
+        Tables(s, dir).documents.select(col("doc_id"), col("text")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfC = g.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      g.join(dfC, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          CrossRound.col(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+    },
+
     // ★ FUZZY benchmark decontamination — the near-duplicate leak the
     // exact-8-gram arm structurally cannot see: a paraphrase-level copy
     // (here: every 5th token dropped, so the longest unbroken run is 4
