@@ -153,7 +153,7 @@ object SimilarityQueries {
     "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
 
   def defs: Seq[QueryDef] =
-    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
+    base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfLabelStats :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallGraph :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ annRecallInt8 :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental
@@ -459,6 +459,42 @@ object SimilarityQueries {
       .write.mode("overwrite").partitionBy("c_id").parquet(path)
     serveStoredIndex(s, v.drop("label"), cents, path,
       candPred = col("label") === 3)
+  }
+
+  /** ★ Per-cell label histogram — the INDEX STATISTIC the adaptive
+    * filtered-serving branch (q_similarity_filtered_adaptive) reads in
+    * production instead of scanning the corpus to count a predicate: for
+    * every (cell, label), the member count and its ppm share of the cell
+    * (integer cross-multiplied — no division drift). The q_ivf_balance
+    * report shape extended one key deeper: O(cells × labels) rows —
+    * driver-readable at any corpus size — derived from the SAME
+    * assignment the index build writes, so the histogram is free at
+    * build time (one extra grouping key on the agg the balance report
+    * already runs). A label-only predicate's cardinality is an exact sum
+    * over this table (AdaptiveStatsSpec pins equality with the adaptive
+    * lane's measured counts); incremental appends maintain it mergeable
+    * (counts sum — the sketch-union idiom the BM25 totals use). */
+  val ivfLabelStats: QueryDef = q(
+    "q_ivf_label_stats",
+    s"""WITH ${ivfServeCtes("n", "a.vec_id < 8", 3)},
+       |cellsz AS (SELECT c_id, count(*) AS n_cell FROM assign GROUP BY c_id)
+       |SELECT a.c_id, a.label, count(*)::BIGINT AS n,
+       |  (count(*) * 1000000 // s.n_cell)::BIGINT AS cell_ppm
+       |FROM assign a JOIN cellsz s ON s.c_id = a.c_id
+       |GROUP BY a.c_id, a.label, s.n_cell""".stripMargin
+  ) { (s, dir) =>
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = IvfProvision.seeds(v)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val assign = assignCells(v, cents, Seq("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellsz = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n_cell"))
+    assign.groupBy(col("c_id"), col("label")).agg(count(lit(1)).as("n"))
+      .join(cellsz, "c_id")
+      .select(col("c_id"), col("label"), col("n"),
+        expr("n * 1000000 div n_cell").as("cell_ppm"))
   }
 
   /** One adaptive lane's oracle CTEs: the EXACT pre-filter arm (brute-force
