@@ -327,11 +327,11 @@ object SimilarityQueries {
     * predicate, the query-set predicate, and the cut depth — shared by
     * the stored/incremental serving oracles AND the hybrid-retrieval
     * vector arm so none of them can drift. */
-  /** `candPred` (over alias `b`, the candidate side of the serve join) is
-    * the metadata predicate of the filtered-serving lane — TRUE for the
-    * unfiltered lanes, so their oracle text stays one shared definition. */
-  private def ivfServeCtes(centPrmFrom: String, queryPred: String, topK: Int,
-      candPred: String = "TRUE"): String =
+  /** The assignment-only prefix of the serving chain (v, n, cprm, c,
+    * assign) — factored so stats/report oracles that never serve
+    * (q_ivf_label_stats) can share the exact same assignment CTEs
+    * without dragging in qcells/served. */
+  private def ivfAssignCtes(centPrmFrom: String): String =
     s"""v AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
       |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
@@ -344,7 +344,14 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
       |        list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cn) DESC,
       |        c.c_id) AS rn
-      |    FROM n a CROSS JOIN c) WHERE rn = 1),
+      |    FROM n a CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  /** `candPred` (over alias `b`, the candidate side of the serve join) is
+    * the metadata predicate of the filtered-serving lane — TRUE for the
+    * unfiltered lanes, so their oracle text stays one shared definition. */
+  private def ivfServeCtes(centPrmFrom: String, queryPred: String, topK: Int,
+      candPred: String = "TRUE"): String =
+    s"""${ivfAssignCtes(centPrmFrom)},
       |qcells AS (
       |  SELECT vec_id AS q_id, e AS qe, nrm AS qn, c_id AS qc FROM (
       |    SELECT a.vec_id, a.e, a.nrm, c.c_id,
@@ -476,7 +483,7 @@ object SimilarityQueries {
     * (counts sum — the sketch-union idiom the BM25 totals use). */
   val ivfLabelStats: QueryDef = q(
     "q_ivf_label_stats",
-    s"""WITH ${ivfServeCtes("n", "a.vec_id < 8", 3)},
+    s"""WITH ${ivfAssignCtes("n")},
        |cellsz AS (SELECT c_id, count(*) AS n_cell FROM assign GROUP BY c_id)
        |SELECT a.c_id, a.label, count(*)::BIGINT AS n,
        |  (count(*) * 1000000 // s.n_cell)::BIGINT AS cell_ppm
@@ -505,7 +512,7 @@ object SimilarityQueries {
     * complementary-guard idiom: both engines compute the same count, so
     * the oracle REPLAYS the branch rather than assuming it). */
   private def adaptiveLaneSql(lane: String, pred: String, cntCol: String): String = {
-    val d = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
+    val d = dotSqlLambda // the shared exact-arm dot fragment (a.e · b.e)
     val qd = "list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i]))"
     s"""exact_$lane AS (
       |  SELECT q_id, vec_id, rank, cos FROM (
@@ -1222,20 +1229,13 @@ object SimilarityQueries {
     * fused by the shared integer-RRF tail. */
   private lazy val hybridFilteredSql: String =
     s"""WITH ${TextQueries.bm25ScoredCtes},
-       |${ivfServeCtes("n", "a.vec_id = 0", 10)},
+       |${ivfServeCtes("n", "a.vec_id = 0", 10,
+            candPred = "b.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'de')")},
        |lexf AS (
        |  SELECT s.doc_id, row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS rl
        |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
        |  WHERE d.lang = 'de' QUALIFY rl <= 10),
-       |vecf AS (
-       |  SELECT vec_id AS doc_id, rank AS rv FROM (
-       |    SELECT qc.q_id, b.vec_id,
-       |      row_number() OVER (PARTITION BY qc.q_id ORDER BY
-       |        list_sum(list_transform(generate_series(1, 64), i -> qc.qe[i] * b.e[i])) / (qc.qn * b.nrm) DESC,
-       |        b.vec_id) AS rank
-       |    FROM qcells qc JOIN assign b ON b.c_id = qc.qc AND b.vec_id <> qc.q_id
-       |    JOIN documents d ON d.doc_id = b.vec_id AND d.lang = 'de')
-       |  WHERE rank <= 10),
+       |vecf AS (SELECT vec_id AS doc_id, rank AS rv FROM served),
        |fusedf AS (
        |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
        |    coalesce(l.rl, 0)::BIGINT AS r_lex, coalesce(r.rv, 0)::BIGINT AS r_vec,
@@ -2673,9 +2673,12 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dotProduct(col("qe"), col("e")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("cos"))
+    // the truth frame feeds every shortlist-depth arm — persist it once
+    // (the q_ann_recall_mrl precedent; Bench.cleanup unpersists)
     val exact = twoPhaseRank(exactScored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Ls.map { l =>
       val re5 = rr.filter(col("hr") <= l)
         .withColumn("rr", row_number().over(
@@ -2888,9 +2891,11 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dotProduct(col("qe"), col("e")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("cos"))
+    // both arms score against the same truth frame — persist it once
     val exact = twoPhaseRank(exactScored, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def score(cand: DataFrame, l: Int) = exact
       .join(cand.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
