@@ -21,9 +21,13 @@ for sf in sf0.001 sf0.01 sf0.1; do
   sbt "runMain graft.Verify $dir $out" >"$OUT/verify_$sf.log" 2>&1 || {
     echo "VERIFY FAILED @ $sf (see $OUT/verify_$sf.log)"; fail=1; continue; }
   echo "== Oracle gate @ $sf"
-  python3 scripts/check_oracle.py "$dir" "$out" | tee "$OUT/oracle_$sf.log" |
-    grep -E "FAIL|==" || true
-  grep -q ", 0 fail" "$OUT/oracle_$sf.log" || fail=1
+  # rely on check_oracle.py's exit status (1 on any failure), not on the
+  # wording of its summary line — the old grep for ", 0 fail" broke if
+  # the print format changed (round-14 ADVICE)
+  if ! python3 scripts/check_oracle.py "$dir" "$out" >"$OUT/oracle_$sf.log" 2>&1; then
+    fail=1
+  fi
+  grep -E "FAIL|==" "$OUT/oracle_$sf.log" || true
 done
 if [ "$fail" -eq 0 ]; then echo "TRI-SF GATE: ALL PASS"; else echo "TRI-SF GATE: FAILURES"; fi
 exit $fail

@@ -24,11 +24,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall-time, written as timings.json — the tri-SF gate runs
+    // Verify at sf0.001/0.01/0.1, so these three files ARE the measured
+    // time-vs-SF scaling data (round-14 verdict item 4); kept out of the
+    // driver's compare (check_oracle only reads <name>/ and oracle_sql)
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -54,6 +63,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -105,17 +105,16 @@ object DedupQueries {
 
   /** Exact n-gram Jaccard pairs (doc_a, doc_b, jac ≥ 0.3) off a cached
     * shingle-array frame — the q_dedup_ngram_jaccard body, shared with the
-    * MinHash recall harness as its ground truth. Per-shingle posting lists
-    * instead of an index self-join: one exchange to group by (lang,
-    * shingle), pairs emitted imperatively from each posting list, one
-    * exchange to count — the join shape shuffled the exploded index TWICE
-    * (both aliases) plus the pair agg, for the same Σ df² pair stream
-    * (measured 2.79 → 1.91 s at sf0.1). */
-  private def ngramJaccardFrom(s: SparkSession, sa: DataFrame): DataFrame = {
+    * MinHash recall harness as its ground truth. Shingle buckets ride
+    * [[cappedBucketPairs]]: a corpus-wide boilerplate shingle costs at
+    * most cap²/2 pairs and is never materialized as one row (the oracle
+    * replays the same df cap). A doc cut from a capped bucket loses that
+    * shingle from its intersection count — the standard stop-shingle
+    * under-count, deterministic on both engines. */
+  private[graft] def ngramJaccardFrom(sa: DataFrame): DataFrame = {
     val counts = sa.select(col("doc_id"), size(col("sarr")).as("n"))
     val sh = sa.select(col("doc_id"), col("lang"), explode(col("sarr")).as("s"))
-    postingPairs(s,
-      sh.groupBy(col("lang"), col("s")).agg(collect_list(col("doc_id")).as("ds")))
+    cappedBucketPairs(sh, Seq("lang", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -154,14 +153,11 @@ object DedupQueries {
     ).select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
   }
 
-  private[queries] def minhashCandsFrom(s: SparkSession, sarr: DataFrame): DataFrame = {
-    // band-bucket posting lists, not a self-join — same 2-exchanges-not-3
-    // shape as the ngram index (pairs colliding in several bands dedup in
-    // the distinct)
-    postingPairs(s,
-      minhashBands(sarr).groupBy(col("b"), col("bv")).agg(collect_list(col("doc_id")).as("ds")))
-      .distinct()
-  }
+  private[graft] def minhashCandsFrom(sarr: DataFrame): DataFrame =
+    // capped band buckets (pairs colliding in several bands dedup in the
+    // distinct): a degenerate band value — every doc sharing one bucket —
+    // costs ≤ cap²/2 pairs instead of C(bucket,2)
+    cappedBucketPairs(minhashBands(sarr), Seq("b", "bv")).distinct()
 
   // --- shared SQL fragments ---------------------------------------------
 
@@ -180,6 +176,44 @@ object DedupQueries {
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM corpus)),
       |sc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Capped shingle index — [[cappedBucketPairs]]' row_number-over-bucket
+    * keep-lowest rule replayed in SQL for the ngram lanes' (lang, shingle)
+    * buckets. Shared by the ngram oracle and the recall harness's ground
+    * truth so the cap can never drift between them. */
+  private val shCapSql =
+    s"""shcap AS (SELECT doc_id, lang, s FROM (
+       |  SELECT doc_id, lang, s,
+       |    row_number() OVER (PARTITION BY lang, s ORDER BY doc_id) AS rn
+       |  FROM sh) WHERE rn <= $bandBucketCap)""".stripMargin
+
+  /** MinHash signature + band CTEs (`minh`, `bands`) — shared verbatim by
+    * every minhash oracle (the four self-pair lanes plus both incremental
+    * variants) so the banding math cannot drift between them. Expects an
+    * `sh(doc_id, …, s)` shingle CTE in scope. */
+  private[queries] val minhashBandsCtes =
+    """minh AS (
+      |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+      |  GROUP BY doc_id, j),
+      |bands AS (
+      |  SELECT doc_id, j // 2 AS b,
+      |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
+      |  FROM minh GROUP BY doc_id, j // 2)""".stripMargin
+
+  /** [[minhashBandsCtes]] + the capped self-pair candidate CTEs (`bandcap`,
+    * `cands`) — the full MinHash-LSH blocking stage, cap replayed exactly
+    * as [[cappedBucketPairs]] applies it. Shared by q_dedup_minhash /
+    * q_dedup_edit_verify / the recall harness / q_corpus_pipeline. */
+  private[queries] val minhashCandsCtes =
+    s"""$minhashBandsCtes,
+       |bandcap AS (SELECT doc_id, b, bv FROM (
+       |  SELECT doc_id, b, bv,
+       |    row_number() OVER (PARTITION BY b, bv ORDER BY doc_id) AS rn
+       |  FROM bands) WHERE rn <= $bandBucketCap),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandcap a JOIN bandcap b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+
   // floor-first rounding: Jaccard is intersection/union, an integer
   // ratio — the exact-decimal-half class where engine round() diverges
   // (11/32 = 0.34375 rounds differently in Spark and DuckDB)
@@ -190,16 +224,125 @@ object DedupQueries {
        |  JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
        |WHERE jac >= $threshold""".stripMargin
 
+  // --- canonical-key (URL) dedup ------------------------------------------
+
+  /** Synthetic raw-URL column over (doc_id, source) — the canonical-dedup
+    * fixture: two crawl variants per (source, page = doc_id div 40) group
+    * (members are doc_id and doc_id+20, since source = doc_id % 20), which
+    * between them exercise every normalization rule the canonicalizer
+    * owns: scheme strip, host case-fold, www-strip, trailing slash,
+    * fragment drop, tracking-param removal, and query-param ORDER. The
+    * oracle replays the construction digit-for-digit. */
+  private def syntheticUrl: Column = {
+    val page = expr("doc_id div 40").cast("string")
+    when(expr("(doc_id div 20) % 2") === 0,
+      concat(lit("https://www."), col("source"), lit(".example.com/p/"), page,
+        lit("?id="), page, lit("&utm_source=rss")))
+      .otherwise(
+        concat(lit("HTTP://"), upper(col("source")), lit(".EXAMPLE.COM/p/"), page,
+          lit("/?utm_campaign=x&id="), page, lit("#frag")))
+  }
+
+  /** C4-style URL canonicalization (Raffel et al. 2020's first dedup
+    * stage): strip scheme, drop fragment, lower-case the HOST only (paths
+    * are case-sensitive), strip a leading `www.`, strip trailing slashes,
+    * drop tracking query params (utm_*, fbclid), and SORT the surviving
+    * params so crawl-order differences can't split a group. Pure column
+    * ops — codegen-friendly, no UDF. */
+  private[graft] def canonicalUrlKey(url: Column): Column = {
+    val nf = regexp_replace(regexp_replace(url, "^[A-Za-z]+://", ""), "#.*$", "")
+    val host = regexp_replace(lower(regexp_extract(nf, "^([^/?]*)", 1)), "^www\\.", "")
+    val path = regexp_replace(regexp_extract(nf, "^[^/?]*([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(nf, "\\?(.*)$", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => !p.like("utm_%") && !p.like("fbclid=%") && (p =!= ""))), "&")
+    concat(host, path, when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Canonical-key dedup assignment over (doc_id, text, source): one row
+    * per input doc — (doc_id, canon_key, kept_doc, keep) with keep-rule
+    * "longest text, tie → lowest doc_id" (C4 keeps the best page per
+    * canonical URL). One window over the key — a keyed, spillable shape:
+    * no join, no pair emission, O(n log n) within each key partition, so
+    * a hot canonical key (a crawl that hit one URL a million times)
+    * costs one partition's sort, never a pair blowup. */
+  private[graft] def canonicalAssign(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canon_key"))
+      .orderBy(length(col("text")).desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("text"), syntheticUrl.as("url"))
+      .withColumn("canon_key", canonicalUrlKey(col("url")))
+      .select(col("doc_id"), col("canon_key"),
+        first(col("doc_id")).over(w).as("kept_doc"),
+        (row_number().over(w) === 1).as("keep"))
+  }
+
+  /** urls/canon/ranked CTEs for the canonical-dedup oracle, parameterized
+    * by the doc relation (must expose doc_id, text, source) so
+    * q_corpus_pipeline can replay the same stage over its own base. */
+  private[queries] def canonicalCtes(rel: String): String =
+    s"""urls AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN (doc_id // 20) % 2 = 0 THEN
+       |      'https://www.' || source || '.example.com/p/' || (doc_id // 40) || '?id=' || (doc_id // 40) || '&utm_source=rss'
+       |    ELSE
+       |      'HTTP://' || upper(source) || '.EXAMPLE.COM/p/' || (doc_id // 40) || '/?utm_campaign=x&id=' || (doc_id // 40) || '#frag'
+       |    END AS url
+       |  FROM $rel),
+       |canon AS (
+       |  SELECT doc_id, text,
+       |    host || path || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_key
+       |  FROM (
+       |    SELECT doc_id, text, host, path,
+       |      array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |        p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'fbclid=%' AND p <> '')), '&') AS kept
+       |    FROM (
+       |      SELECT doc_id, text,
+       |        regexp_replace(lower(regexp_extract(nf, '^([^/?]*)', 1)), '^www\\.', '') AS host,
+       |        regexp_replace(regexp_extract(nf, '^[^/?]*([^?]*)', 1), '/+$$', '') AS path,
+       |        regexp_extract(nf, '\\?(.*)$$', 1) AS query
+       |      FROM (SELECT doc_id, text,
+       |        regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''), '#.*$$', '') AS nf
+       |        FROM urls)))),
+       |uranked AS (
+       |  SELECT doc_id, canon_key,
+       |    first_value(doc_id) OVER w AS kept_doc,
+       |    row_number() OVER w = 1 AS keep
+       |  FROM canon
+       |  WINDOW w AS (PARTITION BY canon_key ORDER BY length(text) DESC, doc_id))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ★ Canonical-key (URL) dedup — C4's stage-0 dedup family (Raffel et
+    // al. 2020): group documents by their CANONICALIZED source URL and
+    // keep the best page per group. The fixture manufactures two raw
+    // crawl variants per (source, page) group — different scheme case,
+    // host case, www prefix, trailing slash, fragment, tracking params,
+    // and param order — and the canonicalizer must collapse them while
+    // keeping singletons intact. Keep rule: longest text, tie → lowest
+    // doc_id; output is the full keep/drop assignment with each doc's
+    // group keeper (what a curation pipeline joins against).
+    // Scale: key derivation is pure per-row column ops; the assignment
+    // is ONE window over the canonical key — keyed, spillable, no pair
+    // work at any group width (a million-hit URL costs one partition
+    // sort). Composes as stage 0 of q_corpus_pipeline.
+    q(
+      "q_dedup_canonical",
+      s"""WITH ${canonicalCtes("documents")}
+         |SELECT doc_id, canon_key, kept_doc, keep FROM uranked""".stripMargin
+    ) { (s, dir) =>
+      canonicalAssign(
+        Tables(s, dir).documents.select(col("doc_id"), col("text"), col("source")))
+    },
 
     // Exact n-gram Jaccard via an inverted shingle index (blocked by lang):
     // pairs sharing a shingle → intersection counts → Jaccard ≥ 0.3.
     q(
       "q_dedup_ngram_jaccard",
-      s"""WITH $corpusSql, $shinglesSql,
+      s"""WITH $corpusSql, $shinglesSql, $shCapSql,
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  FROM shcap a JOIN shcap b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |${jaccardSql("pairs", 0.3)}""".stripMargin
     ) { (s, dir) =>
@@ -210,7 +353,7 @@ object DedupQueries {
       // count shuffle), the index sides explode off the cached arrays
       val sa = shingleArrays(corpus(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ngramJaccardFrom(s, sa)
+      ngramJaccardFrom(sa)
         .select(col("doc_a"), col("doc_b"), CrossRound.col(col("jac"), 4).as("jac"))
     },
 
@@ -220,18 +363,7 @@ object DedupQueries {
     // O(n·bands) rows, never O(n²).
     q(
       "q_dedup_minhash",
-      s"""WITH $corpusSql, $shinglesSql,
-         |minh AS (
-         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
-         |  GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, j // 2 AS b,
-         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
-         |  FROM minh GROUP BY doc_id, j // 2),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      s"""WITH $corpusSql, $shinglesSql, $minhashCandsCtes,
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
@@ -242,7 +374,7 @@ object DedupQueries {
       // per-doc arrays once, like the ngram index
       val sarr = shingleArrays(corpus(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      jaccardVerify(sarr, minhashCandsFrom(s, sarr), 0.3)
+      jaccardVerify(sarr, minhashCandsFrom(sarr), 0.3)
     },
 
     // ★ Dedup-family evaluation harness (the q_ann_recall of fuzzy dedup):
@@ -258,8 +390,8 @@ object DedupQueries {
     ) { (s, dir) =>
       val sa = shingleArrays(corpus(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val truth = ngramJaccardFrom(s, sa).select(col("doc_a"), col("doc_b"))
-      val cands = minhashCandsFrom(s, sa)
+      val truth = ngramJaccardFrom(sa).select(col("doc_a"), col("doc_b"))
+      val cands = minhashCandsFrom(sa)
       val nCand = cands.agg(count(lit(1)).as("n_cand"))
       truth
         .join(cands.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
@@ -284,18 +416,7 @@ object DedupQueries {
     // across engines; the 0.6 threshold never sits at a knife edge.
     q(
       "q_dedup_edit_verify",
-      s"""WITH $corpusSql, $shinglesSql,
-         |minh AS (
-         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
-         |  GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, j // 2 AS b,
-         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
-         |  FROM minh GROUP BY doc_id, j // 2),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      s"""WITH $corpusSql, $shinglesSql, $minhashCandsCtes,
          |ed AS (
          |  SELECT c.doc_a, c.doc_b,
          |    levenshtein(x.text, y.text)::BIGINT AS lev,
@@ -309,7 +430,7 @@ object DedupQueries {
       // corpus text feeds three consumers (shingles + both pair sides)
       val c = corpus(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = minhashCandsFrom(s, shingleArrays(c))
+      val cands = minhashCandsFrom(shingleArrays(c))
       val x = c.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val y = c.select(col("doc_id").as("doc_b"), col("text").as("tb"))
       val withLev = cands.join(x, "doc_a").join(y, "doc_b")
@@ -651,15 +772,7 @@ object DedupQueries {
     // index here is fixture determinism, not the dataflow.
     q(
       "q_dedup_incremental",
-      s"""WITH $corpusSql, $shinglesSql,
-         |minh AS (
-         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
-         |  GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, j // 2 AS b,
-         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
-         |  FROM minh GROUP BY doc_id, j // 2),
+      s"""WITH $corpusSql, $shinglesSql, $minhashBandsCtes,
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
@@ -689,15 +802,7 @@ object DedupQueries {
     // q_dedup_incremental — storage layout must be semantically invisible.
     q(
       "q_dedup_incremental_stored",
-      s"""WITH $corpusSql, $shinglesSql,
-         |minh AS (
-         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
-         |  GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, j // 2 AS b,
-         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
-         |  FROM minh GROUP BY doc_id, j // 2),
+      s"""WITH $corpusSql, $shinglesSql, $minhashBandsCtes,
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
@@ -964,25 +1069,14 @@ object DedupQueries {
     * capped buckets into pairs, and aggregate shared-window evidence per
     * pair. Exposed private[graft] so the degenerate-bucket spec can
     * drive it with a planted boilerplate fingerprint wider than the cap. */
-  private[graft] def substringPairs(fps: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wmin = fps.groupBy(col("fp"), col("doc_id")).agg(min(col("pos")).as("pos"))
-    // cached: both sides of the pair self-join read the capped frame —
-    // without this the whole fingerprint explode + bucket cap runs
-    // twice (Bench.cleanup unpersists)
-    val capped = wmin
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= bandBucketCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = capped.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
-    val b = capped.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
-    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+  private[graft] def substringPairs(fps: DataFrame): DataFrame =
+    cappedBucketPairs(
+      fps.groupBy(col("fp"), col("doc_id")).agg(min(col("pos")).as("pos")),
+      Seq("fp"), payload = Seq("pos"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"),
         min(col("pos_a")).as("first_pos_a"),
         min(col("pos_b")).as("first_pos_b"))
-  }
 
   /** Repeated-span removal over a (doc_id, text) frame: for every w-token
     * window fingerprint appearing in ≥2 docs, the highest doc_id keeps its
@@ -1056,27 +1150,17 @@ object DedupQueries {
   /** MinHash recall oracle: the ngram ground-truth CTEs + the minhash
     * band CTEs (verbatim from those oracles), left-join overlap count. */
   private lazy val minhashRecallSql: String =
-    s"""WITH $corpusSql, $shinglesSql,
+    s"""WITH $corpusSql, $shinglesSql, $shCapSql,
        |tp AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  FROM shcap a JOIN shcap b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |truth AS (
        |  SELECT doc_a, doc_b FROM (
        |    SELECT p.doc_a, p.doc_b, p.inter::DOUBLE / (x.n + y.n - p.inter) AS jac
        |    FROM tp p JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id)
        |  WHERE jac >= 0.3),
-       |minh AS (
-       |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
-       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
-       |  GROUP BY doc_id, j),
-       |bands AS (
-       |  SELECT doc_id, j // 2 AS b,
-       |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
-       |  FROM minh GROUP BY doc_id, j // 2),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |$minhashCandsCtes,
        |cc AS (SELECT count(*) AS n_cand FROM cands)
        |SELECT count(*) AS n_truth, cc.n_cand,
        |  sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
@@ -1261,22 +1345,39 @@ object DedupQueries {
     }
   }
 
-  /** Ordered (doc_a < doc_b) pairs from per-bucket posting lists: input
-    * must have a `ds ARRAY<BIGINT>` column (one row per bucket). Quadratic
-    * per bucket — callers must have bounded bucket membership (shingle df,
-    * LSH band buckets) before grouping. */
-  private def postingPairs(s: SparkSession, posted: DataFrame): DataFrame = {
-    import s.implicits._
-    posted.select(col("ds")).as[Seq[Long]]
-      .flatMap { ds0 =>
-        if (ds0.lengthCompare(2) < 0) Iterator.empty
-        else {
-          val ds = ds0.sorted.toArray
-          ds.indices.iterator.flatMap(i =>
-            (i + 1 until ds.length).iterator.map(j => (ds(i), ds(j))))
-        }
-      }
-      .toDF("doc_a", "doc_b")
+  /** Capped-bucket pair emission — the shared scale guard for every banded
+    * dedup lane (the round-13/14 phash/substring cap discipline applied
+    * family-wide): rank each bucket's members by doc_id (a SPILLABLE
+    * window — no bucket is ever materialized as a single row, unlike the
+    * old collect_list posting lists), keep the [[bandBucketCap]] lowest,
+    * then a keyed self-join of the capped frame emits ordered
+    * (doc_a < doc_b) pairs — at most cap²/2 per bucket no matter how
+    * degenerate the key (a corpus-wide boilerplate shingle, a flat-class
+    * band value every doc shares). `rows` must be unique per
+    * (keys, doc_id); `payload` columns ride along as <p>_a / <p>_b.
+    * Output is one row per (bucket, pair) — callers distinct() or
+    * aggregate. The capped frame persists because both join sides read
+    * it (Bench.cleanup unpersists). Every caller's oracle replays the cap
+    * verbatim as the same row_number-over-bucket filter, so capping is a
+    * shared semantics, not silent truncation. */
+  private[graft] def cappedBucketPairs(rows: DataFrame, keys: Seq[String],
+      payload: Seq[String] = Nil, keepKeys: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = rows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("doc_id"))))
+      .filter(col("rn") <= bandBucketCap)
+      .drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(sfx: String) = capped.select(
+      keys.map(col) ++ (("doc_id" +: payload).map(c =>
+        col(c).as(if (c == "doc_id") s"doc_$sfx" else s"${c}_$sfx"))): _*)
+    val joined = side("a").join(side("b"), keys)
+      .filter(col("doc_a") < col("doc_b"))
+    // keys are dropped by default so multi-band callers can distinct()
+    // pairs colliding in several buckets; keepKeys serves single-key
+    // callers whose bucket value is part of the output
+    if (keepKeys) joined else joined.drop(keys: _*)
   }
 
   /** SimHash near-dup pairs (doc_a, doc_b, ham ≤ 3) — the q_dedup_simhash
@@ -1285,8 +1386,14 @@ object DedupQueries {
     * per-bit majority) — the round-1 shape exploded tokens into 60 bit-sum
     * aggregates, paying a shuffle plus 60 interpreted aggregate updates
     * per token for the same signature. */
-  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = corpus(s, dir).select(
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsFrom(corpus(s, dir))
+
+  /** The same pair derivation off an arbitrary (doc_id, lang, text) frame —
+    * split out so BucketCapSpec can drive it with a planted flat class
+    * wider than the cap. */
+  private[graft] def simhashPairsFrom(docs: DataFrame): DataFrame = {
+    val sig = docs.select(
       col("doc_id"), col("lang"),
       // fenced like `hs` above: 5 downstream references (4 band shifts +
       // the signature column itself)
@@ -1298,28 +1405,10 @@ object DedupQueries {
       explode(array((0 to 3).map(b =>
         struct(lit(b).as("b"), shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)).as("band")
     ).select(col("doc_id"), col("lang"), col("sig"), col("band.b").as("b"), col("band.bv").as("bv"))
-    // band-bucket posting lists (carrying each doc's signature) instead of
-    // a self-join: one exchange to group, pairs emitted per bucket, one
-    // distinct — the join shape shuffled the banded frame twice AND
-    // re-evaluated the fused signature kernel per alias
-    import s.implicits._
-    val cands = banded
-      .groupBy(col("lang"), col("b"), col("bv"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .select(col("ds")).as[Seq[(Long, Long)]]
-      .flatMap { ds0 =>
-        if (ds0.lengthCompare(2) < 0) Iterator.empty
-        else {
-          val ds = ds0.sortBy(_._1).toArray
-          ds.indices.iterator.flatMap(i =>
-            (i + 1 until ds.length).iterator.map { j =>
-              (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
-            })
-        }
-      }
-      .toDF("doc_a", "doc_b", "sig_a", "sig_b")
+    // capped band buckets, carrying each doc's signature to both pair
+    // sides (pairs colliding in several bands dedup in the distinct)
+    cappedBucketPairs(banded, Seq("lang", "b", "bv"), payload = Seq("sig"))
       .distinct()
-    cands
       .withColumn("ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("ham") <= 3)
       .select(col("doc_a"), col("doc_b"), col("ham"))
@@ -1394,17 +1483,15 @@ object DedupQueries {
     * distinct pairs. */
   private[graft] def embedCandidates(n: DataFrame): DataFrame = {
     val planes = SimilarityQueries.planeWeights(embedBands * embedPlanesPerBand)
-    val s = n.sparkSession
-    // bucket posting lists instead of a banded self-join: one SRP pass and
-    // one exchange to group by (label, band, bucket) — the join shape
-    // shuffled the banded frame twice and needed it persisted to avoid a
-    // second SRP evaluation
+    // capped band buckets off ONE SRP pass: the persist inside
+    // cappedBucketPairs keeps the second join side from re-evaluating the
+    // fused kernel, and a flat-embedding class collapsing into one
+    // (label, band, value) bucket costs ≤ cap²/2 pairs
     val banded = n.select(
-      col("vec_id"), col("label"),
+      col("vec_id").as("doc_id"), col("label"),
       posexplode(graft.functions.VectorExpressions.srpBands(col("e"), planes, embedPlanesPerBand))
-    ).toDF("vec_id", "label", "b", "bv")
-    postingPairs(s,
-      banded.groupBy(col("label"), col("b"), col("bv")).agg(collect_list(col("vec_id")).as("ds")))
+    ).toDF("doc_id", "label", "b", "bv")
+    cappedBucketPairs(banded, Seq("label", "b", "bv"))
       .toDF("vec_a", "vec_b")
       .distinct()
   }
@@ -1428,9 +1515,13 @@ object DedupQueries {
        |        THEN (1 << (p.p % $embedPlanesPerBand)) ELSE 0 END) AS bv
        |  FROM n c CROSS JOIN planes p
        |  GROUP BY c.vec_id, c.label, p.p // $embedPlanesPerBand),
+       |bandvcap AS (SELECT vec_id, label, b, bv FROM (
+       |  SELECT vec_id, label, b, bv,
+       |    row_number() OVER (PARTITION BY label, b, bv ORDER BY vec_id) AS rn
+       |  FROM bandv) WHERE rn <= $bandBucketCap),
        |cands AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bandv a JOIN bandv b
+       |  FROM bandvcap a JOIN bandvcap b
        |    ON a.label = b.label AND a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
        |  SELECT c.vec_a, c.vec_b,
@@ -1458,9 +1549,13 @@ object DedupQueries {
        |banded AS (
        |  SELECT doc_id, lang, sig, b, (sig >> (b * 15)) & 32767 AS bv
        |  FROM sigc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+       |bandcap AS (SELECT doc_id, lang, sig, b, bv FROM (
+       |  SELECT doc_id, lang, sig, b, bv,
+       |    row_number() OVER (PARTITION BY lang, b, bv ORDER BY doc_id) AS rn
+       |  FROM banded) WHERE rn <= $bandBucketCap),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-       |  FROM banded a JOIN banded b
+       |  FROM bandcap a JOIN bandcap b
        |    ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, ham FROM (
        |  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS ham FROM cands)

@@ -416,18 +416,22 @@ object MultimodalQueries {
     // fingerprint (first 32 CONTENT bytes at the chunk-walked offsets —
     // for png/wav the data section, for avi the '00db' frames stitched in
     // chunk order, so the fourcc/length framing never leaks into the
-    // hash), then verify candidates by the md5 of the FULL parsed
-    // content; n_bytes_a ≠ n_bytes_b on every planted pair is the visible
-    // proof the containers differ. The oracle rebuilds both fingerprints
-    // from the text the payloads embed and the encoders' size
+    // hash — the cheap pre-filter a production pipeline would block on
+    // first); pairing keys on the md5 of the FULL parsed content (already
+    // computed in the same decode pass, so equal-content buckets ARE the
+    // verified pair classes); n_bytes_a ≠ n_bytes_b on every planted pair
+    // is the visible proof the containers differ. The oracle rebuilds the
+    // fingerprint from the text the payloads embed and the encoders' size
     // arithmetic — a mis-parsed offset breaks every pair.
     // (Size arithmetic parity: DuckDB `strlen` = UTF-8 byte length, so the
     // oracle's `57 + strlen(text)` / `83 + strlen(...)` equal the encoder's
     // payload.length for any text — see q_multimodal_meta's note.)
-    // Scale: decode + fingerprint are one narrow mapPartitions pass; the
-    // bucket join is O(Σ df²) over frame-fingerprint posting lists (df
-    // cap on boilerplate intros at 100 TB, as with text substring dedup);
-    // nothing compares full payloads across the corpus.
+    // Scale: decode + fingerprint are one narrow mapPartitions pass; pair
+    // emission rides DedupQueries.cappedBucketPairs (spillable window
+    // rank, keyed self-join — a degenerate all-identical-content class
+    // costs ≤ cap²/2 pairs, never a whole-bucket executor row; the oracle
+    // replays the cap verbatim); nothing compares full payloads across
+    // the corpus.
     q(
       "q_multimodal_dedup",
       // corpus: PNG containers except doc_id%5=3 (WAV) and doc_id%5=1
@@ -440,7 +444,7 @@ object MultimodalQueries {
       // the odd-length final frame needs one. The blocking must recover
       // near-dups WITHIN each modality from parsed offsets — images,
       // audio, and video through one lane
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text,
         |    (CASE WHEN doc_id % 5 = 3 THEN 44 + strlen(text)
         |          WHEN doc_id % 5 = 1 THEN 224 + 8 * ((strlen(text) + 63) // 64)
@@ -460,10 +464,14 @@ object MultimodalQueries {
         |  SELECT doc_id + 1000000, text,
         |    (240 + 8 * ((strlen(text) + 63) // 64)
         |       + strlen(text) + strlen(text) % 2)::BIGINT AS n_bytes
-        |  FROM documents WHERE doc_id % 5 = 1)
+        |  FROM documents WHERE doc_id % 5 = 1),
+        |ccap AS (SELECT doc_id, text, n_bytes FROM (
+        |  SELECT doc_id, text, n_bytes,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM corpus) WHERE rn <= ${graft.queries.DedupQueries.bandBucketCap})
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, md5(a.text) AS data_fp,
         |  a.n_bytes AS n_bytes_a, b.n_bytes AS n_bytes_b
-        |FROM corpus a JOIN corpus b
+        |FROM ccap a JOIN ccap b
         |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
@@ -503,29 +511,20 @@ object MultimodalQueries {
                 } else java.util.Arrays.copyOfRange(
                   payload, m.dataOffset, m.dataOffset + m.dataLength)
               md.reset()
-              val f0 = hex(md.digest(
-                java.util.Arrays.copyOfRange(content, 0, math.min(32, content.length))))
-              md.reset()
               val full = hex(md.digest(content))
-              (id, f0, full, payload.length.toLong)
+              (id, full, payload.length.toLong)
             }
           }
         }
-        .toDF("doc_id", "f0", "data_fp", "n_bytes")
-      // posting-list pairs per frame-0 bucket; full-data-section hash is
-      // the verify step (blocking is lossless: identical data ⇒ identical
-      // first frame, so no true pair escapes its bucket)
-      fps.groupBy(col("f0"))
-        .agg(collect_list(struct(col("doc_id"), col("data_fp"), col("n_bytes"))).as("ds"))
-        .select(col("ds")).as[Seq[(Long, String, Long)]]
-        .flatMap { ds0 =>
-          val ds = ds0.sortBy(_._1)
-          ds.indices.iterator.flatMap(i =>
-            (i + 1 until ds.length).iterator
-              .filter(j => ds(i)._2 == ds(j)._2)
-              .map(j => (ds(i)._1, ds(j)._1, ds(i)._2, ds(i)._3, ds(j)._3)))
-        }
-        .toDF("doc_a", "doc_b", "data_fp", "n_bytes_a", "n_bytes_b")
+        .toDF("doc_id", "data_fp", "n_bytes")
+      // capped content-hash buckets (equal full content ⇒ a verified
+      // pair, so the bucket IS the dup class); the shared helper's
+      // window rank + keyed self-join bound a degenerate class at
+      // cap²/2 pairs, replayed in the oracle's ccap CTE
+      graft.queries.DedupQueries.cappedBucketPairs(
+        fps, Seq("data_fp"), payload = Seq("n_bytes"), keepKeys = true)
+        .select(col("doc_a"), col("doc_b"), col("data_fp"),
+          col("n_bytes_a"), col("n_bytes_b"))
     },
 
     // ★ Audio CONTENT analysis — the audio analog of q_quality_score,

@@ -259,12 +259,16 @@ object PipelineQueries {
     // the mix quota is |langs| rows; packing windows shard by language.
     q(
       "q_corpus_pipeline",
-      s"""WITH corpus AS (
-         |  SELECT doc_id, lang, text FROM documents
+      s"""WITH ${DedupQueries.canonicalCtes("documents")},
+         |c0 AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN uranked u ON u.doc_id = d.doc_id AND u.keep),
+         |corpus AS (
+         |  SELECT doc_id, lang, text FROM c0
          |  UNION ALL
          |  SELECT doc_id + 1000000, lang,
          |    array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 7 != 1), ' ')
-         |  FROM documents),
+         |  FROM c0),
          |f AS (
          |  SELECT doc_id, lang, text, len(l)::BIGINT AS n_tokens
          |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS l FROM corpus)
@@ -278,17 +282,7 @@ object PipelineQueries {
          |    generate_series(1, len(l) - 2), i -> l[i] || '_' || l[i+1] || '_' || l[i+2]))) AS s
          |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM e)),
          |sc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |minh AS (
-         |  SELECT doc_id, j, min(md5(j || '#' || s)) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
-         |  GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, j // 2 AS b,
-         |    md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bv
-         |  FROM minh GROUP BY doc_id, j // 2),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |${DedupQueries.minhashCandsCtes},
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a
@@ -346,11 +340,27 @@ object PipelineQueries {
       // the caller's action over cached `d`).
       // ONE parquet scan: every stage derives from this persisted base
       val base = Tables(s, dir).documents
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"), col("lang"), col("text"), col("source"))
         .persist(MEMORY_AND_DISK)
+      // stage 0 — canonical-URL dedup on the raw ingest (C4's stage 0,
+      // the q_dedup_canonical lane verbatim): collapse crawl variants of
+      // the same canonical URL BEFORE any content work, keeping the
+      // longest text per canonical key. The eval slice for stage 4 stays
+      // pre-canonical — the benchmark set is an EXTERNAL corpus, not a
+      // survivor of this pipeline's dedup.
+      val c0 = graft.Bench.phase("q_corpus_pipeline.canonical") {
+        val keep = DedupQueries.canonicalAssign(
+            base.select(col("doc_id"), col("text"), col("source")))
+          .filter(col("keep")).select(col("doc_id"))
+        val b = base.select(col("doc_id"), col("lang"), col("text"))
+          .join(keep, "doc_id")
+          .persist(MEMORY_AND_DISK) // feeds the variant explode
+        b.count()
+        b
+      }
       // ingest — corpus = originals + planted near-dup variants via a
       // per-row explode (no second scan of documents)
-      val corpus0 = base.select(explode(array(
+      val corpus0 = c0.select(explode(array(
           struct(col("doc_id"), col("lang"), col("text")),
           struct((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
             concat_ws(" ", filter(split(col("text"), " "), (_, i) => i % 7 =!= 0)).as("text"))
@@ -375,7 +385,7 @@ object PipelineQueries {
       // shingle frame, exact-Jaccard verify, greedy keep-lowest-id
       val m = graft.Bench.phase("q_corpus_pipeline.minhash") {
         val sa = DedupQueries.shingleArrays(e).persist(MEMORY_AND_DISK)
-        val pairs = DedupQueries.jaccardVerify(sa, DedupQueries.minhashCandsFrom(s, sa), 0.3)
+        val pairs = DedupQueries.jaccardVerify(sa, DedupQueries.minhashCandsFrom(sa), 0.3)
         val m0 = e.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
           .persist(MEMORY_AND_DISK) // feeds the contamination grams + survivor side

@@ -46,6 +46,15 @@ object ExplainAudit {
       isBounded(q.plan)
     case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
       isBounded(r.child)
+    // object-mapped / expanding unary operators can GROW rows
+    // data-dependently — never pass-through (round-14 ADVICE: a typed
+    // flatMap's MapPartitionsExec could slip the BNLJ build-side bound;
+    // ExpandExec multiplies rows for cube/rollup; FlatMap* nodes are
+    // flatMap/flatMapGroups by construction)
+    case _: org.apache.spark.sql.execution.MapPartitionsExec => false
+    case _: org.apache.spark.sql.execution.ExpandExec => false
+    case u: org.apache.spark.sql.execution.UnaryExecNode
+        if u.getClass.getSimpleName.startsWith("FlatMap") => false
     case u: org.apache.spark.sql.execution.UnaryExecNode => isBounded(u.child)
     case _ => false
   }

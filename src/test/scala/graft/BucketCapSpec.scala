@@ -93,6 +93,63 @@ class BucketCapSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  // Round-15: the four banded text/embed lanes migrated off uncapped
+  // collect_list posting lists onto the same capped shape (round-14
+  // verdict lead item). Each case plants a flat class wider than the
+  // cap — every doc identical, so every bucket holds the whole class —
+  // and asserts the pair set is exactly C(cap,2) over the lowest ids.
+  private val flatN = cap + 36
+  private def expectCapped(pairs: Array[(Long, Long)], what: String): Unit = {
+    assert(pairs.length === cap * (cap - 1) / 2,
+      s"$what: expected C($cap,2) capped pairs, got ${pairs.length}")
+    pairs.foreach { case (a, b) =>
+      assert(a < b, s"$what: unordered pair $a-$b")
+      assert(b < cap.toLong, s"$what: pair $a-$b includes a doc beyond the cap keep-set")
+    }
+  }
+
+  test("minhash: a flat text class wider than the cap is capped per band bucket") {
+    val docs = (0 until flatN).map(i => (i.toLong, "en", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "lang", "text")
+    val cands = DedupQueries.minhashCandsFrom(DedupQueries.shingleArrays(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    expectCapped(cands, "minhash")
+    Bench.cleanup(spark)
+  }
+
+  test("ngram: a corpus-wide boilerplate shingle class is df-capped") {
+    val docs = (0 until flatN).map(i => (i.toLong, "en", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "lang", "text")
+    val got = DedupQueries.ngramJaccardFrom(DedupQueries.shingleArrays(docs)).collect()
+    expectCapped(got.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))), "ngram")
+    // identical docs: intersection = all 4 shingles, jac = 1.0 — the
+    // capped index must not under-count WITHIN the keep-set
+    got.foreach(r => assert(r.getAs[Long]("inter") === 4L,
+      s"inter changed: ${r.getAs[Long]("inter")}"))
+    Bench.cleanup(spark)
+  }
+
+  test("simhash: a flat signature class wider than the cap is capped per band bucket") {
+    val docs = (0 until flatN).map(i => (i.toLong, "en", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "lang", "text")
+    val pairs = DedupQueries.simhashPairsFrom(docs)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Number]("ham").longValue))
+    expectCapped(pairs.map(p => (p._1, p._2)), "simhash")
+    pairs.foreach(p => assert(p._3 === 0L, "identical docs must be hamming 0"))
+    Bench.cleanup(spark)
+  }
+
+  test("embed: a flat vector class wider than the cap is capped per (label, band, value) bucket") {
+    val vec = Array.tabulate(64)(d => (d % 7 + 1).toDouble)
+    val n = (0 until flatN).map(i => (i.toLong, 1L, vec))
+      .toDF("vec_id", "label", "e")
+    val cands = DedupQueries.embedCandidates(n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    expectCapped(cands, "embed")
+    Bench.cleanup(spark)
+  }
+
   test("substring: per-doc first-occurrence and positions survive the capped path") {
     val fps = Seq(
       (10L, 5L, "fpA"), (10L, 2L, "fpA"),   // doc 10 hits fpA twice; min pos 2

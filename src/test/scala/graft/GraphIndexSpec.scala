@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimilarityQueries
+
+/** The stored/incremental kNN-graph contract (round-14 verdict item 3 —
+  * the HNSW-maintenance analog, completing the graph family the way the
+  * IVF family was completed):
+  *
+  *  1. LAYOUT IS INVISIBLE: stored-graph serving returns bit-for-bit the
+  *     in-memory build's result.
+  *  2. PLAN: serving's hop joins read the edge table straight off its
+  *     co-located buckets — ZERO ShuffleExchange on the stored side
+  *     (bucketing is the store's exchange, paid once at build).
+  *  3. INGEST NEVER READS STORED ROWS: the incremental append's physical
+  *     plan references the embeddings corpus only — never the store path.
+  *  4. FROZEN SEMANTICS: incremental serve equals a one-shot in-memory
+  *     rebuild under the same frozen-candidate rule, and every appended
+  *     edge's u is a batch vector (base neighborhoods stay frozen).
+  */
+class GraphIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      // descend into cached subplans — the hop joins live under the
+      // persisted gall frame's InMemoryRelation
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m.relation.cachedPlan)
+      case o                        => o.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def hasBucketedScan(p: SparkPlan): Boolean =
+    flatten(p).exists {
+      case s: FileSourceScanExec => s.relation.bucketSpec.isDefined
+      case _                     => false
+    }
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  private def corpus: DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** In-memory twin of q_graph_stored, built from the same shared
+    * helpers minus the storage. */
+  private def memStoredTwin(v: DataFrame): DataFrame = {
+    val cents = SimilarityQueries.IvfProvision.seeds(v)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val assign2 = SimilarityQueries.graphAssign2(v, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val graph = SimilarityQueries.graphEdgesFrom(
+      SimilarityQueries.graphBuildCands(assign2), v, v)
+    val qv = v.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val assign1 = assign2.filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val (_, gall) = SimilarityQueries.graphServeCands(assign1, graph, v, qv)
+    SimilarityQueries.graphTop5(gall, v, qv)
+  }
+
+  test("stored-graph serving returns bit-for-bit the in-memory build's result") {
+    val mem = memStoredTwin(corpus).collect().map(_.toString).sorted.toSeq
+    val (_, _, served) = SimilarityQueries.graphStoredServe(spark, dir)
+    val stored = served.collect().map(_.toString).sorted.toSeq
+    assert(stored === mem)
+    assert(mem.nonEmpty)
+    Bench.cleanup(spark)
+  }
+
+  test("hop joins have zero exchange on the stored-graph side") {
+    // the hop joins live in the CANDIDATE frame's plan (gall persists
+    // before the rerank, so the served plan only sees the cache)
+    val (_, gall, _) = SimilarityQueries.graphStoredServe(spark, dir)
+    gall.collect() // finalize AQE
+    val all = flatten(gall.queryExecution.executedPlan)
+    val plan = gall.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan.take(4000))
+    val hopJoins = all.filter(j =>
+      j.nodeName.contains("SortMergeJoin") && j.children.exists(hasBucketedScan))
+    assert(hopJoins.nonEmpty, s"no SMJ over the bucketed edge scan:\n${plan.take(4000)}")
+    hopJoins.foreach { j =>
+      // the STORED side is the child that is a bare bucketed scan; the
+      // frontier side of hop 2 also CONTAINS a bucketed scan (hop 1's
+      // join nests inside it), so the contract is: every hop join has at
+      // least one side coming straight off the buckets with NO shuffle
+      val cleanStoredSide = j.children.exists(side =>
+        hasBucketedScan(side) &&
+          flatten(side).collect { case s: ShuffleExchangeExec => s }.isEmpty)
+      assert(cleanStoredSide,
+        s"no shuffle-free bucketed side on a hop join:\n${plan.take(4000)}")
+    }
+    Bench.cleanup(spark)
+  }
+
+  test("incremental ingest plan never references the store") {
+    val (path, ingestPlan, _) = SimilarityQueries.graphIncrementalServe(spark, dir)
+    assert(!ingestPlan.contains(path),
+      s"ingest must not read the stored graph:\n${ingestPlan.take(2000)}")
+    Bench.cleanup(spark)
+  }
+
+  test("incremental serve equals the frozen one-shot rebuild; appended edges are batch-only") {
+    val v = corpus
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val batch = v.filter(col("vec_id") % 4 === 3)
+    val cents = SimilarityQueries.IvfProvision.seeds(base)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val a2base = SimilarityQueries.graphAssign2(base, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a2batch = SimilarityQueries.graphAssign2(batch, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bgraph = SimilarityQueries.graphEdgesFrom(
+      SimilarityQueries.graphBuildCands(a2base), base, base)
+    val xcand = a2batch.select(col("c_id"), col("vec_id").as("u"))
+      .join(a2base.select(col("c_id"), col("vec_id").as("w")), "c_id")
+      .select(col("u"), col("w")).distinct()
+    val xgraph = SimilarityQueries.graphEdgesFrom(xcand, batch, base)
+    val graph = bgraph.unionByName(xgraph)
+    val assign1 = a2base.unionByName(a2batch)
+      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val qv = v.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val (_, gall) = SimilarityQueries.graphServeCands(assign1, graph, v, qv)
+    val mem = SimilarityQueries.graphTop5(gall, v, qv)
+      .collect().map(_.toString).sorted.toSeq
+
+    val (path, _, served) = SimilarityQueries.graphIncrementalServe(spark, dir)
+    assert(served.collect().map(_.toString).sorted.toSeq === mem)
+    // the store after the append = frozen base edges + batch-only edges
+    val storedEdges = spark.read.parquet(path)
+    val nBase = bgraph.count(); val nBatch = xgraph.count()
+    assert(storedEdges.count() === nBase + nBatch)
+    assert(storedEdges.filter(col("u") % 4 === 3).count() === nBatch,
+      "every appended edge's u must be a batch vector")
+    assert(nBatch > 0, "fixture must produce at least one appended edge")
+    Bench.cleanup(spark)
+  }
+}

@@ -200,15 +200,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
-  test("q_multimodal_dedup: single fingerprint-bucket exchange, no payload self-join") {
-    // decode + fingerprint are one narrow pass; the ONLY exchange groups
-    // frame-0 fingerprints into posting lists (pair emission and verify
-    // happen inside the bucket) — a whole-payload self-join would add a
-    // join exchange pair and a SortMergeJoin
+  test("q_multimodal_dedup: single fingerprint-bucket shuffle, no payload self-join") {
+    // decode + fingerprint are one narrow pass; the ONLY shuffle ranks
+    // content-hash buckets for the cap (round 15: the shared
+    // cappedBucketPairs shape — pair emission is a keyed self-join of
+    // the capped cached frame, never a whole-payload join or a
+    // posting-list row)
     val plan = planOf("q_multimodal_dedup")
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges === 1, s"expected 1 exchange, found $exchanges:\n${plan.take(3000)}")
-    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the capped frame's cached plan prints once per join side — count
+    // DISTINCT shuffles by plan id, not text occurrences
+    val shuffles = "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(shuffles.size === 1,
+      s"expected 1 distinct shuffle, found ${shuffles.size}:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
@@ -366,7 +370,7 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q_corpus_pipeline: documents parquet planned for reading exactly once " +
-    "across all six composed stages") {
+    "across all seven composed stages") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -402,9 +406,11 @@ class PlanGuardSpec extends SparkSpec {
       s"expected documents scanned once across the whole pipeline, found " +
         s"${fileScans.length}: ${fileScans.map(_.relation.location.rootPaths.mkString).mkString("; ")}")
     assert(fileScans.head.relation.location.rootPaths.mkString.contains("documents"))
-    // stage count pinned: exact-dedup rn + mix rk + pack cum = 3 windows
+    // stage count pinned: canonical keep-rank (first_value + row_number
+    // merge into one Window over the shared spec) + minhash band-bucket
+    // cap rank + exact-dedup rn + mix rk + pack cum = 5 windows
     val windows = plans.flatMap(_.collect { case w: WindowExec => w })
-    assert(windows.length === 3, s"stage window count drifted: ${windows.length}")
+    assert(windows.length === 5, s"stage window count drifted: ${windows.length}")
     // never an unbounded pair scan anywhere in the closure
     plans.foreach { p =>
       assert(!p.toString.contains("CartesianProduct"), p.toString.take(2000))
