@@ -430,7 +430,15 @@ object DedupQueries {
       // corpus text feeds three consumers (shingles + both pair sides)
       val c = corpus(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = minhashCandsFrom(shingleArrays(c))
+      // phase timers (round-14 verdict item 2): the two stages of the
+      // signature→bucket→verify shape, attributable in the bench
+      // artifact — LSH blocking vs banded-Levenshtein DP; the residual
+      // is the final filter+projection in the caller's action.
+      val cands = graft.Bench.phase("q_dedup_edit_verify.candidates") {
+        val cd = minhashCandsFrom(shingleArrays(c))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cd.count(); cd
+      }
       val x = c.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val y = c.select(col("doc_id").as("doc_b"), col("text").as("tb"))
       val withLev = cands.join(x, "doc_a").join(y, "doc_b")
@@ -453,9 +461,13 @@ object DedupQueries {
               .cast("long")).as("lev"))
         .filter(col("lev") >= 0)
       val sim = lit(1.0) - col("lev").cast("double") / col("mx")
-      withLev.filter(sim >= 0.6)
-        .select(col("doc_a"), col("doc_b"), col("lev"),
-          (floor(sim * 1e6) / 1e6 + 0.0).as("sim"))
+      graft.Bench.phase("q_dedup_edit_verify.verify") {
+        val out = withLev.filter(sim >= 0.6)
+          .select(col("doc_a"), col("doc_b"), col("lev"),
+            (floor(sim * 1e6) / 1e6 + 0.0).as("sim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count(); out
+      }
     },
 
     // SimHash: 60-bit integer signature from per-token md5-hex-char

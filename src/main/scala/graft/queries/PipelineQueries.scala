@@ -47,6 +47,16 @@ object PipelineQueries {
     }.toDF(idCol, "s")
   }
 
+  /** Width-1 band count for fuzzy decontamination. Raised 8 -> 16 in
+    * round 15 off the measured recall curve (docs/SCALING.md): at the
+    * planted leaks' exact-jac floor (~0.27), P(candidate) = 1-(1-j)^H is
+    * 0.92 at H=8 vs 0.995 at H=16, and measured recall went 47/54 ->
+    * 54/54 at sf0.1 (6/6 at both smaller SFs) for ~2x a still-tiny
+    * candidate set — the recall-asymmetric provisioning argument made
+    * quantitative (a missed leak silently poisons evals; a false
+    * candidate costs one bounded verify). */
+  private[graft] val fuzzyDecontHashes = 16
+
   /** q_decontaminate_fuzzy's oracle: the q_dedup_minhash CTE chain with
     * cross-set sides (train vs eval), width-1 bands, and the shared
     * floor-first Jaccard rounding. */
@@ -57,7 +67,7 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $src)""".stripMargin
     def bands1(shCte: String) =
       s"""SELECT doc_id, j AS b, min(md5(j || '#' || s)) AS bv
-         |  FROM $shCte CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+         |  FROM $shCte CROSS JOIN (SELECT unnest(generate_series(0, ${fuzzyDecontHashes - 1})) AS j) g
          |  GROUP BY doc_id, j""".stripMargin
     s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % $evalMod = 0),
        |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % $evalMod <> 0
@@ -185,17 +195,20 @@ object PipelineQueries {
     // tokens and NO word-8-gram survives — the planted set provably
     // defeats q_decontaminate) still shares ~30% of its word-3-gram
     // shingles with its eval source. Pipeline: 3-gram shingles both
-    // sides, 8 min-hashes, and WIDTH-1 LSH bands — decontamination is
-    // recall-asymmetric (a missed leak silently poisons every eval score
-    // downstream, a false candidate costs one bounded verify), so the
-    // banding is provisioned at r=1: P(candidate) = 1-(1-j)^8, 0.94 at
-    // j=0.3 vs 0.31 for the dedup family's 4×2 bands. Candidates verify
-    // by exact Jaccard ≥ 0.2 (shared jaccardVerifyAcross — the formula,
-    // rounding, and threshold semantics cannot drift from the dedup
-    // lanes). Measured on the planted leaks (all exact-jac ≥ 0.267):
-    // 6/6 caught at sf0.001, 5/6 at sf0.01, 45/52 at sf0.1 — every miss
-    // is a banding miss (the ~8% per-pair analytic rate), pinned in
-    // FuzzyDecontSpec with the exact arm's structural zero.
+    // sides, 16 min-hashes (round 15: raised from 8 off the measured
+    // recall curve — see fuzzyDecontHashes), and WIDTH-1 LSH bands —
+    // decontamination is recall-asymmetric (a missed leak silently
+    // poisons every eval score downstream, a false candidate costs one
+    // bounded verify), so the banding is provisioned at r=1:
+    // P(candidate) = 1-(1-j)^16 ≈ 0.995 at the planted leaks' jac floor
+    // (~0.27) vs 0.31 for the dedup family's 4×2 bands. Candidates
+    // verify by exact Jaccard ≥ 0.2 (shared jaccardVerifyAcross — the
+    // formula, rounding, and threshold semantics cannot drift from the
+    // dedup lanes). Measured on the planted leaks: 6/6 caught at
+    // sf0.001 AND sf0.01, 54/54 ≥ 0.2 truth pairs at sf0.1 (H=8 missed
+    // 7 of those — the measured analytic banding-miss rate; curve in
+    // docs/SCALING.md), pinned in FuzzyDecontSpec with the exact arm's
+    // structural zero.
     // Scale: the eval side is the tiny fixed set at any corpus size →
     // its width-1 band index BROADCASTS; the train side streams by it
     // (no shuffle of the big side); verify touches candidate pairs only.
@@ -218,9 +231,9 @@ object PipelineQueries {
       def bands1(sarr: DataFrame, id: String): DataFrame = sarr
         .select(col("doc_id").as(id),
           graft.plans.OptimizerBarrier.once(
-            graft.functions.TextHashExpressions.minHash(col("sarr"), 8)).as("hs"))
+            graft.functions.TextHashExpressions.minHash(col("sarr"), fuzzyDecontHashes)).as("hs"))
         .filter(col("hs").isNotNull)
-        .select(col(id), explode(array((0 to 7).map(j =>
+        .select(col(id), explode(array((0 until fuzzyDecontHashes).map(j =>
           struct(lit(j).as("b"), element_at(col("hs"), j + 1).as("bv"))): _*)).as("band"))
         .select(col(id), col("band.b").as("b"), col("band.bv").as("bv"))
       val cands = bands1(trSarr, "train_id")
