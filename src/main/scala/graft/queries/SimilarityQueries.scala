@@ -166,7 +166,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfLabelStats :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
-      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ annRecallIvfTrained :+ annRecallPq :+
+      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ annRecallInt8 :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental
 
@@ -2428,6 +2428,98 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val (_, gall) = graphServeCands(assign1, stored, v, qv)
     (path, ingestPlan, graphTop5(gall, v, qv))
+  }
+
+  /** ★ kNN-graph store COMPACTION — the layout-maintenance step the
+    * graph family's O(batch) appends require, mirroring
+    * q_similarity_ivf_compact for the second index family: every append
+    * adds one parquet file per touched bucket, so under continuous
+    * ingest the per-bucket file count grows with trigger count and the
+    * hop joins pay per-file open/footer costs the zero-exchange math
+    * never shows. The compactor reads ONLY the store and rewrites it
+    * one-file-per-bucket into a fresh epoch table (same bucketBy(8, u)
+    * spec — the epoch serves with the same zero-exchange hop joins),
+    * the retire pattern of q_ivf_retrain_apply: the fragmented layout
+    * stays read-only while serving moves. Declared output is serving
+    * over the COMPACTED epoch, sharing q_graph_incremental's one-shot
+    * frozen-rebuild oracle — fragmentation state can never leak into
+    * results. GraphIndexSpec pins: more files than the epoch before,
+    * ≤ 1 file per bucket after, row multiset identity across layouts,
+    * rewrite plan reads only the store, and served bit-equality between
+    * fragmented and compacted stores. */
+  val graphCompact: QueryDef = q(
+    "q_graph_compact",
+    graphIncrementalSql
+  ) { (s, dir) => graphCompactServe(s, dir)._5 }
+
+  /** q_graph_compact's build+ingest+compact+serve, exposed
+    * private[graft] for GraphIndexSpec: (fragmented path, epoch path,
+    * rewrite physical plan, fragmented-serve frame, epoch-serve frame). */
+  private[graft] def graphCompactServe(s: SparkSession, dir: String)
+      : (String, String, String, DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+      .persist(MEMORY_AND_DISK)
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val batch = v.filter(col("vec_id") % 4 === 3)
+    val cents = IvfProvision.seeds(base)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val a2base = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
+    val a2batch = graphAssign2(batch, cents).persist(MEMORY_AND_DISK)
+    val fragDirF = graft.plans.ScratchDirs.unique("graft-knn-graph-frag")
+    val fragTbl = fragDirF.getName.replace('-', '_').replace('.', '_')
+    val fragPath = fragDirF.getAbsolutePath
+    def writeEdges(df: DataFrame, mode: String, tbl: String, path: String): Unit =
+      df.repartition(graphIndexBuckets, col("u"))
+        .write.mode(mode)
+        .bucketBy(graphIndexBuckets, "u").sortBy("u")
+        .option("path", path)
+        .saveAsTable(tbl)
+    // 1) base build + 2) O(batch) frozen-candidate append — the exact
+    // q_graph_incremental dataflow, here only to fragment the store
+    writeEdges(graphEdgesFrom(graphBuildCands(a2base), base, base),
+      "overwrite", fragTbl, fragPath)
+    val xcand = a2batch.select(col("c_id"), col("vec_id").as("u"))
+      .join(a2base.select(col("c_id"), col("vec_id").as("w")), "c_id")
+      .select(col("u"), col("w")).distinct()
+    writeEdges(graphEdgesFrom(xcand, batch, base), "append", fragTbl, fragPath)
+    // 3) compact: read ONLY the store, rewrite one-file-per-bucket epoch
+    val epochDirF = graft.plans.ScratchDirs.unique("graft-knn-graph-epoch")
+    val epochTbl = epochDirF.getName.replace('-', '_').replace('.', '_')
+    val epochPath = epochDirF.getAbsolutePath
+    // the rewrite is EXCHANGE-FREE: force a genuinely bucketed scan
+    // (autoBucketedScan otherwise downgrades it — no join/agg "uses"
+    // the buckets — while the planner still elides a user repartition
+    // as satisfied-by-bucketing, leaving size-split tasks that write
+    // MORE files than before). With the true bucketed scan each task
+    // reads exactly one bucket's files and writes that bucket's single
+    // epoch file: compaction costs one co-located read+write per
+    // bucket, no shuffle at all.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = s.conf.get(autoKey, "true")
+    s.conf.set(autoKey, "false")
+    val rewritePlan =
+      try {
+        val rewrite = s.table(fragTbl)
+        val p = rewrite.queryExecution.executedPlan.toString
+        rewrite.write.mode("overwrite")
+          .bucketBy(graphIndexBuckets, "u").sortBy("u")
+          .option("path", epochPath)
+          .saveAsTable(epochTbl)
+        p
+      } finally s.conf.set(autoKey, prevAuto)
+    // 4) serve both layouts (the spec diffs them; the declared output is
+    // the epoch serve)
+    val assign2 = a2base.unionByName(a2batch)
+    val assign1 = assign2.filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val qv = v.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def serve(tbl: String): DataFrame = {
+      val (_, gall) = graphServeCands(assign1, s.table(tbl).hint("merge"), v, qv)
+      graphTop5(gall, v, qv)
+    }
+    (fragPath, epochPath, rewritePlan, serve(fragTbl), serve(epochTbl))
   }
 
   /** Stored-graph oracle: the harness's build+serve CTEs verbatim, top-5

@@ -112,6 +112,30 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("graph-store compaction: layout-only, fewer files, serving bit-equal") {
+    val (fragPath, epochPath, rewritePlan, servedFrag, servedEpoch) =
+      SimilarityQueries.graphCompactServe(spark, dir)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // the append fragmented the store (up to 2 files per touched
+    // bucket); the epoch is at most one file per bucket
+    assert(files(fragPath).length > files(epochPath).length,
+      s"frag=${files(fragPath).length} epoch=${files(epochPath).length}")
+    assert(files(epochPath).length <= SimilarityQueries.graphIndexBuckets)
+    // row multiset identity across layouts
+    val frag = spark.read.parquet(fragPath).collect().map(_.toString).sorted.toSeq
+    val epoch = spark.read.parquet(epochPath).collect().map(_.toString).sorted.toSeq
+    assert(frag === epoch)
+    assert(frag.nonEmpty)
+    // compaction reads only the store — never the corpus
+    assert(!rewritePlan.contains("embeddings"),
+      s"compaction must not rescan the corpus:\n${rewritePlan.take(2000)}")
+    // serving bit-equality across layouts
+    assert(servedFrag.collect().map(_.toString).sorted.toSeq ===
+      servedEpoch.collect().map(_.toString).sorted.toSeq)
+    Bench.cleanup(spark)
+  }
+
   test("incremental serve equals the frozen one-shot rebuild; appended edges are batch-only") {
     val v = corpus
     val base = v.filter(col("vec_id") % 4 =!= 3)
