@@ -64,7 +64,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/timings.json"),
-      timings.map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }.mkString("{", ",", "}"))
+      timings.map { case (k, v) =>
+        // Locale.ROOT: f"" uses the default locale, whose decimal comma
+        // (de_DE etc.) would make the artifact invalid JSON
+        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"
+      }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -254,8 +254,11 @@ object DedupQueries {
     val host = regexp_replace(lower(regexp_extract(nf, "^([^/?]*)", 1)), "^www\\.", "")
     val path = regexp_replace(regexp_extract(nf, "^[^/?]*([^?]*)", 1), "/+$", "")
     val query = regexp_extract(nf, "\\?(.*)$", 1)
+    // prefix compare, not LIKE 'utm_%' — LIKE's `_` is a single-char
+    // wildcard, which would also strip legitimate params like utmost=1
+    // (round-15 review finding; the oracle uses the same substr compare)
     val kept = array_join(array_sort(filter(split(query, "&"),
-      p => !p.like("utm_%") && !p.like("fbclid=%") && (p =!= ""))), "&")
+      p => substring(p, 1, 4) =!= "utm_" && !p.like("fbclid=%") && (p =!= ""))), "&")
     concat(host, path, when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 
@@ -295,7 +298,7 @@ object DedupQueries {
        |  FROM (
        |    SELECT doc_id, text, host, path,
        |      array_to_string(list_sort(list_filter(string_split(query, '&'),
-       |        p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'fbclid=%' AND p <> '')), '&') AS kept
+       |        p -> substr(p, 1, 4) <> 'utm_' AND p NOT LIKE 'fbclid=%' AND p <> '')), '&') AS kept
        |    FROM (
        |      SELECT doc_id, text,
        |        regexp_replace(lower(regexp_extract(nf, '^([^/?]*)', 1)), '^www\\.', '') AS host,

@@ -411,18 +411,19 @@ object MultimodalQueries {
     // shifts the IDAT offset, WAVs (doc_id % 5 = 3) where a LIST chunk
     // shifts the data chunk, and AVIs (doc_id % 5 = 1, round 11) where a
     // JUNK chunk shifts the movi list; either way whole-file hashing and
-    // fixed-offset slicing both miss them. The lane is the same signature→bucket→
-    // verify shape as every dedup family: block on the PARSED content-head
-    // fingerprint (first 32 CONTENT bytes at the chunk-walked offsets —
-    // for png/wav the data section, for avi the '00db' frames stitched in
-    // chunk order, so the fourcc/length framing never leaks into the
-    // hash — the cheap pre-filter a production pipeline would block on
-    // first); pairing keys on the md5 of the FULL parsed content (already
-    // computed in the same decode pass, so equal-content buckets ARE the
-    // verified pair classes); n_bytes_a ≠ n_bytes_b on every planted pair
-    // is the visible proof the containers differ. The oracle rebuilds the
-    // fingerprint from the text the payloads embed and the encoders' size
-    // arithmetic — a mis-parsed offset breaks every pair.
+    // fixed-offset slicing both miss them. The lane fingerprints the
+    // PARSED content at the chunk-walked offsets (for png/wav the data
+    // section, for avi the '00db' frames stitched in chunk order, so
+    // the fourcc/length framing never leaks into the hash) and keys
+    // pairs on the md5 of that FULL parsed content — equal-content
+    // buckets ARE the verified duplicate classes, so blocking and
+    // verify collapse into one key (round 15 dropped the old frame-0
+    // pre-filter: the full hash was already computed in the same decode
+    // pass, so the pre-filter bought nothing). n_bytes_a ≠ n_bytes_b on
+    // every planted pair is the visible proof the containers differ.
+    // The oracle rebuilds the content hash from the text the payloads
+    // embed and the encoders' size arithmetic — a mis-parsed offset
+    // breaks every pair.
     // (Size arithmetic parity: DuckDB `strlen` = UTF-8 byte length, so the
     // oracle's `57 + strlen(text)` / `83 + strlen(...)` equal the encoder's
     // payload.length for any text — see q_multimodal_meta's note.)

@@ -2382,11 +2382,18 @@ object SimilarityQueries {
     graphIncrementalSql
   ) { (s, dir) => graphIncrementalServe(s, dir)._3 }
 
-  /** q_graph_incremental's build+ingest+serve, exposed private[graft]
-    * for GraphIndexSpec: (store path, ingest physical plan captured
-    * before the append, served frame). */
-  private[graft] def graphIncrementalServe(s: SparkSession, dir: String)
-      : (String, String, DataFrame) = {
+  /** The incremental/compact lanes' shared build+ingest core: base
+    * edges written (overwrite) into a fresh bucketed store, batch edges
+    * computed against FROZEN base candidates and appended — the one
+    * place the frozen-candidate ingest rule lives, so the two lanes
+    * sharing one oracle cannot drift. Returns the corpus frame, the two
+    * persisted 2-cell assignments, the ingest plan (captured before the
+    * append), and the store's (table, path). */
+  private case class GraphStoreCtx(v: DataFrame, a2base: DataFrame,
+      a2batch: DataFrame, ingestPlan: String, tbl: String, path: String)
+
+  private def graphBuildAndAppend(s: SparkSession, dir: String,
+      scratch: String): GraphStoreCtx = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
@@ -2397,16 +2404,17 @@ object SimilarityQueries {
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val a2base = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
     val a2batch = graphAssign2(batch, cents).persist(MEMORY_AND_DISK)
-    val dirF = graft.plans.ScratchDirs.unique("graft-knn-graph-inc")
+    val dirF = graft.plans.ScratchDirs.unique(scratch)
     val tbl = dirF.getName.replace('-', '_').replace('.', '_')
     val path = dirF.getAbsolutePath
+    def writeEdges(df: DataFrame, mode: String): Unit =
+      df.repartition(graphIndexBuckets, col("u"))
+        .write.mode(mode)
+        .bucketBy(graphIndexBuckets, "u").sortBy("u")
+        .option("path", path)
+        .saveAsTable(tbl)
     // 1) base build — the one-time cost
-    graphEdgesFrom(graphBuildCands(a2base), base, base)
-      .repartition(graphIndexBuckets, col("u"))
-      .write.mode("overwrite")
-      .bucketBy(graphIndexBuckets, "u").sortBy("u")
-      .option("path", path)
-      .saveAsTable(tbl)
+    writeEdges(graphEdgesFrom(graphBuildCands(a2base), base, base), "overwrite")
     // 2) incremental ingest — batch edges against frozen base
     // candidates only (u and w slices are disjoint, no u≠w filter needed)
     val xcand = a2batch.select(col("c_id"), col("vec_id").as("u"))
@@ -2414,20 +2422,29 @@ object SimilarityQueries {
       .select(col("u"), col("w")).distinct()
     val newEdges = graphEdgesFrom(xcand, batch, base)
     val ingestPlan = newEdges.queryExecution.executedPlan.toString
-    newEdges
-      .repartition(graphIndexBuckets, col("u"))
-      .write.mode("append")
-      .bucketBy(graphIndexBuckets, "u").sortBy("u")
-      .option("path", path)
-      .saveAsTable(tbl)
-    // 3) serve over the merged store
-    val stored = s.table(tbl).hint("merge")
-    val assign2 = a2base.unionByName(a2batch)
-    val assign1 = assign2.filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
-    val qv = v.filter(col("vec_id") < 8).limit(8)
+    writeEdges(newEdges, "append")
+    GraphStoreCtx(v, a2base, a2batch, ingestPlan, tbl, path)
+  }
+
+  /** Serve the merged store (or any edge table) for the 8 fixture
+    * queries — the incremental/compact lanes' shared serving tail. */
+  private def graphServeMerged(s: SparkSession, ctx: GraphStoreCtx,
+      edgeTbl: String): DataFrame = {
+    val assign1 = ctx.a2base.unionByName(ctx.a2batch)
+      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val qv = ctx.v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val (_, gall) = graphServeCands(assign1, stored, v, qv)
-    (path, ingestPlan, graphTop5(gall, v, qv))
+    val (_, gall) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)
+    graphTop5(gall, ctx.v, qv)
+  }
+
+  /** q_graph_incremental's build+ingest+serve, exposed private[graft]
+    * for GraphIndexSpec: (store path, ingest physical plan captured
+    * before the append, served frame). */
+  private[graft] def graphIncrementalServe(s: SparkSession, dir: String)
+      : (String, String, DataFrame) = {
+    val ctx = graphBuildAndAppend(s, dir, "graft-knn-graph-inc")
+    (ctx.path, ctx.ingestPlan, graphServeMerged(s, ctx, ctx.tbl))
   }
 
   /** ★ kNN-graph store COMPACTION — the layout-maintenance step the
@@ -2457,33 +2474,10 @@ object SimilarityQueries {
     * rewrite physical plan, fragmented-serve frame, epoch-serve frame). */
   private[graft] def graphCompactServe(s: SparkSession, dir: String)
       : (String, String, String, DataFrame, DataFrame) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val v = Tables(s, dir).embeddings
-      .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
-      .persist(MEMORY_AND_DISK)
-    val base = v.filter(col("vec_id") % 4 =!= 3)
-    val batch = v.filter(col("vec_id") % 4 === 3)
-    val cents = IvfProvision.seeds(base)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val a2base = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
-    val a2batch = graphAssign2(batch, cents).persist(MEMORY_AND_DISK)
-    val fragDirF = graft.plans.ScratchDirs.unique("graft-knn-graph-frag")
-    val fragTbl = fragDirF.getName.replace('-', '_').replace('.', '_')
-    val fragPath = fragDirF.getAbsolutePath
-    def writeEdges(df: DataFrame, mode: String, tbl: String, path: String): Unit =
-      df.repartition(graphIndexBuckets, col("u"))
-        .write.mode(mode)
-        .bucketBy(graphIndexBuckets, "u").sortBy("u")
-        .option("path", path)
-        .saveAsTable(tbl)
-    // 1) base build + 2) O(batch) frozen-candidate append — the exact
-    // q_graph_incremental dataflow, here only to fragment the store
-    writeEdges(graphEdgesFrom(graphBuildCands(a2base), base, base),
-      "overwrite", fragTbl, fragPath)
-    val xcand = a2batch.select(col("c_id"), col("vec_id").as("u"))
-      .join(a2base.select(col("c_id"), col("vec_id").as("w")), "c_id")
-      .select(col("u"), col("w")).distinct()
-    writeEdges(graphEdgesFrom(xcand, batch, base), "append", fragTbl, fragPath)
+    // 1-2) base build + O(batch) frozen-candidate append — the shared
+    // graphBuildAndAppend core (the exact q_graph_incremental dataflow),
+    // here to fragment the store
+    val ctx = graphBuildAndAppend(s, dir, "graft-knn-graph-frag")
     // 3) compact: read ONLY the store, rewrite one-file-per-bucket epoch
     val epochDirF = graft.plans.ScratchDirs.unique("graft-knn-graph-epoch")
     val epochTbl = epochDirF.getName.replace('-', '_').replace('.', '_')
@@ -2501,7 +2495,7 @@ object SimilarityQueries {
     s.conf.set(autoKey, "false")
     val rewritePlan =
       try {
-        val rewrite = s.table(fragTbl)
+        val rewrite = s.table(ctx.tbl)
         val p = rewrite.queryExecution.executedPlan.toString
         rewrite.write.mode("overwrite")
           .bucketBy(graphIndexBuckets, "u").sortBy("u")
@@ -2511,15 +2505,8 @@ object SimilarityQueries {
       } finally s.conf.set(autoKey, prevAuto)
     // 4) serve both layouts (the spec diffs them; the declared output is
     // the epoch serve)
-    val assign2 = a2base.unionByName(a2batch)
-    val assign1 = assign2.filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
-    val qv = v.filter(col("vec_id") < 8).limit(8)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    def serve(tbl: String): DataFrame = {
-      val (_, gall) = graphServeCands(assign1, s.table(tbl).hint("merge"), v, qv)
-      graphTop5(gall, v, qv)
-    }
-    (fragPath, epochPath, rewritePlan, serve(fragTbl), serve(epochTbl))
+    (ctx.path, epochPath, rewritePlan,
+      graphServeMerged(s, ctx, ctx.tbl), graphServeMerged(s, ctx, epochTbl))
   }
 
   /** Stored-graph oracle: the harness's build+serve CTEs verbatim, top-5

@@ -87,10 +87,15 @@ object StreamingGraph {
   }
 
   /** Wire an embedding stream (vec_id, e) to the edge store via
-    * foreachBatch. */
+    * foreachBatch. The checkpoint makes the idempotence contract hold
+    * ACROSS restarts too (round-15 review finding): without it a
+    * restarted query renumbers from batchId 0 and dynamic partition
+    * overwrite would replace old partitions with unrelated batches. */
   def run(vecStream: DataFrame, index: StoredGraphIndex): StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
+      .option("checkpointLocation",
+        graft.plans.ScratchDirs.unique("graft-stream-graph-ckpt").getAbsolutePath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(index, batch, batchId): Unit
       }

@@ -102,10 +102,16 @@ object StreamingIvf {
 
   /** Wire an embedding stream (vec_id, e) to the stored index via
     * foreachBatch — the stream-static shape where the static side is the
-    * frozen centroid table and each trigger pays only its own batch. */
+    * frozen centroid table and each trigger pays only its own batch.
+    * The checkpoint makes the (c_id, batch_id) idempotence contract
+    * hold ACROSS restarts too (round-15 review finding): without it a
+    * restarted query renumbers from batchId 0 and dynamic partition
+    * overwrite would replace old partitions with unrelated batches. */
   def run(vecStream: DataFrame, index: StoredIvfIndex): StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
+      .option("checkpointLocation",
+        graft.plans.ScratchDirs.unique("graft-stream-ivf-ckpt").getAbsolutePath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(index, batch, batchId): Unit
       }
