@@ -166,7 +166,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfLabelStats :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
-      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ annRecallIvfTrained :+ annRecallPq :+
+      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ graphStats :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ annRecallInt8 :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental
 
@@ -2513,6 +2513,88 @@ object SimilarityQueries {
     (ctx.path, epochPath, rewritePlan,
       graphServeMerged(s, ctx, ctx.tbl), graphServeMerged(s, ctx, epochTbl))
   }
+
+  /** ★ kNN-graph HEALTH report — the q_ivf_balance analog for the graph
+    * family, the statistic its maintenance loop reads instead of
+    * scanning the corpus: the out-degree histogram split by node origin
+    * (base vs batch). Under-provisioned nodes (deg < M — their 2-cell
+    * candidate pool ran out) and the batch share of the node population
+    * are THE rebuild-epoch triggers for an append-only navigable graph:
+    * frozen base neighborhoods never point at batch nodes, so as the
+    * batch share grows the graph's navigability decays until an epoch
+    * rebuild (the q_ivf_retrain_apply move) re-knits it — this report is
+    * what tells an operator when. O(n·M) edges roll up to
+    * O(origins × degrees ≤ 2·(M+1)) rows — driver-readable at any
+    * corpus size; min_u is the drill-down handle (the q_cluster_stats
+    * idiom). Deg-0 nodes are included by a left join against the corpus
+    * (an unindexed vector is the worst health state, not a missing
+    * row). */
+  val graphStats: QueryDef = q(
+    "q_graph_stats",
+    graphStatsSql
+  ) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+      .persist(MEMORY_AND_DISK)
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val batch = v.filter(col("vec_id") % 4 === 3)
+    val cents = IvfProvision.seeds(base)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val a2base = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
+    val a2batch = graphAssign2(batch, cents)
+    val xcand = a2batch.select(col("c_id"), col("vec_id").as("u"))
+      .join(a2base.select(col("c_id"), col("vec_id").as("w")), "c_id")
+      .select(col("u"), col("w")).distinct()
+    val graph = graphEdgesFrom(graphBuildCands(a2base), base, base)
+      .unionByName(graphEdgesFrom(xcand, batch, base))
+    graphDegreeReport(v.select(col("vec_id")), graph)
+  }
+
+  /** The q_graph_stats rollup over an arbitrary (vec_id) node frame and
+    * (u, w) edge frame — split out so GraphIndexSpec can drive the
+    * deg-0 / under-provisioned health states the saturated fixture
+    * never shows. */
+  private[graft] def graphDegreeReport(nodes: DataFrame, graph: DataFrame): DataFrame =
+    nodes
+      .join(graph.groupBy(col("u")).agg(count(lit(1)).as("deg")),
+        col("vec_id") === col("u"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        when(col("vec_id") % 4 === 3, "batch").otherwise("base").as("origin"))
+      .groupBy(col("origin"), col("deg"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("vec_id")).as("min_u"))
+
+  /** Graph-health oracle: the incremental lane's frozen build CTEs
+    * (verbatim — same assignment/edge text), degree rollup with a
+    * corpus left join so deg-0 nodes appear. */
+  private lazy val graphStatsSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |nb AS (SELECT * FROM n WHERE vec_id % 4 <> 3),
+       |nx AS (SELECT * FROM n WHERE vec_id % 4 = 3),
+       |${IvfProvision.prmSql("n WHERE vec_id % 4 <> 3")},
+       |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn
+       |  FROM nb CROSS JOIN cprm WHERE ${IvfProvision.predSql}),
+       |${graphAssign2Sql("nb", "basea2")},
+       |${graphAssign2Sql("nx", "xa2")},
+       |bgcand AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM basea2 a JOIN basea2 b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |${graphEdgesSql("bgcand", "bgraph")},
+       |xcand AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM xa2 a JOIN basea2 b ON a.c_id = b.c_id),
+       |${graphEdgesSql("xcand", "xgraph")},
+       |graph AS (SELECT u, w FROM bgraph UNION ALL SELECT u, w FROM xgraph),
+       |degs AS (
+       |  SELECT n.vec_id, coalesce(d.deg, 0)::BIGINT AS deg,
+       |    CASE WHEN n.vec_id % 4 = 3 THEN 'batch' ELSE 'base' END AS origin
+       |  FROM n LEFT JOIN (SELECT u, count(*) AS deg FROM graph GROUP BY u) d
+       |    ON d.u = n.vec_id)
+       |SELECT origin, deg, count(*)::BIGINT AS n_nodes, min(vec_id) AS min_u
+       |FROM degs GROUP BY origin, deg""".stripMargin
 
   /** Stored-graph oracle: the harness's build+serve CTEs verbatim, top-5
     * rerank tail — one-shot recompute, no storage. */

@@ -136,6 +136,23 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("degree report surfaces deg-0 and under-provisioned nodes the fixture saturates past") {
+    import SharedSpark.spark.implicits._
+    // 4 nodes: 0 (base, deg 2), 3 (batch, deg 1 — under-provisioned),
+    // 4 (base, deg 0 — unindexed, the worst health state), 7 (batch, deg 0)
+    val nodes = Seq(0L, 3L, 4L, 7L).toDF("vec_id")
+    val graph = Seq((0L, 3L), (0L, 4L), (3L, 0L)).toDF("u", "w")
+    val got = SimilarityQueries.graphDegreeReport(nodes, graph)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      ("base", 0L, 1L, 4L),   // deg-0 base node appears via the left join
+      ("base", 2L, 1L, 0L),
+      ("batch", 0L, 1L, 7L),
+      ("batch", 1L, 1L, 3L)))
+    Bench.cleanup(spark)
+  }
+
   test("incremental serve equals the frozen one-shot rebuild; appended edges are batch-only") {
     val v = corpus
     val base = v.filter(col("vec_id") % 4 =!= 3)
