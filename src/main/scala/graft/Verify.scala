@@ -29,6 +29,7 @@ object Verify {
     // time-vs-SF scaling data (round-14 verdict item 4); kept out of the
     // driver's compare (check_oracle only reads <name>/ and oracle_sql)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
@@ -39,6 +40,11 @@ object Verify {
         timings(name) = (System.nanoTime() - t0) / 1e9
       }
       catch { case e: Throwable =>
+        // a failed query is recorded as -1, not omitted (round-15
+        // ADVICE): the tri-SF scaling tables read these files, and a
+        // silently missing lane reads as "never run" instead of "broken"
+        timings(name) = -1.0
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist/localCheckpoint internally; running all of them
@@ -70,5 +76,11 @@ object Verify {
         s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"
       }.mkString("{", ",", "}"))
     spark.stop()
+    // fail loudly: downstream tooling (gate_tri_sf.sh is exit-code
+    // driven) must see a broken query as a broken run, not a quieter one
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed queries failed")
+      sys.exit(1)
+    }
   }
 }

@@ -87,15 +87,18 @@ object StreamingGraph {
   }
 
   /** Wire an embedding stream (vec_id, e) to the edge store via
-    * foreachBatch. The checkpoint makes the idempotence contract hold
-    * ACROSS restarts too (round-15 review finding): without it a
-    * restarted query renumbers from batchId 0 and dynamic partition
-    * overwrite would replace old partitions with unrelated batches. */
+    * foreachBatch. The checkpoint location is DERIVED from the index
+    * path (round-15 ADVICE: a fresh scratch dir per run() meant a
+    * restarted query renumbered from batchId 0, and dynamic partition
+    * overwrite could replace old partitions with unrelated batches —
+    * the exact failure the checkpoint exists to prevent); an
+    * underscore-prefixed sibling dir is invisible to the parquet reads
+    * of the store itself, so a restart resumes offsets and batch
+    * numbering and redelivered batches overwrite themselves. */
   def run(vecStream: DataFrame, index: StoredGraphIndex): StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        graft.plans.ScratchDirs.unique("graft-stream-graph-ckpt").getAbsolutePath)
+      .option("checkpointLocation", s"${index.path}/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(index, batch, batchId): Unit
       }

@@ -103,15 +103,18 @@ object StreamingIvf {
   /** Wire an embedding stream (vec_id, e) to the stored index via
     * foreachBatch — the stream-static shape where the static side is the
     * frozen centroid table and each trigger pays only its own batch.
-    * The checkpoint makes the (c_id, batch_id) idempotence contract
-    * hold ACROSS restarts too (round-15 review finding): without it a
-    * restarted query renumbers from batchId 0 and dynamic partition
-    * overwrite would replace old partitions with unrelated batches. */
+    * The checkpoint location is DERIVED from the index path (round-15
+    * ADVICE: a fresh scratch dir per run() meant a restarted query
+    * renumbered from batchId 0, and dynamic partition overwrite could
+    * replace old partitions with unrelated batches — the exact failure
+    * the checkpoint exists to prevent); the underscore-prefixed sibling
+    * dir is invisible to the store's own parquet reads, so a restart
+    * resumes offsets and the (c_id, batch_id) idempotence contract
+    * holds ACROSS restarts. */
   def run(vecStream: DataFrame, index: StoredIvfIndex): StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        graft.plans.ScratchDirs.unique("graft-stream-ivf-ckpt").getAbsolutePath)
+      .option("checkpointLocation", s"${index.path}/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(index, batch, batchId): Unit
       }

@@ -29,12 +29,22 @@ class EditBandSpec extends SparkSpec {
   private val docB = (0 until 300)
     .map(i => if (i >= 96 && i < 148) tokB(i) else tokA(i))
     .mkString(" ")
+  // doc 3 = doc 1 plus 260 appended novel tokens: every doc-1 shingle
+  // survives, so shingle Jaccard ≈ 298/560 ≈ 0.53 and the pair (1,3)
+  // band-collides (md5 is deterministic — candidacy is pinned by the
+  // assertion below, not probability). Its length gap (1560 chars) is
+  // > 0.4 × max-length, so the prefilter must drop it BEFORE any DP —
+  // and that drop is provably lossless: lev ≥ |len gap| always, so
+  // sim = 1 − lev/mx ≤ 1 − gap/mx < 1 − 0.4 = 0.6.
+  private def tokC(i: Int): String = "c" + f"$i%05d"
+  private val docC = ((0 until 300).map(tokA) ++ (0 until 260).map(tokC)).mkString(" ")
 
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-editband").toString
     Seq(
       (1L, docA, "en", "synth", docA.length.toLong),
-      (2L, docB, "en", "synth", docB.length.toLong)
+      (2L, docB, "en", "synth", docB.length.toLong),
+      (3L, docC, "en", "synth", docC.length.toLong)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
@@ -55,5 +65,37 @@ class EditBandSpec extends SparkSpec {
     assert(math.abs(sim - (1.0 - 312.0 / 2099.0)) < 1e-4)
     // every emitted pair still satisfies the similarity contract
     rows.values.foreach { case (l, s0) => assert(l >= 0 && s0 >= 0.6) }
+  }
+
+  test("length prefilter: provably-lossless drop — no DP for pairs the length gap already excludes") {
+    import graft.queries.DedupQueries
+    // (1,3) IS an LSH candidate (deterministic md5 banding)…
+    val c = DedupQueries.corpus(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = DedupQueries.minhashCandsFrom(DedupQueries.shingleArrays(c))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L)),
+      s"fixture must make (1,3) a band candidate — got ${cands.toSeq.sorted}")
+    // …whose length gap exceeds the 0.4·mx prefilter bound…
+    val gap = math.abs(docA.length - docC.length)
+    val mx = math.max(docA.length, docC.length)
+    assert(gap > 0.4 * mx)
+    // …and the declared output drops it — losslessly: the FULL
+    // (unbanded, un-prefiltered) DP on the pair confirms sim < 0.6, so
+    // the prefilter removed work, never a result. lev ≥ |len gap| makes
+    // this a theorem (sim ≤ 1 − gap/mx < 0.6), checked here with the
+    // engine's own levenshtein as the witness.
+    val out = SparkEntry.queries("q_dedup_edit_verify")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.contains((1L, 3L)))
+    import SharedSpark.spark.implicits._
+    val fullLev = Seq((docA, docC)).toDF("a", "b")
+      .select(org.apache.spark.sql.functions.levenshtein(col("a"), col("b")))
+      .head().getInt(0)
+    assert(fullLev >= gap, "levenshtein is bounded below by the length gap")
+    assert(1.0 - fullLev.toDouble / mx < 0.6,
+      "the prefiltered pair must be a true negative")
+    Bench.cleanup(spark)
   }
 }

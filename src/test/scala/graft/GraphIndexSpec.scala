@@ -136,6 +136,69 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("q_graph_stats reads the stored edge table — no graph rebuild in the report plan") {
+    val (path, report) = SimilarityQueries.graphStatsReport(spark, dir)
+    assert(report.collect().nonEmpty)
+    val all = flatten(report.queryExecution.executedPlan)
+    val plan = report.queryExecution.executedPlan.toString
+    // a rebuild would carry the top-M window ranks and cosine expressions;
+    // the report must have NO window anywhere in its plan
+    assert(!all.exists(_.nodeName.contains("Window")),
+      s"report plan must not rank/rebuild edges:\n${plan.take(4000)}")
+    // every file scan is either the bucketed store or the vec_id-pruned
+    // corpus (deg-0 visibility) — nothing else is allowed as input
+    val scans = all.collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(s => s.relation.bucketSpec.isDefined &&
+      s.relation.location.rootPaths.exists(_.toString.contains(path))),
+      s"report must scan the stored edge table at $path:\n${plan.take(4000)}")
+    scans.foreach { s =>
+      val isStore = s.relation.location.rootPaths.exists(_.toString.contains(path))
+      assert(isStore || s.output.map(_.name) == Seq("vec_id"),
+        s"unexpected scan ${s.output.map(_.name)} in the report plan:\n${plan.take(4000)}")
+    }
+    Bench.cleanup(spark)
+  }
+
+  test("rebuild apply: both arms, epoch-0 retired read-only, re-knit reaches batch nodes") {
+    // untripped at sf0.001 — epoch 0 serves, no new store is written
+    val r0 = SimilarityQueries.graphRebuildServe(spark, "/root/testdata/sf0.001")
+    assert(r0.epoch === 0L && r0.epochPath.isEmpty && r0.hubPpm === 0L)
+    assert(r0.served.collect().nonEmpty)
+    Bench.cleanup(spark)
+    // tripped at sf0.01 — snapshot epoch-0 files across the rebuild
+    val dir01 = "/root/testdata/sf0.01"
+    val (_, path0) = SimilarityQueries.ensureGraphStore(spark, dir01)
+    def snap(p: String): Map[String, String] = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getName ->
+          md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+      }.toMap
+    val before = snap(path0)
+    assert(before.nonEmpty)
+    val r1 = SimilarityQueries.graphRebuildServe(spark, dir01)
+    assert(r1.epoch === 1L && r1.epochPath.nonEmpty)
+    assert(snap(path0) === before,
+      "epoch-0 files must be byte-identical across the rebuild")
+    // the re-knit property: the new epoch contains edges pointing AT
+    // batch vectors — exactly what the frozen epoch-0 store cannot hold
+    val epochEdges = spark.read.parquet(r1.epochPath.get)
+    assert(epochEdges.filter(col("w") % 4 === 3).count() > 0,
+      "rebuild must knit batch vectors into neighborhoods")
+    assert(spark.read.parquet(path0).filter(col("w") % 4 === 3).count() === 0,
+      "frozen epoch-0 edges never point at batch vectors")
+    // serving reads the NEW epoch's bucketed store
+    r1.gall.collect()
+    val scans = flatten(r1.gall.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(s => s.relation.bucketSpec.isDefined &&
+      s.relation.location.rootPaths.exists(_.toString.contains(r1.epochPath.get))),
+      "tripped serving must scan the rebuilt epoch's bucketed table")
+    assert(r1.served.collect().nonEmpty)
+    Bench.cleanup(spark)
+  }
+
   test("degree report surfaces deg-0 and under-provisioned nodes the fixture saturates past") {
     import SharedSpark.spark.implicits._
     // 4 nodes: 0 (base, deg 2), 3 (batch, deg 1 — under-provisioned),
