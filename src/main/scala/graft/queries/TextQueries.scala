@@ -290,6 +290,244 @@ object TextQueries {
        |FROM wl GROUP BY 1, 2""".stripMargin
   }
 
+  // --- unigram-LM (SentencePiece-style) tokenizer training ---------------
+
+  /** Longest candidate piece, in characters. Bounds the Viterbi DP's
+    * per-position fan-out (j ∈ 1..4) and the seed-substring explode —
+    * both engines iterate the same fixed j range, so the DP shape is
+    * structural, never data-dependent. */
+  private[graft] val unigramMaxPieceLen = 4
+
+  /** Seed-vocabulary size for multi-char pieces (all single chars are
+    * always seeded for coverage — a word must always segment). */
+  private[graft] val unigramSeedMulti = 120
+
+  /** Multi-char pieces kept per EM round — the prune-to-K vocabulary
+    * step (Kudo 2018 drops the worst ~20% per round; a fixed keep-K by
+    * (est count DESC, piece) is the same move with an exact integer
+    * total order both engines replay). */
+  private[graft] val unigramKeepMulti = 64
+
+  /** Hard-EM rounds the encode lane trains before segmenting the corpus
+    * — structural like lloydLocal's 3 rounds at eps=0, so the oracle
+    * unrolls exactly this many stages and no measured constant exists. */
+  private[graft] val unigramEncodeRounds = 2
+
+  /** Integer fixed-point piece weights for the Viterbi DP: w(p) =
+    * floor(1e6·ln(count_p)) − floor(1e6·ln(Σ counts)) — the log-prob of
+    * the piece at micro precision. Path score = Σ w(piece_i) is then an
+    * EXACT integer sum, so the argmax and its tie-breaks are
+    * deterministic across engines and partitionings; the only float op
+    * is the per-piece ln, the same floor(1e6·ln) device q_text_entropy
+    * and q_tfidf already rely on. */
+  private[graft] def unigramScores(vocab: Seq[(String, Long)]): Map[String, Long] = {
+    val ilt = math.floor(1e6 * math.log(vocab.iterator.map(_._2).sum.toDouble)).toLong
+    vocab.iterator.map { case (p, c) =>
+      p -> (math.floor(1e6 * math.log(c.toDouble)).toLong - ilt)
+    }.toMap
+  }
+
+  /** Viterbi segmentation of one word under integer piece weights — the
+    * hard-EM E-step kernel (and the encode kernel). dp[i] = max over
+    * j ∈ 1..4 of dp[i−j] + w(word[i−j..i)); ties pick the LARGEST j
+    * (ascending scan, ≥ replaces — prefer the longer final piece), the
+    * exact rule the oracle's list_reduce replays. Single-char coverage
+    * makes a dead end impossible. */
+  private[graft] def unigramViterbi(word: String,
+      score: scala.collection.Map[String, Long]): List[String] = {
+    val n = word.length
+    val sc = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var bj = 0
+      var j = 1
+      val jmax = math.min(unigramMaxPieceLen, i)
+      while (j <= jmax) {
+        val w = score.getOrElse(word.substring(i - j, i), Long.MinValue)
+        if (w != Long.MinValue) {
+          val cand = sc(i - j) + w
+          if (cand >= best) { best = cand; bj = j }
+        }
+        j += 1
+      }
+      require(bj > 0, s"unsegmentable position $i in '$word' — seed chars missing")
+      sc(i) = best
+      bp(i) = bj
+      i += 1
+    }
+    var out = List.empty[String]
+    var k = n
+    while (k > 0) { out = word.substring(k - bp(k), k) :: out; k -= bp(k) }
+    out
+  }
+
+  /** (word, wc) frequency table — the SentencePiece working set: all
+    * training passes run over DISTINCT words weighted by count, never
+    * the corpus (the bpeTrainLoop discipline). */
+  private def unigramWords(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("word"))
+    .filter(length(col("word")) >= 1)
+    .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** Seed vocabulary: every single character (coverage) plus the top
+    * [[unigramSeedMulti]] substrings of length 2..4 by positional
+    * corpus-weighted count — one distributed substring explode + agg,
+    * then two BOUNDED collects (≤ alphabet + K rows, the IvfProvision
+    * driver-collect contract). */
+  private[graft] def unigramSeedVocab(s: SparkSession, words: DataFrame): Seq[(String, Long)] = {
+    val sub = words.select(col("wc"), explode(expr(
+        s"""flatten(transform(sequence(1, $unigramMaxPieceLen), l ->
+           |  CASE WHEN length(word) >= l
+           |    THEN transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l))
+           |    ELSE array() END))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val singles = sub.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = sub.filter(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece")).limit(unigramSeedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (singles ++ multi).toSeq
+  }
+
+  /** One hard-EM round: E-step segments the word table under the current
+    * vocabulary's integer weights (one distributed flatMap — the
+    * sanctioned row-imperative lane, grams8's precedent — over the
+    * BROADCAST ≤(alphabet+K)-row score map), M-step re-estimates counts
+    * as exact integers (Σ wc × uses) and prunes to singles (smoothed to
+    * ≥1 so coverage never dies) + top-[[unigramKeepMulti]] multi pieces.
+    * Returns (the distributed est frame for reporting, the next
+    * driver-bounded vocabulary). */
+  private[graft] def unigramRound(s: SparkSession, words: DataFrame,
+      vocab: Seq[(String, Long)]): (DataFrame, Seq[(String, Long)]) = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(unigramScores(vocab))
+    val est = words.select(col("word"), col("wc")).as[(String, Long)]
+      .flatMap { case (w, wc) => unigramViterbi(w, bc.value).iterator.map(p => (p, wc)) }
+      .toDF("piece", "w")
+      .groupBy(col("piece")).agg(sum(col("w")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val estSingle = est.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val topMulti = est.filter(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece")).limit(unigramKeepMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val singles = vocab.collect { case (p, _) if p.length == 1 =>
+      (p, math.max(estSingle.getOrElse(p, 0L), 1L)) }
+    (est, singles ++ topMulti)
+  }
+
+  /** The shared training loop: seed → `rounds` hard-EM rounds. Returns
+    * (seed vocab, per-round (est frame, vocab-after)) so the train-step
+    * report and the encode lane can never train differently. */
+  private[graft] def unigramTrainLoop(s: SparkSession, docs: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(String, Long)], Vector[(DataFrame, Seq[(String, Long)])]) = {
+    val words = unigramWords(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v0 = unigramSeedVocab(s, words)
+    var v = v0
+    val hist = Vector.newBuilder[(DataFrame, Seq[(String, Long)])]
+    (1 to rounds).foreach { _ =>
+      val (est, next) = unigramRound(s, words, v)
+      hist += ((est, next))
+      v = next
+    }
+    (words, v0, hist.result())
+  }
+
+  /** The oracle's segmentation CTEs over a score table `sc$sfx(piece,
+    * s)`: a RECURSIVE path enumeration with an explicit total order —
+    * deliberately NOT a fold. (A first formulation folded the DP with
+    * list_reduce lambdas; DuckDB 1.0.0's vectorized nested-lambda
+    * evaluation contaminates rows against a large score map — 3 of 31
+    * words segmented with other rows' pieces — so the oracle uses zero
+    * lambdas on the hot path.) Every valid segmentation extends a prefix
+    * by a vocabulary piece of length j ∈ 1..4; the winner per word is
+    * argmax by (integer path score DESC, reversed piece-length sequence
+    * DESC) — PROVABLY the Scala DP's result: the DP picks the longest
+    * final piece on score ties and delegates the remaining tie to the
+    * prefix position, which is exactly lexicographic order on the
+    * right-to-left length sequence (`ls` is built reversed by
+    * prepending, so plain list DESC compares it). */
+  private def unigramSegSql(sfx: String): String =
+    s"""paths$sfx AS (
+       |  SELECT word, wc, 0 AS pos, 0::BIGINT AS sc, []::VARCHAR[] AS ps, []::BIGINT[] AS ls FROM w
+       |  UNION ALL
+       |  SELECT p.word, p.wc, p.pos + j.j, p.sc + s.s, p.ps || [s.piece], [j.j::BIGINT] || p.ls
+       |  FROM paths$sfx p
+       |  CROSS JOIN (VALUES (1), (2), (3), (4)) j(j)
+       |  JOIN sc$sfx s ON p.pos + j.j <= length(p.word)
+       |    AND s.piece = substr(p.word, (p.pos + 1)::INT, j.j)),
+       |seg$sfx AS MATERIALIZED (
+       |  SELECT word, wc, ps FROM (
+       |    SELECT word, wc, ps,
+       |      row_number() OVER (PARTITION BY word ORDER BY sc DESC, ls DESC) AS rn
+       |    FROM paths$sfx WHERE pos = length(word)) WHERE rn = 1)""".stripMargin
+
+  /** One unrolled EM-round CTE block: scores off v{r−1}, Viterbi
+    * segmentation of the word table, integer est counts, pruned v{r}. */
+  private def unigramRoundSql(r: Int): String =
+    s"""tot$r AS (SELECT floor(1e6 * ln(sum(n)))::BIGINT AS ilt FROM v${r - 1}),
+       |sc$r AS MATERIALIZED (SELECT piece, floor(1e6 * ln(n))::BIGINT - (SELECT ilt FROM tot$r) AS s FROM v${r - 1}),
+       |${unigramSegSql(r.toString)},
+       |est$r AS MATERIALIZED (SELECT piece, sum(wc)::BIGINT AS n FROM (
+       |  SELECT wc, unnest(ps) AS piece FROM seg$r) GROUP BY 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT s.piece, greatest(coalesce(e.n, 0), 1)::BIGINT AS n
+       |  FROM (SELECT piece FROM v${r - 1} WHERE length(piece) = 1) s LEFT JOIN est$r e USING (piece)
+       |  UNION ALL
+       |  SELECT piece, n FROM (SELECT piece, n FROM est$r WHERE length(piece) > 1
+       |    ORDER BY n DESC, piece LIMIT $unigramKeepMulti))""".stripMargin
+
+  /** Shared WITH-prefix: word frequencies, seed vocabulary, `rounds`
+    * unrolled EM rounds — factored so q_unigram_encode's oracle replays
+    * the EXACT training q_unigram_train_step pins. */
+  private def unigramStagesSql(rounds: Int): String = {
+    val rs = (1 to rounds).map(unigramRoundSql).mkString(",\n")
+    s"""w AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1),
+       |sub AS (
+       |  SELECT piece, sum(wc)::BIGINT AS n FROM (
+       |    SELECT wc, unnest(flatten(list_transform(generate_series(1, $unigramMaxPieceLen), l ->
+       |      list_transform(generate_series(1, length(word) - l + 1), i -> substr(word, i::INT, l::INT))))) AS piece
+       |    FROM w) GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, n FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, n FROM (SELECT piece, n FROM sub WHERE length(piece) > 1
+       |    ORDER BY n DESC, piece LIMIT $unigramSeedMulti)),
+       |$rs""".stripMargin
+  }
+
+  private lazy val unigramTrainStepSql: String =
+    s"""WITH RECURSIVE ${unigramStagesSql(1)}
+       |SELECT v0.piece, length(v0.piece)::BIGINT AS plen, v0.n AS seed_n,
+       |  coalesce(e.n, 0)::BIGINT AS est_n, (k.piece IS NOT NULL) AS kept
+       |FROM v0 LEFT JOIN est1 e USING (piece) LEFT JOIN v1 k USING (piece)""".stripMargin
+
+  private lazy val unigramEncodeSql: String =
+    s"""WITH RECURSIVE ${unigramStagesSql(unigramEncodeRounds)},
+       |totE AS (SELECT floor(1e6 * ln(sum(n)))::BIGINT AS ilt FROM v$unigramEncodeRounds),
+       |scE AS MATERIALIZED (SELECT piece, floor(1e6 * ln(n))::BIGINT - (SELECT ilt FROM totE) AS s FROM v$unigramEncodeRounds),
+       |${unigramSegSql("E")},
+       |dw AS (
+       |  SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |dj AS (
+       |  SELECT dw.doc_id, dw.pos, s.ps, length(dw.word) AS wl
+       |  FROM dw JOIN segE s USING (word) WHERE length(dw.word) >= 1),
+       |docs AS (
+       |  SELECT doc_id, flatten(list(ps ORDER BY pos)) AS pseq, sum(wl)::BIGINT AS n_chars
+       |  FROM dj GROUP BY doc_id)
+       |SELECT doc_id, len(pseq)::BIGINT AS n_tokens, n_chars,
+       |  floor(n_chars::DOUBLE / len(pseq) * 1e6) / 1e6 + 0.0 AS cpt,
+       |  md5(array_to_string(pseq, chr(1))) AS pieces_fp
+       |FROM docs""".stripMargin
+
   /** The fixed 3-term retrieval query every BM25 lane serves. */
   private[queries] val bm25Terms = Seq("join", "filter", "scan")
 
@@ -545,6 +783,97 @@ object TextQueries {
       out
     },
 
+    // ★ Unigram-LM tokenizer training, ONE hard-EM step — the BPE
+    // family's SentencePiece-style counterpart (Kudo 2018): where BPE
+    // grows a vocabulary bottom-up by merges, the unigram LM starts from
+    // an over-complete substring seed and PRUNES, re-estimating piece
+    // counts from Viterbi segmentations of the word-frequency table.
+    // This lane reports one step: seed vocabulary (all chars + top-120
+    // substrings ≤4 chars by positional weighted count), E-step Viterbi
+    // piece uses under integer fixed-point log weights (unigramScores —
+    // path scores are exact integer sums, tie-break prefers the longer
+    // final piece), M-step counts (exact Σ wc × uses), and the pruned
+    // keep set (chars smoothed to ≥1 + top-64 multi). Scale: every pass
+    // runs over DISTINCT words weighted by count (the bpeTrainLoop
+    // working-set trick — O(vocab × len), never O(corpus)); the score
+    // map broadcasts at ≤(alphabet + 120) rows; output is O(seed) rows,
+    // driver-readable at any corpus size. Oracle: the same seed, a
+    // recursive path enumeration whose (score DESC, reversed-length-seq
+    // DESC) total order provably equals the DP's tie rule, est and
+    // prune stages unrolled in SQL.
+    q(
+      "q_unigram_train_step",
+      unigramTrainStepSql
+    ) { (s, dir) =>
+      import s.implicits._
+      val words = unigramWords(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v0 = unigramSeedVocab(s, words)
+      val (est, v1) = unigramRound(s, words, v0)
+      val kept = v1.map(_._1).toSet
+      v0.toDF("piece", "seed_n")
+        .join(est.withColumnRenamed("n", "est_n0"), Seq("piece"), "left")
+        .select(col("piece"),
+          length(col("piece")).cast("long").as("plen"),
+          col("seed_n"),
+          coalesce(col("est_n0"), lit(0L)).as("est_n"),
+          col("piece").isInCollection(kept).as("kept"))
+    },
+
+    // ★ Unigram-LM ENCODE — the corpus-scale step after training: two
+    // hard-EM rounds (structural count, oracle-unrolled) produce the
+    // final pruned vocabulary, whose integer weights segment each
+    // DISTINCT word once (the same Viterbi kernel training used —
+    // encode and E-step can never disagree); one positional explode +
+    // word join + per-doc ordered reassembly covers the corpus, exactly
+    // q_bpe_encode's shape with piece strings instead of merge ids.
+    // Output per doc: token count, chars-per-token, and the md5
+    // fingerprint of the chr(1)-joined piece sequence — every piece in
+    // every position pinned without shipping long arrays through the
+    // compare. The measured tokens/doc vs q_bpe_encode at equal vocab
+    // scale is in docs/SCALING.md.
+    q(
+      "q_unigram_encode",
+      unigramEncodeSql
+    ) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      // phase timers: training (seed + 2 EM rounds, forced by the loop's
+      // bounded collects) vs the corpus encode
+      val (words, vFinal) = graft.Bench.phase("q_unigram_encode.train") {
+        val (ws, _, hist) = unigramTrainLoop(s, docs, unigramEncodeRounds)
+        (ws, hist.last._2)
+      }
+      val bc = s.sparkContext.broadcast(unigramScores(vFinal))
+      val segged = words.select(col("word")).as[String]
+        .map(w => (w, unigramViterbi(w, bc.value)))
+        .toDF("word", "ps")
+      val dw = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) >= 1)
+      graft.Bench.phase("q_unigram_encode.encode") {
+        val out = dw.join(segged, "word")
+          .groupBy(col("doc_id"))
+          .agg(
+            flatten(transform(
+              sort_array(collect_list(struct(col("pos"), col("ps")))),
+              x => x.getField("ps"))).as("pseq"),
+            sum(length(col("word"))).as("n_chars"))
+          .select(col("doc_id"),
+            size(col("pseq")).cast("long").as("n_tokens"),
+            col("n_chars"),
+            (floor(col("n_chars").cast("double") / size(col("pseq")) * 1e6) / 1e6 + 0.0)
+              .as("cpt"),
+            // joined on the U+0001 byte (DuckDB chr(1)) — a separator no
+            // whitespace-split word can contain: the fingerprint is
+            // injective over piece sequences
+            md5(concat_ws("\u0001", col("pseq"))).as("pieces_fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      }
+    },
 
     // Term frequency + document frequency.
     q(

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** The unigram-LM (SentencePiece-style) trainer's contract:
+  *
+  *  1. KERNEL: the integer Viterbi prefers fewer/longer pieces (one
+  *     piece beats any split at equal counts — log-probs are negative)
+  *     and breaks exact score ties toward the LONGER FINAL piece, the
+  *     rule the oracle's (score DESC, reversed-length-seq DESC) order
+  *     replays.
+  *  2. VALIDITY: every word's segmentation concatenates back to the
+  *     word (single-char seeding makes a dead end impossible), at every
+  *     EM round.
+  *  3. M-STEP EXACTNESS: est counts are exactly Σ wc × uses, re-derived
+  *     on the driver from the same segmentations.
+  *  4. PRUNE SHAPE: all singles survive every round (smoothed ≥ 1),
+  *     multi pieces are capped at unigramKeepMulti.
+  */
+class UnigramSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("Viterbi kernel: fewer pieces win; exact ties pick the longer final piece") {
+    // equal counts → equal integer weights for every piece
+    val sc = TextQueries.unigramScores(
+      Seq("a" -> 5L, "b" -> 5L, "c" -> 5L, "ab" -> 5L, "bc" -> 5L))
+    // one piece beats two at equal weights (weights are negative)
+    assert(TextQueries.unigramViterbi("ab", sc) === List("ab"))
+    // 'abc': [ab, c] and [a, bc] tie exactly (2 pieces, same weights) —
+    // the DP's ascending-j ≥-replace scan keeps the longer FINAL piece
+    assert(TextQueries.unigramViterbi("abc", sc) === List("a", "bc"))
+    // no multi-char option → chars
+    assert(TextQueries.unigramViterbi("ca", sc) === List("c", "a"))
+  }
+
+  test("every EM round segments every word back to itself; est counts are exact; prune shape holds") {
+    import SharedSpark.spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val (words, v0, hist) = TextQueries.unigramTrainLoop(spark, docs,
+      TextQueries.unigramEncodeRounds)
+    val wlocal = words.as[(String, Long)].collect()
+    assert(wlocal.nonEmpty)
+    var vocab = v0
+    hist.zipWithIndex.foreach { case ((est, next), r) =>
+      val sc = TextQueries.unigramScores(vocab)
+      // validity + exact M-step, replayed on the driver with the SAME
+      // shipped kernel (words are the fixture's bounded distinct set)
+      val mine = scala.collection.mutable.Map.empty[String, Long]
+      wlocal.foreach { case (w, wc) =>
+        val ps = TextQueries.unigramViterbi(w, sc)
+        assert(ps.mkString === w, s"round $r: '$w' segmented to $ps")
+        ps.foreach(p => mine(p) = mine.getOrElse(p, 0L) + wc)
+      }
+      val got = est.collect().map(x => (x.getString(0), x.getLong(1))).toMap
+      assert(got === mine.toMap, s"round $r M-step drifted")
+      // prune shape: all previous singles kept (≥1), multi ≤ cap
+      val singlesPrev = vocab.collect { case (p, _) if p.length == 1 => p }.toSet
+      val nextSingles = next.collect { case (p, n) if p.length == 1 => (p, n) }
+      assert(nextSingles.map(_._1).toSet === singlesPrev)
+      assert(nextSingles.forall(_._2 >= 1L))
+      assert(next.count(_._1.length > 1) <= TextQueries.unigramKeepMulti)
+      vocab = next
+    }
+    Bench.cleanup(spark)
+  }
+
+  test("encode output: every doc tokenizes, pieces never beat chars, words lower-bound tokens") {
+    val out = SparkEntry.queries("q_unigram_encode")(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("n_chars")).collect()
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), size(filter(split(col("text"), " "),
+        w => length(w) >= 1)).cast("long").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, nt, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nt >= 1 && nt <= nc, s"doc $id: $nt tokens vs $nc chars")
+      assert(nt >= docs(id), s"doc $id: fewer tokens than words")
+    }
+    Bench.cleanup(spark)
+  }
+}
