@@ -170,7 +170,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfLabelStats :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
-      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ graphStats :+ graphRebuildApply :+ annRecallIvfTrained :+ annRecallPq :+
+      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ graphStats :+ graphRebuildApply :+ annRecallBeam :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ annRecallInt8 :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental
 
@@ -2080,13 +2080,12 @@ object SimilarityQueries {
       .filter(col("u") =!= col("w"))
       .select(col("u"), col("w")).distinct()
 
-  /** Graph-serving candidate set: probe-1 cell members plus a two-hop
-    * expansion of the top-L seeds through the edge frame `graph` (which
-    * may be an in-memory frame or a bucketed stored-table scan — the
-    * point of factoring). Returns (p1cand, gall); both persisted because
-    * the harness and the rerank read them more than once. */
-  private[graft] def graphServeCands(assign1: DataFrame, graph: DataFrame,
-      v: DataFrame, qv: DataFrame): (DataFrame, DataFrame) = {
+  /** Probe-1 cell candidates and the exact-scored top-L seeds — the
+    * graph-independent front half of serving, shared by the 2-hop walk
+    * and the beam lane so their entry points can never differ. p1cand
+    * persists (the harness and rerank read it repeatedly). */
+  private[graft] def graphSeedCands(assign1: DataFrame, v: DataFrame,
+      qv: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.cosineSimilarity
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val qs = assign1.join(broadcast(qv.select(col("q_id"))),
@@ -2104,6 +2103,18 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), col("cos")),
       Seq("q_id"), Seq(col("cos").desc, col("vec_id")), graphSeeds, "srn")
       .select(col("q_id"), col("vec_id"))
+    (p1cand, seeds)
+  }
+
+  /** Graph-serving candidate set: probe-1 cell members plus a two-hop
+    * expansion of the top-L seeds through the edge frame `graph` (which
+    * may be an in-memory frame or a bucketed stored-table scan — the
+    * point of factoring). Returns (p1cand, gall); both persisted because
+    * the harness and the rerank read them more than once. */
+  private[graft] def graphServeCands(assign1: DataFrame, graph: DataFrame,
+      v: DataFrame, qv: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (p1cand, seeds) = graphSeedCands(assign1, v, qv)
     val hop1 = seeds.join(graph, seeds("vec_id") === graph("u"))
       .filter(col("w") =!= col("q_id"))
       .select(col("q_id"), col("w").as("vec_id"))
@@ -2697,6 +2708,120 @@ object SimilarityQueries {
     }
   }
 
+  /** Beam width W: candidates expanded per round. */
+  private[graft] val graphBeamWidth = 4
+
+  /** Beam rounds B — structural (the oracle unrolls exactly B stages,
+    * the lloydLocal eps=0 discipline); a round that finds nothing new is
+    * an honest converged no-op, exactly how an HNSW serve terminates. */
+  private[graft] val graphBeamRounds = 3
+
+  /** ★ BEAM-SEARCH graph serving — the HNSW serving shape (Malkov &
+    * Yashunin 2018) completing the graph family's query side: where
+    * q_ann_recall_graph walks a FIXED 2-hop frontier (every neighbor of
+    * every neighbor — breadth, no guidance), the beam expands only the
+    * best-W visited candidates each round, so exact-eval spend follows
+    * the gradient toward the query instead of the graph's fan-out. Both
+    * arms serve the same STORED bucketed edge table ([[ensureGraphStore]]
+    * — zero exchange on the stored side of every expansion join, the
+    * family plan guard) from the same probe-1 seeds, and the harness
+    * reports them side by side: per query, candidate counts (= exact
+    * cosine evals — each node scores exactly ONCE thanks to the visited
+    * anti-join) and recall@5 against the brute-force truth. Measured at
+    * sf0.1: the beam reaches comparable recall on a fraction of the
+    * 2-hop arm's evals (numbers in docs/SCALING.md). Serving cost is
+    * O(B·W·M) stored-edge lookups + that many exact evals per query —
+    * independent of corpus size, THE property that makes navigable-graph
+    * serving the production choice. All arithmetic: exact cosine ranks
+    * with (cos DESC, vec_id) total order; counts are exact integers. */
+  val annRecallBeam: QueryDef = q(
+    "q_ann_recall_beam",
+    annRecallBeamSql
+  ) { (s, dir) => beamServe(s, dir)._3 }
+
+  /** q_ann_recall_beam's body, exposed private[graft] for GraphIndexSpec:
+    * (final visited frame — its plan holds the last expansion join over
+    * the stored table, the 2-hop gall frame, the declared output). */
+  private[graft] def beamServe(s: SparkSession, dir: String,
+      beamWidth: Int = graphBeamWidth, beamRounds: Int = graphBeamRounds)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorExpressions.cosineSimilarity
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (tbl0, _) = ensureGraphStore(s, dir)
+    val stored = s.table(tbl0).hint("merge")
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+      .persist(MEMORY_AND_DISK)
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val batch = v.filter(col("vec_id") % 4 === 3)
+    val cents = IvfProvision.seeds(base)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val a2base = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
+    val a2batch = graphAssign2(batch, cents).persist(MEMORY_AND_DISK)
+    val assign1 = a2base.unionByName(a2batch)
+      .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val qv = v.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(v.select(col("vec_id"), col("e")), "vec_id")
+      .join(broadcast(qv.withColumnRenamed("q_id", "sq")), col("sq") === col("q_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    // the 2-hop arm — the existing serving shape over the same store
+    val gall = graft.Bench.phase("q_ann_recall_beam.two_hop") {
+      val (_, g) = graphServeCands(assign1, stored, v, qv)
+      g.count(); g
+    }
+    // the beam arm: best-W expansion per round, each node exact-scored
+    // exactly once (anti-join against the visited set)
+    val visFinal = graft.Bench.phase("q_ann_recall_beam.beam") {
+      val (_, seeds) = graphSeedCands(assign1, v, qv)
+      var vis = score(seeds).persist(MEMORY_AND_DISK)
+      (1 to beamRounds).foreach { _ =>
+        val beam = twoPhaseRank(vis, Seq("q_id"),
+            Seq(col("cos").desc, col("vec_id")), beamWidth, "brn")
+          .select(col("q_id"), col("vec_id"))
+        val hop = beam.join(stored, beam("vec_id") === stored("u"))
+          .filter(col("w") =!= col("q_id"))
+          .select(col("q_id"), col("w").as("vec_id")).distinct()
+        val fresh = hop.join(vis.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        vis = vis.unionByName(score(fresh)).persist(MEMORY_AND_DISK)
+      }
+      vis.count(); vis
+    }
+    // brute-force truth (harness cost, not serving)
+    val exact = graft.Bench.phase("q_ann_recall_beam.truth") {
+      val e = twoPhaseRank(
+        v.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
+          .select(col("q_id"), col("vec_id"), col("cos")),
+        Seq("q_id"), Seq(col("cos").desc, col("vec_id")), 5, "rank")
+        .select(col("q_id"), col("vec_id"))
+        .persist(MEMORY_AND_DISK)
+      e.count(); e
+    }
+    val counts = gall.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_g"))
+      .join(visFinal.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_beam")),
+        Seq("q_id"), "full")
+    val out = exact
+      .join(gall.withColumn("g", lit(1)), Seq("q_id", "vec_id"), "left")
+      .join(visFinal.select(col("q_id"), col("vec_id")).withColumn("b", lit(1)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_hit_g"),
+        sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_hit_beam"))
+      .join(counts, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand_g"), lit(0L)).as("n_cand_g"),
+        col("n_hit_g"), (col("n_hit_g") / lit(5.0)).as("recall_g"),
+        coalesce(col("n_cand_beam"), lit(0L)).as("n_cand_beam"),
+        col("n_hit_beam"), (col("n_hit_beam") / lit(5.0)).as("recall_beam"))
+    (visFinal, gall, out)
+  }
+
   /** The q_graph_stats rollup over an arbitrary (vec_id) node frame and
     * (u, w) edge frame — split out so GraphIndexSpec can drive the
     * deg-0 / under-provisioned health states the saturated fixture
@@ -2741,6 +2866,63 @@ object SimilarityQueries {
        |    ON d.u = n.vec_id)
        |SELECT origin, deg, count(*)::BIGINT AS n_nodes, min(vec_id) AS min_u
        |FROM degs GROUP BY origin, deg""".stripMargin
+
+  /** Beam-recall oracle: the frozen store recomputed, the shared serve
+    * front half (p1cand/seeds), the 2-hop arm's hop CTEs verbatim, and
+    * [[graphBeamRounds]] unrolled beam stages — each: top-W of the
+    * visited set, one edge-table hop, anti-join against visited, exact
+    * scores for the fresh nodes only. */
+  private lazy val annRecallBeamSql: String = {
+    val cosAb = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)"
+    val rounds = (1 to graphBeamRounds).map { r =>
+      s"""beam$r AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS brn
+         |    FROM vis${r - 1}) WHERE brn <= $graphBeamWidth),
+         |bhop$r AS (
+         |  SELECT DISTINCT x.q_id, g.w AS vec_id
+         |  FROM beam$r x JOIN graph g ON g.u = x.vec_id WHERE g.w <> x.q_id),
+         |bfresh$r AS (
+         |  SELECT h.q_id, h.vec_id FROM bhop$r h
+         |  LEFT JOIN vis${r - 1} o ON o.q_id = h.q_id AND o.vec_id = h.vec_id
+         |  WHERE o.vec_id IS NULL),
+         |vis$r AS MATERIALIZED (
+         |  SELECT * FROM vis${r - 1}
+         |  UNION ALL
+         |  SELECT f.q_id, f.vec_id, $cosAb AS cos
+         |  FROM bfresh$r f JOIN n a ON a.vec_id = f.q_id JOIN n b ON b.vec_id = f.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphFrozenCtes,
+       |$graphServeCommonCtes,
+       |${graphHopCtes("graph", "")},
+       |vis0 AS MATERIALIZED (
+       |  SELECT s.q_id, s.vec_id, $cosAb AS cos
+       |  FROM seeds s JOIN n a ON a.vec_id = s.q_id JOIN n b ON b.vec_id = s.vec_id),
+       |$rounds,
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        $cosAb DESC,
+       |        b.vec_id) AS rank
+       |    FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+       |cng AS (SELECT q_id, count(*) AS n_cand_g FROM gall GROUP BY q_id),
+       |cnb AS (SELECT q_id, count(*) AS n_cand_beam FROM vis$graphBeamRounds GROUP BY q_id)
+       |SELECT e.q_id,
+       |  coalesce(cng.n_cand_g, 0) AS n_cand_g,
+       |  sum(CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit_g,
+       |  sum(CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall_g,
+       |  coalesce(cnb.n_cand_beam, 0) AS n_cand_beam,
+       |  sum(CASE WHEN bv.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit_beam,
+       |  sum(CASE WHEN bv.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall_beam
+       |FROM exact e
+       |LEFT JOIN gall g ON e.q_id = g.q_id AND e.vec_id = g.vec_id
+       |LEFT JOIN (SELECT q_id, vec_id FROM vis$graphBeamRounds) bv
+       |  ON e.q_id = bv.q_id AND e.vec_id = bv.vec_id
+       |LEFT JOIN cng ON e.q_id = cng.q_id
+       |LEFT JOIN cnb ON e.q_id = cnb.q_id
+       |GROUP BY e.q_id, cng.n_cand_g, cnb.n_cand_beam""".stripMargin
+  }
 
   /** Stored-graph oracle: the harness's build+serve CTEs verbatim, top-5
     * rerank tail — one-shot recompute, no storage. */

@@ -1,21 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
 
-/** Throwaway round-16 probe (deleted at round close). */
+/** Throwaway round-16 probe (deleted at round close): the beam-serving
+  * recall-vs-eval-budget curve for docs/SCALING.md. */
 object ProbeR16 {
-  def flatten(p: SparkPlan, seen: java.util.IdentityHashMap[SparkPlan, Boolean]): Seq[SparkPlan] = {
-    if (seen.containsKey(p)) return Nil
-    seen.put(p, true)
-    val kids = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Seq(m.relation.cachedPlan)
-      case o => o.children
-    }
-    p +: kids.flatMap(flatten(_, seen))
-  }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -23,11 +12,14 @@ object ProbeR16 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries("q_multimodal_dedup")(spark, "/root/testdata/sf0.001")
-    val seen = new java.util.IdentityHashMap[SparkPlan, Boolean]()
-    val all = flatten(df.queryExecution.executedPlan, seen)
-    all.filter(p => p.nodeName.contains("Exchange") || p.nodeName.contains("Join"))
-      .foreach(p => println("NODE: " + p.nodeName + " :: " + p.simpleStringWithNodeId().take(150)))
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    for ((w, b) <- Seq((4, 3), (8, 3), (16, 3), (32, 4))) {
+      val (_, _, out) = graft.queries.SimilarityQueries.beamServe(spark, dir, w, b)
+      val r = out.selectExpr("sum(n_cand_g)", "sum(n_hit_g)", "sum(n_cand_beam)", "sum(n_hit_beam)")
+        .head()
+      println(s"PROBE beam W=$w B=$b: 2hop ${r.getLong(0)} evals ${r.getLong(1)}/40 | beam ${r.getLong(2)} evals ${r.getLong(3)}/40")
+      graft.Bench.cleanup(spark)
+    }
     spark.stop()
   }
 }

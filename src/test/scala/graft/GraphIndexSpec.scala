@@ -199,6 +199,32 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("beam serving: expansion joins read the stored table shuffle-free; every candidate scored once") {
+    val (vis, _, out) = SimilarityQueries.beamServe(spark, dir)
+    vis.collect()
+    val all = flatten(vis.queryExecution.executedPlan)
+    // the last round's expansion join sits in the final vis plan (earlier
+    // rounds hide behind their persists): some join must have a bucketed,
+    // shuffle-free stored side
+    val joins = all.filter(p => p.nodeName.contains("Join"))
+    val cleanSide = joins.exists(_.children.exists(side =>
+      hasBucketedScan(side) &&
+        flatten(side).collect { case s: ShuffleExchangeExec => s }.isEmpty))
+    assert(cleanSide,
+      s"no shuffle-free bucketed side on a beam expansion join:\n${vis.queryExecution.executedPlan.toString.take(4000)}")
+    // exact-eval accounting: (q_id, vec_id) unique in the visited set —
+    // the anti-join guarantees each candidate is scored exactly once
+    assert(vis.count() ===
+      vis.select(col("q_id"), col("vec_id")).distinct().count())
+    // and the declared output's n_cand_beam is exactly that count per q
+    val perQ = vis.groupBy(col("q_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select(col("q_id"), col("n_cand_beam")).collect().foreach { r =>
+      assert(perQ(r.getLong(0)) === r.getLong(1))
+    }
+    Bench.cleanup(spark)
+  }
+
   test("degree report surfaces deg-0 and under-provisioned nodes the fixture saturates past") {
     import SharedSpark.spark.implicits._
     // 4 nodes: 0 (base, deg 2), 3 (batch, deg 1 — under-provisioned),
