@@ -420,22 +420,35 @@ object PipelineQueries {
         d0.count()
         d0
       }
-      // stage 5 — corpus mix: data-derived per-language quota (2× min)
-      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val quota = counts
-        .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
-        .select(col("lang"), least(col("n"), lit(2) * col("mn")).as("cap"))
-      val mixed = d.withColumn("rk", row_number().over(
-          Window.partitionBy(col("lang"))
-            .orderBy(md5(concat(lit("mix42#"), col("doc_id").cast("string"))))).cast("long"))
-        .join(broadcast(quota), "lang")
-        .filter(col("rk") <= col("cap"))
-      // stage 6 — sequence packing: 2048-token bins per language
-      mixed.withColumn("cum", sum(col("n_tokens")).over(
-          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          expr("(cum - n_tokens) div 2048").as("bin"))
+      // stages 5+6 — corpus mix (data-derived per-language quota, 2× min)
+      // and sequence packing (2048-token bins per language): phase-timed
+      // and forced (round-15 verdict item 3 — the tail ran in the
+      // caller's action and its cost was unattributable; phases must sum
+      // to ~the headline)
+      graft.Bench.phase("q_corpus_pipeline.mix_pack") {
+        // per-language caps land on the driver as an O(|langs|) map (the
+        // DriverLocalGate shape — languages are a config-sized set at any
+        // corpus size), replacing a broadcast-join subtree that cost two
+        // extra jobs per run; the cap rule (2× the smallest language) is
+        // unchanged and the oracle's quota CTE replays it
+        val caps = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val mn = caps.map(_._2).min
+        val capOf = typedLit(caps.map { case (l, n) => l -> math.min(n, 2 * mn) }.toMap)
+        val mixed = d.withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(md5(concat(lit("mix42#"), col("doc_id").cast("string"))))).cast("long"))
+          .filter(col("rk") <= element_at(capOf, col("lang")))
+        // sequence packing: 2048-token bins per language
+        val out = mixed.withColumn("cum", sum(col("n_tokens")).over(
+            Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr("(cum - n_tokens) div 2048").as("bin"))
+          .persist(MEMORY_AND_DISK)
+        out.count()
+        out
+      }
     },
 
     // ★ Composite corpus filter: the keep/drop decision layer a training

@@ -2,23 +2,28 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway round-16 probe (deleted at round close): the beam-serving
-  * recall-vs-eval-budget curve for docs/SCALING.md. */
+/** Throwaway round-16 probe (deleted at round close): run queries once
+  * at an SF and dump Bench.phaseTimes — local phase attribution without
+  * a full bench run. Usage: runMain graft.tools.ProbeR16 <sfDir> <name...> */
 object ProbeR16 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    for ((w, b) <- Seq((4, 3), (8, 3), (16, 3), (32, 4))) {
-      val (_, _, out) = graft.queries.SimilarityQueries.beamServe(spark, dir, w, b)
-      val r = out.selectExpr("sum(n_cand_g)", "sum(n_hit_g)", "sum(n_cand_beam)", "sum(n_hit_beam)")
-        .head()
-      println(s"PROBE beam W=$w B=$b: 2hop ${r.getLong(0)} evals ${r.getLong(1)}/40 | beam ${r.getLong(2)} evals ${r.getLong(3)}/40")
+    val dir = args.head
+    args.drop(1).foreach { n =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $n%s total=$dt%.2f")
       graft.Bench.cleanup(spark)
+    }
+    import scala.jdk.CollectionConverters._
+    graft.Bench.phaseTimes.asScala.toSeq.sortBy(_._1).foreach { case (k, ts) =>
+      println(f"PHASE $k%s min=${ts.min}%.2f reps=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
