@@ -2737,14 +2737,16 @@ object SimilarityQueries {
   val annRecallBeam: QueryDef = q(
     "q_ann_recall_beam",
     annRecallBeamSql
-  ) { (s, dir) => beamServe(s, dir)._3 }
+  ) { (s, dir) => beamServe(s, dir)._4 }
 
   /** q_ann_recall_beam's body, exposed private[graft] for GraphIndexSpec:
-    * (final visited frame — its plan holds the last expansion join over
-    * the stored table, the 2-hop gall frame, the declared output). */
+    * (the last round's PRE-checkpoint frame — its plan holds the final
+    * expansion join over the stored table; the final visited frame — a
+    * checkpointed leaf, collectible; the 2-hop gall frame; the declared
+    * output). */
   private[graft] def beamServe(s: SparkSession, dir: String,
       beamWidth: Int = graphBeamWidth, beamRounds: Int = graphBeamRounds)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.cosineSimilarity
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (tbl0, _) = ensureGraphStore(s, dir)
@@ -2773,10 +2775,20 @@ object SimilarityQueries {
       g.count(); g
     }
     // the beam arm: best-W expansion per round, each node exact-scored
-    // exactly once (anti-join against the visited set)
-    val visFinal = graft.Bench.phase("q_ann_recall_beam.beam") {
+    // exactly once (anti-join against the visited set). Loop state is
+    // localCheckpoint'd per round with the pagerank/BPE block-release
+    // hygiene — a plain persist chain left every round's full lineage in
+    // the plan and Catalyst's planning cost exploded combinatorially
+    // (the final output's plan printed >20k scan nodes and the count
+    // spent ~6 s ANALYZING, not executing).
+    val (visPlanHolder, visFinal) = graft.Bench.phase("q_ann_recall_beam.beam") {
       val (_, seeds) = graphSeedCands(assign1, v, qv)
-      var vis = score(seeds).persist(MEMORY_AND_DISK)
+      var vis = score(seeds).localCheckpoint(true)
+      var prev = graft.plans.Checkpoints.checkpointedRdd(vis)
+      // the last round's PRE-checkpoint frame — the plan GraphIndexSpec
+      // inspects (the checkpointed vis is a leaf; this one still holds
+      // the expansion join over the stored table)
+      var holder: DataFrame = vis
       (1 to beamRounds).foreach { _ =>
         val beam = twoPhaseRank(vis, Seq("q_id"),
             Seq(col("cos").desc, col("vec_id")), beamWidth, "brn")
@@ -2786,9 +2798,13 @@ object SimilarityQueries {
           .select(col("q_id"), col("w").as("vec_id")).distinct()
         val fresh = hop.join(vis.select(col("q_id"), col("vec_id")),
           Seq("q_id", "vec_id"), "left_anti")
-        vis = vis.unionByName(score(fresh)).persist(MEMORY_AND_DISK)
+        val next = vis.unionByName(score(fresh))
+        holder = next
+        vis = next.localCheckpoint(true)
+        prev.foreach(_.unpersist(false))
+        prev = graft.plans.Checkpoints.checkpointedRdd(vis)
       }
-      vis.count(); vis
+      (holder, vis)
     }
     // brute-force truth (harness cost, not serving)
     val exact = graft.Bench.phase("q_ann_recall_beam.truth") {
@@ -2819,7 +2835,7 @@ object SimilarityQueries {
         col("n_hit_g"), (col("n_hit_g") / lit(5.0)).as("recall_g"),
         coalesce(col("n_cand_beam"), lit(0L)).as("n_cand_beam"),
         col("n_hit_beam"), (col("n_hit_beam") / lit(5.0)).as("recall_beam"))
-    (visFinal, gall, out)
+    (visPlanHolder, visFinal, gall, out)
   }
 
   /** The q_graph_stats rollup over an arbitrary (vec_id) node frame and

@@ -16,9 +16,16 @@ object ProbeR16 {
     val dir = args.head
     args.drop(1).foreach { n =>
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir).count()
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val tb = (System.nanoTime() - t0) / 1e9
+      df.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $n%s total=$dt%.2f")
+      println(f"PROBE $n%s total=$dt%.2f body=$tb%.2f count=${dt - tb}%.2f")
+      val plan = df.queryExecution.executedPlan.toString
+      println("SCANS parquet=" + "Scan parquet".r.findAllIn(plan).length +
+        " imts=" + "InMemoryTableScan".r.findAllIn(plan).length +
+        " cos=" + "cosine".r.findAllIn(plan).length +
+        " win=" + "Window".r.findAllIn(plan).length)
       graft.Bench.cleanup(spark)
     }
     import scala.jdk.CollectionConverters._

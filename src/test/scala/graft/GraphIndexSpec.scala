@@ -200,18 +200,18 @@ class GraphIndexSpec extends SparkSpec {
   }
 
   test("beam serving: expansion joins read the stored table shuffle-free; every candidate scored once") {
-    val (vis, _, out) = SimilarityQueries.beamServe(spark, dir)
-    vis.collect()
-    val all = flatten(vis.queryExecution.executedPlan)
-    // the last round's expansion join sits in the final vis plan (earlier
-    // rounds hide behind their persists): some join must have a bucketed,
-    // shuffle-free stored side
+    val (planHolder, vis, _, out) = SimilarityQueries.beamServe(spark, dir)
+    // the checkpointed vis is a leaf; the last round's PRE-checkpoint
+    // frame still holds the expansion join over the stored table (plan
+    // inspection only — its inputs' blocks are released by the loop's
+    // checkpoint hygiene, so it is not collectible)
+    val all = flatten(planHolder.queryExecution.executedPlan)
     val joins = all.filter(p => p.nodeName.contains("Join"))
     val cleanSide = joins.exists(_.children.exists(side =>
       hasBucketedScan(side) &&
         flatten(side).collect { case s: ShuffleExchangeExec => s }.isEmpty))
     assert(cleanSide,
-      s"no shuffle-free bucketed side on a beam expansion join:\n${vis.queryExecution.executedPlan.toString.take(4000)}")
+      s"no shuffle-free bucketed side on a beam expansion join:\n${planHolder.queryExecution.executedPlan.toString.take(4000)}")
     // exact-eval accounting: (q_id, vec_id) unique in the visited set —
     // the anti-join guarantees each candidate is scored exactly once
     assert(vis.count() ===
