@@ -433,7 +433,10 @@ object PipelineQueries {
         // unchanged and the oracle's quota CTE replays it
         val caps = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        val mn = caps.map(_._2).min
+          .filter(_._1 != null) // a null lang never matched the old quota join either
+        // minOption: a fully-filtered corpus must yield an empty result,
+        // not an empty.min throw (the old join formulation's behavior)
+        val mn = caps.map(_._2).minOption.getOrElse(0L)
         val capOf = typedLit(caps.map { case (l, n) => l -> math.min(n, 2 * mn) }.toMap)
         val mixed = d.withColumn("rk", row_number().over(
             Window.partitionBy(col("lang"))

@@ -2113,8 +2113,17 @@ object SimilarityQueries {
     * the harness and the rerank read them more than once. */
   private[graft] def graphServeCands(assign1: DataFrame, graph: DataFrame,
       v: DataFrame, qv: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (p1cand, seeds) = graphSeedCands(assign1, v, qv)
+    (p1cand, graphHopExpand(p1cand, seeds, graph))
+  }
+
+  /** The graph-dependent back half of 2-hop serving: seeds → hop1 →
+    * hop2 → candidate union — split from the seed derivation so the
+    * beam lane reuses ONE computed (p1cand, seeds) pair for both arms
+    * instead of re-running the probe-1 scoring pass. */
+  private[graft] def graphHopExpand(p1cand: DataFrame, seeds: DataFrame,
+      graph: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val hop1 = seeds.join(graph, seeds("vec_id") === graph("u"))
       .filter(col("w") =!= col("q_id"))
       .select(col("q_id"), col("w").as("vec_id"))
@@ -2122,9 +2131,8 @@ object SimilarityQueries {
     val hop2 = frontier.join(graph, frontier("vec_id") === graph("u"))
       .filter(col("w") =!= col("q_id"))
       .select(col("q_id"), col("w").as("vec_id"))
-    val gall = p1cand.unionByName(hop1).unionByName(hop2).distinct()
+    p1cand.unionByName(hop1).unionByName(hop2).distinct()
       .persist(MEMORY_AND_DISK)
-    (p1cand, gall)
   }
 
   /** Exact top-5 rerank of a (q_id, vec_id) candidate frame — the graph
@@ -2572,19 +2580,36 @@ object SimilarityQueries {
     * O(edges) bucketed scan. Keyed by session identity so a fresh session
     * (new catalog) rebuilds rather than referencing a dropped table. */
   private val graphStoreMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, String)]]()
 
   /** Get-or-build the merged frozen-semantics edge store for `dir`:
     * (catalog table, filesystem path). Contents = base edges ∪ batch
     * frozen-candidate edges — exactly the graph q_graph_incremental's
     * oracle recomputes, so every store-reading lane shares that SQL's
-    * CTE text. */
-  private[graft] def ensureGraphStore(s: SparkSession, dir: String): (String, String) =
-    graphStoreMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
-      val ctx = graphBuildAndAppend(s, dir, "graft-knn-graph-stats",
-        "q_graph_stats.ensure_store")
-      (ctx.tbl, ctx.path)
-    })
+    * CTE text. `phase` is the CALLER's query name (round-16 review
+    * finding): queries run in Map hash order, so the one-time build
+    * lands on whichever store-reading lane happens to run first — the
+    * phase label must charge that lane, not a hard-coded one, or
+    * timings.json misattributes multi-second cost. */
+  private[graft] def ensureGraphStore(s: SparkSession, dir: String,
+      phase: String): (String, String) =
+    graphStoreMemo.synchronized {
+      val perSession = {
+        val existing = graphStoreMemo.get(s)
+        if (existing != null) existing
+        else {
+          val m = scala.collection.mutable.Map.empty[String, (String, String)]
+          graphStoreMemo.put(s, m)
+          m
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val ctx = graphBuildAndAppend(s, dir, "graft-knn-graph-stats",
+          s"$phase.ensure_store")
+        (ctx.tbl, ctx.path)
+      })
+    }
 
   /** ★ kNN-graph HEALTH report — the q_ivf_balance analog for the graph
     * family, the statistic its maintenance loop reads instead of
@@ -2615,7 +2640,7 @@ object SimilarityQueries {
     * scan — no assignment, no cosine, no window rank. */
   private[graft] def graphStatsReport(s: SparkSession, dir: String)
       : (String, DataFrame) = {
-    val (tbl, path) = ensureGraphStore(s, dir)
+    val (tbl, path) = ensureGraphStore(s, dir, "q_graph_stats")
     (path, graphDegreeReport(
       Tables(s, dir).embeddings.select(col("vec_id")), s.table(tbl)))
   }
@@ -2655,7 +2680,7 @@ object SimilarityQueries {
 
   private[graft] def graphRebuildServe(s: SparkSession, dir: String): GraphRebuildResult = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val (tbl0, path0) = ensureGraphStore(s, dir)
+    val (tbl0, path0) = ensureGraphStore(s, dir, "q_graph_rebuild_apply")
     // trigger — O(edges) in-degree rollup off the STORE plus one corpus
     // count; exact integers, cross-multiplied (bounds not rates)
     val (nHubs, total) = graft.Bench.phase("q_graph_rebuild_apply.trigger") {
@@ -2749,7 +2774,7 @@ object SimilarityQueries {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.cosineSimilarity
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val (tbl0, _) = ensureGraphStore(s, dir)
+    val (tbl0, _) = ensureGraphStore(s, dir, "q_ann_recall_beam")
     val stored = s.table(tbl0).hint("merge")
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
@@ -2769,9 +2794,12 @@ object SimilarityQueries {
       .join(broadcast(qv.withColumnRenamed("q_id", "sq")), col("sq") === col("q_id"))
       .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("cos"))
+    // ONE computed (p1cand, seeds) pair feeds both arms — shared entry
+    // points by construction, not just by shared text
+    val (p1cand, seeds) = graphSeedCands(assign1, v, qv)
     // the 2-hop arm — the existing serving shape over the same store
     val gall = graft.Bench.phase("q_ann_recall_beam.two_hop") {
-      val (_, g) = graphServeCands(assign1, stored, v, qv)
+      val g = graphHopExpand(p1cand, seeds, stored)
       g.count(); g
     }
     // the beam arm: best-W expansion per round, each node exact-scored
@@ -2782,7 +2810,6 @@ object SimilarityQueries {
     // (the final output's plan printed >20k scan nodes and the count
     // spent ~6 s ANALYZING, not executing).
     val (visPlanHolder, visFinal) = graft.Bench.phase("q_ann_recall_beam.beam") {
-      val (_, seeds) = graphSeedCands(assign1, v, qv)
       var vis = score(seeds).localCheckpoint(true)
       var prev = graft.plans.Checkpoints.checkpointedRdd(vis)
       // the last round's PRE-checkpoint frame — the plan GraphIndexSpec

@@ -331,11 +331,18 @@ object TextQueries {
     * hard-EM E-step kernel (and the encode kernel). dp[i] = max over
     * j ∈ 1..4 of dp[i−j] + w(word[i−j..i)); ties pick the LARGEST j
     * (ascending scan, ≥ replaces — prefer the longer final piece), the
-    * exact rule the oracle's list_reduce replays. Single-char coverage
-    * makes a dead end impossible. */
+    * exact rule the oracle's enumeration order replays. Single-char
+    * coverage makes a dead end impossible. Positions are CODE POINTS,
+    * not UTF-16 units (round-16 review finding): the seed pieces come
+    * from Spark SQL `substring`, which counts code points, so a
+    * UTF-16-indexed DP would split surrogate pairs on any non-BMP
+    * character and find no piece in the map. */
   private[graft] def unigramViterbi(word: String,
       score: scala.collection.Map[String, Long]): List[String] = {
-    val n = word.length
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    def piece(from: Int, until: Int): String =
+      new String(cps, from, until - from)
     val sc = new Array[Long](n + 1)
     val bp = new Array[Int](n + 1)
     var i = 1
@@ -345,7 +352,7 @@ object TextQueries {
       var j = 1
       val jmax = math.min(unigramMaxPieceLen, i)
       while (j <= jmax) {
-        val w = score.getOrElse(word.substring(i - j, i), Long.MinValue)
+        val w = score.getOrElse(piece(i - j, i), Long.MinValue)
         if (w != Long.MinValue) {
           val cand = sc(i - j) + w
           if (cand >= best) { best = cand; bj = j }
@@ -359,7 +366,7 @@ object TextQueries {
     }
     var out = List.empty[String]
     var k = n
-    while (k > 0) { out = word.substring(k - bp(k), k) :: out; k -= bp(k) }
+    while (k > 0) { out = piece(k - bp(k), k) :: out; k -= bp(k) }
     out
   }
 
@@ -371,11 +378,25 @@ object TextQueries {
     .filter(length(col("word")) >= 1)
     .groupBy(col("word")).agg(count(lit(1)).as("wc"))
 
+  /** All single-char pieces plus the top-`multiCap` multi-char pieces of
+    * a (piece, n) frame, in ONE bounded collect (≤ alphabet + cap rows,
+    * the IvfProvision driver-collect contract; one action instead of two
+    * — at fixture scale every extra job pays a ~0.3 s scheduler floor). */
+  private def singlesAndTopMulti(df: DataFrame, multiCap: Int)
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+    val rows = df.filter(length(col("piece")) === 1)
+      .unionByName(
+        df.filter(length(col("piece")) > 1)
+          .orderBy(col("n").desc, col("piece")).limit(multiCap))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (s1, m) = rows.partition(p => p._1.codePointCount(0, p._1.length) == 1)
+    (s1.toSeq, m.toSeq)
+  }
+
   /** Seed vocabulary: every single character (coverage) plus the top
     * [[unigramSeedMulti]] substrings of length 2..4 by positional
     * corpus-weighted count — one distributed substring explode + agg,
-    * then two BOUNDED collects (≤ alphabet + K rows, the IvfProvision
-    * driver-collect contract). */
+    * one bounded collect. */
   private[graft] def unigramSeedVocab(s: SparkSession, words: DataFrame): Seq[(String, Long)] = {
     val sub = words.select(col("wc"), explode(expr(
         s"""flatten(transform(sequence(1, $unigramMaxPieceLen), l ->
@@ -384,12 +405,8 @@ object TextQueries {
            |    ELSE array() END))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("wc")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val singles = sub.filter(length(col("piece")) === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val multi = sub.filter(length(col("piece")) > 1)
-      .orderBy(col("n").desc, col("piece")).limit(unigramSeedMulti)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    (singles ++ multi).toSeq
+    val (singles, multi) = singlesAndTopMulti(sub, unigramSeedMulti)
+    singles ++ multi
   }
 
   /** One hard-EM round: E-step segments the word table under the current
@@ -409,12 +426,11 @@ object TextQueries {
       .toDF("piece", "w")
       .groupBy(col("piece")).agg(sum(col("w")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val estSingle = est.filter(length(col("piece")) === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val topMulti = est.filter(length(col("piece")) > 1)
-      .orderBy(col("n").desc, col("piece")).limit(unigramKeepMulti)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val singles = vocab.collect { case (p, _) if p.length == 1 =>
+    val (estSingles, topMulti) = singlesAndTopMulti(est, unigramKeepMulti)
+    val estSingle = estSingles.toMap
+    // code-point length, matching the engines' length(piece) = 1 rule —
+    // a non-BMP single char is two UTF-16 units but ONE piece
+    val singles = vocab.collect { case (p, _) if p.codePointCount(0, p.length) == 1 =>
       (p, math.max(estSingle.getOrElse(p, 0L), 1L)) }
     (est, singles ++ topMulti)
   }
@@ -450,7 +466,16 @@ object TextQueries {
     * final piece on score ties and delegates the remaining tie to the
     * prefix position, which is exactly lexicographic order on the
     * right-to-left length sequence (`ls` is built reversed by
-    * prepending, so plain list DESC compares it). */
+    * prepending, so plain list DESC compares it).
+    *
+    * Complexity honesty: the enumeration is exponential in word length
+    * when many substrings of a word are vocabulary pieces (a homogeneous
+    * run like "----…" enumerates every composition into parts ≤ 4 —
+    * ~1.93^len paths), where the ENGINE's DP stays linear. The oracle is
+    * gate-tractable because fixture words are short — UnigramSpec pins
+    * max word length ≤ 16 code points across the fixture SFs (measured
+    * max: 8), failing loudly before a regenerated fixture could hang the
+    * DuckDB gate. */
   private def unigramSegSql(sfx: String): String =
     s"""paths$sfx AS (
        |  SELECT word, wc, 0 AS pos, 0::BIGINT AS sc, []::VARCHAR[] AS ps, []::BIGINT[] AS ls FROM w

@@ -17,6 +17,11 @@ object GenSlice {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    // the rotation decorrelates replicas only while k % 64 != 0: a
+    // factor past 64 would silently emit byte-identical embedding
+    // replicas — exactly the artificial dup mass this tool avoids
+    require(factor >= 1 && factor <= 64,
+      s"factor must be in [1, 64] (embedding rotation wraps at 64), got $factor")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

@@ -32,8 +32,9 @@ class EditBandSpec extends SparkSpec {
   // doc 3 = doc 1 plus 260 appended novel tokens: every doc-1 shingle
   // survives, so shingle Jaccard ≈ 298/560 ≈ 0.53 and the pair (1,3)
   // band-collides (md5 is deterministic — candidacy is pinned by the
-  // assertion below, not probability). Its length gap (1560 chars) is
-  // > 0.4 × max-length, so the prefilter must drop it BEFORE any DP —
+  // assertion below, not probability). Its length gap (1820 chars: 260
+  // six-char tokens plus their 260 separators) exceeds 0.4 × max-length
+  // (0.4 × 3919 ≈ 1568), so the prefilter must drop it BEFORE any DP —
   // and that drop is provably lossless: lev ≥ |len gap| always, so
   // sim = 1 − lev/mx ≤ 1 − gap/mx < 1 − 0.4 = 0.6.
   private def tokC(i: Int): String = "c" + f"$i%05d"

@@ -167,7 +167,7 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
     // tripped at sf0.01 — snapshot epoch-0 files across the rebuild
     val dir01 = "/root/testdata/sf0.01"
-    val (_, path0) = SimilarityQueries.ensureGraphStore(spark, dir01)
+    val (_, path0) = SimilarityQueries.ensureGraphStore(spark, dir01, "spec")
     def snap(p: String): Map[String, String] = new java.io.File(p).listFiles()
       .filter(_.getName.endsWith(".parquet")).map { f =>
         val md = java.security.MessageDigest.getInstance("MD5")

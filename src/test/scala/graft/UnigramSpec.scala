@@ -67,6 +67,21 @@ class UnigramSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("fixture words stay short enough for the oracle's path enumeration") {
+    // the DuckDB oracle enumerates segmentations (exponential in word
+    // length for piece-dense words — see unigramSegSql's scaladoc); the
+    // engine's DP is linear. This guard fails loudly on a regenerated
+    // fixture whose words could hang the gate, instead of the gate
+    // hanging. Measured max: 8 code points at every fixture SF.
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val mx = Tables(spark, s"/root/testdata/$sf").documents
+        .select(max(array_max(transform(split(col("text"), " "),
+          w => length(w))))).head().getInt(0)
+      assert(mx <= 16, s"$sf max word length $mx — oracle enumeration at risk")
+    }
+    Bench.cleanup(spark)
+  }
+
   test("encode output: every doc tokenizes, pieces never beat chars, words lower-bound tokens") {
     val out = SparkEntry.queries("q_unigram_encode")(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("n_chars")).collect()
