@@ -2708,8 +2708,16 @@ object SimilarityQueries {
     def decided(df: DataFrame, epoch: Long): DataFrame =
       df.select(col("q_id"), col("vec_id"), col("rank"), col("cos"),
         lit(epoch).as("epoch"), lit(hubPpm).as("hub_ppm"))
+    // serve phase forces the selected epoch's candidate expansion (and,
+    // transitively, the assignment crossjoins it depends on) so the
+    // headline decomposes as trigger + [rebuild] + serve
+    def servedOver(edgeTbl: String): DataFrame =
+      graft.Bench.phase("q_graph_rebuild_apply.serve") {
+        val (_, gall) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), v, qv)
+        gall.count(); gall
+      }
     if (!tripped) {
-      val (_, gall) = graphServeCands(assign1, s.table(tbl0).hint("merge"), v, qv)
+      val gall = servedOver(tbl0)
       GraphRebuildResult(path0, None, 0L, hubPpm, gall,
         decided(graphTop5(gall, v, qv), 0L))
     } else {
@@ -2727,7 +2735,7 @@ object SimilarityQueries {
           .option("path", epochPath)
           .saveAsTable(epochTbl)
       }
-      val (_, gall) = graphServeCands(assign1, s.table(epochTbl).hint("merge"), v, qv)
+      val gall = servedOver(epochTbl)
       GraphRebuildResult(path0, Some(epochPath), 1L, hubPpm, gall,
         decided(graphTop5(gall, v, qv), 1L))
     }
