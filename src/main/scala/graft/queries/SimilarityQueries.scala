@@ -2778,11 +2778,15 @@ object SimilarityQueries {
     * checkpointed leaf, collectible; the 2-hop gall frame; the declared
     * output). */
   private[graft] def beamServe(s: SparkSession, dir: String,
-      beamWidth: Int = graphBeamWidth, beamRounds: Int = graphBeamRounds)
+      beamWidth: Int = graphBeamWidth, beamRounds: Int = graphBeamRounds,
+      edgeTbl: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.cosineSimilarity
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val (tbl0, _) = ensureGraphStore(s, dir, "q_ann_recall_beam")
+    // default: the session's memoized frozen store; GraphIndexSpec's
+    // lifecycle test passes a rebuilt epoch table instead to measure
+    // what the re-knit buys the beam
+    val tbl0 = edgeTbl.getOrElse(ensureGraphStore(s, dir, "q_ann_recall_beam")._1)
     val stored = s.table(tbl0).hint("merge")
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))

@@ -225,6 +225,38 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("lifecycle: stats -> tripped rebuild -> beam over the new epoch reaches batch nodes") {
+    // the full maintenance loop at a tripped SF: the report reads the
+    // store, the apply rebuilds epoch 1, and serving over the NEW epoch
+    // can finally reach batch vectors through expansions — the exact
+    // navigability the hub trigger measures the loss of
+    val dir01 = "/root/testdata/sf0.01"
+    val r1 = SimilarityQueries.graphRebuildServe(spark, dir01)
+    assert(r1.epoch === 1L && r1.epochPath.nonEmpty)
+    val epochTbl = new java.io.File(r1.epochPath.get).getName
+      .replace('-', '_').replace('.', '_')
+    def visited(tbl: Option[String]): (Set[(Long, Long)], Long) = {
+      val (_, vis, _, out) = SimilarityQueries.beamServe(spark, dir01, edgeTbl = tbl)
+      val vs = vis.select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hits = out.agg(sum(col("n_hit_beam"))).head().getLong(0)
+      (vs, hits)
+    }
+    val (vis0, hits0) = visited(None)            // frozen epoch-0 store
+    Bench.cleanup(spark)
+    val (vis1, hits1) = visited(Some(epochTbl))  // rebuilt epoch
+    // epoch-0 expansions can only land on base vectors (frozen edges
+    // never point at batch; batch appears in vis0 only via seeds, which
+    // are identical across epochs and so cancel in the set difference) —
+    // in epoch 1 batch nodes become REACHABLE through expansions
+    val batchReached1 = (vis1 -- vis0).count(_._2 % 4 == 3)
+    assert(batchReached1 > 0,
+      s"rebuilt epoch must let the beam reach batch vectors (got $batchReached1)")
+    // and the re-knit never costs recall at the same (W, B) budget
+    assert(hits1 >= hits0, s"epoch-1 beam recall $hits1 < epoch-0 $hits0")
+    Bench.cleanup(spark)
+  }
+
   test("degree report surfaces deg-0 and under-provisioned nodes the fixture saturates past") {
     import SharedSpark.spark.implicits._
     // 4 nodes: 0 (base, deg 2), 3 (batch, deg 1 — under-provisioned),
