@@ -1576,6 +1576,94 @@ object TextQueries {
       "q_bm25_incremental",
       s"""WITH $bm25ScoredCtes
         |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    ) { (s, dir) => bm25IncrementalServe(s, dir)._3 }
+    ) { (s, dir) => bm25IncrementalServe(s, dir)._3 },
+
+    // ★ Lexical index-store COMPACTION — the layout-maintenance step the
+    // BM25 family's O(batch) appends require, completing the THIRD index
+    // family's stored/incremental/compact symmetry (IVF and the kNN
+    // graph already have theirs): every ingest adds files per artifact
+    // and one totals partial row, so under continuous ingestion term
+    // scans pay per-file open costs and the totals fold grows. The
+    // compactor reads ONLY the store and rewrites a fresh epoch:
+    // postings BUCKETED by token (an upgrade over the flat layout — the
+    // fixed 3-term serving filter prunes to the terms' buckets instead
+    // of data-filtering every file), doc-stats compacted, and the totals
+    // partials FOLDED to one exact integer row (they were always summed
+    // at serve time, so folding is semantically invisible). Serving over
+    // the epoch shares q_bm25's one-shot oracle — fragmentation and
+    // layout can never leak into scores. Bm25CompactSpec pins: fewer
+    // postings files, ONE totals row, a rewrite plan that never scans
+    // documents, bucket pruning in the epoch serving plan, and served
+    // bit-equality across layouts.
+    q(
+      "q_bm25_compact",
+      s"""WITH $bm25ScoredCtes
+        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) => bm25CompactServe(s, dir)._5 }
   )
+
+  /** q_bm25_compact's fragment+compact+serve, exposed private[graft] for
+    * Bm25CompactSpec: (fragmented store path, epoch path, rewrite plans,
+    * fragmented-serve frame, epoch-serve frame). */
+  private[graft] def bm25CompactServe(s: SparkSession, dir: String)
+      : (String, String, String, DataFrame, DataFrame) = {
+    val docs = Tables(s, dir).documents
+    val store = graft.plans.ScratchDirs.unique("graft-bm25-frag").getAbsolutePath
+    // manufacture the fragmentation: base build + THREE append triggers
+    // (the batch split by arrival order) — phase-timed so the pathology
+    // cost never hides in the headline (the q_compact_apply precedent)
+    graft.Bench.phase("q_bm25_compact.manufacture") {
+      val (bp, bd, bt) = bm25Parts(docs.filter(col("doc_id") % 4 =!= 3))
+      bp.write.mode("overwrite").parquet(s"$store/postings")
+      bd.write.mode("overwrite").parquet(s"$store/docstats")
+      bt.write.mode("overwrite").parquet(s"$store/totals")
+      (0 until 3).foreach { k =>
+        val (ip, id, it) = bm25Parts(docs.filter(
+          col("doc_id") % 4 === 3 && expr("doc_id div 4") % 3 === k))
+        ip.write.mode("append").parquet(s"$store/postings")
+        id.write.mode("append").parquet(s"$store/docstats")
+        it.write.mode("append").parquet(s"$store/totals")
+      }
+    }
+    // compact: read ONLY the store; postings re-land bucketed by token,
+    // totals partials fold to one exact row
+    val epochDirF = graft.plans.ScratchDirs.unique("graft-bm25-epoch")
+    val ptbl = epochDirF.getName.replace('-', '_').replace('.', '_')
+    val epochPath = epochDirF.getAbsolutePath
+    val fragP = s.read.parquet(s"$store/postings")
+    val fragD = s.read.parquet(s"$store/docstats")
+    val fragT = s.read.parquet(s"$store/totals")
+    val rewritePlan = Seq(fragP, fragD, fragT)
+      .map(_.queryExecution.executedPlan.toString).mkString("\n")
+    graft.Bench.phase("q_bm25_compact.compact") {
+      fragP.repartition(8, col("token"))
+        .write.mode("overwrite")
+        .bucketBy(8, "token").sortBy("token")
+        .option("path", s"$epochPath/postings")
+        .saveAsTable(ptbl)
+      fragD.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/docstats")
+      fragT.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals")
+    }
+    (store, epochPath, rewritePlan,
+      bm25ServeStored(s, store), bm25ServeEpoch(s, ptbl, epochPath))
+  }
+
+  /** Serve the fixed 3-term BM25 top-10 off a compacted epoch: postings
+    * through the BUCKETED table (the token IN filter prunes to the
+    * terms' buckets), doc-stats/totals off the epoch parquet, scored
+    * through the SAME bm25Score tail. */
+  private[graft] def bm25ServeEpoch(s: SparkSession, postingsTbl: String,
+      epochPath: String): DataFrame = {
+    val qtok = s.table(postingsTbl).filter(col("token").isin(bm25Terms: _*))
+    val tf = qtok.select(col("doc_id"), col("token"), col("tf"))
+    val dfT = qtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = s.read.parquet(s"$epochPath/docstats").select(col("doc_id"), col("dl"))
+    val stats = s.read.parquet(s"$epochPath/totals")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    bm25Score(tf, dfT, dl, stats)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
 }
