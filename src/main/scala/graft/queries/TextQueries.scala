@@ -553,6 +553,33 @@ object TextQueries {
        |  md5(array_to_string(pseq, chr(1))) AS pieces_fp
        |FROM docs""".stripMargin
 
+  /** q_unigram_pack oracle: the shared unigram training stages, per-word
+    * Viterbi token counts off the final vocabulary, then the
+    * q_pack_sequences prefix-sum bin rule over TRAINED counts —
+    * tokenizePackSql's tail with the other trainer's counts. */
+  private lazy val unigramPackSql: String =
+    s"""WITH RECURSIVE ${unigramStagesSql(unigramEncodeRounds)},
+       |totE AS (SELECT floor(1e6 * ln(sum(n)))::BIGINT AS ilt FROM v$unigramEncodeRounds),
+       |scE AS MATERIALIZED (SELECT piece, floor(1e6 * ln(n))::BIGINT - (SELECT ilt FROM totE) AS s FROM v$unigramEncodeRounds),
+       |${unigramSegSql("E")},
+       |ev AS (SELECT word, len(ps)::BIGINT AS n_sym FROM segE),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |tc AS (
+       |  SELECT dw.doc_id, sum(ev.n_sym)::BIGINT AS n_tokens
+       |  FROM dw JOIN ev USING (word) WHERE length(dw.word) >= 1
+       |  GROUP BY dw.doc_id),
+       |wl AS (
+       |  SELECT t.doc_id, d.lang, t.n_tokens,
+       |    sum(t.n_tokens) OVER (PARTITION BY d.lang ORDER BY t.doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tc t JOIN documents d USING (doc_id))
+       |SELECT lang, ((cum - n_tokens) // 2048)::BIGINT AS bin,
+       |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |  (sum(n_tokens) * 1000000 // 2048)::BIGINT AS fill_ppm
+       |FROM wl GROUP BY 1, 2""".stripMargin
+
   /** The fixed 3-term retrieval query every BM25 lane serves. */
   private[queries] val bm25Terms = Seq("join", "filter", "scan")
 
@@ -1577,6 +1604,41 @@ object TextQueries {
       s"""WITH $bm25ScoredCtes
         |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
     ) { (s, dir) => bm25IncrementalServe(s, dir)._3 },
+
+    // ★ Unigram tokenize → pack, composed — q_tokenize_pack's exact
+    // shape with the OTHER trainer: per-word token counts come from the
+    // unigram-LM vocabulary's Viterbi segmentations (the shared
+    // unigramTrainLoop, so pack and encode can never train differently),
+    // then the q_pack_sequences per-lang 2048-token prefix-sum bins over
+    // TRAINED counts with achieved fill ppm. With both families feeding
+    // the same pack harness, the budget-packing consequence of the
+    // tokenizer choice is a measurable artifact, not a narrative.
+    // Scale: identical to q_tokenize_pack — corpus touched twice (word
+    // explode + lang join), everything else vocab-sized or O(docs).
+    q(
+      "q_unigram_pack",
+      unigramPackSql
+    ) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val (words, _, hist) = unigramTrainLoop(s, docs, unigramEncodeRounds)
+      val bc = s.sparkContext.broadcast(unigramScores(hist.last._2))
+      val ev = words.select(col("word")).as[String]
+        .map(w => (w, unigramViterbi(w, bc.value).length.toLong))
+        .toDF("word", "n_sym")
+      val dw = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      val tc = dw.join(ev, "word")
+        .groupBy(col("doc_id")).agg(sum(col("n_sym")).as("n_tokens"))
+      val wl = tc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      wl.groupBy(col("lang"), expr("(cum - n_tokens) div 2048").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          expr("sum(n_tokens) * 1000000 div 2048").as("fill_ppm"))
+    },
 
     // ★ Lexical index-store COMPACTION — the layout-maintenance step the
     // BM25 family's O(batch) appends require, completing the THIRD index
