@@ -28,7 +28,13 @@ object Verify {
     // Verify at sf0.001/0.01/0.1, so these three files ARE the measured
     // time-vs-SF scaling data (round-14 verdict item 4); kept out of the
     // driver's compare (check_oracle only reads <name>/ and oracle_sql)
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a failed query is recorded as JSON null under its own key, not a
+    // numeric sentinel and not omitted (round-15 + round-16 ADVICE): a
+    // silently missing lane reads as "never run" instead of "broken",
+    // while the old -1.0 sentinel would silently fold into any min/sum a
+    // scaling-table consumer computes — null makes such an aggregate
+    // fail LOUDLY (TypeError in json-reading tooling) instead
+    val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
@@ -37,13 +43,10 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        timings(name) = Some((System.nanoTime() - t0) / 1e9)
       }
       catch { case e: Throwable =>
-        // a failed query is recorded as -1, not omitted (round-15
-        // ADVICE): the tri-SF scaling tables read these files, and a
-        // silently missing lane reads as "never run" instead of "broken"
-        timings(name) = -1.0
+        timings(name) = None
         nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -73,7 +76,10 @@ object Verify {
       timings.map { case (k, v) =>
         // Locale.ROOT: f"" uses the default locale, whose decimal comma
         // (de_DE etc.) would make the artifact invalid JSON
-        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"
+        val num = v.map(d =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
+          .getOrElse("null")
+        s"${q(k)}: $num"
       }.mkString("{", ",", "}"))
     spark.stop()
     // fail loudly: downstream tooling (gate_tri_sf.sh is exit-code

@@ -431,13 +431,18 @@ object PipelineQueries {
         // corpus size), replacing a broadcast-join subtree that cost two
         // extra jobs per run; the cap rule (2× the smallest language) is
         // unchanged and the oracle's quota CTE replays it
-        val caps = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val allCaps = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
-          .filter(_._1 != null) // a null lang never matched the old quota join either
-        // minOption: a fully-filtered corpus must yield an empty result,
-        // not an empty.min throw (the old join formulation's behavior)
-        val mn = caps.map(_._2).minOption.getOrElse(0L)
-        val capOf = typedLit(caps.map { case (l, n) => l -> math.min(n, 2 * mn) }.toMap)
+        // mn is computed over ALL groups INCLUDING a null lang (round-16
+        // ADVICE: the oracle's quota CTE takes min(n) over every counts
+        // row, so a null-lang group that happens to be smallest must
+        // lower every language's cap here too); only the cap MAP drops
+        // the null key — a null lang never matches the quota join in
+        // either engine. minOption: a fully-filtered corpus must yield
+        // an empty result, not an empty.min throw.
+        val mn = allCaps.map(_._2).minOption.getOrElse(0L)
+        val capOf = typedLit(allCaps.filter(_._1 != null)
+          .map { case (l, n) => l -> math.min(n, 2 * mn) }.toMap)
         val mixed = d.withColumn("rk", row_number().over(
             Window.partitionBy(col("lang"))
               .orderBy(md5(concat(lit("mix42#"), col("doc_id").cast("string"))))).cast("long"))

@@ -707,11 +707,16 @@ object TextQueries {
   }
 
   /** The q_bm25 scoring pipeline as DuckDB CTEs ending in
-    * `scored(doc_id, bm25)` — shared verbatim by the q_bm25 and
-    * q_hybrid_retrieval oracles so the lexical arm cannot drift. */
-  private[queries] def bm25ScoredCtes: String =
-    """tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    * `scored(doc_id, bm25)` — shared verbatim by the q_bm25,
+    * q_hybrid_retrieval, and delete-apply oracles so the lexical arm
+    * cannot drift. `docsRel` is the corpus relation — "documents" for
+    * every lane except delete-apply, which scores the SURVIVORS (BM25
+    * statistics are per-doc independent, so tombstone-drop plus exact
+    * stat recompute IS the one-shot rebuild over survivors — unlike the
+    * graph lane, no approximation to pin). */
+  private[queries] def bm25ScoredCtesFrom(docsRel: String): String =
+    s"""tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $docsRel),
       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
       |       WHERE token IN ('join', 'filter', 'scan') GROUP BY 1, 2),
@@ -728,6 +733,8 @@ object TextQueries {
       |  SELECT doc_id,
       |    floor(list_sum(list(s ORDER BY token)) * 1e6) / 1e6 AS bm25
       |  FROM term GROUP BY doc_id)""".stripMargin
+
+  private[queries] def bm25ScoredCtes: String = bm25ScoredCtesFrom("documents")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1661,7 +1668,33 @@ object TextQueries {
       "q_bm25_compact",
       s"""WITH $bm25ScoredCtes
         |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    ) { (s, dir) => bm25CompactServe(s, dir)._5 }
+    ) { (s, dir) => bm25CompactServe(s, dir)._5 },
+
+    // ★ Lexical-store tombstone DELETE + compaction-applied drop — the
+    // third index family's missing lifecycle verb (round-16 verdict item
+    // 2), completing delete symmetry with q_ivf_delete_apply and
+    // q_graph_delete_apply: (1) DELETE is an O(deletes) tombstone append
+    // (a doc_id list next to the store — never reads a stored row);
+    // (2) COMPACTION reads ONLY the store + tombstones, drops every
+    // tombstoned doc's postings and doc-stats physically (broadcast
+    // anti-joins — the takedown list is always small), RE-DERIVES the
+    // exact integer corpus totals from the surviving doc-stats (deletes
+    // invalidate the mergeable partials — a fold can add but never
+    // subtract), and lands the epoch token-bucketed (the q_bm25_compact
+    // layout, so serving prunes to the query terms' buckets); epoch 0
+    // retires read-only; (3) SERVING is the unchanged bucketed-epoch
+    // path — deleted docs are gone from postings, stats, AND the IDF/
+    // avgdl denominators, so a takedown stops influencing every OTHER
+    // doc's score too (the part a serve-time mask alone would get
+    // wrong). BM25 stats are per-doc independent, so tombstone-drop IS
+    // the one-shot rebuild over survivors — the oracle is the shared
+    // scoring text over the survivor relation.
+    q(
+      "q_bm25_delete_apply",
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+        |${bm25ScoredCtesFrom("d")}
+        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) => bm25DeleteServe(s, dir).served }
   )
 
   /** q_bm25_compact's fragment+compact+serve, exposed private[graft] for
@@ -1709,6 +1742,59 @@ object TextQueries {
     }
     (store, epochPath, rewritePlan,
       bm25ServeStored(s, store), bm25ServeEpoch(s, ptbl, epochPath))
+  }
+
+  /** What the BM25 delete apply hands back, exposed private[graft] for
+    * DeleteApplySpec. */
+  private[graft] final case class Bm25DeleteResult(
+      store0: String, tombstonePlan: String, tombPath: String,
+      epochPath: String, rewritePlan: String, served: DataFrame)
+
+  /** q_bm25_delete_apply's build+tombstone+compact+serve — see the defs
+    * entry for the contract. */
+  private[graft] def bm25DeleteServe(s: SparkSession, dir: String): Bm25DeleteResult = {
+    val docs = Tables(s, dir).documents
+    val store0 = graft.plans.ScratchDirs.unique("graft-bm25-del-v0").getAbsolutePath
+    graft.Bench.phase("q_bm25_delete_apply.build") {
+      val (p, d, t) = bm25Parts(docs)
+      p.write.mode("overwrite").parquet(s"$store0/postings")
+      d.write.mode("overwrite").parquet(s"$store0/docstats")
+      t.write.mode("overwrite").parquet(s"$store0/totals")
+    }
+    // 1) tombstone append — O(deletes): the takedown list only
+    val dels = docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(10)) === 7)
+    val tombstonePlan = dels.queryExecution.executedPlan.toString
+    val tombPath = graft.plans.ScratchDirs.unique("graft-bm25-del-tomb").getAbsolutePath
+    graft.Bench.phase("q_bm25_delete_apply.tombstone") {
+      dels.write.mode("overwrite").parquet(tombPath)
+    }
+    // 2) compaction: store + tombstones only; postings/doc-stats drop
+    // tombstoned docs, totals RE-DERIVE from surviving doc-stats (one
+    // exact integer row), epoch lands token-bucketed
+    val tomb = s.read.parquet(tombPath)
+    val epochDirF = graft.plans.ScratchDirs.unique("graft-bm25-del-epoch")
+    val ptbl = epochDirF.getName.replace('-', '_').replace('.', '_')
+    val epochPath = epochDirF.getAbsolutePath
+    val survP = s.read.parquet(s"$store0/postings")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val survD = s.read.parquet(s"$store0/docstats")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val rewritePlan = Seq(survP, survD)
+      .map(_.queryExecution.executedPlan.toString).mkString("\n")
+    graft.Bench.phase("q_bm25_delete_apply.compact") {
+      survP.repartition(8, col("token"))
+        .write.mode("overwrite")
+        .bucketBy(8, "token").sortBy("token")
+        .option("path", s"$epochPath/postings")
+        .saveAsTable(ptbl)
+      survD.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/docstats")
+      survD.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals")
+    }
+    // 3) serve the epoch — the unchanged bucketed path; deleted docs are
+    // gone from postings, stats, and the IDF/avgdl denominators alike
+    Bm25DeleteResult(store0, tombstonePlan, tombPath, epochPath, rewritePlan,
+      bm25ServeEpoch(s, ptbl, epochPath))
   }
 
   /** Serve the fixed 3-term BM25 top-10 off a compacted epoch: postings

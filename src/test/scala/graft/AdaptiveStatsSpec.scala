@@ -37,7 +37,8 @@ class AdaptiveStatsSpec extends SparkSpec {
     val stats = SparkEntry.queries("q_ivf_label_stats")(spark, sf).persist()
     val rows = stats.collect()
     val cells = rows.map(_.getLong(0)).distinct
-    assert(cells.length === graft.queries.SimilarityQueries.IvfProvision.cells)
+    assert(cells.length === graft.queries.SimilarityQueries.IvfProvision
+      .cellsFor(Tables(spark, sf).embeddings.count()))
     assert(rows.length <= cells.length * 10) // 10 labels in the fixture
     // per cell, members sum back and each ppm equals n*1e6 div n_cell
     val byCell = rows.groupBy(_.getLong(0))

@@ -1,0 +1,147 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{SimilarityQueries, TextQueries}
+
+/** Tombstone DELETE + compaction-applied drop across the three stored
+  * index families (round-16 verdict item 2) — the lifecycle verb the
+  * stores were missing. Per family this pins what the SQL oracles
+  * cannot see:
+  *
+  *  - the TOMBSTONE APPEND is O(deletes): its physical plan never
+  *    touches the store (takedowns cost the takedown list, not the
+  *    index);
+  *  - the COMPACTION is store-only (no corpus re-scan, no assignment /
+  *    tokenize recompute) and DROPS the tombstoned rows PHYSICALLY —
+  *    epoch row multisets prove it, and epoch 0 retains every original
+  *    row read-only (the retire pattern);
+  *  - SERVING over the compacted epoch equals the serve-time-mask arm
+  *    (the between-delete-and-compaction behavior) bit-for-bit, so the
+  *    mask and the physical drop can never drift.
+  */
+class DeleteApplySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  private def hasShuffle(plan: String): Boolean =
+    plan.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  test("ivf: tombstone append is store-blind; compaction drops physically; epoch serves like the mask") {
+    val r = SimilarityQueries.ivfDeleteServe(spark, dir)
+    // the delete itself never reads the index
+    assert(!r.tombstonePlan.contains(r.store0),
+      "tombstone-append plan scans the store — deletes must be O(deletes)")
+    // compaction reads only the store + tombstones
+    assert(!r.rewritePlan.contains("embeddings"),
+      "compaction re-scanned the corpus — it must be store-only")
+    val store0 = spark.read.parquet(r.store0)
+    val epoch = spark.read.parquet(r.epochPath)
+    val nDels = spark.read.parquet(r.tombPath).count()
+    assert(nDels > 0, "fixture must contain tombstoned ids")
+    // physical drop: epoch = store0 minus tombstoned, and epoch 0 keeps
+    // every original row (retired read-only, including the deleted ones)
+    assert(epoch.count() === store0.count() - nDels)
+    assert(epoch.filter(col("vec_id") % 10 === 7).count() === 0L,
+      "a tombstoned row survived compaction")
+    assert(store0.filter(col("vec_id") % 10 === 7).count() === nDels,
+      "epoch 0 lost rows — retired epochs are read-only")
+    // served equality with the serve-time mask over the OLD store (the
+    // pre-compaction deployment behavior serveStoredIndex's candPred
+    // models)
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    val cents = SimilarityQueries.IvfProvision.seeds(v)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val masked = SimilarityQueries.serveStoredIndex(spark, v, cents, r.store0,
+        candPred = col("vec_id") % 10 =!= 7)
+      .collect().map(_.toSeq).toSet
+    assert(r.served.collect().map(_.toSeq).toSet === masked,
+      "compacted-epoch serving diverged from the serve-time tombstone mask")
+    Bench.cleanup(spark)
+  }
+
+  test("graph: edges with a tombstoned endpoint die; rewrite is store-only and exchange-free; q7 stops querying") {
+    val r = SimilarityQueries.graphDeleteServe(spark, dir)
+    assert(!r.tombstonePlan.contains(r.store0Path),
+      "tombstone-append plan scans the edge store")
+    assert(!r.rewritePlan.contains("embeddings"),
+      "graph compaction re-scanned the corpus")
+    assert(!hasShuffle(r.rewritePlan),
+      s"graph delete-compaction shuffled — the bucketed scan must flow to the bucketed write:\n${r.rewritePlan.take(2000)}")
+    // multiset identity: epoch == store0 edges with both endpoints alive
+    val store0 = spark.read.parquet(r.store0Path).select(col("u"), col("w"))
+    val epoch = spark.read.parquet(r.epochPath).select(col("u"), col("w"))
+    val expected = store0.filter(col("u") % 10 =!= 7 && col("w") % 10 =!= 7)
+    assert(epoch.count() === expected.count())
+    assert(epoch.exceptAll(expected).count() === 0L)
+    assert(epoch.count() < store0.count(),
+      "fixture produced no tombstoned edges — the drop path was not exercised")
+    // query- and candidate-side removal
+    val rows = r.served.collect()
+    assert(!rows.exists(_.getLong(0) % 10 == 7), "deleted id 7 still queries")
+    assert(!rows.exists(_.getLong(1) % 10 == 7), "a deleted id was served")
+    // served equality with an in-memory mask over the OLD store's edges
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val batch = v.filter(col("vec_id") % 4 === 3)
+    val cents = SimilarityQueries.IvfProvision.seeds(base)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val assign1 = SimilarityQueries.graphAssign2(base, cents)
+      .unionByName(SimilarityQueries.graphAssign2(batch, cents))
+      .filter(col("rn") === 1 && col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("c_id"))
+    val qv = v.filter(col("vec_id") < 8 && col("vec_id") % 10 =!= 7).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val (_, gallMask) = SimilarityQueries.graphServeCands(assign1, expected, v, qv)
+    val masked = SimilarityQueries.graphTop5(gallMask, v, qv)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet === masked,
+      "compacted-epoch graph serving diverged from the masked old store")
+    Bench.cleanup(spark)
+  }
+
+  test("bm25: postings/stats drop tombstoned docs; totals re-derive exactly; epoch equals survivor one-shot") {
+    val r = TextQueries.bm25DeleteServe(spark, dir)
+    assert(!r.tombstonePlan.contains(r.store0),
+      "tombstone-append plan scans the lexical store")
+    assert(!r.rewritePlan.contains("documents"),
+      "bm25 compaction re-tokenized the corpus")
+    val nDels = spark.read.parquet(r.tombPath).count()
+    assert(nDels > 0)
+    // physical drop on both artifacts
+    val p0 = spark.read.parquet(s"${r.store0}/postings")
+    val p1 = spark.read.parquet(s"${r.epochPath}/postings")
+    assert(p1.filter(col("doc_id") % 10 === 7).count() === 0L)
+    assert(p1.count() === p0.filter(col("doc_id") % 10 =!= 7).count())
+    val d1 = spark.read.parquet(s"${r.epochPath}/docstats")
+    assert(d1.filter(col("doc_id") % 10 === 7).count() === 0L)
+    // totals: ONE exact row re-derived from the survivors (a fold of the
+    // old partials can add but never subtract)
+    val t1 = spark.read.parquet(s"${r.epochPath}/totals").collect()
+    assert(t1.length === 1)
+    val survStats = d1.agg(count(lit(1)), sum(col("dl"))).head()
+    assert(t1(0).getLong(0) === survStats.getLong(0))
+    assert(t1(0).getLong(1) === survStats.getLong(1))
+    // served equality with the one-shot scorer over survivors — for BM25
+    // tombstone-drop IS the rebuild (per-doc-independent stats), so this
+    // is exact, including the IDF/avgdl denominators
+    val oneShot = TextQueries.bm25ScoredDocs(
+        Tables(spark, dir).documents.filter(col("doc_id") % 10 =!= 7))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .collect().map(_.toSeq).toSet
+    assert(r.served.collect().map(_.toSeq).toSet === oneShot,
+      "compacted-epoch bm25 serving diverged from the survivor one-shot")
+    Bench.cleanup(spark)
+  }
+}

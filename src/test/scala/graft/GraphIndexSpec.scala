@@ -200,18 +200,18 @@ class GraphIndexSpec extends SparkSpec {
   }
 
   test("beam serving: expansion joins read the stored table shuffle-free; every candidate scored once") {
-    val (planHolder, vis, _, out) = SimilarityQueries.beamServe(spark, dir)
+    val (beamPlan, vis, _, out) = SimilarityQueries.beamServe(spark, dir)
     // the checkpointed vis is a leaf; the last round's PRE-checkpoint
-    // frame still holds the expansion join over the stored table (plan
-    // inspection only — its inputs' blocks are released by the loop's
-    // checkpoint hygiene, so it is not collectible)
-    val all = flatten(planHolder.queryExecution.executedPlan)
+    // PLAN still holds the expansion join over the stored table (beamServe
+    // returns it as a SparkPlan — round-16 ADVICE — because its inputs'
+    // blocks are released by the loop's checkpoint hygiene)
+    val all = flatten(beamPlan)
     val joins = all.filter(p => p.nodeName.contains("Join"))
     val cleanSide = joins.exists(_.children.exists(side =>
       hasBucketedScan(side) &&
         flatten(side).collect { case s: ShuffleExchangeExec => s }.isEmpty))
     assert(cleanSide,
-      s"no shuffle-free bucketed side on a beam expansion join:\n${planHolder.queryExecution.executedPlan.toString.take(4000)}")
+      s"no shuffle-free bucketed side on a beam expansion join:\n${beamPlan.toString.take(4000)}")
     // exact-eval accounting: (q_id, vec_id) unique in the visited set —
     // the anti-join guarantees each candidate is scored exactly once
     assert(vis.count() ===

@@ -243,13 +243,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("IvfProvision: K is exactly the provisioned bound at any corpus size (round 13)") {
-    // the scale claim as arithmetic: for every n >= 4K the strided rule
-    // yields exactly K seeds, all multiples of 4 (base-derivable), all
-    // inside the corpus — no corpus size can inflate the centroid count
+  test("IvfProvision: derived K is bounded, √-shaped, and seed-exact at any corpus size (round 17)") {
+    // the scale claim as arithmetic: the derived rule keeps K between
+    // the floor and the cap at EVERY n (no corpus size can inflate the
+    // centroid collect past maxCells), K·K·W covers n below the cap
+    // (cells really are ~√(n/W)-many — neither failure mode of the two
+    // historic bugs: K ∝ N rate, or fixed K with width ∝ N), and the
+    // strided seeds stay multiples of 4 strictly inside the corpus
     import graft.queries.SimilarityQueries.IvfProvision
-    val k = IvfProvision.cells
-    samples(Gen.chooseNum(4L * k, 2000000000000L), 200).foreach { n =>
+    val floor = IvfProvision.cells
+    val w = IvfProvision.targetWidth.toLong
+    samples(Gen.chooseNum(4L * floor, 2000000000000L), 200).foreach { n =>
+      val k = IvfProvision.cellsFor(n)
+      assert(k >= floor && k <= IvfProvision.maxCells, s"K out of bounds at n=$n")
+      // ceilSqrt exactness: k is the SMALLEST count whose k²·W covers n
+      // (whenever neither clamp is active)
+      if (k > floor && k < IvfProvision.maxCells) {
+        assert(k.toLong * k * w >= n, s"K²·W < n at n=$n (k=$k)")
+        assert((k - 1L) * (k - 1L) * w < n + w, s"K not minimal at n=$n (k=$k)")
+      }
       val s = IvfProvision.stride(n)
       assert(s % 4 === 0, s"stride not a multiple of 4 at n=$n")
       // seeds are s*{0..K-1}: count K, last one strictly inside the corpus
@@ -260,8 +272,9 @@ class PropertySpec extends SparkSpec {
     // regression in seedFilter itself, e.g. '<' flipping to '<=', must
     // fail here): exactly min(K, ceil(n/4)) seeds, all multiples of 4
     Seq(10L, 20L, 37L, 500L, 2000L, 99999L).foreach { n =>
+      val k = IvfProvision.cellsFor(n)
       val seeds = spark.range(n).toDF("vec_id")
-        .filter(IvfProvision.seedFilter(IvfProvision.stride(n)))
+        .filter(IvfProvision.seedFilter(IvfProvision.stride(n), k))
         .collect().map(_.getLong(0))
       val expected = math.min(k.toLong, (n + 3) / 4)
       assert(seeds.length.toLong === expected,
