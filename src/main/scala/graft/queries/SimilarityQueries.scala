@@ -230,7 +230,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] =
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfLabelStats :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ ivfDeleteApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
-      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ graphStats :+ graphRebuildApply :+ graphDeleteApply :+ annRecallBeam :+ annRecallIvfTrained :+ annRecallPq :+
+      annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ graphStats :+ graphRebuildApply :+ graphDeleteApply :+ annRecallBeam :+ annRecallBeamLayered :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
       annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ annRecallInt8 :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental
 
@@ -2577,7 +2577,15 @@ object SimilarityQueries {
     val qv = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val assign1 = assign2.filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
-    val (_, gall) = graphServeCands(assign1, stored, v, qv)
+    // serve tail phase-timed (round-16 verdict item 4: 2.4 s of this
+    // headline was unattributed) — gall persists in graphServeCands, so
+    // forcing it here charges the assignment crossjoins + hop joins +
+    // candidate union to .serve; the caller's action keeps only the
+    // final rerank
+    val (_, gall) = graft.Bench.phase("q_graph_stored.serve") {
+      val (p1, g) = graphServeCands(assign1, stored, v, qv)
+      g.count(); (p1, g)
+    }
     (path, gall, graphTop5(gall, v, qv))
   }
 
@@ -2650,14 +2658,21 @@ object SimilarityQueries {
   }
 
   /** Serve the merged store (or any edge table) for the 8 fixture
-    * queries — the incremental/compact lanes' shared serving tail. */
+    * queries — the incremental/compact lanes' shared serving tail.
+    * `phase` names the timing bucket (round-16 verdict item 4: these
+    * tails were the unattributed 2–3 s residual of every graph headline;
+    * the candidate frame is forced inside the phase, leaving only the
+    * final rerank in the caller's action). */
   private def graphServeMerged(s: SparkSession, ctx: GraphStoreCtx,
-      edgeTbl: String): DataFrame = {
+      edgeTbl: String, phase: String): DataFrame = {
     val assign1 = ctx.a2base.unionByName(ctx.a2batch)
       .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
     val qv = ctx.v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val (_, gall) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)
+    val gall = graft.Bench.phase(phase) {
+      val (_, g) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)
+      g.count(); g
+    }
     graphTop5(gall, ctx.v, qv)
   }
 
@@ -2667,7 +2682,8 @@ object SimilarityQueries {
   private[graft] def graphIncrementalServe(s: SparkSession, dir: String)
       : (String, String, DataFrame) = {
     val ctx = graphBuildAndAppend(s, dir, "graft-knn-graph-inc", "q_graph_incremental")
-    (ctx.path, ctx.ingestPlan, graphServeMerged(s, ctx, ctx.tbl))
+    (ctx.path, ctx.ingestPlan,
+      graphServeMerged(s, ctx, ctx.tbl, "q_graph_incremental.serve"))
   }
 
   /** ★ kNN-graph store COMPACTION — the layout-maintenance step the
@@ -2729,7 +2745,8 @@ object SimilarityQueries {
     // 4) serve both layouts (the spec diffs them; the declared output is
     // the epoch serve)
     (ctx.path, epochPath, rewritePlan,
-      graphServeMerged(s, ctx, ctx.tbl), graphServeMerged(s, ctx, epochTbl))
+      graphServeMerged(s, ctx, ctx.tbl, "q_graph_compact.serve_frag"),
+      graphServeMerged(s, ctx, epochTbl, "q_graph_compact.serve_epoch"))
   }
 
   /** Per-(session, sfDir) memo of the merged (base build + batch append)
@@ -3133,6 +3150,133 @@ object SimilarityQueries {
     (visPlan, visFinal, gall, out)
   }
 
+  /** Upper-layer sampling stride: vec_id % 16 == 0 base nodes form layer
+    * 1 — the deterministic analog of HNSW's exponential level assignment
+    * (P(level ≥ 1) = 1/16; base-resident by construction since 16 ≡ 0
+    * mod 4). */
+  private[graft] val graphLayerStride = 16
+  /** Layer-1 beam width / rounds: the descent is a coarse locator, so it
+    * runs narrower and shorter than the layer-0 beam. */
+  private[graft] val graphL1BeamWidth = 2
+  private[graft] val graphL1Rounds = 2
+
+  /** ★ LAYERED beam serving — the HNSW layer hierarchy proper (round-16
+    * verdict item 6): where q_ann_recall_beam still asks the coarse
+    * quantizer for its entry points (probe-1 cell scan → top-L seeds),
+    * this lane serves with NO quantizer in the path at all. Index time
+    * adds ONE upper layer: the vec_id % 16 nodes carry their own top-M
+    * edges among themselves (built with the same 2-cell candidate rule —
+    * the quantizer is an index-BUILD tool here, exactly like HNSW's
+    * insert-time search), stored as a second bucketed table. Serve time
+    * descends: start at the GLOBAL entry point (the minimum layer-1 id —
+    * one bounded driver read), beam W=2 for 2 rounds over the layer-1
+    * subgraph to localize, then hand the visited set to the layer-0 beam
+    * (W=4, 3 rounds) over the SAME frozen stored graph the flat beam
+    * serves. Every node is exact-scored exactly once ACROSS layers (the
+    * visited anti-join carries over), so n_cand_beam is the true eval
+    * budget including the descent. Serving cost is O((B₁W₁ + BW)·M)
+    * stored-edge lookups per query — corpus-independent, and now with
+    * zero probe-cell scan: at 100 TB the probe-1 scan was the one
+    * corpus-fraction term left in beam serving; this removes it. The
+    * measured recall-vs-budget row lands in docs/SCALING.md's beam
+    * table. */
+  val annRecallBeamLayered: QueryDef = q(
+    "q_ann_recall_beam_layered",
+    annRecallBeamLayeredSql
+  ) { (s, dir) => beamLayeredServe(s, dir)._3 }
+
+  /** q_ann_recall_beam_layered's body, exposed private[graft] for
+    * GraphIndexSpec: (layer-1 store path, final visited frame — a
+    * checkpointed leaf, collectible — and the declared output). */
+  private[graft] def beamLayeredServe(s: SparkSession, dir: String)
+      : (String, DataFrame, DataFrame) = {
+    import graft.functions.VectorExpressions.cosineSimilarity
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tbl0 = ensureGraphStore(s, dir, "q_ann_recall_beam_layered")._1
+    val stored = s.table(tbl0).hint("merge")
+    val v = Tables(s, dir).embeddings
+      .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
+      .persist(MEMORY_AND_DISK)
+    val base = v.filter(col("vec_id") % 4 =!= 3)
+    val cents = IvfProvision.seeds(base)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // layer-1 build — index-time cost; the serving path below never
+    // touches the quantizer again
+    val l1 = base.filter(col("vec_id") % graphLayerStride === 0)
+    val l1DirF = graft.plans.ScratchDirs.unique("graft-knn-graph-l1")
+    val l1Tbl = l1DirF.getName.replace('-', '_').replace('.', '_')
+    val l1Path = l1DirF.getAbsolutePath
+    graft.Bench.phase("q_ann_recall_beam_layered.build_l1") {
+      graphEdgesFrom(graphBuildCands(graphAssign2(l1, cents)), l1, l1)
+        .repartition(graphIndexBuckets, col("u"))
+        .write.mode("overwrite")
+        .bucketBy(graphIndexBuckets, "u").sortBy("u")
+        .option("path", l1Path)
+        .saveAsTable(l1Tbl)
+    }
+    val storedL1 = s.table(l1Tbl).hint("merge")
+    val qv = v.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(v.select(col("vec_id"), col("e")), "vec_id")
+      .join(broadcast(qv.withColumnRenamed("q_id", "sq")), col("sq") === col("q_id"))
+      .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    // global entry point: min layer-1 id — one 1-row driver read (the
+    // HNSW top-layer entry; deterministic, both engines replay min())
+    val entryId = l1.agg(min(col("vec_id"))).head().getLong(0)
+    val entry = qv.select(col("q_id")).withColumn("vec_id", lit(entryId))
+    val visFinal = graft.Bench.phase("q_ann_recall_beam_layered.beam") {
+      var vis = score(entry).localCheckpoint(true)
+      var prev = graft.plans.Checkpoints.checkpointedRdd(vis)
+      // the shared descent/beam round — layer choice is just which edge
+      // table expands; the visited set (and with it the scored-once
+      // anti-join) carries ACROSS layers
+      def runRounds(graph: DataFrame, width: Int, n: Int): Unit =
+        (1 to n).foreach { _ =>
+          val beam = twoPhaseRank(vis, Seq("q_id"),
+              Seq(col("cos").desc, col("vec_id")), width, "brn")
+            .select(col("q_id"), col("vec_id"))
+          val hop = beam.join(graph, beam("vec_id") === graph("u"))
+            .filter(col("w") =!= col("q_id"))
+            .select(col("q_id"), col("w").as("vec_id")).distinct()
+          val fresh = hop.join(vis.select(col("q_id"), col("vec_id")),
+            Seq("q_id", "vec_id"), "left_anti")
+          vis = vis.unionByName(score(fresh)).localCheckpoint(true)
+          prev.foreach(_.unpersist(false))
+          prev = graft.plans.Checkpoints.checkpointedRdd(vis)
+        }
+      runRounds(storedL1, graphL1BeamWidth, graphL1Rounds)
+      runRounds(stored, graphBeamWidth, graphBeamRounds)
+      vis
+    }
+    val exact = graft.Bench.phase("q_ann_recall_beam_layered.truth") {
+      val e = twoPhaseRank(
+        v.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
+          .select(col("q_id"), col("vec_id"), col("cos")),
+        Seq("q_id"), Seq(col("cos").desc, col("vec_id")), 5, "rank")
+        .select(col("q_id"), col("vec_id"))
+        .persist(MEMORY_AND_DISK)
+      e.count(); e
+    }
+    // n_cand excludes a query's own node (q0 IS the entry point): the
+    // eval of (q, q) costs nothing a serving system reports
+    val counts = visFinal.filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_beam"))
+    val out = exact
+      .join(visFinal.select(col("q_id"), col("vec_id")).withColumn("b", lit(1)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_hit_beam"))
+      .join(counts, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand_beam"), lit(0L)).as("n_cand_beam"),
+        col("n_hit_beam"), (col("n_hit_beam") / lit(5.0)).as("recall_beam"))
+    (l1Path, visFinal, out)
+  }
+
   /** The q_graph_stats rollup over an arbitrary (vec_id) node frame and
     * (u, w) edge frame — split out so GraphIndexSpec can drive the
     * deg-0 / under-provisioned health states the saturated fixture
@@ -3233,6 +3377,71 @@ object SimilarityQueries {
        |LEFT JOIN cng ON e.q_id = cng.q_id
        |LEFT JOIN cnb ON e.q_id = cnb.q_id
        |GROUP BY e.q_id, cng.n_cand_g, cnb.n_cand_beam""".stripMargin
+  }
+
+  /** Layered-beam oracle: the frozen store recomputed, the layer-1
+    * subgraph built from the same 2-cell candidate rule over the
+    * vec_id % 16 base nodes, then the descent unrolled exactly as the
+    * Spark loop runs it — graphL1Rounds beam-2 rounds over l1graph
+    * followed by graphBeamRounds beam-4 rounds over the layer-0 graph,
+    * ONE visited chain across both layers (the scored-once contract),
+    * seeded from the global entry point min(l1.vec_id). */
+  private lazy val annRecallBeamLayeredSql: String = {
+    val cosAb = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)"
+    val layers =
+      (1 to graphL1Rounds).map(_ => ("l1graph", graphL1BeamWidth)) ++
+        (1 to graphBeamRounds).map(_ => ("graph", graphBeamWidth))
+    val rounds = layers.zipWithIndex.map { case ((g, w), i) =>
+      val r = i + 1
+      s"""beam$r AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS brn
+         |    FROM vis${r - 1}) WHERE brn <= $w),
+         |bhop$r AS (
+         |  SELECT DISTINCT x.q_id, g.w AS vec_id
+         |  FROM beam$r x JOIN $g g ON g.u = x.vec_id WHERE g.w <> x.q_id),
+         |bfresh$r AS (
+         |  SELECT h.q_id, h.vec_id FROM bhop$r h
+         |  LEFT JOIN vis${r - 1} o ON o.q_id = h.q_id AND o.vec_id = h.vec_id
+         |  WHERE o.vec_id IS NULL),
+         |vis$r AS MATERIALIZED (
+         |  SELECT * FROM vis${r - 1}
+         |  UNION ALL
+         |  SELECT f.q_id, f.vec_id, $cosAb AS cos
+         |  FROM bfresh$r f JOIN n a ON a.vec_id = f.q_id JOIN n b ON b.vec_id = f.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val last = s"vis${layers.length}"
+    s"""WITH $graphFrozenCtes,
+       |l1 AS (SELECT * FROM nb WHERE vec_id % $graphLayerStride = 0),
+       |${graphAssign2Sql("l1", "l1a2")},
+       |l1cand AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM l1a2 a JOIN l1a2 b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |${graphEdgesSql("l1cand", "l1graph")},
+       |qs0 AS (SELECT vec_id AS q_id FROM n WHERE vec_id < 8),
+       |ent AS (SELECT min(vec_id) AS e_id FROM l1),
+       |vis0 AS MATERIALIZED (
+       |  SELECT q.q_id, ent.e_id AS vec_id, $cosAb AS cos
+       |  FROM qs0 q CROSS JOIN ent
+       |  JOIN n a ON a.vec_id = q.q_id JOIN n b ON b.vec_id = ent.e_id),
+       |$rounds,
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        $cosAb DESC,
+       |        b.vec_id) AS rank
+       |    FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+       |cnb AS (SELECT q_id, count(*) AS n_cand_beam FROM $last WHERE vec_id <> q_id GROUP BY q_id)
+       |SELECT e.q_id,
+       |  coalesce(cnb.n_cand_beam, 0) AS n_cand_beam,
+       |  sum(CASE WHEN bv.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit_beam,
+       |  sum(CASE WHEN bv.vec_id IS NULL THEN 0 ELSE 1 END) / 5.0 AS recall_beam
+       |FROM exact e
+       |LEFT JOIN (SELECT q_id, vec_id FROM $last) bv
+       |  ON e.q_id = bv.q_id AND e.vec_id = bv.vec_id
+       |LEFT JOIN cnb ON e.q_id = cnb.q_id
+       |GROUP BY e.q_id, cnb.n_cand_beam""".stripMargin
   }
 
   /** Stored-graph oracle: the harness's build+serve CTEs verbatim, top-5
@@ -4276,7 +4485,16 @@ object SimilarityQueries {
       .withColumn("l2",
         col("qn2") + col("vn2") - lit(2.0) * dotProduct(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("l2"))
-    val exact = top5(exactScored, "l2")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the recall/eval tail, phase-timed (round-16 verdict item 4: 2.2 s
+    // of this headline was unattributed): .truth = brute-force ground
+    // truth, .encode = both x̂ reconstructions, .adc = both approximate
+    // top-5s — what remains in the caller's action is the O(queries)
+    // hit/MSE rollup
+    val exact = graft.Bench.phase("q_ann_recall_pq_trained.truth") {
+      val e = top5(exactScored, "l2").persist(MEMORY_AND_DISK)
+      e.count(); e
+    }
     def hitsOf(cand: DataFrame, name: String): DataFrame = exact
       .join(cand.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
@@ -4284,11 +4502,18 @@ object SimilarityQueries {
     // each x̂ feeds its ADC top-5 AND its MSE (and the trained one sits on
     // a 3-round lineage): cache both, like the shared shingle frames in
     // DedupQueries — Bench.cleanup unpersists between queries
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val xhStandin = xhatOf(standin).persist(MEMORY_AND_DISK)
-    val xhTrained = xhatOf(trained).persist(MEMORY_AND_DISK)
-    hitsOf(adcTop5(xhStandin), "n_hit_standin")
-      .join(hitsOf(adcTop5(xhTrained), "n_hit_trained"), "q_id")
+    val (xhStandin, xhTrained) = graft.Bench.phase("q_ann_recall_pq_trained.encode") {
+      val a = xhatOf(standin).persist(MEMORY_AND_DISK)
+      val b = xhatOf(trained).persist(MEMORY_AND_DISK)
+      a.count(); b.count(); (a, b)
+    }
+    val (adcStandin, adcTrained) = graft.Bench.phase("q_ann_recall_pq_trained.adc") {
+      val a = adcTop5(xhStandin).persist(MEMORY_AND_DISK)
+      val b = adcTop5(xhTrained).persist(MEMORY_AND_DISK)
+      a.count(); b.count(); (a, b)
+    }
+    hitsOf(adcStandin, "n_hit_standin")
+      .join(hitsOf(adcTrained, "n_hit_trained"), "q_id")
       .crossJoin(mseOf(xhStandin, "mse_standin"))
       .crossJoin(mseOf(xhTrained, "mse_trained"))
       .select(col("q_id"),

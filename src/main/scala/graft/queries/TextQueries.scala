@@ -1694,7 +1694,32 @@ object TextQueries {
       s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
         |${bm25ScoredCtesFrom("d")}
         |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    ) { (s, dir) => bm25DeleteServe(s, dir).served }
+    ) { (s, dir) => bm25DeleteServe(s, dir).served },
+
+    // ★ BOUNDED BM25 serving — MaxScore/WAND-style SAFE pruning (Turtle &
+    // Flood 1995; Ding & Suel 2011) over the compacted token-bucketed
+    // epoch (round-16 verdict item 3): at compact time the store gains a
+    // per-token MAX TERM SCORE artifact (O(vocab) rows — the per-epoch
+    // upper bound every DAAT engine keeps); at serve time candidates are
+    // generated from an ESSENTIAL prefix of the query's terms (ordered
+    // by upper bound) and the remaining lists are skipped once the
+    // running top-k threshold exceeds what any doc outside the essential
+    // lists could possibly score. Safe pruning is EXACT — the skipped
+    // docs are provably below the k-th result — so the oracle is
+    // q_bm25's one-shot top-10 verbatim. The exactness argument is
+    // pinned in [[bm25WandServe]]: IEEE addition of positive term scores
+    // is monotone operand-wise, the scorer folds in sorted-token order,
+    // and both the threshold and the bound compare AFTER the shared 1e-6
+    // floor — a strictly smaller floored bound cannot win even a doc_id
+    // tie-break. At 100 TB the win is candidate-generation cost: docs
+    // fully scored drop from |union of all query-term postings| to
+    // |union of essential postings| (measured in docs/SCALING.md), and
+    // the skipped lists' buckets are never opened for generation.
+    q(
+      "q_bm25_wand",
+      s"""WITH $bm25ScoredCtes
+        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) => bm25WandServe(s, dir).served }
   )
 
   /** q_bm25_compact's fragment+compact+serve, exposed private[graft] for
@@ -1795,6 +1820,127 @@ object TextQueries {
     // gone from postings, stats, and the IDF/avgdl denominators alike
     Bm25DeleteResult(store0, tombstonePlan, tombPath, epochPath, rewritePlan,
       bm25ServeEpoch(s, ptbl, epochPath))
+  }
+
+  /** What the MaxScore serve hands back, exposed private[graft] for
+    * Bm25WandSpec and the SCALING probe: the epoch path and postings
+    * table, the rounds the essential set grew through, the final
+    * essential terms, the number of docs FULLY SCORED (the bounded
+    * quantity — the one-shot scores every doc in any query-term list),
+    * and the served frame. */
+  private[graft] final case class Bm25WandResult(
+      epochPath: String, postingsTbl: String, rounds: Int,
+      essential: Seq[String], nScored: Long, served: DataFrame)
+
+  /** q_bm25_wand's build+serve. Build: the compacted epoch layout
+    * (token-bucketed postings, doc-stats, 1-row exact totals) PLUS the
+    * `ubounds` artifact — per token, the maximum FULL term score any doc
+    * in the epoch attains (idf × tf-saturation with that doc's length
+    * norm — the exact `s` expression of [[bm25Score]], maxed per token).
+    * Serve: MaxScore over the fixed 3-term query —
+    *
+    *   order query terms by ubound desc (token asc on ties);
+    *   essential := first term; loop:
+    *     candidates := docs in any essential list (bucket-pruned scan);
+    *     fully score candidates through the SHARED bm25Score tail
+    *       (df comes from the FULL per-term postings count — IDF is a
+    *       corpus statistic, never a candidate-set one);
+    *     θ := 10th-best floored score among candidates;
+    *     rest := floor(Σ non-essential ubounds in sorted-token order);
+    *     if 10 candidates exist and rest < θ: STOP — any doc outside
+    *       the essential lists scores ≤ rest < θ (term scores are
+    *       positive; IEEE + is monotone operand-wise; the scorer's
+    *       sorted-token fold over a SUBSET of the non-essential terms is
+    *       ≤ the fold over all of them; floor is monotone), so it
+    *       cannot displace the 10th result even on a doc_id tie;
+    *     else grow the essential set by the next term.
+    *
+    * The served result is therefore EXACTLY the one-shot top-10, while
+    * docs fully scored shrink to the essential union. */
+  private[graft] def bm25WandServe(s: SparkSession, dir: String): Bm25WandResult =
+    bm25WandServeDocs(s, Tables(s, dir).documents)
+
+  /** The build+serve over an explicit (doc_id, text) frame — split so
+    * Bm25WandSpec can plant skewed corpora the uniform fixture can't
+    * show (a dominant term whose threshold prunes the others' lists). */
+  private[graft] def bm25WandServeDocs(s: SparkSession, docs: DataFrame): Bm25WandResult = {
+    val epochDirF = graft.plans.ScratchDirs.unique("graft-bm25-wand-epoch")
+    val ptbl = epochDirF.getName.replace('-', '_').replace('.', '_')
+    val epochPath = epochDirF.getAbsolutePath
+    graft.Bench.phase("q_bm25_wand.build") {
+      val (p, d, t) = bm25Parts(docs)
+      p.repartition(8, col("token"))
+        .write.mode("overwrite")
+        .bucketBy(8, "token").sortBy("token")
+        .option("path", s"$epochPath/postings")
+        .saveAsTable(ptbl)
+      d.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/docstats")
+      t.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals")
+      // ubounds: the exact bm25Score term expression, maxed per token —
+      // O(postings) once at build time, O(vocab) rows stored
+      val dfAll = p.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = d.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      p.join(broadcast(dfAll), "token")
+        .join(d, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("token"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+                + lit(0.75) * col("dl") / col("avgdl")))).as("s"))
+        .groupBy(col("token")).agg(max(col("s")).as("ub"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/ubounds")
+    }
+    graft.Bench.phase("q_bm25_wand.serve") {
+      val ubMap = s.read.parquet(s"$epochPath/ubounds")
+        .filter(col("token").isin(bm25Terms: _*))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ordered = bm25Terms.map(t => t -> ubMap.getOrElse(t, 0.0))
+        .sortBy { case (t, u) => (-u, t) }
+      val dl = s.read.parquet(s"$epochPath/docstats").select(col("doc_id"), col("dl"))
+      val stats = s.read.parquet(s"$epochPath/totals")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+      // IDF is a corpus statistic: df per term over the FULL postings
+      val dfT = s.table(ptbl).filter(col("token").isin(bm25Terms: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      def floored(x: Double): Double = math.floor(x * 1e6) / 1e6
+      var ess = 1
+      var done = false
+      var served: DataFrame = null
+      var nScored = 0L
+      while (!done) {
+        val essTerms = ordered.take(ess).map(_._1)
+        val cands = s.table(ptbl).filter(col("token").isin(essTerms: _*))
+          .select(col("doc_id")).distinct()
+        val tf = s.table(ptbl).filter(col("token").isin(bm25Terms: _*))
+          .join(cands, "doc_id")
+          .select(col("doc_id"), col("token"), col("tf"))
+        val scored = bm25Score(tf, dfT, dl, stats)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val top = scored.collect()
+        if (ess >= ordered.length) {
+          served = scored; done = true
+        } else {
+          // bound for any doc OUTSIDE the essential lists: its term
+          // scores are a subset of the non-essential terms — fold their
+          // ubounds in the scorer's sorted-token order, then floor
+          val rest = floored(ordered.drop(ess).sortBy(_._1)
+            .foldLeft(0.0) { case (acc, (_, u)) => acc + u })
+          if (top.length >= 10 && rest < top.last.getDouble(1)) {
+            served = scored; done = true
+          } else {
+            scored.unpersist()
+            ess += 1
+          }
+        }
+        if (done) nScored = cands.count()
+      }
+      Bm25WandResult(epochPath, ptbl, ess, ordered.take(ess).map(_._1),
+        nScored, served)
+    }
   }
 
   /** Serve the fixed 3-term BM25 top-10 off a compacted epoch: postings

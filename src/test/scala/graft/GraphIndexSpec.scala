@@ -225,6 +225,40 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("layered beam: quantizer-free descent, scored-once across layers, bounded eval budget") {
+    val (l1Path, vis, out) = SimilarityQueries.beamLayeredServe(spark, dir)
+    // the layer-1 store exists, bucketed like the family's other stores
+    val l1Files = new java.io.File(l1Path).listFiles()
+    assert(l1Files != null && l1Files.exists(_.getName.endsWith(".parquet")))
+    // layer-1 edges connect ONLY layer-1 nodes
+    val l1Edges = spark.read.parquet(l1Path)
+    assert(l1Edges.filter(col("u") % 16 =!= 0 || col("w") % 16 =!= 0).count() === 0L,
+      "a layer-1 edge touches a non-layer-1 node")
+    // scored-once ACROSS layers: (q_id, vec_id) unique in the final
+    // visited set — the descent's evals carry into the layer-0 anti-join
+    assert(vis.count() ===
+      vis.select(col("q_id"), col("vec_id")).distinct().count())
+    // every query's walk starts from the ONE global entry point
+    val entry = vis.groupBy(col("q_id")).agg(min(col("vec_id")).as("mn"))
+      .select(col("mn")).distinct().collect()
+    assert(entry.length === 1 && entry(0).getLong(0) === 0L,
+      "descent did not start from the global min-id entry point")
+    // eval budget is the structural bound: 1 entry + Σ width·M per round
+    val budget = 1 +
+      SimilarityQueries.graphL1Rounds * SimilarityQueries.graphL1BeamWidth * 8 +
+      3 * 4 * 8
+    val maxCand = out.agg(max(col("n_cand_beam"))).head().getLong(0)
+    assert(maxCand <= budget, s"eval budget $maxCand exceeds structural bound $budget")
+    // and the declared counts re-derive from the visited set
+    val perQ = vis.filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select(col("q_id"), col("n_cand_beam")).collect().foreach { r =>
+      assert(perQ(r.getLong(0)) === r.getLong(1))
+    }
+    Bench.cleanup(spark)
+  }
+
   test("lifecycle: stats -> tripped rebuild -> beam over the new epoch reaches batch nodes") {
     // the full maintenance loop at a tripped SF: the report reads the
     // store, the apply rebuilds epoch 1, and serving over the NEW epoch
