@@ -3159,6 +3159,17 @@ object SimilarityQueries {
     * runs narrower and shorter than the layer-0 beam. */
   private[graft] val graphL1BeamWidth = 2
   private[graft] val graphL1Rounds = 2
+  /** Layer-0 width/rounds for the LAYERED lane — wider than the flat
+    * beam's (W=4, B=3) because quantizer-free entry points start at
+    * ~rank-16 (the best of a 1/16 sample) instead of the probe-1 cell's
+    * exact top-5: the measured sweep (docs/SCALING.md) shows narrow
+    * beams CONVERGE before closing that gap (W0=4 saturates at 11/40
+    * base-truth hits no matter how many rounds), while ef-style width
+    * buys recall — W0=8, R0=4 reaches 20/40, BEATING the probe-seeded
+    * flat beam's 18/40 at ~3.7x its eval budget. That is the honest
+    * price of removing the quantizer scan from serving. */
+  private[graft] val graphLayeredWidth = 8
+  private[graft] val graphLayeredRounds = 4
 
   /** ★ LAYERED beam serving — the HNSW layer hierarchy proper (round-16
     * verdict item 6): where q_ann_recall_beam still asks the coarse
@@ -3188,26 +3199,40 @@ object SimilarityQueries {
   /** q_ann_recall_beam_layered's body, exposed private[graft] for
     * GraphIndexSpec: (layer-1 store path, final visited frame — a
     * checkpointed leaf, collectible — and the declared output). */
-  private[graft] def beamLayeredServe(s: SparkSession, dir: String)
+  private[graft] def beamLayeredServe(s: SparkSession, dir: String,
+      l1Width: Int = graphL1BeamWidth, l1Rounds: Int = graphL1Rounds,
+      l0Width: Int = graphLayeredWidth, l0Rounds: Int = graphLayeredRounds,
+      edgeTbl: Option[String] = None)
       : (String, DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.cosineSimilarity
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tbl0 = ensureGraphStore(s, dir, "q_ann_recall_beam_layered")._1
+    val tbl0 = edgeTbl.getOrElse(ensureGraphStore(s, dir, "q_ann_recall_beam_layered")._1)
     val stored = s.table(tbl0).hint("merge")
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
       .persist(MEMORY_AND_DISK)
     val base = v.filter(col("vec_id") % 4 =!= 3)
-    val cents = IvfProvision.seeds(base)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    // layer-1 build — index-time cost; the serving path below never
-    // touches the quantizer again
+    // layer-1 build: EXACT top-M among the sampled nodes — "their own
+    // top-M edges among themselves". The first cut bucketed layer-1
+    // candidates through the 2-cell rule like layer 0, and the measured
+    // descent collapsed (9/40 hits at sf0.1): 2-cell buckets make the
+    // tiny layer DISCONNECTED across cells, and a greedy walk can never
+    // leave the entry point's component — upper layers exist precisely
+    // to be globally navigable. All-pairs over the 1/16 sample is
+    // (N/16)² at build time, which is the fixture-scale base case of
+    // HNSW's recursion: at scale each further layer samples 1/16 of the
+    // one below, so all-pairs only ever runs on the topmost (tiny)
+    // layer and every lower layer builds bucketed. No quantizer
+    // anywhere in this lane — build or serve.
     val l1 = base.filter(col("vec_id") % graphLayerStride === 0)
     val l1DirF = graft.plans.ScratchDirs.unique("graft-knn-graph-l1")
     val l1Tbl = l1DirF.getName.replace('-', '_').replace('.', '_')
     val l1Path = l1DirF.getAbsolutePath
     graft.Bench.phase("q_ann_recall_beam_layered.build_l1") {
-      graphEdgesFrom(graphBuildCands(graphAssign2(l1, cents)), l1, l1)
+      val l1cand = l1.select(col("vec_id").as("u"))
+        .crossJoin(l1.select(col("vec_id").as("w")))
+        .filter(col("u") =!= col("w"))
+      graphEdgesFrom(l1cand, l1, l1)
         .repartition(graphIndexBuckets, col("u"))
         .write.mode("overwrite")
         .bucketBy(graphIndexBuckets, "u").sortBy("u")
@@ -3246,8 +3271,8 @@ object SimilarityQueries {
           prev.foreach(_.unpersist(false))
           prev = graft.plans.Checkpoints.checkpointedRdd(vis)
         }
-      runRounds(storedL1, graphL1BeamWidth, graphL1Rounds)
-      runRounds(stored, graphBeamWidth, graphBeamRounds)
+      runRounds(storedL1, l1Width, l1Rounds)
+      runRounds(stored, l0Width, l0Rounds)
       vis
     }
     val exact = graft.Bench.phase("q_ann_recall_beam_layered.truth") {
@@ -3390,7 +3415,7 @@ object SimilarityQueries {
     val cosAb = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)"
     val layers =
       (1 to graphL1Rounds).map(_ => ("l1graph", graphL1BeamWidth)) ++
-        (1 to graphBeamRounds).map(_ => ("graph", graphBeamWidth))
+        (1 to graphLayeredRounds).map(_ => ("graph", graphLayeredWidth))
     val rounds = layers.zipWithIndex.map { case ((g, w), i) =>
       val r = i + 1
       s"""beam$r AS (
@@ -3413,10 +3438,9 @@ object SimilarityQueries {
     val last = s"vis${layers.length}"
     s"""WITH $graphFrozenCtes,
        |l1 AS (SELECT * FROM nb WHERE vec_id % $graphLayerStride = 0),
-       |${graphAssign2Sql("l1", "l1a2")},
        |l1cand AS (
-       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
-       |  FROM l1a2 a JOIN l1a2 b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |  SELECT a.vec_id AS u, b.vec_id AS w
+       |  FROM l1 a JOIN l1 b ON a.vec_id <> b.vec_id),
        |${graphEdgesSql("l1cand", "l1graph")},
        |qs0 AS (SELECT vec_id AS q_id FROM n WHERE vec_id < 8),
        |ent AS (SELECT min(vec_id) AS e_id FROM l1),

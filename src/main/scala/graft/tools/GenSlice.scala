@@ -58,17 +58,22 @@ object GenSlice {
     }.reduce(_ unionByName _)
     embOut.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // replica-unique word shapes: three appended words per replica doc,
-    // each 3 syllables from a 16-entry inventory indexed by mixed
-    // (doc_id, replica, position) primes — deterministic, no RNG, and
-    // k=0 stays byte-identical to the source corpus
+    // each 3 syllables from a 16-entry inventory. Each syllable keys off
+    // a DIFFERENT base-16 digit of doc_id (plus replica/position
+    // offsets) — a single linear index mod 16 would trace one 16-cycle
+    // and cap the injected vocabulary at 16 words per (replica,
+    // position); the digit split makes the triple span ~16³ word types
+    // as doc_id grows, the long-tail regime where the two tokenizer
+    // trainers' objectives actually diverge. Deterministic, no RNG, and
+    // k=0 stays byte-identical to the source corpus.
     val syls = "ka,to,ri,mu,ze,lo,fi,na,du,pe,sa,wi,xo,ba,qu,ce"
       .split(',').map(s => s"'$s'").mkString("array(", ",", ")")
     def synthWords(k: Int): org.apache.spark.sql.Column = expr(
       s"""concat_ws(' ', transform(sequence(1, 3), j ->
          |  concat(
-         |    element_at($syls, CAST(pmod(doc_id * 7 + $k * 31 + j * 13, 16) AS INT) + 1),
-         |    element_at($syls, CAST(pmod(doc_id * 11 + $k * 17 + j * 29, 16) AS INT) + 1),
-         |    element_at($syls, CAST(pmod(doc_id * 3 + $k * 5 + j * 7, 16) AS INT) + 1))))""".stripMargin)
+         |    element_at($syls, CAST(pmod(doc_id + 5 * j + $k, 16) AS INT) + 1),
+         |    element_at($syls, CAST(pmod(doc_id div 16 + 3 * j + 7 * $k, 16) AS INT) + 1),
+         |    element_at($syls, CAST(pmod(doc_id div 256 + j + 11 * $k, 16) AS INT) + 1))))""".stripMargin)
     val docsOut = (0 until factor).map { k =>
       val text =
         if (k == 0) col("text")
