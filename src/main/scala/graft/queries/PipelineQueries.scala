@@ -859,8 +859,109 @@ object PipelineQueries {
           col("n_cross"), col("n_train"), col("n_val"), col("n_test"))
       }
       scheme("group", "split_group").unionByName(scheme("naive", "split_naive"))
+    },
+
+    // ★ Importance resampling for domain-targeted data selection — the
+    // DSIR shape (Xie et al. 2023, "Data Selection for Language Models
+    // via Importance Resampling"): estimate hashed-ngram bag-of-words
+    // distributions for a TARGET domain (here lang='en', the in-domain
+    // exemplar) and the RAW corpus, weight every document by its
+    // log importance ratio Σ_features ln(p̂_tgt(b)/p̂_raw(b)) (+1-smoothed
+    // over B=128 hash buckets), and draw a fixed-size sample by Gumbel
+    // top-k (key = logw + Gumbel noise ⟺ sampling ∝ exp(logw) without
+    // replacement). Features are word unigrams + bigrams hashed through
+    // the engines' one shared hash (md5 hex → int, the q_shuffle_order
+    // idiom); the Gumbel uniform comes from a seeded md5 of doc_id so the
+    // draw is REPRODUCIBLE across engines and reruns (the q_sample_weighted
+    // discipline). Determinism: bucket counts are exact integers; each
+    // bucket's log-ratio is ONE libm ln of one correctly-rounded division
+    // (integer products < 2^53, exact in double); per-doc folds run in
+    // sorted-bucket order so both engines replay the identical IEEE sum
+    // (the q_quality_perplexity trick); ordering is on the floored key
+    // with a doc_id tie-break. Scale shape: two passes over the token
+    // stream (bucket histogram, then per-doc bucket tfs — the q_tfidf
+    // envelope), a B-row broadcast back, and a TakeOrderedAndProject
+    // top-k; no global sort, no pairwise work, O(B) driver-safe stats.
+    q(
+      "q_importance_resample",
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(list_concat(ts,
+        |    CASE WHEN len(ts) >= 2
+        |      THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || '_' || ts[i + 1])
+        |      ELSE [] END)) AS g
+        |  FROM toks),
+        |feat AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 6))::BIGINT % 128 AS b FROM grams),
+        |bucket AS (SELECT b, count(*)::BIGINT AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM feat GROUP BY 1),
+        |tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM bucket),
+        |contrib AS (SELECT b,
+        |    ln(((ct + 1)::DOUBLE * (tr + 128)::DOUBLE) /
+        |       ((cr + 1)::DOUBLE * (tt + 128)::DOUBLE)) AS cb
+        |  FROM bucket CROSS JOIN tot),
+        |tfb AS (SELECT doc_id, lang, b, count(*)::BIGINT AS tf FROM feat GROUP BY 1, 2, 3),
+        |dterm AS (SELECT t.doc_id, t.lang, t.b, t.tf::DOUBLE * c.cb AS term, t.tf
+        |  FROM tfb t JOIN contrib c USING (b)),
+        |dw AS (SELECT doc_id, lang, list(term ORDER BY b) AS terms,
+        |    sum(tf)::BIGINT AS n_feats FROM dterm GROUP BY 1, 2),
+        |keyed AS (SELECT doc_id, lang, n_feats, list_sum(terms) AS logw,
+        |    list_sum(terms) - ln(-ln(
+        |      (('0x' || substr(md5('dsir42#' || doc_id), 1, 12))::BIGINT + 0.5)
+        |        / 281474976710656.0)) AS key
+        |  FROM dw)
+        |SELECT doc_id, lang, n_feats,
+        |  floor(logw * 1e6) / 1e6 + 0.0 AS logw_f,
+        |  floor(key * 1e6) / 1e6 + 0.0 AS skey
+        |FROM keyed ORDER BY skey DESC, doc_id LIMIT 30""".stripMargin
+    ) { (s, dir) =>
+      val u = (conv(substring(
+          md5(concat(lit("dsir42#"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast("double") + 0.5) / 281474976710656.0
+      dsirWeights(s, dir)
+        .withColumn("key", col("logw") - log(-log(u)))
+        .select(col("doc_id"), col("lang"), col("n_feats"),
+          (floor(col("logw") * 1e6) / 1e6 + 0.0).as("logw_f"),
+          (floor(col("key") * 1e6) / 1e6 + 0.0).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(30)
     }
   )
+
+  /** q_importance_resample's weight engine, exposed for
+    * ImportanceResampleSpec: per-doc (doc_id, lang, terms, n_feats, logw)
+    * where logw = Σ_features ln(p̂_tgt(bucket)/p̂_raw(bucket)) folded in
+    * sorted-bucket order (see the lane's determinism notes). */
+  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val B = 128
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+    val grams = toks.select(col("doc_id"), col("lang"),
+      explode(concat(col("ts"),
+        when(size(col("ts")) >= 2,
+          expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], '_', ts[i + 1]))"))
+          .otherwise(array().cast("array<string>")))).as("g"))
+    val feat = grams.select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % B).as("b"))
+    val bucket = feat.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = bucket.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val contrib = bucket.crossJoin(broadcast(tot)).select(col("b"),
+      log(((col("ct") + 1).cast("double") * (col("tr") + B).cast("double")) /
+          ((col("cr") + 1).cast("double") * (col("tt") + B).cast("double"))).as("cb"))
+    feat.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(contrib), "b")
+      .select(col("doc_id"), col("lang"), col("b"),
+        (col("tf").cast("double") * col("cb")).as("term"), col("tf"))
+      .groupBy(col("doc_id"), col("lang")).agg(
+        sort_array(collect_list(struct(col("b"), col("term")))).as("terms"),
+        sum(col("tf")).as("n_feats"))
+      .withColumn("logw",
+        aggregate(col("terms"), lit(0.0), (a, x) => a + x.getField("term")))
+  }
 
   /** Oracle for q_split_leakfree: the simhash edge set + recursive-CTE
     * connected components (same shape as q_dedup_cluster's oracle), then

@@ -119,4 +119,64 @@ object StreamingIvf {
         appendBatch(index, batch, batchId): Unit
       }
       .start()
+
+  // --- streaming DELETE lane (the takedown stream) ----------------------
+
+  /** The index's sibling tombstone store — a SEPARATE directory (not a
+    * partition level inside the index) so delete ingest can never
+    * interleave with, list, or lock the cell directories, and so the
+    * compactor's "reads ONLY store + tombstones" plan guard stays
+    * greppable by path. */
+  def tombstonePath(index: StoredIvfIndex): String = s"${index.path}-tombstones"
+
+  /** Tombstone ONE micro-batch of delete requests (vec_id rows) — the
+    * streaming twin of q_ivf_delete_apply's step 1: O(deletes) per
+    * trigger, landing as that batch's OWN batch_id partition under
+    * dynamic partition overwrite, so a REDELIVERED delete batch
+    * overwrites itself (the appendBatch idempotence device — a takedown
+    * replayed twice is the same takedown). Never reads, lists, or
+    * rewrites the index or earlier tombstones. Returns the ingest plan
+    * (captured pre-write) so the spec can prove store-blindness. */
+  def appendDeletes(index: StoredIvfIndex, dels: DataFrame, batchId: Long): String = {
+    val t = dels.select(col("vec_id")).withColumn("batch_id", lit(batchId))
+    val plan = t.queryExecution.executedPlan.toString
+    t.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(index))
+    plan
+  }
+
+  /** Wire a takedown stream (vec_id) to the tombstone store. Checkpoint
+    * derived from the tombstone path (the run() restart contract): a
+    * restarted query resumes batch numbering, so redelivery idempotence
+    * holds across restarts here too. */
+  def runDeletes(delStream: DataFrame, index: StoredIvfIndex): StreamingQuery =
+    delStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${tombstonePath(index)}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendDeletes(index, batch, batchId): Unit
+      }
+      .start()
+
+  /** Apply accumulated tombstones physically — q_ivf_delete_apply's
+    * step 2 at the streaming boundary: reads ONLY the store and the
+    * tombstone directory (never the corpus), broadcast anti-join, one
+    * c_id-keyed shuffle, fresh one-directory-per-cell epoch; the old
+    * store and tombstones retire read-only. Between triggers of this
+    * (scheduled, not per-batch — compaction is a maintenance verb) a
+    * deployment serves with the tombstone mask; after it the rows are
+    * physically gone. Returns (epochPath, rewritePlan). */
+  def compactWithDeletes(s: SparkSession, index: StoredIvfIndex): (String, String) = {
+    val tomb = s.read.parquet(tombstonePath(index)).select(col("vec_id"))
+    val survivors = s.read.parquet(index.path)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("c_id").cast("long").as("c_id"), col("batch_id"))
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .repartition(col("c_id"))
+    val plan = survivors.queryExecution.executedPlan.toString
+    val epochPath = graft.plans.ScratchDirs.unique("graft-stream-ivf-epoch").getAbsolutePath
+    survivors.write.mode("overwrite").partitionBy("c_id", "batch_id").parquet(epochPath)
+    (epochPath, plan)
+  }
 }
