@@ -843,6 +843,44 @@ object DedupQueries {
       incrementalDedupStored(s, corpus(s, dir), 1000000L, 0.3)
     },
 
+    // ★ Tombstone DELETE for the stored dedup band index — the takedown
+    // verb completing the FOURTH stored family's lifecycle (IVF, graph,
+    // BM25 gained it this round; the dedup band index has
+    // stored/incremental and now delete): a removed document must stop
+    // matching future batches (it can no longer be anyone's dup_of), and
+    // a corpus store needs that without rebuilding the index. Steps:
+    //   1. TOMBSTONE append: O(deletes) — the takedown id list only,
+    //      never a stored row (plan captured for DeleteApplySpec).
+    //   2. COMPACTION drops tombstoned docs' band rows PHYSICALLY:
+    //      reads ONLY the stored table + tombstones (broadcast
+    //      anti-join), rewrites a fresh epoch under the SAME
+    //      (b, bv)-bucketed spec, epoch 0 retires read-only.
+    //   3. SERVING is the unchanged batch-vs-index candidate join over
+    //      the compacted epoch (merge hint pins the bucketed shape) +
+    //      exact-Jaccard verify — deleted docs are physically gone, so
+    //      no serve-time filter exists or is needed.
+    // Band rows are per-doc independent, so tombstone-drop is exactly
+    // the one-shot rebuild over survivors — the oracle is
+    // q_dedup_incremental's text with the survivor predicate on the
+    // index side of the candidate join. Batch variants of a DELETED doc
+    // simply stop matching (their dup target is gone) — the honest
+    // takedown semantics: the next full rebuild re-points nothing,
+    // because the doc no longer exists.
+    q(
+      "q_dedup_delete_apply",
+      s"""WITH $corpusSql, $shinglesSql, $minhashBandsCtes,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |  WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000 AND b.doc_id % 10 <> 7),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cands c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a AS doc_batch, doc_b AS dup_of, jac FROM (
+         |${jaccardSql("pairs", 0.3)})""".stripMargin
+    ) { (s, dir) => dedupDeleteServe(s, dir).served },
+
     // ★ Triangle count over the near-dup graph — the cluster-COHESION
     // metric dedup pipelines read before choosing a keep policy: a
     // component that is a clique of true duplicates (dense triangles) can
@@ -1026,6 +1064,65 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b")).distinct()
     jaccardVerify(sarr, cands, threshold)
       .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
+  }
+
+  /** What q_dedup_delete_apply hands back, exposed private[graft] for
+    * DeleteApplySpec: the epoch-0 stored band table name, the tombstone
+    * ingest plan (captured pre-write), the tombstone path, the compacted
+    * epoch table name, the compaction plan, and the served decisions. */
+  private[graft] final case class DedupDeleteResult(
+      store0Tbl: String, tombstonePlan: String, tombPath: String,
+      epochTbl: String, rewritePlan: String, served: DataFrame)
+
+  private[graft] def dedupDeleteServe(s: SparkSession, dir: String): DedupDeleteResult = {
+    val sarr = shingleArrays(corpus(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBands(sarr)
+    def writeBands(df: DataFrame, tag: String): String = {
+      val dirF = graft.plans.ScratchDirs.unique(s"graft-band-$tag")
+      val tbl = dirF.getName.replace('-', '_').replace('.', '_')
+      df.repartition(indexBuckets, col("b"), col("bv"))
+        .write.mode("overwrite")
+        .bucketBy(indexBuckets, "b", "bv").sortBy("b", "bv")
+        .option("path", dirF.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
+    }
+    val store0Tbl = graft.Bench.phase("q_dedup_delete_apply.build") {
+      writeBands(bands.filter(col("doc_id") < 1000000L)
+        .select(col("b"), col("bv"), col("doc_id").as("doc_b")), "del-v0")
+    }
+    // 1) tombstone append: the takedown list only — O(deletes), never a
+    // stored row (the shared %10==7 takedown predicate of the IVF/graph
+    // delete lanes, so the four families' fixtures stay comparable)
+    val dels = Tables(s, dir).documents.select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 7)
+    val tombstonePlan = dels.queryExecution.executedPlan.toString
+    val tombPath = graft.plans.ScratchDirs.unique("graft-band-del-tomb").getAbsolutePath
+    graft.Bench.phase("q_dedup_delete_apply.tombstone") {
+      dels.write.mode("overwrite").parquet(tombPath)
+    }
+    // 2) compaction applies the deletes physically: stored table +
+    // tombstones only, broadcast anti-join, fresh epoch under the same
+    // bucket spec
+    val tomb = s.read.parquet(tombPath).select(col("doc_id").as("doc_b"))
+    val survivors = s.table(store0Tbl).join(broadcast(tomb), Seq("doc_b"), "left_anti")
+      .select(col("b"), col("bv"), col("doc_b"))
+    val rewritePlan = survivors.queryExecution.executedPlan.toString
+    val epochTbl = graft.Bench.phase("q_dedup_delete_apply.compact") {
+      writeBands(survivors, "del-epoch")
+    }
+    // 3) serve: batch bands vs the compacted epoch (bucketed join shape
+    // pinned by the merge hint), exact-Jaccard verify
+    val served = graft.Bench.phase("q_dedup_delete_apply.serve") {
+      val bat = bands.filter(col("doc_id") >= 1000000L)
+        .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
+      val cands = bat.join(s.table(epochTbl).hint("merge"), Seq("b", "bv"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccardVerify(sarr, cands, 0.3)
+        .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
+    }
+    DedupDeleteResult(store0Tbl, tombstonePlan, tombPath, epochTbl, rewritePlan, served)
   }
 
   /** C4-style line-level dedup over a (doc_id, text) frame: the token

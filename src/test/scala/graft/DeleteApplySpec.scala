@@ -144,4 +144,40 @@ class DeleteApplySpec extends SparkSpec {
       "compacted-epoch bm25 serving diverged from the survivor one-shot")
     Bench.cleanup(spark)
   }
+
+  test("dedup: band rows of tombstoned docs die; compaction is store-only; a deleted doc is nobody's dup_of") {
+    val r = graft.queries.DedupQueries.dedupDeleteServe(spark, dir)
+    // the takedown list never reads the band store
+    assert(!r.tombstonePlan.contains("graft_band_del_v0") &&
+        !r.tombstonePlan.contains("graft-band-del-v0"),
+      "tombstone-append plan scans the band store")
+    // compaction reads only the stored table + tombstones — never text
+    assert(!r.rewritePlan.contains("documents"),
+      "dedup compaction re-shingled the corpus")
+    val store0 = spark.table(r.store0Tbl)
+    val epoch = spark.table(r.epochTbl)
+    val nDels = spark.read.parquet(r.tombPath).count()
+    assert(nDels > 0)
+    // physical drop + epoch-0 retire: multiset identity over survivors
+    assert(epoch.filter(col("doc_b") % 10 === 7).count() === 0L,
+      "a tombstoned doc's band rows survived compaction")
+    val expected = store0.filter(col("doc_b") % 10 =!= 7)
+    assert(epoch.count() === expected.count())
+    assert(epoch.exceptAll(expected).count() === 0L)
+    assert(epoch.count() < store0.count(),
+      "fixture produced no tombstoned band rows — the drop path was not exercised")
+    // served semantics: no deleted doc is anyone's dup_of, and the result
+    // equals the undeleted incremental lane minus decisions whose target
+    // died (band rows are per-doc independent — drop IS the rebuild)
+    val rows = r.served.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getLong(1) % 10 == 7), "a deleted doc was served as dup_of")
+    val undeleted = graft.queries.DedupQueries.incrementalDedupStored(
+        spark, graft.queries.DedupQueries.corpus(spark, dir), 1000000L, 0.3)
+      .filter(col("dup_of") % 10 =!= 7)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet === undeleted,
+      "delete-applied serving diverged from the survivor-filtered incremental lane")
+    Bench.cleanup(spark)
+  }
 }
