@@ -232,7 +232,7 @@ object SimilarityQueries {
     base :+ ivf :+ ivfProbe2 :+ ivfStored :+ ivfFiltered :+ ivfFilteredAdaptive :+ ivfLabelStats :+ ivfIncremental :+ ivfCompact :+ ivfBalance :+ ivfRetrainApply :+ ivfDeleteApply :+ quantize :+ kmeansStep :+ kmeansConverge :+ pq :+ ivfpq :+
       annRecall :+ annRecallIvf :+ annRecallGraph :+ graphStored :+ graphIncremental :+ graphCompact :+ graphStats :+ graphRebuildApply :+ graphDeleteApply :+ annRecallBeam :+ annRecallBeamLayered :+ annRecallIvfTrained :+ annRecallPq :+
       annRecallIvfpq :+ annRecallPqTrained :+ annRecallIvfpqTrained :+
-      annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ annRecallInt8 :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental
+      annRecallPqRerank :+ annRecallBinary :+ annRecallMrl :+ annRecallInt8 :+ hardNegatives :+ hybridRetrieval :+ hybridFiltered :+ hybridIncremental :+ hybridDelete
 
   /** int8 symmetric quantization of the embedding column — the standard
     * storage/ANN compression step for a training-data pipeline: per-vector
@@ -927,7 +927,9 @@ object SimilarityQueries {
       store0: String, tombstonePlan: String, tombPath: String,
       epochPath: String, rewritePlan: String, served: DataFrame)
 
-  private[graft] def ivfDeleteServe(s: SparkSession, dir: String): IvfDeleteResult = {
+  private[graft] def ivfDeleteServe(s: SparkSession, dir: String,
+      queryPred: Column = col("vec_id") < 8, topK: Int = 3,
+      phase: String = "q_ivf_delete_apply"): IvfDeleteResult = {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
@@ -937,7 +939,7 @@ object SimilarityQueries {
     val cents = IvfProvision.seeds(v)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val store0 = graft.plans.ScratchDirs.unique("graft-ivf-del-v0").getAbsolutePath
-    graft.Bench.phase("q_ivf_delete_apply.build") {
+    graft.Bench.phase(s"$phase.build") {
       assignCells(v, cents, Seq("e", "nrm"))
         .write.mode("overwrite").partitionBy("c_id").parquet(store0)
     }
@@ -947,7 +949,7 @@ object SimilarityQueries {
       .filter(deletePred(col("vec_id")))
     val tombstonePlan = dels.queryExecution.executedPlan.toString
     val tombPath = graft.plans.ScratchDirs.unique("graft-ivf-del-tomb").getAbsolutePath
-    graft.Bench.phase("q_ivf_delete_apply.tombstone") {
+    graft.Bench.phase(s"$phase.tombstone") {
       dels.write.mode("overwrite").parquet(tombPath)
     }
     // 2) compaction applies the deletes physically: store + tombstones
@@ -959,12 +961,12 @@ object SimilarityQueries {
     val rewrite = survivors.repartition(col("c_id"))
     val rewritePlan = rewrite.queryExecution.executedPlan.toString
     val epochPath = graft.plans.ScratchDirs.unique("graft-ivf-del-epoch").getAbsolutePath
-    graft.Bench.phase("q_ivf_delete_apply.compact") {
+    graft.Bench.phase(s"$phase.compact") {
       rewrite.write.mode("overwrite").partitionBy("c_id").parquet(epochPath)
     }
     // 3) serve the epoch — no serve-time filter: the rows are GONE
     IvfDeleteResult(store0, tombstonePlan, tombPath, epochPath, rewritePlan,
-      serveStoredIndex(s, v, cents, epochPath))
+      serveStoredIndex(s, v, cents, epochPath, queryPred = queryPred, topK = topK))
   }
 
   /** ★ IVF index-health report — the operational artifact the
@@ -1331,6 +1333,61 @@ object SimilarityQueries {
       fused
     }
   }
+
+  /** ★ Hybrid retrieval AFTER takedowns — the delete verb composed
+    * through the RAG capstone: BOTH arms serve over their
+    * delete-compacted epochs (q_bm25_delete_apply's postings/doc-stats/
+    * re-derived totals; q_ivf_delete_apply's survivor cell epoch under
+    * the frozen PRE-delete quantizer), fused by the shared integer RRF
+    * tail. This is the proof the takedown story holds end-to-end: a
+    * deleted document must vanish from the fused top-K not because a
+    * post-filter hides it but because neither arm can produce it — it is
+    * absent from the postings AND the IDF/avgdl denominators (BM25
+    * re-derives totals from survivors) and absent from the cell epoch.
+    * Oracle = the one-shot recompute of both arms over survivors: the
+    * lexical CTEs over the survivor corpus, the vector CTEs with the
+    * survivor predicate on the candidate side only (quantizer stays
+    * corpus-frozen — a delete is not a retrain), fusion SQL shared
+    * verbatim with q_hybrid_retrieval. */
+  val hybridDelete: QueryDef = q(
+    "q_hybrid_delete",
+    hybridDeleteSql
+  ) { (s, dir) =>
+    // build-dominated like q_hybrid_incremental (both delete lifecycles
+    // run in-body); phase prefixes keep every second attributable to
+    // THIS lane in the bench artifact
+    val vecR = graft.Bench.phase("q_hybrid_delete.ivf_lifecycle") {
+      ivfDeleteServe(s, dir, queryPred = col("vec_id") === 0, topK = 10,
+        phase = "q_hybrid_delete.ivf")
+    }
+    val vec = vecR.served.select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+    val lexServed = graft.Bench.phase("q_hybrid_delete.bm25_lifecycle") {
+      TextQueries.bm25DeleteServe(s, dir, phase = "q_hybrid_delete.bm25").served
+    }
+    graft.Bench.phase("q_hybrid_delete.serve") {
+      val fused = rrfFuse(rankLex(lexServed), vec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fused.count()
+      fused
+    }
+  }
+
+  private def hybridDeleteSql: String =
+    s"""WITH dsurv AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       |${TextQueries.bm25ScoredCtesFrom("dsurv")},
+       |${ivfServeCtes("n", "a.vec_id = 0", 10, s"b.vec_id $survivorPredSql")},
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+       |  FROM scored QUALIFY rl <= 10),
+       |vecr AS (SELECT vec_id AS doc_id, rank AS rv FROM served),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce(l.rl, 0)::BIGINT AS r_lex, coalesce(r.rv, 0)::BIGINT AS r_vec,
+       |    (CASE WHEN l.rl IS NULL THEN 0 ELSE 1000000000 // (60 + l.rl) END
+       |     + CASE WHEN r.rv IS NULL THEN 0 ELSE 1000000000 // (60 + r.rv) END)::BIGINT AS rrf_q
+       |  FROM lex l FULL OUTER JOIN vecr r ON l.doc_id = r.doc_id)
+       |SELECT doc_id, r_lex, r_vec, rrf_q FROM fused
+       |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
 
   /** Hybrid oracle: the q_bm25 CTEs and the stored-IVF serving CTEs
     * verbatim (both shared with their source oracles), plus the integer

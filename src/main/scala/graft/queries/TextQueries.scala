@@ -1777,10 +1777,11 @@ object TextQueries {
 
   /** q_bm25_delete_apply's build+tombstone+compact+serve — see the defs
     * entry for the contract. */
-  private[graft] def bm25DeleteServe(s: SparkSession, dir: String): Bm25DeleteResult = {
+  private[graft] def bm25DeleteServe(s: SparkSession, dir: String,
+      phase: String = "q_bm25_delete_apply"): Bm25DeleteResult = {
     val docs = Tables(s, dir).documents
     val store0 = graft.plans.ScratchDirs.unique("graft-bm25-del-v0").getAbsolutePath
-    graft.Bench.phase("q_bm25_delete_apply.build") {
+    graft.Bench.phase(s"$phase.build") {
       val (p, d, t) = bm25Parts(docs)
       p.write.mode("overwrite").parquet(s"$store0/postings")
       d.write.mode("overwrite").parquet(s"$store0/docstats")
@@ -1790,7 +1791,7 @@ object TextQueries {
     val dels = docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(10)) === 7)
     val tombstonePlan = dels.queryExecution.executedPlan.toString
     val tombPath = graft.plans.ScratchDirs.unique("graft-bm25-del-tomb").getAbsolutePath
-    graft.Bench.phase("q_bm25_delete_apply.tombstone") {
+    graft.Bench.phase(s"$phase.tombstone") {
       dels.write.mode("overwrite").parquet(tombPath)
     }
     // 2) compaction: store + tombstones only; postings/doc-stats drop
@@ -1806,7 +1807,7 @@ object TextQueries {
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     val rewritePlan = Seq(survP, survD)
       .map(_.queryExecution.executedPlan.toString).mkString("\n")
-    graft.Bench.phase("q_bm25_delete_apply.compact") {
+    graft.Bench.phase(s"$phase.compact") {
       survP.repartition(8, col("token"))
         .write.mode("overwrite")
         .bucketBy(8, "token").sortBy("token")

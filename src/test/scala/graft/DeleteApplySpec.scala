@@ -180,4 +180,19 @@ class DeleteApplySpec extends SparkSpec {
       "delete-applied serving diverged from the survivor-filtered incremental lane")
     Bench.cleanup(spark)
   }
+
+  test("hybrid: a deleted doc can appear in NO arm and NO fused rank; rrf re-derives from the row's own ranks") {
+    val rows = SparkEntry.queries("q_hybrid_delete")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docId, rLex, rVec, rrf) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(docId % 10 != 7, s"deleted doc $docId surfaced in the fused top-K")
+      val expect = (if (rLex > 0) 1000000000L / (60 + rLex) else 0L) +
+        (if (rVec > 0) 1000000000L / (60 + rVec) else 0L)
+      assert(rrf === expect, s"rrf_q of $docId is not the integer fold of its ranks")
+      assert(rLex > 0 || rVec > 0, s"doc $docId fused from no arm")
+    }
+    Bench.cleanup(spark)
+  }
 }
