@@ -2720,15 +2720,27 @@ object SimilarityQueries {
     * tails were the unattributed 2–3 s residual of every graph headline;
     * the candidate frame is forced inside the phase, leaving only the
     * final rerank in the caller's action). */
+  /** phase = Some(name): the candidate frame is FORCED inside that phase
+    * so the serve tail is attributable in the bench artifact (gall
+    * persists in graphServeCands, so the caller's final rerank reuses the
+    * cache — no double work). phase = None: fully LAZY — for arms a
+    * declared output never executes (q_graph_compact's fragmented-layout
+    * serve exists only for the spec's bit-equality diff; forcing it in
+    * the lane body charged ~2 s of never-declared work to the bench
+    * headline — the round-17 drift A/B caught exactly this). */
   private def graphServeMerged(s: SparkSession, ctx: GraphStoreCtx,
-      edgeTbl: String, phase: String): DataFrame = {
+      edgeTbl: String, phase: Option[String]): DataFrame = {
     val assign1 = ctx.a2base.unionByName(ctx.a2batch)
       .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
     val qv = ctx.v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val gall = graft.Bench.phase(phase) {
-      val (_, g) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)
-      g.count(); g
+    val gall = phase match {
+      case Some(p) => graft.Bench.phase(p) {
+        val (_, g) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)
+        g.count(); g
+      }
+      case None =>
+        graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)._2
     }
     graphTop5(gall, ctx.v, qv)
   }
@@ -2740,7 +2752,7 @@ object SimilarityQueries {
       : (String, String, DataFrame) = {
     val ctx = graphBuildAndAppend(s, dir, "graft-knn-graph-inc", "q_graph_incremental")
     (ctx.path, ctx.ingestPlan,
-      graphServeMerged(s, ctx, ctx.tbl, "q_graph_incremental.serve"))
+      graphServeMerged(s, ctx, ctx.tbl, Some("q_graph_incremental.serve")))
   }
 
   /** ★ kNN-graph store COMPACTION — the layout-maintenance step the
@@ -2802,8 +2814,8 @@ object SimilarityQueries {
     // 4) serve both layouts (the spec diffs them; the declared output is
     // the epoch serve)
     (ctx.path, epochPath, rewritePlan,
-      graphServeMerged(s, ctx, ctx.tbl, "q_graph_compact.serve_frag"),
-      graphServeMerged(s, ctx, epochTbl, "q_graph_compact.serve_epoch"))
+      graphServeMerged(s, ctx, ctx.tbl, None),
+      graphServeMerged(s, ctx, epochTbl, Some("q_graph_compact.serve_epoch")))
   }
 
   /** Per-(session, sfDir) memo of the merged (base build + batch append)

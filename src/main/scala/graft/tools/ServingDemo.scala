@@ -28,7 +28,12 @@ import graft.queries.{AnalyticsQueries, SimilarityQueries}
   *      through the idempotent streaming sinks (StreamingIvf /
   *      StreamingBm25 — one append deliberately REDELIVERED to show the
   *      per-batch dynamic-partition-overwrite no-op), fused serving off
-  *      the live-maintained stores.
+  *      the live-maintained stores,
+  *   7. takedowns (round 17): tombstones streamed into stage 6's live
+  *      store (one delete batch REDELIVERED — same no-op device),
+  *      compaction-applied physical drops, serving over the survivor
+  *      epoch, then the hybrid fused over BOTH delete-compacted epochs
+  *      (q_hybrid_delete's pipeline).
   *
   * Usage: `sbt "runMain graft.tools.ServingDemo [sfDir]"`
   */
@@ -79,7 +84,7 @@ object ServingDemo {
     graft.Bench.cleanup(spark)
 
     println("== 6) maintained hybrid under continuous arrival (idempotent appends)")
-    locally {
+    val (ivf6, v6) = locally {
       import org.apache.spark.sql.functions._
       val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
       val v = graft.Tables(spark, sfDir).embeddings
@@ -106,6 +111,29 @@ object ServingDemo {
         .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
       println("   fused top-10 off the live-maintained stores (redelivery absorbed):")
       SimilarityQueries.rrfFuse(fusedLex, fusedVec).show(10, truncate = false)
+      (ivf, v)
+    }
+    graft.Bench.cleanup(spark)
+
+    println("== 7) takedowns: streamed tombstones -> compaction-applied deletes -> survivor serving")
+    locally {
+      import org.apache.spark.sql.functions._
+      val dels = v6.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      val delPlan = graft.streaming.StreamingIvf.appendDeletes(ivf6, dels, 0L)
+      // at-least-once in action again: redeliver the delete batch — the
+      // same (batch_id) dynamic-partition-overwrite no-op as appends
+      graft.streaming.StreamingIvf.appendDeletes(ivf6, dels, 0L)
+      println(s"   tombstone ingest scanned parquet: ${delPlan.contains("Scan parquet")} (must be false)")
+      val (epoch, _) = graft.streaming.StreamingIvf.compactWithDeletes(spark, ivf6)
+      val survivingTomb = spark.read.parquet(epoch)
+        .filter(col("vec_id") % 10 === 7).count()
+      println(s"   compacted epoch: $epoch (tombstoned rows surviving: $survivingTomb — must be 0)")
+      println("   probe-2 top-10 over the survivor epoch:")
+      SimilarityQueries.serveStoredIndex(spark, v6, ivf6.cents, epoch,
+          queryPred = col("vec_id") === 0, topK = 10)
+        .show(10, truncate = false)
+      println("   hybrid fused over BOTH delete-compacted epochs (q_hybrid_delete):")
+      SparkEntry.queries("q_hybrid_delete")(spark, sfDir).show(10, truncate = false)
     }
     graft.Bench.cleanup(spark)
 
