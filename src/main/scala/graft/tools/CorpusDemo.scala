@@ -41,6 +41,7 @@ object CorpusDemo {
       ("q_cluster_stats", "dup-cluster size report: histogram + singleton row"),
       ("q_corpus_mix", "language re-weighting: data-derived quotas"),
       ("q_corpus_mix_temperature", "temperature-flattened quotas: share^0.75, capped"),
+      ("q_importance_resample", "DSIR selection: hashed-ngram importance weights, Gumbel top-k"),
       ("q_pack_sequences", "context-window packing: token-budget bins per language"),
       ("q_tokenize_pack", "packing against TRAINED token counts: achieved fill ppm"),
       ("q_shuffle_order", "reproducible training-order shuffle"),
