@@ -118,7 +118,13 @@ object ServingDemo {
     println("== 7) takedowns: streamed tombstones -> compaction-applied deletes -> survivor serving")
     locally {
       import org.apache.spark.sql.functions._
-      val dels = v6.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      import spark.implicits._
+      // the takedown list is a REQUEST PAYLOAD (bounded by definition),
+      // not a corpus query — a driver-local frame, so the ingest plan
+      // provably scans nothing
+      val delIds = v6.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id")).as[Long].collect().toSeq
+      val dels = delIds.toDF("vec_id")
       val delPlan = graft.streaming.StreamingIvf.appendDeletes(ivf6, dels, 0L)
       // at-least-once in action again: redeliver the delete batch — the
       // same (batch_id) dynamic-partition-overwrite no-op as appends
