@@ -181,6 +181,46 @@ class DeleteApplySpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("graph delete -> rebuild: the post-takedown rebuild epoch re-knits the emptied rank slots from survivors") {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val M = 8 // graphDegree — the per-node out-edge budget
+    val r = SimilarityQueries.graphDeleteServe(spark, dir)
+    // tombstone-drop leaves rank-<=M slots EMPTY (the documented
+    // append-only-style decay the delete lane accepts until the next
+    // rebuild): survivor nodes that lost a deleted neighbor sit below
+    // their edge budget in the compacted epoch
+    val degDel = spark.read.parquet(r.epochPath)
+      .groupBy(col("u")).agg(count(lit(1)).as("deg")).persist(MEMORY_AND_DISK)
+    val underDel = degDel.filter(col("deg") < M).count()
+    assert(underDel > 0,
+      "fixture produced no emptied slots — the decay the rebuild repairs was not exercised")
+    // the repair: a fresh epoch rebuilt from the SURVIVORS' 2-cell
+    // candidates under the frozen (pre-delete) quantizer — the
+    // q_graph_rebuild_apply machinery pointed at the survivor population
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        graft.plans.OptimizerBarrier.once(
+          transform(col("embedding"), x => x.cast("double"))).as("e"))
+      .persist(MEMORY_AND_DISK)
+    val cents = SimilarityQueries.IvfProvision.seeds(v.filter(col("vec_id") % 4 =!= 3))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val surv = v.filter(col("vec_id") % 10 =!= 7)
+    val a2surv = SimilarityQueries.graphAssign2(surv, cents)
+    val rebuilt = SimilarityQueries.graphEdgesFrom(
+        SimilarityQueries.graphBuildCands(a2surv), surv, surv)
+      .persist(MEMORY_AND_DISK)
+    // no deleted endpoint can re-enter
+    assert(rebuilt.filter(col("u") % 10 === 7 || col("w") % 10 === 7).count() === 0L)
+    // re-knit: strictly fewer under-budget nodes than the delete epoch —
+    // the emptied slots refill with survivor neighbors
+    val underReb = rebuilt.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") < M).count()
+    assert(underReb < underDel,
+      s"rebuild did not re-knit: $underReb under-budget nodes vs $underDel after the delete")
+    degDel.unpersist(); rebuilt.unpersist(); v.unpersist()
+    Bench.cleanup(spark)
+  }
+
   test("hybrid: a deleted doc can appear in NO arm and NO fused rank; rrf re-derives from the row's own ranks") {
     val rows = SparkEntry.queries("q_hybrid_delete")(spark, dir).collect()
     assert(rows.nonEmpty)
