@@ -1044,16 +1044,10 @@ object DedupQueries {
     // entries are session-lifetime (in-memory catalog) and the
     // fixture-scale band table is ~100 KB per invocation under tmpdir —
     // bounded, documented cost of keeping every returned frame valid.
-    val dirF = graft.plans.ScratchDirs.unique(s"graft-band-index-$splitId")
-    val tbl = dirF.getName.replace('-', '_').replace('.', '_')
-    val path = dirF.getAbsolutePath
-    bands.filter(col("doc_id") < splitId)
-      .select(col("b"), col("bv"), col("doc_id").as("doc_b"))
-      .repartition(indexBuckets, col("b"), col("bv"))
-      .write.mode("overwrite")
-      .bucketBy(indexBuckets, "b", "bv").sortBy("b", "bv")
-      .option("path", path)
-      .saveAsTable(tbl)
+    val tbl = writeBandTable(
+      bands.filter(col("doc_id") < splitId)
+        .select(col("b"), col("bv"), col("doc_id").as("doc_b")),
+      s"index-$splitId")
     val idx = s.table(tbl)
     val bat = bands.filter(col("doc_id") >= splitId)
       .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
@@ -1074,22 +1068,30 @@ object DedupQueries {
       store0Tbl: String, tombstonePlan: String, tombPath: String,
       epochTbl: String, rewritePlan: String, served: DataFrame)
 
+  /** Write a band frame as the (b, bv)-bucketed+sorted index table the
+    * stored lanes' zero-exchange candidate joins depend on — the ONE
+    * place the layout contract (bucket count, repartition-to-bucket
+    * alignment, unique per-invocation name+path) lives; shared by
+    * [[incrementalDedupStored]] and [[dedupDeleteServe]] so an epoch can
+    * never silently stop matching the stored lane's join shape. Returns
+    * the table name. */
+  private def writeBandTable(df: DataFrame, tag: String): String = {
+    val dirF = graft.plans.ScratchDirs.unique(s"graft-band-$tag")
+    val tbl = dirF.getName.replace('-', '_').replace('.', '_')
+    df.repartition(indexBuckets, col("b"), col("bv"))
+      .write.mode("overwrite")
+      .bucketBy(indexBuckets, "b", "bv").sortBy("b", "bv")
+      .option("path", dirF.getAbsolutePath)
+      .saveAsTable(tbl)
+    tbl
+  }
+
   private[graft] def dedupDeleteServe(s: SparkSession, dir: String): DedupDeleteResult = {
     val sarr = shingleArrays(corpus(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sarr)
-    def writeBands(df: DataFrame, tag: String): String = {
-      val dirF = graft.plans.ScratchDirs.unique(s"graft-band-$tag")
-      val tbl = dirF.getName.replace('-', '_').replace('.', '_')
-      df.repartition(indexBuckets, col("b"), col("bv"))
-        .write.mode("overwrite")
-        .bucketBy(indexBuckets, "b", "bv").sortBy("b", "bv")
-        .option("path", dirF.getAbsolutePath)
-        .saveAsTable(tbl)
-      tbl
-    }
     val store0Tbl = graft.Bench.phase("q_dedup_delete_apply.build") {
-      writeBands(bands.filter(col("doc_id") < 1000000L)
+      writeBandTable(bands.filter(col("doc_id") < 1000000L)
         .select(col("b"), col("bv"), col("doc_id").as("doc_b")), "del-v0")
     }
     // 1) tombstone append: the takedown list only — O(deletes), never a
@@ -1110,7 +1112,7 @@ object DedupQueries {
       .select(col("b"), col("bv"), col("doc_b"))
     val rewritePlan = survivors.queryExecution.executedPlan.toString
     val epochTbl = graft.Bench.phase("q_dedup_delete_apply.compact") {
-      writeBands(survivors, "del-epoch")
+      writeBandTable(survivors, "del-epoch")
     }
     // 3) serve: batch bands vs the compacted epoch (bucketed join shape
     // pinned by the merge hint), exact-Jaccard verify

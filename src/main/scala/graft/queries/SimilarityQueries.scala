@@ -62,7 +62,9 @@ object SimilarityQueries {
     * floor (the old `graft.ivf.cells` knob, default 5) reproduces the
     * fixture-scale seed sets at sf0.001/sf0.01 (n=500 → K=5); the cap
     * (65536) keeps the centroid collect/broadcast driver-safe at any
-    * corpus size (1B vectors → K=65536, broadcast ≤ 34 MB of doubles).
+    * corpus size — derived K stays under it until n ≥ W·cap² ≈ 1.4e11
+    * vectors (1B vectors → K=5591; at the cap the broadcast is ≤ 34 MB
+    * of doubles).
     * The stride stays a multiple of 4, so every seed is ≡ 0 (mod 4) —
     * never inside the `vec_id % 4 = 3` batch slice — keeping the
     * incremental lanes' frozen quantizer derivable from the BASE alone
@@ -1372,13 +1374,16 @@ object SimilarityQueries {
     }
   }
 
-  private def hybridDeleteSql: String =
-    s"""WITH dsurv AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
-       |${TextQueries.bm25ScoredCtesFrom("dsurv")},
-       |${ivfServeCtes("n", "a.vec_id = 0", 10, s"b.vec_id $survivorPredSql")},
-       |lex AS (
+  /** The integer-RRF fusion tail shared by EVERY hybrid oracle (plain /
+    * incremental / filtered / delete): rank the lexical arm's rows
+    * (`lexFrom` must yield (doc_id, bm25)), full-outer join against the
+    * vector arm's `served`, fold ranks in integer fixed point. Exists
+    * ONCE so a change to the RRF constant or a tie-break reaches all
+    * four lanes' oracles together — the no-drift invariant. */
+  private def hybridFusionTailSql(lexFrom: String): String =
+    s"""lex AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
-       |  FROM scored QUALIFY rl <= 10),
+       |  FROM $lexFrom QUALIFY rl <= 10),
        |vecr AS (SELECT vec_id AS doc_id, rank AS rv FROM served),
        |fused AS (
        |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
@@ -1389,26 +1394,21 @@ object SimilarityQueries {
        |SELECT doc_id, r_lex, r_vec, rrf_q FROM fused
        |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
 
+  private def hybridDeleteSql: String =
+    s"""WITH dsurv AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       |${TextQueries.bm25ScoredCtesFrom("dsurv")},
+       |${ivfServeCtes("n", "a.vec_id = 0", 10, s"b.vec_id $survivorPredSql")},
+       |${hybridFusionTailSql("scored")}""".stripMargin
+
   /** Hybrid oracle: the q_bm25 CTEs and the stored-IVF serving CTEs
-    * verbatim (both shared with their source oracles), plus the integer
-    * RRF fold — parameterized by the seed-stride source so the
-    * incremental variant (base-derived frozen quantizer) shares the
+    * verbatim (both shared with their source oracles), plus the shared
+    * [[hybridFusionTailSql]] — parameterized by the seed-stride source so
+    * the incremental variant (base-derived frozen quantizer) shares the
     * whole structure. */
   private def hybridSqlWith(centPrmFrom: String): String =
     s"""WITH ${TextQueries.bm25ScoredCtes},
        |${ivfServeCtes(centPrmFrom, "a.vec_id = 0", 10)},
-       |lex AS (
-       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
-       |  FROM scored QUALIFY rl <= 10),
-       |vecr AS (SELECT vec_id AS doc_id, rank AS rv FROM served),
-       |fused AS (
-       |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
-       |    coalesce(l.rl, 0)::BIGINT AS r_lex, coalesce(r.rv, 0)::BIGINT AS r_vec,
-       |    (CASE WHEN l.rl IS NULL THEN 0 ELSE 1000000000 // (60 + l.rl) END
-       |     + CASE WHEN r.rv IS NULL THEN 0 ELSE 1000000000 // (60 + r.rv) END)::BIGINT AS rrf_q
-       |  FROM lex l FULL OUTER JOIN vecr r ON l.doc_id = r.doc_id)
-       |SELECT doc_id, r_lex, r_vec, rrf_q FROM fused
-       |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
+       |${hybridFusionTailSql("scored")}""".stripMargin
 
   private lazy val hybridSql: String = hybridSqlWith("n")
 
@@ -1464,19 +1464,9 @@ object SimilarityQueries {
     s"""WITH ${TextQueries.bm25ScoredCtes},
        |${ivfServeCtes("n", "a.vec_id = 0", 10,
             candPred = "b.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'de')")},
-       |lexf AS (
-       |  SELECT s.doc_id, row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS rl
-       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
-       |  WHERE d.lang = 'de' QUALIFY rl <= 10),
-       |vecf AS (SELECT vec_id AS doc_id, rank AS rv FROM served),
-       |fusedf AS (
-       |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
-       |    coalesce(l.rl, 0)::BIGINT AS r_lex, coalesce(r.rv, 0)::BIGINT AS r_vec,
-       |    (CASE WHEN l.rl IS NULL THEN 0 ELSE 1000000000 // (60 + l.rl) END
-       |     + CASE WHEN r.rv IS NULL THEN 0 ELSE 1000000000 // (60 + r.rv) END)::BIGINT AS rrf_q
-       |  FROM lexf l FULL OUTER JOIN vecf r ON l.doc_id = r.doc_id)
-       |SELECT doc_id, r_lex, r_vec, rrf_q FROM fusedf
-       |ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
+       |${hybridFusionTailSql(
+            """(SELECT s.doc_id, s.bm25 FROM scored s
+              |   JOIN documents d ON d.doc_id = s.doc_id WHERE d.lang = 'de')""".stripMargin)}""".stripMargin
 
   /** One Lloyd (k-means) update step over the embedding corpus: assign
     * every vector to its max-cosine centroid (broadcast centroids, narrow
@@ -2241,7 +2231,7 @@ object SimilarityQueries {
     * count for q_ann_recall_graph. M·(1+M) bounds the per-seed expansion
     * frontier, so serving adds ≤ L·M·(1+M) = 360 exact evals per query on
     * top of the probe-1 cell scan — a CONSTANT, not a corpus rate. */
-  private val graphDegree = 8
+  private[graft] val graphDegree = 8
   private val graphSeeds = 5
 
   /** Rebuild-epoch trigger threshold for the kNN-graph family, in ppm of
@@ -3164,12 +3154,14 @@ object SimilarityQueries {
     val (visPlan, visFinal) = graft.Bench.phase("q_ann_recall_beam.beam") {
       var vis = score(seeds).localCheckpoint(true)
       var prev = graft.plans.Checkpoints.checkpointedRdd(vis)
-      // the last round's PRE-checkpoint plan — what GraphIndexSpec
-      // inspects (the checkpointed vis is a leaf; this one still holds
-      // the expansion join over the stored table). Captured as a PLAN,
-      // not a frame: its checkpoint-block inputs are unpersisted below.
-      var holder: org.apache.spark.sql.execution.SparkPlan =
-        vis.queryExecution.executedPlan
+      // the last round's PRE-checkpoint frame — planned ONCE after the
+      // loop (an executedPlan per round paid a full analyze/optimize
+      // pass for plans the next iteration discarded). GraphIndexSpec
+      // gets it as a PLAN, not a frame: its checkpoint-block inputs are
+      // unpersisted below, and PLANNING does not execute, so the
+      // post-loop executedPlan call is safe while a caller collect()
+      // would not be.
+      var lastPre: DataFrame = vis
       (1 to beamRounds).foreach { _ =>
         val beam = twoPhaseRank(vis, Seq("q_id"),
             Seq(col("cos").desc, col("vec_id")), beamWidth, "brn")
@@ -3180,12 +3172,12 @@ object SimilarityQueries {
         val fresh = hop.join(vis.select(col("q_id"), col("vec_id")),
           Seq("q_id", "vec_id"), "left_anti")
         val next = vis.unionByName(score(fresh))
-        holder = next.queryExecution.executedPlan
+        lastPre = next
         vis = next.localCheckpoint(true)
         prev.foreach(_.unpersist(false))
         prev = graft.plans.Checkpoints.checkpointedRdd(vis)
       }
-      (holder, vis)
+      (lastPre.queryExecution.executedPlan, vis)
     }
     // brute-force truth (harness cost, not serving)
     val exact = graft.Bench.phase("q_ann_recall_beam.truth") {
@@ -3251,8 +3243,8 @@ object SimilarityQueries {
     * descends: start at the GLOBAL entry point (the minimum layer-1 id —
     * one bounded driver read), beam W=2 for 2 rounds over the layer-1
     * subgraph to localize, then hand the visited set to the layer-0 beam
-    * (W=4, 3 rounds) over the SAME frozen stored graph the flat beam
-    * serves. Every node is exact-scored exactly once ACROSS layers (the
+    * (ef-style W=8, 4 rounds — see graphLayeredWidth's measured sweep)
+    * over the SAME frozen stored graph the flat beam serves. Every node is exact-scored exactly once ACROSS layers (the
     * visited anti-join carries over), so n_cand_beam is the true eval
     * budget including the descent. Serving cost is O((B₁W₁ + BW)·M)
     * stored-edge lookups per query — corpus-independent, and now with

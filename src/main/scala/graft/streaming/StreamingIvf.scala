@@ -168,7 +168,25 @@ object StreamingIvf {
     * deployment serves with the tombstone mask; after it the rows are
     * physically gone. Returns (epochPath, rewritePlan). */
   def compactWithDeletes(s: SparkSession, index: StoredIvfIndex): (String, String) = {
-    val tomb = s.read.parquet(tombstonePath(index)).select(col("vec_id"))
+    import s.implicits._
+    // a SCHEDULED compactor can fire before the first takedown lands:
+    // runDeletes creates only <path>/_checkpoint at stream start, and
+    // s.read.parquet on a missing or checkpoint-only directory throws
+    // instead of compacting zero deletes — treat that state as an empty
+    // tombstone set (the epoch is then a pure layout rewrite)
+    val tombDir = new java.io.File(tombstonePath(index))
+    val hasTombstones = {
+      def dataFiles(f: java.io.File): Boolean = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.exists(k =>
+          if (k.isDirectory) !k.getName.startsWith("_") && dataFiles(k)
+          else k.getName.endsWith(".parquet"))
+      }
+      tombDir.isDirectory && dataFiles(tombDir)
+    }
+    val tomb =
+      if (hasTombstones) s.read.parquet(tombstonePath(index)).select(col("vec_id"))
+      else Seq.empty[Long].toDF("vec_id")
     val survivors = s.read.parquet(index.path)
       .select(col("vec_id"), col("e"), col("nrm"),
         col("c_id").cast("long").as("c_id"), col("batch_id"))

@@ -183,7 +183,7 @@ class DeleteApplySpec extends SparkSpec {
 
   test("graph delete -> rebuild: the post-takedown rebuild epoch re-knits the emptied rank slots from survivors") {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val M = 8 // graphDegree — the per-node out-edge budget
+    val M = SimilarityQueries.graphDegree // the per-node out-edge budget
     val r = SimilarityQueries.graphDeleteServe(spark, dir)
     // tombstone-drop leaves rank-<=M slots EMPTY (the documented
     // append-only-style decay the delete lane accepts until the next

@@ -245,8 +245,8 @@ class GraphIndexSpec extends SparkSpec {
       "descent did not start from the global min-id entry point")
     // eval budget is the structural bound: 1 entry + Σ width·M per round
     val budget = 1 +
-      SimilarityQueries.graphL1Rounds * SimilarityQueries.graphL1BeamWidth * 8 +
-      SimilarityQueries.graphLayeredRounds * SimilarityQueries.graphLayeredWidth * 8
+      SimilarityQueries.graphL1Rounds * SimilarityQueries.graphL1BeamWidth * SimilarityQueries.graphDegree +
+      SimilarityQueries.graphLayeredRounds * SimilarityQueries.graphLayeredWidth * SimilarityQueries.graphDegree
     val maxCand = out.agg(max(col("n_cand_beam"))).head().getLong(0)
     assert(maxCand <= budget, s"eval budget $maxCand exceeds structural bound $budget")
     // and the declared counts re-derive from the visited set
