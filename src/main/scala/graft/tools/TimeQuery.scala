@@ -22,6 +22,9 @@ object TimeQuery {
     names.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
+      // drop the warm-up's phase samples so the per-phase mins below
+      // aggregate ONLY the timed reps at sfDir
+      graft.Bench.phaseTimes.clear()
       val times = (1 to reps).map { _ =>
         // cold-cache per rep: a query that persist()s must not carry its
         // cache into the next rep (Bench runs each query exactly once)
@@ -33,6 +36,12 @@ object TimeQuery {
       println(f"TIME $n rows=${times.head._2} " +
         times.map(t => f"${t._1}%.2f").mkString(" ") +
         f" min=${times.map(_._1).min}%.2f")
+      import scala.jdk.CollectionConverters._
+      graft.Bench.phaseTimes.asScala.toSeq.sortBy(_._1).foreach {
+        case (ph, samples) =>
+          println(f"PHASE $ph%s min=${samples.min}%.2f n=${samples.size}")
+      }
+      graft.Bench.phaseTimes.clear()
     }
     spark.stop()
   }

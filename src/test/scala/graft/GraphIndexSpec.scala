@@ -226,14 +226,24 @@ class GraphIndexSpec extends SparkSpec {
   }
 
   test("layered beam: quantizer-free descent, scored-once across layers, bounded eval budget") {
-    val (l1Path, vis, out) = SimilarityQueries.beamLayeredServe(spark, dir)
-    // the layer-1 store exists, bucketed like the family's other stores
-    val l1Files = new java.io.File(l1Path).listFiles()
-    assert(l1Files != null && l1Files.exists(_.getName.endsWith(".parquet")))
-    // layer-1 edges connect ONLY layer-1 nodes
-    val l1Edges = spark.read.parquet(l1Path)
-    assert(l1Edges.filter(col("u") % 16 =!= 0 || col("w") % 16 =!= 0).count() === 0L,
-      "a layer-1 edge touches a non-layer-1 node")
+    val (layerPaths, vis, out) = SimilarityQueries.beamLayeredServe(spark, dir)
+    // the layer count derives from the base count (round-17 verdict
+    // lead item) and every derived layer landed as its own bucketed store
+    val nBase = Tables(spark, dir).embeddings
+      .filter(col("vec_id") % 4 =!= 3).count()
+    val ell = SimilarityQueries.GraphLayers.layersFor(nBase)
+    assert(layerPaths.keySet === (1 to ell).toSet,
+      s"expected layers 1..$ell, got ${layerPaths.keySet}")
+    layerPaths.foreach { case (j, path) =>
+      val files = new java.io.File(path).listFiles()
+      assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+        s"layer-$j store missing at $path")
+      // layer-j edges connect ONLY layer-j nodes (vec_id % 16^j == 0)
+      val p = SimilarityQueries.GraphLayers.pow16(j)
+      val edges = spark.read.parquet(path)
+      assert(edges.filter(col("u") % p =!= 0 || col("w") % p =!= 0).count() === 0L,
+        s"a layer-$j edge touches a non-layer-$j node")
+    }
     // scored-once ACROSS layers: (q_id, vec_id) unique in the final
     // visited set — the descent's evals carry into the layer-0 anti-join
     assert(vis.count() ===
@@ -245,7 +255,7 @@ class GraphIndexSpec extends SparkSpec {
       "descent did not start from the global min-id entry point")
     // eval budget is the structural bound: 1 entry + Σ width·M per round
     val budget = 1 +
-      SimilarityQueries.graphL1Rounds * SimilarityQueries.graphL1BeamWidth * SimilarityQueries.graphDegree +
+      ell * SimilarityQueries.graphL1Rounds * SimilarityQueries.graphL1BeamWidth * SimilarityQueries.graphDegree +
       SimilarityQueries.graphLayeredRounds * SimilarityQueries.graphLayeredWidth * SimilarityQueries.graphDegree
     val maxCand = out.agg(max(col("n_cand_beam"))).head().getLong(0)
     assert(maxCand <= budget, s"eval budget $maxCand exceeds structural bound $budget")
