@@ -92,6 +92,62 @@ class Bm25WandSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("stale pre-delete ubounds are UNSAFE: a takedown can push a survivor above its old bound") {
+    val sess = spark; import sess.implicits._
+    // the counterexample that makes the compact-time refresh mandatory:
+    // 'join' sits in docs 0..4 (tf=1, deleted) and doc 5 (tf=3,
+    // survives) — the takedown drops df 6→1 while n_docs only drops
+    // 12→7, so IDF jumps, and doc 5's full term score under the
+    // SURVIVOR statistics exceeds the stale pre-delete maximum
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "join alpha beta")) ++
+      Seq((5L, "join join join gamma")) ++
+      (6 until 12).map(i => (i.toLong, "delta epsilon zeta eta"))
+    ).toDF("doc_id", "text")
+    val surv = docs.filter(col("doc_id") > 4)
+    def ubOf(d: org.apache.spark.sql.DataFrame): Double = {
+      val (p, ds, _) = TextQueries.bm25Parts(d)
+      TextQueries.bm25Ubounds(p, ds)
+        .filter(col("token") === "join").head().getDouble(1)
+    }
+    val stale = ubOf(docs)
+    val fresh = ubOf(surv)
+    assert(fresh > stale,
+      f"expected the survivor bound to exceed the stale one (stale=$stale%.4f fresh=$fresh%.4f)")
+    // and the violation is per-doc real: doc 5's term score under the
+    // survivor epoch exceeds the stale artifact — pruning against it
+    // could drop a true top-k doc
+    info(f"stale ub=$stale%.4f, post-delete max term score=$fresh%.4f")
+    Bench.cleanup(spark)
+  }
+
+  test("delete-composed lane: refreshed bounds dominate the survivor epoch; serve is the survivor one-shot") {
+    val (del, r) = TextQueries.bm25WandDeleteServe(spark, dir)
+    // exactness over the SURVIVOR corpus — the shared-oracle claim
+    val oneShot = TextQueries.bm25ScoredDocs(
+        Tables(spark, dir).documents.filter(pmod(col("doc_id"), lit(10)) =!= 7))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .collect().map(_.toSeq)
+    assert(r.served.collect().map(_.toSeq).toSeq === oneShot.toSeq,
+      "delete-composed MaxScore serving diverged from the survivor one-shot")
+    // the refreshed artifact dominates every term score IN THE EPOCH —
+    // the domination test of the flat lane, now over survivor statistics
+    val p = spark.table(r.postingsTbl)
+    val d = spark.read.parquet(s"${r.epochPath}/docstats")
+    val ub = spark.read.parquet(s"${r.epochPath}/ubounds")
+    val viol = TextQueries.bm25Ubounds(p.select(col("doc_id"), col("token"), col("tf")),
+        d.select(col("doc_id"), col("dl")))
+      .withColumnRenamed("ub", "fresh")
+      .join(ub, "token")
+      .filter(col("fresh") > col("ub"))
+      .count()
+    assert(viol === 0L, "the stored ubounds artifact is not the survivor-derived one")
+    // no tombstoned doc serves, and the epoch is the delete lane's
+    assert(r.epochPath === del.epochPath)
+    assert(r.served.filter(pmod(col("doc_id"), lit(10)) === 7).count() === 0L)
+    Bench.cleanup(spark)
+  }
+
   test("adversarial boundary sweep: exactness holds across tf/length mixes") {
     val sess = spark; import sess.implicits._
     // deterministic mini-corpora mixing tfs, lengths and term overlaps —
