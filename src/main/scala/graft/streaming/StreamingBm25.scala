@@ -76,4 +76,68 @@ object StreamingBm25 {
         if (!batch.isEmpty) appendBatch(store, batch, batchId): Unit
       }
       .start()
+
+  // --- streaming DELETE lane (the takedown stream) ----------------------
+
+  /** The store's sibling tombstone directory — separate from the three
+    * artifact dirs so delete ingest can never interleave with them (the
+    * [[StreamingIvf.tombstonePath]] discipline). */
+  def tombstonePath(store: String): String = s"$store-tombstones"
+
+  /** Tombstone ONE micro-batch of takedown requests (doc_id rows) — the
+    * lexical twin of [[StreamingIvf.appendDeletes]]: O(deletes) per
+    * trigger, landing as the batch's OWN batch_id partition under
+    * dynamic partition overwrite so a REDELIVERED delete batch
+    * overwrites itself. Never reads, lists, or rewrites the artifacts or
+    * earlier tombstones. Returns the ingest plan (captured pre-write). */
+  def appendDeletes(store: String, dels: DataFrame, batchId: Long): String = {
+    val t = dels.select(col("doc_id")).withColumn("batch_id", lit(batchId))
+    val plan = t.queryExecution.executedPlan.toString
+    t.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(store))
+    plan
+  }
+
+  /** Wire a takedown stream (doc_id) to the tombstone store; checkpoint
+    * derived from the tombstone path so redelivery idempotence holds
+    * across restarts. */
+  def runDeletes(delStream: DataFrame, store: String): StreamingQuery =
+    delStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${tombstonePath(store)}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) appendDeletes(store, batch, batchId): Unit
+      }
+      .start()
+
+  /** Apply accumulated tombstones physically — q_bm25_delete_apply's
+    * compaction at the streaming boundary: reads ONLY the store + the
+    * tombstone directory (never the corpus), drops tombstoned docs from
+    * postings and doc-stats via broadcast anti-joins, and RE-DERIVES the
+    * exact integer totals from the surviving doc-stats — a takedown
+    * invalidates the mergeable partials (a fold can add but never
+    * subtract), and serving off stale totals would let deleted docs keep
+    * influencing every survivor's IDF/avgdl. Returns (epochPath,
+    * rewritePlan); the epoch serves through the same
+    * `TextQueries.bm25ServeStored` reader as the live store. */
+  def compactWithDeletes(s: SparkSession, store: String): (String, String) = {
+    import s.implicits._
+    val tomb = StreamingStores.readTombstones(
+      s, tombstonePath(store), Seq.empty[Long].toDF("doc_id"))
+    val survP = s.read.parquet(s"$store/postings")
+      .select(col("doc_id"), col("token"), col("tf"))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val survD = s.read.parquet(s"$store/docstats")
+      .select(col("doc_id"), col("dl"))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val plan = Seq(survP, survD)
+      .map(_.queryExecution.executedPlan.toString).mkString("\n")
+    val epoch = graft.plans.ScratchDirs.unique("graft-stream-bm25-epoch").getAbsolutePath
+    survP.write.mode("overwrite").parquet(s"$epoch/postings")
+    survD.coalesce(1).write.mode("overwrite").parquet(s"$epoch/docstats")
+    survD.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$epoch/totals")
+    (epoch, plan)
+  }
 }

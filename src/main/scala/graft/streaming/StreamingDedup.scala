@@ -38,9 +38,11 @@ object StreamingDedup {
 
   /** The stored artifacts a streaming dedup consumer serves against:
     * the (b, bv, doc_b) band table — written bucketed+sorted by the join
-    * key, the exchange paid once — and the corpus (doc_b, sb) shingle
-    * table the verify step reads. */
-  final case class StoredDedupIndex(bands: DataFrame, shingles: DataFrame)
+    * key, the exchange paid once — the corpus (doc_b, sb) shingle table
+    * the verify step reads, and the store's root path (the takedown
+    * stream tombstones against it). */
+  final case class StoredDedupIndex(bands: DataFrame, shingles: DataFrame,
+      path: String)
 
   /** One-time index build from a corpus frame (doc_id, lang, text):
     * writes both artifacts under JVM-unique exit-cleaned paths and
@@ -64,7 +66,8 @@ object StreamingDedup {
     sarr.select(col("doc_id").as("doc_b"), col("sarr").as("sb"))
       .write.mode("overwrite").parquet(shinglePath)
     sarr.unpersist(false)
-    StoredDedupIndex(s.table(tbl), s.read.parquet(shinglePath))
+    StoredDedupIndex(s.table(tbl), s.read.parquet(shinglePath),
+      base.getAbsolutePath)
   }
 
   /** Verdicts from a PREPARED batch shingle frame (doc_id, sarr): band,
@@ -113,4 +116,70 @@ object StreamingDedup {
           .foreach(_.unpersist(false))
       }
       .start()
+
+  // --- streaming DELETE lane (the takedown stream) ----------------------
+
+  /** The index's sibling tombstone directory (the
+    * [[StreamingIvf.tombstonePath]] discipline). */
+  def tombstonePath(index: StoredDedupIndex): String = s"${index.path}-tombstones"
+
+  /** Tombstone ONE micro-batch of takedown requests (doc_id rows):
+    * O(deletes) per trigger, idempotent under redelivery via the batch's
+    * own batch_id partition; never reads the band or shingle artifacts.
+    * Returns the ingest plan (captured pre-write). */
+  def appendDeletes(index: StoredDedupIndex, dels: DataFrame, batchId: Long): String = {
+    val t = dels.select(col("doc_id")).withColumn("batch_id", lit(batchId))
+    val plan = t.queryExecution.executedPlan.toString
+    t.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(index))
+    plan
+  }
+
+  /** Wire a takedown stream (doc_id) to the tombstone store; checkpoint
+    * derived from the tombstone path so batch numbering (and with it
+    * redelivery idempotence) survives restarts. */
+  def runDeletes(delStream: DataFrame, index: StoredDedupIndex): StreamingQuery =
+    delStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${tombstonePath(index)}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) appendDeletes(index, batch, batchId): Unit
+      }
+      .start()
+
+  /** Apply accumulated tombstones physically — q_dedup_delete_apply's
+    * compaction at the streaming boundary: reads ONLY the two artifacts
+    * + the tombstone directory, drops the tombstoned docs' band rows and
+    * shingle rows via broadcast anti-joins, and lands a fresh epoch in
+    * the live layout (band table bucketed by (b, bv), shingles plain
+    * parquet). After it, a takedown'd document can never again be the
+    * `dup_of` of an arriving batch doc — the observable effect a
+    * serve-time mask would have to fake. Returns the new index and the
+    * rewrite plan. */
+  def compactWithDeletes(s: SparkSession, index: StoredDedupIndex)
+      : (StoredDedupIndex, String) = {
+    import s.implicits._
+    val tomb = StreamingStores.readTombstones(
+        s, tombstonePath(index), Seq.empty[Long].toDF("doc_id"))
+      .withColumnRenamed("doc_id", "doc_b")
+    val survB = index.bands
+      .join(broadcast(tomb), Seq("doc_b"), "left_anti")
+    val survS = index.shingles
+      .join(broadcast(tomb), Seq("doc_b"), "left_anti")
+    val plan = Seq(survB, survS)
+      .map(_.queryExecution.executedPlan.toString).mkString("\n")
+    val base = graft.plans.ScratchDirs.unique("graft-stream-dedup-delepoch")
+    val bandPath = new java.io.File(base, "bands").getAbsolutePath
+    val shinglePath = new java.io.File(base, "shingles").getAbsolutePath
+    val tbl = ("graft_stream_band_epoch_" + base.getName).replace('-', '_')
+    survB.repartition(DedupQueries.indexBuckets, col("b"), col("bv"))
+      .write.mode("overwrite")
+      .bucketBy(DedupQueries.indexBuckets, "b", "bv").sortBy("b", "bv")
+      .option("path", bandPath)
+      .saveAsTable(tbl)
+    survS.write.mode("overwrite").parquet(shinglePath)
+    (StoredDedupIndex(s.table(tbl), s.read.parquet(shinglePath),
+      base.getAbsolutePath), plan)
+  }
 }

@@ -120,4 +120,68 @@ object StreamingGraph {
       .saveAsTable(tbl)
     (tbl, path)
   }
+
+  // --- streaming DELETE lane (the takedown stream) ----------------------
+
+  /** The edge store's sibling tombstone directory (the
+    * [[StreamingIvf.tombstonePath]] discipline). */
+  def tombstonePath(index: StoredGraphIndex): String = s"${index.path}-tombstones"
+
+  /** Tombstone ONE micro-batch of takedown requests (vec_id rows):
+    * O(deletes) per trigger, idempotent under redelivery via the batch's
+    * own batch_id partition. Never reads the edge store or earlier
+    * tombstones. Returns the ingest plan (captured pre-write). */
+  def appendDeletes(index: StoredGraphIndex, dels: DataFrame, batchId: Long): String = {
+    val t = dels.select(col("vec_id")).withColumn("batch_id", lit(batchId))
+    val plan = t.queryExecution.executedPlan.toString
+    t.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(tombstonePath(index))
+    plan
+  }
+
+  /** Wire a takedown stream (vec_id) to the tombstone store; checkpoint
+    * derived from the tombstone path so batch numbering (and with it
+    * redelivery idempotence) survives restarts. */
+  def runDeletes(delStream: DataFrame, index: StoredGraphIndex): StreamingQuery =
+    delStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${tombstonePath(index)}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) appendDeletes(index, batch, batchId): Unit
+      }
+      .start()
+
+  /** Apply accumulated tombstones physically — q_graph_delete_apply's
+    * compaction at the streaming boundary: reads ONLY the edge store +
+    * the tombstone directory, drops every edge INCIDENT to a tombstoned
+    * node (u or w — an edge pointing AT a deleted vector is as dead as
+    * one leaving it), lands the survivors as a bucketed serving epoch
+    * (the compactToEpoch layout). Emptied rank slots re-knit on the next
+    * EPOCH REBUILD, exactly as in the batch lane — a takedown must not
+    * read the corpus, and slot-refill needs vectors. Returns
+    * (epochTbl, epochPath, rewritePlan). */
+  def compactWithDeletes(s: SparkSession, index: StoredGraphIndex)
+      : (String, String, String) = {
+    import s.implicits._
+    val tomb = StreamingStores.readTombstones(
+      s, tombstonePath(index), Seq.empty[Long].toDF("vec_id"))
+    val survivors = s.read.parquet(index.path).select(col("u"), col("w"))
+      .join(broadcast(tomb.withColumnRenamed("vec_id", "u")), Seq("u"), "left_anti")
+      .join(broadcast(tomb.withColumnRenamed("vec_id", "w")), Seq("w"), "left_anti")
+      // a USING-column join hoists its key first — pin the (u, w) schema
+      // so the epoch's column order matches the live store's
+      .select(col("u"), col("w"))
+    val plan = survivors.queryExecution.executedPlan.toString
+    val dirF = graft.plans.ScratchDirs.unique("graft-stream-graph-delepoch")
+    val tbl = dirF.getName.replace('-', '_').replace('.', '_')
+    val path = dirF.getAbsolutePath
+    survivors
+      .repartition(SimilarityQueries.graphIndexBuckets, col("u"))
+      .write.mode("overwrite")
+      .bucketBy(SimilarityQueries.graphIndexBuckets, "u").sortBy("u")
+      .option("path", path)
+      .saveAsTable(tbl)
+    (tbl, path, plan)
+  }
 }

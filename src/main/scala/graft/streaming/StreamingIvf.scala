@@ -173,20 +173,13 @@ object StreamingIvf {
     // runDeletes creates only <path>/_checkpoint at stream start, and
     // s.read.parquet on a missing or checkpoint-only directory throws
     // instead of compacting zero deletes — treat that state as an empty
-    // tombstone set (the epoch is then a pure layout rewrite)
-    val tombDir = new java.io.File(tombstonePath(index))
-    val hasTombstones = {
-      def dataFiles(f: java.io.File): Boolean = {
-        val kids = Option(f.listFiles()).getOrElse(Array.empty)
-        kids.exists(k =>
-          if (k.isDirectory) !k.getName.startsWith("_") && dataFiles(k)
-          else k.getName.endsWith(".parquet"))
-      }
-      tombDir.isDirectory && dataFiles(tombDir)
-    }
-    val tomb =
-      if (hasTombstones) s.read.parquet(tombstonePath(index)).select(col("vec_id"))
-      else Seq.empty[Long].toDF("vec_id")
+    // tombstone set (the epoch is then a pure layout rewrite). The probe
+    // goes through the Hadoop FileSystem API like every other store read
+    // (round-17 ADVICE: a java.io.File walk is driver-LOCAL — on
+    // HDFS/S3 it always reported no tombstones and compaction silently
+    // degraded to a pure layout rewrite that dropped nothing).
+    val tomb = StreamingStores.readTombstones(
+      s, tombstonePath(index), Seq.empty[Long].toDF("vec_id"))
     val survivors = s.read.parquet(index.path)
       .select(col("vec_id"), col("e"), col("nrm"),
         col("c_id").cast("long").as("c_id"), col("batch_id"))

@@ -1,47 +1,46 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.queries.SimilarityQueries
-import graft.streaming.StreamingIvf
+import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
+import graft.streaming.{StreamingBm25, StreamingDedup, StreamingGraph, StreamingIvf}
 
-/** The streaming DELETE (takedown) contract over the stored IVF index —
-  * q_ivf_delete_apply's semantics pushed to the streaming boundary:
+/** The streaming DELETE (takedown) contract, pinned for ALL FOUR stored
+  * index families (round-17 verdict item 3 — IVF had the only takedown
+  * stream; graph/BM25/dedup now carry the same verbs):
   *
   *  - DELETE INGEST IS O(deletes): every per-trigger tombstone plan reads
   *    only its batch — never the index, never earlier tombstones.
   *  - REDELIVERY IS A NO-OP: a replayed delete batch (same batchId, same
   *    rows) overwrites its own tombstone partition with identical rows.
+  *    The replay uses the RECORDED batchId of the first delivered batch
+  *    (round-17 ADVICE: a literal 0L assumed the MemoryStream numbered
+  *    the first non-empty chunk 0 — an initial empty micro-batch shifts
+  *    the numbering and a 0L replay would CREATE a partition).
   *  - COMPACTION DROPS PHYSICALLY and serving over the compacted epoch
-  *    equals BOTH the serve-time tombstone mask over the old store and
-  *    the one-shot rebuild over survivors, bit for bit.
+  *    equals the independent survivor arms, bit for bit.
   */
 class StreamingDeleteSpec extends SparkSpec {
   import SharedSpark.spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("streamed takedowns: store-blind ingest, idempotent redelivery, physical compaction, mask-equal serving") {
+  /** Stream `delIds` in two chunks through a MemoryStream takedown
+    * query, recording (actual batchId, ingest plan) per delivered batch
+    * — callers assert on the REAL ids, never assumed ones. */
+  private def streamDeletes(delIds: Seq[Long], colName: String)
+      (append: (DataFrame, Long) => String): Seq[(Long, Seq[Long], String)] = {
     implicit val sqlCtx = spark.sqlContext
-    val v = Tables(spark, dir).embeddings
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-    val index = StreamingIvf.buildIndex(spark, v)
-    val nAll = spark.read.parquet(index.path).count()
-
-    // the takedown list, streamed in two chunks
-    val delIds = v.filter(col("vec_id") % 10 === 7)
-      .select(col("vec_id")).as[Long].collect().sorted
-    assert(delIds.length > 5)
-
-    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], String)]
     val ms = MemoryStream[Long]
-    val stream = ms.toDF().toDF("vec_id")
+    val stream = ms.toDF().toDF(colName)
     val q = stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) plans.synchronized {
-          plans += StreamingIvf.appendDeletes(index, batch, batchId)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) recorded.synchronized {
+          val rows = batch.select(col(colName)).as[Long].collect().toSeq.sorted
+          recorded += ((batchId, rows, append(batch, batchId)))
         }: Unit
       }
       .start()
@@ -52,26 +51,50 @@ class StreamingDeleteSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
+    recorded.toSeq
+  }
 
-    assert(plans.size >= 2, "deletes must arrive across multiple micro-batches")
-    plans.foreach { p =>
-      assert(!p.contains("graft-stream-ivf-index"),
+  private def assertStoreBlind(recorded: Seq[(Long, Seq[Long], String)],
+      storeToken: String): Unit = {
+    assert(recorded.size >= 2, "deletes must arrive across multiple micro-batches")
+    recorded.foreach { case (_, _, p) =>
+      assert(!p.contains(storeToken),
         s"a delete ingest read the stored index:\n${p.take(2000)}")
       assert(!p.contains("Scan parquet"),
         s"a delete ingest scanned parquet (tombstones must come from the stream alone):\n${p.take(2000)}")
     }
+  }
+
+  private def tombRows(tombDir: String, idCol: String): Seq[(Long, Long)] =
+    spark.read.parquet(tombDir)
+      .select(col(idCol), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("IVF: store-blind ingest, idempotent redelivery, physical compaction, mask-equal serving") {
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val index = StreamingIvf.buildIndex(spark, v)
+    val nAll = spark.read.parquet(index.path).count()
+
+    val delIds = v.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(delIds.length > 5)
+
+    val recorded = streamDeletes(delIds, "vec_id")(
+      (b, id) => StreamingIvf.appendDeletes(index, b, id))
+    assertStoreBlind(recorded, "graft-stream-ivf-index")
 
     val tombDir = StreamingIvf.tombstonePath(index)
-    def tombRows(): Seq[(Long, Long)] = spark.read.parquet(tombDir)
-      .select(col("vec_id"), col("batch_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    val before = tombRows()
-    assert(before.map(_._1) === delIds.toSeq, "tombstones must hold exactly the takedown ids")
+    val before = tombRows(tombDir, "vec_id")
+    assert(before.map(_._1) === delIds, "tombstones must hold exactly the takedown ids")
 
-    // redelivery: replay batch 0's rows under the same batchId — layout unchanged
-    val (c1, _) = delIds.splitAt(delIds.length / 2)
-    StreamingIvf.appendDeletes(index, c1.toSeq.toDF("vec_id"), 0L)
-    assert(tombRows() === before, "a redelivered delete batch must be a layout no-op")
+    // redelivery: replay the FIRST batch's recorded rows under its
+    // recorded batchId — layout unchanged
+    val (firstId, firstRows, _) = recorded.head
+    StreamingIvf.appendDeletes(index, firstRows.toDF("vec_id"), firstId)
+    assert(tombRows(tombDir, "vec_id") === before,
+      "a redelivered delete batch must be a layout no-op")
 
     // compaction: survivors only, physically
     val (epochPath, rewritePlan) = StreamingIvf.compactWithDeletes(spark, index)
@@ -80,7 +103,7 @@ class StreamingDeleteSpec extends SparkSpec {
     val nEpoch = spark.read.parquet(epochPath).count()
     assert(nEpoch === nAll - delIds.length, "compaction must drop tombstoned rows physically")
     assert(spark.read.parquet(epochPath)
-      .filter(col("vec_id").isin(delIds.toSeq: _*)).count() === 0L)
+      .filter(col("vec_id").isin(delIds: _*)).count() === 0L)
 
     // serving: compacted epoch == serve-time mask over the old store ==
     // one-shot rebuild over survivors
@@ -92,13 +115,182 @@ class StreamingDeleteSpec extends SparkSpec {
     val epochServed = servedSet(epochPath, lit(true))
     assert(epochServed === servedSet(index.path, col("vec_id") % 10 =!= 7),
       "compacted-epoch serving diverged from the serve-time tombstone mask")
-    // one-shot rebuild over survivors (fresh store, same frozen centroids)
     val rebuilt = graft.plans.ScratchDirs.unique("graft-stream-del-rebuild").getAbsolutePath
     SimilarityQueries.assignCells(
         vn.filter(col("vec_id") % 10 =!= 7), index.cents, Seq("e", "nrm"))
       .write.mode("overwrite").partitionBy("c_id").parquet(rebuilt)
     assert(epochServed === servedSet(rebuilt, lit(true)),
       "compacted-epoch serving diverged from the one-shot survivor rebuild")
+    Bench.cleanup(spark)
+  }
+
+  test("graph: store-blind ingest, idempotent redelivery, incident-edge drop, tri-arm serve equality") {
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = StreamingGraph.buildIndex(spark, v)
+    val storeEdges = spark.read.parquet(index.path).select(col("u"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val delIds = v.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(delIds.length > 5)
+
+    val recorded = streamDeletes(delIds, "vec_id")(
+      (b, id) => StreamingGraph.appendDeletes(index, b, id))
+    assertStoreBlind(recorded, "graft-stream-graph")
+
+    val tombDir = StreamingGraph.tombstonePath(index)
+    val before = tombRows(tombDir, "vec_id")
+    assert(before.map(_._1) === delIds)
+    val (firstId, firstRows, _) = recorded.head
+    StreamingGraph.appendDeletes(index, firstRows.toDF("vec_id"), firstId)
+    assert(tombRows(tombDir, "vec_id") === before,
+      "a redelivered delete batch must be a layout no-op")
+
+    // compaction drops exactly the incident edges, physically
+    val (epochTbl, _, rewritePlan) = StreamingGraph.compactWithDeletes(spark, index)
+    assert(!rewritePlan.contains("embeddings"),
+      "compaction must read only store + tombstones, never the corpus")
+    val dels = delIds.toSet
+    val expected = storeEdges.filterNot { case (u, w) => dels(u) || dels(w) }
+    val epochEdges = spark.table(epochTbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(epochEdges === expected,
+      "epoch edges must be exactly the store minus edges incident to tombstoned nodes")
+
+    // tri-arm serve equality: epoch table / serve-time mask over the old
+    // store / a one-shot bucketed store written directly from survivors
+    val assign1 = SimilarityQueries.graphAssign2(v, index.cents)
+      .filter(col("rn") === 1 && col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("c_id"))
+    val qv = v.filter(col("vec_id") < 8 && col("vec_id") % 10 =!= 7).limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def servedSet(graph: DataFrame): Set[Seq[Any]] = {
+      val (_, gall) = SimilarityQueries.graphServeCands(assign1, graph, v, qv)
+      val out = SimilarityQueries.graphTop5(gall, v, qv).collect().map(_.toSeq).toSet
+      gall.unpersist(); out
+    }
+    val epochServed = servedSet(spark.table(epochTbl).hint("merge"))
+    val maskServed = servedSet(
+      spark.read.parquet(index.path).select(col("u"), col("w"))
+        .filter(!col("u").isin(delIds: _*) && !col("w").isin(delIds: _*)))
+    assert(epochServed === maskServed,
+      "compacted-epoch serving diverged from the serve-time incident-edge mask")
+    val oneShotDirF = graft.plans.ScratchDirs.unique("graft-stream-graph-oneshot")
+    val oneShotTbl = oneShotDirF.getName.replace('-', '_').replace('.', '_')
+    expected.toSeq.sorted.toDF("u", "w")
+      .repartition(SimilarityQueries.graphIndexBuckets, col("u"))
+      .write.mode("overwrite")
+      .bucketBy(SimilarityQueries.graphIndexBuckets, "u").sortBy("u")
+      .option("path", oneShotDirF.getAbsolutePath)
+      .saveAsTable(oneShotTbl)
+    assert(epochServed === servedSet(spark.table(oneShotTbl).hint("merge")),
+      "compacted-epoch serving diverged from the one-shot survivor store")
+    v.unpersist()
+    Bench.cleanup(spark)
+  }
+
+  test("bm25: store-blind ingest, idempotent redelivery, re-derived totals, survivor-one-shot serving") {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val store = StreamingBm25.buildIndex(spark, docs)
+
+    val delIds = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(delIds.length > 5)
+
+    val recorded = streamDeletes(delIds, "doc_id")(
+      (b, id) => StreamingBm25.appendDeletes(store, b, id))
+    assertStoreBlind(recorded, "graft-stream-bm25-index")
+
+    val tombDir = StreamingBm25.tombstonePath(store)
+    val before = tombRows(tombDir, "doc_id")
+    assert(before.map(_._1) === delIds)
+    val (firstId, firstRows, _) = recorded.head
+    StreamingBm25.appendDeletes(store, firstRows.toDF("doc_id"), firstId)
+    assert(tombRows(tombDir, "doc_id") === before,
+      "a redelivered delete batch must be a layout no-op")
+
+    val (epoch, rewritePlan) = StreamingBm25.compactWithDeletes(spark, store)
+    assert(!rewritePlan.contains("documents"),
+      "compaction must read only store + tombstones, never the corpus")
+    // physical drop across BOTH per-doc artifacts
+    Seq("postings", "docstats").foreach { a =>
+      assert(spark.read.parquet(s"$epoch/$a")
+        .filter(col("doc_id").isin(delIds: _*)).count() === 0L,
+        s"a tombstoned doc survived in $a")
+    }
+    // totals RE-DERIVED from survivors — not the stale partial fold
+    val surv = docs.filter(col("doc_id") % 10 =!= 7)
+    val expTot = spark.read.parquet(s"$epoch/docstats")
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    val gotTot = spark.read.parquet(s"$epoch/totals")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(gotTot.getLong(0) === expTot.getLong(0) &&
+      gotTot.getLong(1) === expTot.getLong(1),
+      "epoch totals must re-derive from surviving doc-stats")
+    // serving: epoch == a fresh build over survivors == the one-shot scorer
+    val served = TextQueries.bm25ServeStored(spark, epoch).collect().map(_.toSeq).toSeq
+    val freshStore = StreamingBm25.buildIndex(spark, surv)
+    assert(served === TextQueries.bm25ServeStored(spark, freshStore)
+      .collect().map(_.toSeq).toSeq,
+      "compacted-epoch serving diverged from a fresh survivor build")
+    assert(served === TextQueries.bm25ScoredDocs(surv)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .collect().map(_.toSeq).toSeq,
+      "compacted-epoch serving diverged from the one-shot survivor scorer")
+    Bench.cleanup(spark)
+  }
+
+  test("dedup: store-blind ingest, idempotent redelivery, takedown'd docs stop matching") {
+    val corpus = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("text"))
+    val index = StreamingDedup.buildIndex(spark, corpus)
+
+    // a batch that duplicates corpus docs verbatim under fresh ids —
+    // every such doc must match its corpus twin pre-delete
+    val twins = corpus.filter(col("doc_id") % 10 === 7).limit(8)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val preVerdicts = StreamingDedup.batchVerdicts(index, twins, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preVerdicts.nonEmpty, "twin docs must match their corpus originals pre-delete")
+    // take down EVERY matched partner (twins can also near-dup other
+    // corpus docs — data, not an error), so post-compaction emptiness is
+    // the exact expected state
+    val delIds = preVerdicts.map(_._2).toSeq.sorted
+
+    val recorded = streamDeletes(delIds, "doc_id")(
+      (b, id) => StreamingDedup.appendDeletes(index, b, id))
+    assertStoreBlind(recorded, "graft-stream-dedup-index")
+
+    val tombDir = StreamingDedup.tombstonePath(index)
+    val before = tombRows(tombDir, "doc_id")
+    assert(before.map(_._1) === delIds)
+    val (firstId, firstRows, _) = recorded.head
+    StreamingDedup.appendDeletes(index, firstRows.toDF("doc_id"), firstId)
+    assert(tombRows(tombDir, "doc_id") === before,
+      "a redelivered delete batch must be a layout no-op")
+
+    // compaction: tombstoned docs physically gone from BOTH artifacts...
+    val (epochIndex, rewritePlan) = StreamingDedup.compactWithDeletes(spark, index)
+    assert(!rewritePlan.contains("documents"),
+      "compaction must read only the artifacts + tombstones, never the corpus")
+    assert(epochIndex.bands.filter(col("doc_b").isin(delIds: _*)).count() === 0L)
+    assert(epochIndex.shingles.filter(col("doc_b").isin(delIds: _*)).count() === 0L)
+    // ...and no other row was touched
+    assert(epochIndex.bands.count() ===
+      index.bands.filter(!col("doc_b").isin(delIds: _*)).count())
+    // the observable effect: the SAME twins no longer match anything —
+    // their only corpus duplicates were taken down
+    val postVerdicts = StreamingDedup.batchVerdicts(epochIndex, twins, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postVerdicts.forall { case (_, dupOf) => !delIds.contains(dupOf) },
+      "a takedown'd doc still surfaced as dup_of after compaction")
+    assert(postVerdicts.isEmpty,
+      s"twins should have no surviving duplicates, got $postVerdicts")
+    twins.unpersist()
     Bench.cleanup(spark)
   }
 }
