@@ -2386,12 +2386,17 @@ object SimilarityQueries {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
       .persist(MEMORY_AND_DISK)
-    val cents = IvfProvision.seeds(v)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    // phase timers (round-14 verdict item 2): each persisted stage is
-    // FORCED inside its phase so the 8-second headline decomposes in the
-    // bench artifact — assign / build_graph / serve / truth; the residual
-    // is the overlap-join tail in the caller's action.
+    // phase timers (round-14 verdict item 2; provision + rollup added in
+    // round 18 to close the last ≥3 s headline's unattributed tail):
+    // every persisted stage is FORCED inside its phase so the headline
+    // decomposes in the bench artifact. provision carries the seeds
+    // derivation's count — the FIRST materialization of v (parquet read
+    // + cast + persist), which was silently billed to whichever phase
+    // touched v first.
+    val cents = graft.Bench.phase("q_ann_recall_graph.provision") {
+      IvfProvision.seeds(v)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    }
     val assign2 = graft.Bench.phase("q_ann_recall_graph.assign") {
       val a = graphAssign2(v, cents).persist(MEMORY_AND_DISK)
       a.count(); a
@@ -2403,9 +2408,16 @@ object SimilarityQueries {
     val qv = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val assign1 = assign2.filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    // the serve/truth outputs are handed downstream as EAGER local
+    // checkpoints, not persists: the rollup's joins and the caller's
+    // action then plan over LEAVES instead of re-analyzing the full
+    // window/join lineage — the measured residual was ~0.7 s of pure
+    // Catalyst re-analysis per downstream action, the beam-loop lesson
+    // applied to a straight-line lane
     val (p1cand, gall) = graft.Bench.phase("q_ann_recall_graph.serve") {
       val (p, g) = graphServeCands(assign1, graph, v, qv)
-      g.count(); (p, g)
+      val gc = g.localCheckpoint(true)
+      (p.localCheckpoint(true), gc)
     }
     // brute-force ground truth (the harness's cost, not the serving path)
     val exact = graft.Bench.phase("q_ann_recall_graph.truth") {
@@ -2413,27 +2425,33 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
         .select(col("q_id"), col("vec_id"), col("cos"))
-      val e = twoPhaseRank(scored, Seq("q_id"),
+      twoPhaseRank(scored, Seq("q_id"),
           Seq(col("cos").desc, col("vec_id")), 5, "rank")
         .select(col("q_id"), col("vec_id"))
-        .persist(MEMORY_AND_DISK)
-      e.count(); e
+        .localCheckpoint(true)
     }
-    val counts = p1cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_p1"))
-      .join(gall.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_g")), Seq("q_id"), "full")
-    exact
-      .join(p1cand.withColumn("p1", lit(1)), Seq("q_id", "vec_id"), "left")
-      .join(gall.withColumn("g", lit(1)), Seq("q_id", "vec_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("p1").isNotNull, 1L).otherwise(0L)).as("n_hit_p1"),
-        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_hit_g"))
-      .join(counts, Seq("q_id"), "left")
-      .select(col("q_id"),
-        coalesce(col("n_cand_p1"), lit(0L)).as("n_cand_p1"),
-        col("n_hit_p1"), (col("n_hit_p1") / lit(5.0)).as("recall_p1"),
-        coalesce(col("n_cand_g"), lit(0L)).as("n_cand_g"),
-        col("n_hit_g"), (col("n_hit_g") / lit(5.0)).as("recall_g"))
+    // rollup is the DECLARED output — forcing it here is safe (the
+    // caller's action reuses the cache; the phase-forcing rule only
+    // forbids forcing spec-only arms)
+    graft.Bench.phase("q_ann_recall_graph.rollup") {
+      val counts = p1cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_p1"))
+        .join(gall.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_g")), Seq("q_id"), "full")
+      val out = exact
+        .join(p1cand.withColumn("p1", lit(1)), Seq("q_id", "vec_id"), "left")
+        .join(gall.withColumn("g", lit(1)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("p1").isNotNull, 1L).otherwise(0L)).as("n_hit_p1"),
+          sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_hit_g"))
+        .join(counts, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_cand_p1"), lit(0L)).as("n_cand_p1"),
+          col("n_hit_p1"), (col("n_hit_p1") / lit(5.0)).as("recall_p1"),
+          coalesce(col("n_cand_g"), lit(0L)).as("n_cand_g"),
+          col("n_hit_g"), (col("n_hit_g") / lit(5.0)).as("recall_g"))
+        .persist(MEMORY_AND_DISK)
+      out.count(); out
+    }
   }
 
   /** 2-cell assignment CTE (`name`) over `src` rows against the `c`
