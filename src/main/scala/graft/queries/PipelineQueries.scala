@@ -18,6 +18,16 @@ object PipelineQueries {
     * (~1 % of the corpus — realistic benchmark-to-corpus ratio). */
   private val evalMod = 97
 
+  /** Fixed selection budget for the pipeline's DSIR resample stage —
+    * production importance resampling selects a BUDGET (Xie et al. 2023
+    * pick a target token count), not a corpus fraction, and a fixed k is
+    * what keeps the selection a TakeOrderedAndProject instead of a
+    * global sort. 256 sits between the fixtures: the sf0.001/sf0.01
+    * survivor sets are smaller (the stage is an exact pass-through —
+    * rank <= k keeps every doc, in both engines) while sf0.1's is
+    * larger, so the tri-SF gate exercises both arms. */
+  private val dsirPipelineBudget = 256
+
   // Deterministic PII injected into every document (and into the oracle
   // identically) so the scrubber always has something to find on top of
   // whatever occurs naturally.
@@ -324,12 +334,19 @@ object PipelineQueries {
          |d AS (
          |  SELECT * FROM m WHERE doc_id % $evalMod <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |counts AS (SELECT lang, count(*)::BIGINT AS n FROM d GROUP BY lang),
+         |${dsirCtes("d", "r")},
+         |rsel AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      ORDER BY floor(key * 1e6) / 1e6 DESC, doc_id) AS rrn
+         |    FROM rkeyed) WHERE rrn <= $dsirPipelineBudget),
+         |d2 AS (SELECT d.* FROM d JOIN rsel USING (doc_id)),
+         |counts AS (SELECT lang, count(*)::BIGINT AS n FROM d2 GROUP BY lang),
          |quota AS (SELECT lang, least(n, 2 * (SELECT min(n) FROM counts)) AS cap FROM counts),
          |ranked AS (
          |  SELECT doc_id, lang, n_tokens,
          |    row_number() OVER (PARTITION BY lang ORDER BY md5('mix42#' || doc_id)) AS rk
-         |  FROM d),
+         |  FROM d2),
          |mixed AS (
          |  SELECT r.doc_id, r.lang, r.n_tokens FROM ranked r
          |  JOIN quota q ON r.lang = q.lang WHERE r.rk <= q.cap),
@@ -420,7 +437,32 @@ object PipelineQueries {
         d0.count()
         d0
       }
-      // stages 5+6 — corpus mix (data-derived per-language quota, 2× min)
+      // stage 5 — DSIR importance resample (q_importance_resample's
+      // engine COMPOSED into the pipeline, round-17 verdict item 6):
+      // hashed-ngram bucket weights with the decontaminated survivors as
+      // the RAW distribution and their lang='en' slice as the target,
+      // Gumbel top-k at the FIXED [[dsirPipelineBudget]] — the
+      // production budget semantics, and the scale-safe plan
+      // (TakeOrderedAndProject on the floored key; a proportional
+      // budget would demand a global sort). Below the budget boundary
+      // the stage is an exact pass-through in both engines (rank ≤ k
+      // keeps everything) — the IvfProvision floor idiom, so the small
+      // fixtures exercise the no-op arm and sf0.1 the selecting arm.
+      val d2 = graft.Bench.phase("q_corpus_pipeline.resample") {
+        val u = (conv(substring(
+            md5(concat(lit("dsir42#"), col("doc_id").cast("string"))), 1, 12),
+            16, 10).cast("double") + 0.5) / 281474976710656.0
+        val sel = dsirWeightsDocs(d.select(col("doc_id"), col("lang"), col("text")))
+          .withColumn("key", col("logw") - log(-log(u)))
+          .orderBy((floor(col("key") * 1e6) / 1e6).desc, col("doc_id"))
+          .limit(dsirPipelineBudget)
+          .select(col("doc_id"))
+        val d20 = d.join(sel, "doc_id")
+          .persist(MEMORY_AND_DISK) // feeds the quota agg + the ranked side
+        d20.count()
+        d20
+      }
+      // stages 6+7 — corpus mix (data-derived per-language quota, 2× min)
       // and sequence packing (2048-token bins per language): phase-timed
       // and forced (round-15 verdict item 3 — the tail ran in the
       // caller's action and its cost was unattributable; phases must sum
@@ -431,7 +473,7 @@ object PipelineQueries {
         // corpus size), replacing a broadcast-join subtree that cost two
         // extra jobs per run; the cap rule (2× the smallest language) is
         // unchanged and the oracle's quota CTE replays it
-        val allCaps = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val allCaps = d2.groupBy(col("lang")).agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
         // mn is computed over ALL groups INCLUDING a null lang (round-16
         // ADVICE: the oracle's quota CTE takes min(n) over every counts
@@ -443,7 +485,7 @@ object PipelineQueries {
         val mn = allCaps.map(_._2).minOption.getOrElse(0L)
         val capOf = typedLit(allCaps.filter(_._1 != null)
           .map { case (l, n) => l -> math.min(n, 2 * mn) }.toMap)
-        val mixed = d.withColumn("rk", row_number().over(
+        val mixed = d2.withColumn("rk", row_number().over(
             Window.partitionBy(col("lang"))
               .orderBy(md5(concat(lit("mix42#"), col("doc_id").cast("string"))))).cast("long"))
           .filter(col("rk") <= element_at(capOf, col("lang")))
@@ -884,33 +926,7 @@ object PipelineQueries {
     // top-k; no global sort, no pairwise work, O(B) driver-safe stats.
     q(
       "q_importance_resample",
-      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
-        |grams AS (
-        |  SELECT doc_id, lang, unnest(list_concat(ts,
-        |    CASE WHEN len(ts) >= 2
-        |      THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || '_' || ts[i + 1])
-        |      ELSE [] END)) AS g
-        |  FROM toks),
-        |feat AS (SELECT doc_id, lang,
-        |    ('0x' || substr(md5(g), 1, 6))::BIGINT % 128 AS b FROM grams),
-        |bucket AS (SELECT b, count(*)::BIGINT AS cr,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
-        |  FROM feat GROUP BY 1),
-        |tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM bucket),
-        |contrib AS (SELECT b,
-        |    ln(((ct + 1)::DOUBLE * (tr + 128)::DOUBLE) /
-        |       ((cr + 1)::DOUBLE * (tt + 128)::DOUBLE)) AS cb
-        |  FROM bucket CROSS JOIN tot),
-        |tfb AS (SELECT doc_id, lang, b, count(*)::BIGINT AS tf FROM feat GROUP BY 1, 2, 3),
-        |dterm AS (SELECT t.doc_id, t.lang, t.b, t.tf::DOUBLE * c.cb AS term, t.tf
-        |  FROM tfb t JOIN contrib c USING (b)),
-        |dw AS (SELECT doc_id, lang, list(term ORDER BY b) AS terms,
-        |    sum(tf)::BIGINT AS n_feats FROM dterm GROUP BY 1, 2),
-        |keyed AS (SELECT doc_id, lang, n_feats, list_sum(terms) AS logw,
-        |    list_sum(terms) - ln(-ln(
-        |      (('0x' || substr(md5('dsir42#' || doc_id), 1, 12))::BIGINT + 0.5)
-        |        / 281474976710656.0)) AS key
-        |  FROM dw)
+      s"""WITH ${dsirCtes("documents", "")}
         |SELECT doc_id, lang, n_feats,
         |  floor(logw * 1e6) / 1e6 + 0.0 AS logw_f,
         |  floor(key * 1e6) / 1e6 + 0.0 AS skey
@@ -929,13 +945,56 @@ object PipelineQueries {
     }
   )
 
+  /** The DSIR weight/key CTE chain over relation `rel`, CTE names
+    * prefixed with `p` — shared verbatim by the standalone
+    * q_importance_resample oracle (rel = documents, p = "") and the
+    * pipeline's resample stage (rel = d, p = "r") so the two engines'
+    * bucket arithmetic and Gumbel key can never drift between the
+    * standalone and composed uses. Ends at `${p}keyed(doc_id, lang,
+    * n_feats, logw, key)`. */
+  private[queries] def dsirCtes(rel: String, p: String): String =
+    s"""${p}toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM $rel),
+      |${p}grams AS (
+      |  SELECT doc_id, lang, unnest(list_concat(ts,
+      |    CASE WHEN len(ts) >= 2
+      |      THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || '_' || ts[i + 1])
+      |      ELSE [] END)) AS g
+      |  FROM ${p}toks),
+      |${p}feat AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(g), 1, 6))::BIGINT % 128 AS b FROM ${p}grams),
+      |${p}bucket AS (SELECT b, count(*)::BIGINT AS cr,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+      |  FROM ${p}feat GROUP BY 1),
+      |${p}tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM ${p}bucket),
+      |${p}contrib AS (SELECT b,
+      |    ln(((ct + 1)::DOUBLE * (tr + 128)::DOUBLE) /
+      |       ((cr + 1)::DOUBLE * (tt + 128)::DOUBLE)) AS cb
+      |  FROM ${p}bucket CROSS JOIN ${p}tot),
+      |${p}tfb AS (SELECT doc_id, lang, b, count(*)::BIGINT AS tf FROM ${p}feat GROUP BY 1, 2, 3),
+      |${p}dterm AS (SELECT t.doc_id, t.lang, t.b, t.tf::DOUBLE * c.cb AS term, t.tf
+      |  FROM ${p}tfb t JOIN ${p}contrib c USING (b)),
+      |${p}dw AS (SELECT doc_id, lang, list(term ORDER BY b) AS terms,
+      |    sum(tf)::BIGINT AS n_feats FROM ${p}dterm GROUP BY 1, 2),
+      |${p}keyed AS (SELECT doc_id, lang, n_feats, list_sum(terms) AS logw,
+      |    list_sum(terms) - ln(-ln(
+      |      (('0x' || substr(md5('dsir42#' || doc_id), 1, 12))::BIGINT + 0.5)
+      |        / 281474976710656.0)) AS key
+      |  FROM ${p}dw)""".stripMargin
+
   /** q_importance_resample's weight engine, exposed for
     * ImportanceResampleSpec: per-doc (doc_id, lang, terms, n_feats, logw)
     * where logw = Σ_features ln(p̂_tgt(bucket)/p̂_raw(bucket)) folded in
     * sorted-bucket order (see the lane's determinism notes). */
-  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsDocs(Tables(s, dir).documents)
+
+  /** The weight engine over an explicit (doc_id, lang, text) frame —
+    * split so the q_corpus_pipeline resample stage scores the
+    * DECONTAMINATED SURVIVORS (its raw distribution is the pipeline's,
+    * not the ingest corpus's) through the same text. */
+  private[graft] def dsirWeightsDocs(docs: DataFrame): DataFrame = {
     val B = 128
-    val toks = Tables(s, dir).documents
+    val toks = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
     val grams = toks.select(col("doc_id"), col("lang"),
       explode(concat(col("ts"),
