@@ -23,6 +23,7 @@ import graft.queries.{SimilarityQueries, TextQueries}
   *    mask and the physical drop can never drift.
   */
 class DeleteApplySpec extends SparkSpec {
+  import SharedSpark.spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -142,6 +143,41 @@ class DeleteApplySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(r.served.collect().map(_.toSeq).toSet === oneShot,
       "compacted-epoch bm25 serving diverged from the survivor one-shot")
+    Bench.cleanup(spark)
+  }
+
+  test("bm25 list-driven takedown: deletes arrive as an id TABLE; compaction broadcasts the list, never a predicate") {
+    val r = TextQueries.bm25DeleteListServe(spark, dir)
+    // the takedown set really is the materialized list file's contents
+    val listIds = Tables(spark, dir).documents
+      .filter(col("lang") === "de").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(40)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val tombIds = spark.read.parquet(r.tombPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(tombIds === listIds, "tombstones must hold exactly the list table's ids")
+    // the compaction plan carries the list as a BROADCAST side and never
+    // re-reads the corpus — the id source is opaque rows, so no scan
+    // predicate can reproduce it (the lane's whole point: the tombstone
+    // path is list-driven end-to-end, not an id-rule pushed into scans)
+    assert(r.rewritePlan.contains("BroadcastExchange"),
+      s"compaction must anti-join a broadcast list:\n${r.rewritePlan.take(2000)}")
+    assert(!r.rewritePlan.contains("documents"),
+      "list-driven compaction re-read the corpus")
+    // no lang='de'-derived predicate appears anywhere in the rewrite —
+    // the list's ORIGIN is invisible to the store pipeline
+    assert(!r.rewritePlan.contains("lang"),
+      "the list's generating predicate leaked into the compaction plan")
+    // physical drop + survivor-one-shot equality (the shared contract)
+    val p1 = spark.read.parquet(s"${r.epochPath}/postings")
+    assert(p1.filter(col("doc_id").isin(listIds: _*)).count() === 0L)
+    val oneShot = TextQueries.bm25ScoredDocs(
+        Tables(spark, dir).documents
+          .join(listIds.toDF("doc_id"), Seq("doc_id"), "left_anti"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .collect().map(_.toSeq).toSet
+    assert(r.served.collect().map(_.toSeq).toSet === oneShot,
+      "list-driven epoch serving diverged from the survivor one-shot")
     Bench.cleanup(spark)
   }
 
