@@ -246,22 +246,49 @@ object Bench {
     }
     val REPS_BASE = 2
     (1 to REPS_BASE).foreach(_ => runRound(names))
-    // third-rep pass over suspect queries only (still interleaved so the
-    // retries of different queries decorrelate against a fresh burst).
-    // Queries over HEAVY_SEC also get the extra rep unconditionally:
-    // min-of-two is not robust for multi-second queries, where a single
-    // contended rep can dominate (r10 measured a 19.9 s rep-1 against a
-    // 7.8 s rep-2 on the same query).
+    // ISOLATED third rep for every multi-second query (round-17 verdict
+    // item 4 — heavy lanes previously took their mandatory extra rep
+    // interleaved in the shared segments, and the builder's 7-lane batch
+    // experiments measured up to 2x session pollution on exactly those
+    // lanes; the published artifact inherited it and needed a forensic
+    // appendix every round). Each heavy lane's extra rep now runs ALONE:
+    // the storage pool is emptied, a full GC plus a short settle keeps
+    // the previous lane's tail (shuffle cleanup, GC, temp-dir deletes)
+    // out of the timed region, and the rep is bracketed by its OWN
+    // calibration probes so the drift normalizer corrects per-lane. The
+    // two interleaved rounds double as the warm-in (JIT/codegen is hot
+    // by round 3), so min-of-reps lands on the controlled number — the
+    // ReproBench decay curves that justified min-of-N after round 1.
+    // (A per-lane fresh session was measured irrelevant here: storage,
+    // code cache, and the catalog live on the shared context, and every
+    // lane already writes JVM-unique table names.)
     val HEAVY_SEC = 2.0
+    val heavies = names.filter { n =>
+      val ok = times(n).filter(_ >= 0)
+      ok.nonEmpty && ok.min > HEAVY_SEC
+    }
+    if (heavies.nonEmpty) {
+      System.err.println(s"BENCH ISOLATED (heavy): ${heavies.mkString(",")}")
+      heavies.foreach { n =>
+        cleanup(spark)
+        Thread.sleep(500)
+        val pre = calibrate()
+        val rep = runRep(spark, n, sfDir, hostCpus)
+        val post = calibrate()
+        record(n, rep, math.min(pre, post))
+      }
+    }
+    // retry pass over steal-polluted / disagreeing queries (still
+    // interleaved so the retries of different queries decorrelate
+    // against a fresh burst).
     val suspects = names.filter { n =>
       val ok = times(n).filter(_ >= 0)
       val polluted = steals(n).exists(_ > STEAL_FRAC)
       val disagree = ok.size >= 2 && ok.max / ok.min.max(1e-9) > DISAGREE
-      val heavy = ok.nonEmpty && ok.min > HEAVY_SEC
-      ok.nonEmpty && (polluted || disagree || heavy)
+      ok.nonEmpty && (polluted || disagree) && !heavies.contains(n)
     }
     if (suspects.nonEmpty) {
-      System.err.println(s"BENCH RETRY (steal/disagree/heavy): ${suspects.mkString(",")}")
+      System.err.println(s"BENCH RETRY (steal/disagree): ${suspects.mkString(",")}")
       runRound(suspects)
     }
 
@@ -324,7 +351,8 @@ object Bench {
       obj(phaseTimes.asScala.toSeq.sortBy(_._1)
         .map { case (k, ts) => k -> d4(ts.min) })
     }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    val isolatedArr = heavies.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"isolated":$isolatedArr,"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
     println(full)
     // The full line is long and has been tail-truncated in past round
     // artifacts; persist it and follow with a SHORT headline line so any

@@ -3383,13 +3383,17 @@ object SimilarityQueries {
   ) { (s, dir) => beamLayeredServe(s, dir)._3 }
 
   /** q_ann_recall_beam_layered's body, exposed private[graft] for
-    * GraphIndexSpec: (per-layer store paths keyed by layer number, final
-    * visited frame — a checkpointed leaf, collectible — and the declared
-    * output). */
+    * GraphIndexSpec: (per-layer store paths keyed by layer number —
+    * layers handed in via `upperTbls` are served as-is and excluded —
+    * final visited frame (a checkpointed leaf, collectible), and the
+    * declared output). `edgeTbl`/`upperTbls` let the delete/rebuild
+    * lifecycle substitute compacted epochs for any layer, the flat
+    * beam's maintenance contract extended up the hierarchy. */
   private[graft] def beamLayeredServe(s: SparkSession, dir: String,
       l1Width: Int = graphL1BeamWidth, l1Rounds: Int = graphL1Rounds,
       l0Width: Int = graphLayeredWidth, l0Rounds: Int = graphLayeredRounds,
-      edgeTbl: Option[String] = None)
+      edgeTbl: Option[String] = None,
+      upperTbls: Map[Int, String] = Map.empty)
       : (Map[Int, String], DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.cosineSimilarity
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -3425,6 +3429,12 @@ object SimilarityQueries {
         graphAssign2(base, cents).persist(MEMORY_AND_DISK)
       }
       val info = (1 to ell).map { j =>
+        // a layer the maintenance lifecycle already compacted is served
+        // as handed in — the flat beam's edgeTbl contract extended up the
+        // hierarchy (GraphIndexSpec's layered-lifecycle arm drives it)
+        if (upperTbls.contains(j)) {
+          j -> (upperTbls(j), "")
+        } else {
         val lj = base.filter(col("vec_id") % GraphLayers.pow16(j) === 0)
         val cand =
           if (j == ell)
@@ -3462,11 +3472,15 @@ object SimilarityQueries {
           .option("path", dirF.getAbsolutePath)
           .saveAsTable(tbl)
         j -> (tbl, dirF.getAbsolutePath)
+        }
       }.toMap
-      if (ell >= 2) basea2L.unpersist(false)
+      // unpersist only if some bucketed layer actually initialized the
+      // lazy assignment (touching it otherwise would run the seeds count)
+      if ((1 until ell).exists(j => !upperTbls.contains(j)))
+        basea2L.unpersist(false)
       (ell, info)
     }
-    val layerPaths = layerInfo.map { case (j, (_, p)) => j -> p }
+    val layerPaths = layerInfo.collect { case (j, (_, p)) if p.nonEmpty => j -> p }
     val qv = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     def score(cand: DataFrame): DataFrame = cand
@@ -3475,9 +3489,15 @@ object SimilarityQueries {
       .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
       .select(col("q_id"), col("vec_id"), col("cos"))
     // global entry point: min TOP-layer id — one 1-row driver read (the
-    // HNSW top-layer entry; deterministic, both engines replay min())
-    val entryId = base.filter(col("vec_id") % GraphLayers.pow16(ell) === 0)
-      .agg(min(col("vec_id"))).head().getLong(0)
+    // HNSW top-layer entry; deterministic, both engines replay min()).
+    // A lifecycle-provided top layer derives its entry from the TABLE
+    // (a compacted epoch may have taken the min-id node down).
+    val entryId =
+      if (upperTbls.contains(ell))
+        s.table(layerInfo(ell)._1).agg(min(col("u"))).head().getLong(0)
+      else
+        base.filter(col("vec_id") % GraphLayers.pow16(ell) === 0)
+          .agg(min(col("vec_id"))).head().getLong(0)
     val entry = qv.select(col("q_id")).withColumn("vec_id", lit(entryId))
     val visFinal = graft.Bench.phase("q_ann_recall_beam_layered.beam") {
       var vis = score(entry).localCheckpoint(true)

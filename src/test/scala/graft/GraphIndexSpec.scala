@@ -269,6 +269,39 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("layered lifecycle: the descent serves compacted epochs handed in for BOTH layers") {
+    // build the live hierarchy once to obtain its layer-1 store
+    val (paths0, _, _) = SimilarityQueries.beamLayeredServe(spark, dir)
+    val dels = Tables(spark, dir).embeddings
+      .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    // compact BOTH layers: layer 0 via the delete lane's epoch, layer 1
+    // via the same incident-edge drop over the layered store
+    val r = SimilarityQueries.graphDeleteServe(spark, dir)
+    val l0epoch = new java.io.File(r.epochPath).getName
+      .replace('-', '_').replace('.', '_')
+    val l1DirF = graft.plans.ScratchDirs.unique("graft-knn-graph-l1-delepoch")
+    val l1epoch = l1DirF.getName.replace('-', '_').replace('.', '_')
+    spark.read.parquet(paths0(1))
+      .filter(!col("u").isin(dels.toSeq: _*) && !col("w").isin(dels.toSeq: _*))
+      .repartition(8, col("u"))
+      .write.mode("overwrite").bucketBy(8, "u").sortBy("u")
+      .option("path", l1DirF.getAbsolutePath).saveAsTable(l1epoch)
+    // serve the descent entirely over the handed-in epochs
+    val (paths1, vis, out) = SimilarityQueries.beamLayeredServe(spark, dir,
+      edgeTbl = Some(l0epoch), upperTbls = Map(1 -> l1epoch))
+    assert(paths1.isEmpty, "no layer should be rebuilt when every layer is handed in")
+    // a taken-down node can never be REACHED: entry + every hop comes
+    // from the compacted edge tables (queries stay the fixture's, so
+    // only the candidate side is asserted)
+    val visited = vis.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(visited.intersect(dels).isEmpty,
+      s"descent reached taken-down nodes: ${visited.intersect(dels).take(5)}")
+    assert(out.count() === 8L)
+    Bench.cleanup(spark)
+  }
+
   test("lifecycle: stats -> tripped rebuild -> beam over the new epoch reaches batch nodes") {
     // the full maintenance loop at a tripped SF: the report reads the
     // store, the apply rebuilds epoch 1, and serving over the NEW epoch
