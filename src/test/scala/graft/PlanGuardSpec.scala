@@ -433,20 +433,33 @@ class PlanGuardSpec extends SparkSpec {
       seen.keySet().asScala.toSeq
     }
 
-    val plans = closure(
-      SparkEntry.queries("q_corpus_pipeline")(spark, sf).queryExecution.executedPlan)
-    val fileScans = plans.flatMap(_.collect { case f: FileSourceScanExec => f })
+    // round 18: the resample stage's localCheckpoint truncates the
+    // DECLARED output's lineage (the mix/pack tail was paying ~5 s of
+    // Catalyst re-analysis over the DSIR aggregation subtree), so the
+    // single-scan proof walks the exposed STAGE frames: the
+    // decontaminated-survivor frame `d` still carries the whole chain
+    // back to the base cache, and the output past the checkpoint must
+    // introduce ZERO new file scans.
+    val (d, out) = graft.queries.PipelineQueries.corpusPipelineStages(spark, sf)
+    val stagePlans = closure(d.queryExecution.executedPlan)
+    val fileScans = stagePlans.flatMap(_.collect { case f: FileSourceScanExec => f })
     assert(fileScans.length === 1,
       s"expected documents scanned once across the whole pipeline, found " +
         s"${fileScans.length}: ${fileScans.map(_.relation.location.rootPaths.mkString).mkString("; ")}")
     assert(fileScans.head.relation.location.rootPaths.mkString.contains("documents"))
+    val outPlans = closure(out.queryExecution.executedPlan)
+    assert(outPlans.flatMap(_.collect { case f: FileSourceScanExec => f }).isEmpty,
+      "the post-checkpoint tail must read only the checkpointed survivors")
     // stage count pinned: canonical keep-rank (first_value + row_number
     // merge into one Window over the shared spec) + minhash band-bucket
-    // cap rank + exact-dedup rn + mix rk + pack cum = 5 windows
-    val windows = plans.flatMap(_.collect { case w: WindowExec => w })
-    assert(windows.length === 5, s"stage window count drifted: ${windows.length}")
-    // never an unbounded pair scan anywhere in the closure
-    plans.foreach { p =>
+    // cap rank + exact-dedup rn = 3 windows in the stage chain, mix rk +
+    // pack cum = 2 in the tail
+    val windows = stagePlans.flatMap(_.collect { case w: WindowExec => w })
+    assert(windows.length === 3, s"stage window count drifted: ${windows.length}")
+    val tailWindows = outPlans.flatMap(_.collect { case w: WindowExec => w })
+    assert(tailWindows.length === 2, s"tail window count drifted: ${tailWindows.length}")
+    // never an unbounded pair scan anywhere in either closure
+    (stagePlans ++ outPlans).foreach { p =>
       assert(!p.toString.contains("CartesianProduct"), p.toString.take(2000))
     }
   }
