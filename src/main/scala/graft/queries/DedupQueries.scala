@@ -1121,8 +1121,13 @@ object DedupQueries {
         .select(col("b"), col("bv"), col("doc_id").as("doc_a"))
       val cands = bat.join(s.table(epochTbl).hint("merge"), Seq("b", "bv"))
         .select(col("doc_a"), col("doc_b")).distinct()
+      // forced as an eager leaf: the verify join IS the declared output
+      // (safe to force — the caller reuses the materialized rows), and
+      // without it ~46% of the bench headline ran unattributed in the
+      // caller's action (round-18 attribution sweep)
       jaccardVerify(sarr, cands, 0.3)
         .select(col("doc_a").as("doc_batch"), col("doc_b").as("dup_of"), col("jac"))
+        .localCheckpoint(true)
     }
     DedupDeleteResult(store0Tbl, tombstonePlan, tombPath, epochTbl, rewritePlan, served)
   }

@@ -3080,7 +3080,11 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val (gall, served) = graft.Bench.phase("q_graph_delete_apply.serve") {
       val (_, g) = graphServeCands(assign1, s.table(epochTbl).hint("merge"), v, qv)
-      g.count(); (g, graphTop5(g, v, qv))
+      g.count()
+      // the top-5 rerank IS the declared output — forced as an eager
+      // leaf so the headline carries it here instead of an unattributed
+      // caller-action tail (round-18 attribution sweep)
+      (g, graphTop5(g, v, qv).localCheckpoint(true))
     }
     GraphDeleteResult(path0, tombstonePlan, tombPath, epochPath, rewritePlan,
       gall, served)
@@ -3210,23 +3214,31 @@ object SimilarityQueries {
         .persist(MEMORY_AND_DISK)
       e.count(); e
     }
-    val counts = gall.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_g"))
-      .join(visFinal.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_beam")),
-        Seq("q_id"), "full")
-    val out = exact
-      .join(gall.withColumn("g", lit(1)), Seq("q_id", "vec_id"), "left")
-      .join(visFinal.select(col("q_id"), col("vec_id")).withColumn("b", lit(1)),
-        Seq("q_id", "vec_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_hit_g"),
-        sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_hit_beam"))
-      .join(counts, Seq("q_id"), "left")
-      .select(col("q_id"),
-        coalesce(col("n_cand_g"), lit(0L)).as("n_cand_g"),
-        col("n_hit_g"), (col("n_hit_g") / lit(5.0)).as("recall_g"),
-        coalesce(col("n_cand_beam"), lit(0L)).as("n_cand_beam"),
-        col("n_hit_beam"), (col("n_hit_beam") / lit(5.0)).as("recall_beam"))
+    // rollup is the DECLARED output — forced as an eager leaf so the
+    // headline carries the comparison joins here instead of a ~35%
+    // unattributed caller-action tail (round-18 attribution sweep; the
+    // inputs are a persisted frame and two checkpointed leaves, so the
+    // caller's action was mostly re-analysis anyway)
+    val out = graft.Bench.phase("q_ann_recall_beam.rollup") {
+      val counts = gall.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_g"))
+        .join(visFinal.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_beam")),
+          Seq("q_id"), "full")
+      exact
+        .join(gall.withColumn("g", lit(1)), Seq("q_id", "vec_id"), "left")
+        .join(visFinal.select(col("q_id"), col("vec_id")).withColumn("b", lit(1)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_hit_g"),
+          sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_hit_beam"))
+        .join(counts, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_cand_g"), lit(0L)).as("n_cand_g"),
+          col("n_hit_g"), (col("n_hit_g") / lit(5.0)).as("recall_g"),
+          coalesce(col("n_cand_beam"), lit(0L)).as("n_cand_beam"),
+          col("n_hit_beam"), (col("n_hit_beam") / lit(5.0)).as("recall_beam"))
+        .localCheckpoint(true)
+    }
     (visPlan, visFinal, gall, out)
   }
 

@@ -34,7 +34,11 @@ class Bm25IncrementalSpec extends SparkSpec {
     assert(got === oneShot, "merged-artifact serving diverged from the one-shot scorer")
     assert(got.nonEmpty)
 
-    val plan = served.queryExecution.executedPlan.toString
+    // the lane's served frame is a forced leaf (round-18 attribution
+    // sweep), so the pushdown contract is asserted on a fresh serving
+    // frame over the SAME store — the identical reader text the lane ran
+    val plan = TextQueries.bm25ServeStored(spark, store)
+      .queryExecution.executedPlan.toString
     val postingScans = plan.linesIterator
       .filter(l => l.contains(s"graft-bm25-index") && l.contains("postings"))
       .mkString("\n")
