@@ -262,12 +262,15 @@ object PipelineQueries {
     // → composite filter → exact dedup (keep-first) → MinHash-LSH near-dup
     // dedup (signature→bucket→verify, greedy keep-lowest-id) →
     // benchmark decontamination (shared word-8-gram vs the eval slice) →
-    // data-derived corpus mix (cap every language at 2× the smallest) →
-    // sequence packing (2048-token bins per language). Every stage is a
-    // declared lane elsewhere (q_corpus_filter, q_dedup_keep_first,
-    // q_dedup_minhash, q_decontaminate, q_corpus_mix, q_pack_sequences);
-    // this proves they COMPOSE under one optimizer pass — the place where
-    // operator-fusion regressions would hide.
+    // DSIR importance resample (round 18: Gumbel top-k at the fixed
+    // dsirPipelineBudget toward the lang='en' target — pass-through
+    // below the budget) → data-derived corpus mix (cap every language at
+    // 2× the smallest) → sequence packing (2048-token bins per
+    // language). Every stage is a declared lane elsewhere
+    // (q_corpus_filter, q_dedup_keep_first, q_dedup_minhash,
+    // q_decontaminate, q_importance_resample, q_corpus_mix,
+    // q_pack_sequences); this proves they COMPOSE under one optimizer
+    // pass — the place where operator-fusion regressions would hide.
     //
     // Scale design: the documents parquet is read ONCE into a persisted
     // base frame (plan-guarded: every scan in the plan sits behind the
@@ -816,11 +819,12 @@ object PipelineQueries {
       // persisted stage frame is FORCED inside its phase — the same
       // materializations the final count would trigger anyway, just
       // sequenced so Bench's artifact attributes the composite headline
-      // to filter/exact-dedup vs minhash vs decontaminate without
-      // re-profiling (the round-13 artifact's rising rep profile was
-      // unattributable exactly because this lane had no phases; the
-      // residual after these phases is the mix+pack tail, which runs in
-      // the caller's action over cached `d`).
+      // per stage without re-profiling (the round-13 artifact's rising
+      // rep profile was unattributable exactly because this lane had no
+      // phases; since round 18 every stage through mix_pack is phased
+      // and the resample checkpoint keeps the caller's action from
+      // re-analyzing the weight lineage — 97% of the headline lands in
+      // phases).
       // ONE parquet scan: every stage derives from this persisted base
       val base = Tables(s, dir).documents
         .select(col("doc_id"), col("lang"), col("text"), col("source"))
