@@ -360,9 +360,8 @@ object PipelineQueries {
          |  FROM mixed)
          |SELECT doc_id, lang, n_tokens, ((cum - n_tokens) // 2048)::BIGINT AS bin
          |FROM c""".stripMargin
-    ) { (s, dir) => corpusPipelineStages(s, dir)._2 },
+    ) { (s, dir) => corpusPipelineStages(s, dir)._3 },
 
-    // ★ Composite corpus filter:
     // ★ Composite corpus filter: the keep/drop decision layer a training
     // pipeline runs over its cheap per-doc signals — first failing rule
     // wins, and the reason column makes the drop auditable (the shape
@@ -811,9 +810,13 @@ object PipelineQueries {
     * PlanGuardSpec: (the decontaminated-survivor frame `d` — whose plan
     * closure holds the whole stage chain back to the single documents
     * scan, now that the resample checkpoint truncates the declared
-    * output's lineage — and the declared output). */
+    * output's lineage — the UN-checkpointed resample survivor join,
+    * whose closure proves the DSIR stage itself adds no new file scan
+    * and no pair scan (round-18 ADVICE: the stage-frame walk ended at
+    * `d` and the output walk started past the checkpoint, leaving the
+    * resample plan unguarded) — and the declared output). */
   private[graft] def corpusPipelineStages(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // Per-stage phase timers (the q_compact_apply precedent): each
       // persisted stage frame is FORCED inside its phase — the same
@@ -905,33 +908,28 @@ object PipelineQueries {
       // the stage is an exact pass-through in both engines (rank ≤ k
       // keeps everything) — the IvfProvision floor idiom, so the small
       // fixtures exercise the no-op arm and sf0.1 the selecting arm.
-      val d2 = graft.Bench.phase("q_corpus_pipeline.resample") {
+      val (resamplePre, d2) = graft.Bench.phase("q_corpus_pipeline.resample") {
         val u = (conv(substring(
             md5(concat(lit("dsir42#"), col("doc_id").cast("string"))), 1, 12),
             16, 10).cast("double") + 0.5) / 281474976710656.0
-        // the selected-id list lands as an EAGER local checkpoint: ≤
-        // budget rows, and the join below then carries a LEAF instead of
-        // the whole DSIR aggregation subtree — without it, every
-        // downstream action (mix quota, pack, the caller's) re-analyzed
-        // the full weight lineage and the measured mix_pack phase paid
-        // ~5 s of pure Catalyst work for a ≤256-row window input (the
-        // q_ann_recall_graph round-18 lesson). d2 itself stays a
-        // persist, so the plan-guard's cached-plan closure still reaches
-        // the single documents scan through the stage chain.
         val sel = dsirWeightsDocs(d.select(col("doc_id"), col("lang"), col("text")))
           .withColumn("key", col("logw") - log(-log(u)))
           .orderBy((floor(col("key") * 1e6) / 1e6).desc, col("doc_id"))
           .limit(dsirPipelineBudget)
           .select(col("doc_id"))
-        // the selected set lands as an EAGER local checkpoint, not a
-        // persist: the DSIR aggregation subtree must leave the lineage
-        // here, or every downstream action (mix quota, pack, the
+        // the selected-survivor frame lands as an EAGER local checkpoint,
+        // not a persist: the DSIR aggregation subtree must leave the
+        // lineage here, or every downstream action (mix quota, pack, the
         // caller's) re-analyzes it — measured ~5 s of pure Catalyst
         // work charged to a ≤256-row window input (the
         // q_ann_recall_graph round-18 lesson). The plan-guard's
         // single-scan proof moved to the exposed stage frames
-        // (corpusPipelineStages), which is where the chain still lives.
-        d.join(sel, "doc_id").localCheckpoint(true)
+        // (corpusPipelineStages), which is where the chain still lives —
+        // including the UN-checkpointed `pre` frame returned below, so
+        // the resample plan itself (weights, Gumbel top-k, survivor
+        // join) stays under guard too.
+        val pre = d.join(sel, "doc_id")
+        (pre, pre.localCheckpoint(true))
       }
       // stages 6+7 — corpus mix (data-derived per-language quota, 2× min)
       // and sequence packing (2048-token bins per language): phase-timed
@@ -970,7 +968,7 @@ object PipelineQueries {
         packed.count()
         packed
       }
-    (d, out)
+    (d, resamplePre, out)
   }
 
   /** The DSIR weight/key CTE chain over relation `rel`, CTE names

@@ -3504,12 +3504,20 @@ object SimilarityQueries {
     // HNSW top-layer entry; deterministic, both engines replay min()).
     // A lifecycle-provided top layer derives its entry from the TABLE
     // (a compacted epoch may have taken the min-id node down).
-    val entryId =
-      if (upperTbls.contains(ell))
-        s.table(layerInfo(ell)._1).agg(min(col("u"))).head().getLong(0)
-      else
-        base.filter(col("vec_id") % GraphLayers.pow16(ell) === 0)
-          .agg(min(col("vec_id"))).head().getLong(0)
+    val entryId = {
+      // read the min as a nullable: an empty top layer (every top node
+      // taken down by a compaction, or an empty stride slice) must fail
+      // with a diagnosable message, not an unboxing NPE
+      val row =
+        if (upperTbls.contains(ell))
+          s.table(layerInfo(ell)._1).agg(min(col("u"))).head()
+        else
+          base.filter(col("vec_id") % GraphLayers.pow16(ell) === 0)
+            .agg(min(col("vec_id"))).head()
+      require(!row.isNullAt(0),
+        s"top layer $ell is empty after compaction — rebuild the hierarchy")
+      row.getLong(0)
+    }
     val entry = qv.select(col("q_id")).withColumn("vec_id", lit(entryId))
     val visFinal = graft.Bench.phase("q_ann_recall_beam_layered.beam") {
       var vis = score(entry).localCheckpoint(true)

@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
 object LayeredSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val configs = args.drop(1)
+    // validate up front: this tool feeds docs/SCALING.md's layered sweep
+    // rows — a garbled arg list should print usage, not a MatchError
+    if (configs.length % 4 != 0 || configs.exists(a => scala.util.Try(a.toInt).isFailure)) {
+      System.err.println(
+        "usage: LayeredSweep <sfDir> [w1 r1 w0 r0]...  (each config is 4 integers)")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +26,7 @@ object LayeredSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).grouped(4).foreach { g =>
+    configs.grouped(4).foreach { g =>
       val Array(w1, r1, w0, r0) = g.map(_.toInt)
       val (_, _, out) = graft.queries.SimilarityQueries.beamLayeredServe(
         spark, dir, l1Width = w1, l1Rounds = r1, l0Width = w0, l0Rounds = r0)

@@ -440,7 +440,7 @@ class PlanGuardSpec extends SparkSpec {
     // decontaminated-survivor frame `d` still carries the whole chain
     // back to the base cache, and the output past the checkpoint must
     // introduce ZERO new file scans.
-    val (d, out) = graft.queries.PipelineQueries.corpusPipelineStages(spark, sf)
+    val (d, resamplePre, out) = graft.queries.PipelineQueries.corpusPipelineStages(spark, sf)
     val stagePlans = closure(d.queryExecution.executedPlan)
     val fileScans = stagePlans.flatMap(_.collect { case f: FileSourceScanExec => f })
     assert(fileScans.length === 1,
@@ -450,6 +450,21 @@ class PlanGuardSpec extends SparkSpec {
     val outPlans = closure(out.queryExecution.executedPlan)
     assert(outPlans.flatMap(_.collect { case f: FileSourceScanExec => f }).isEmpty,
       "the post-checkpoint tail must read only the checkpointed survivors")
+    // round 19 (r18 ADVICE): the resample stage's own plan — DSIR
+    // weights, Gumbel top-k, survivor join, up to but NOT including the
+    // checkpoint — was covered by neither walk above (the stage chain
+    // ends at `d`, the output walk starts at the checkpoint leaf). Guard
+    // it through the exposed pre-checkpoint frame: the cache
+    // substitution on `d` must keep the whole stage at the SAME single
+    // documents scan (a regression that re-scans documents inside the
+    // weight pass or degrades the survivor join to a pair scan fails
+    // here, not silently).
+    val resamplePlans = closure(resamplePre.queryExecution.executedPlan)
+    val resampleScans = resamplePlans.flatMap(_.collect { case f: FileSourceScanExec => f })
+    assert(resampleScans.length === 1,
+      s"resample stage must add zero file scans (one shared documents scan), found " +
+        s"${resampleScans.length}: ${resampleScans.map(_.relation.location.rootPaths.mkString).mkString("; ")}")
+    assert(resampleScans.head.relation.location.rootPaths.mkString.contains("documents"))
     // stage count pinned: canonical keep-rank (first_value + row_number
     // merge into one Window over the shared spec) + minhash band-bucket
     // cap rank + exact-dedup rn = 3 windows in the stage chain, mix rk +
@@ -458,8 +473,8 @@ class PlanGuardSpec extends SparkSpec {
     assert(windows.length === 3, s"stage window count drifted: ${windows.length}")
     val tailWindows = outPlans.flatMap(_.collect { case w: WindowExec => w })
     assert(tailWindows.length === 2, s"tail window count drifted: ${tailWindows.length}")
-    // never an unbounded pair scan anywhere in either closure
-    (stagePlans ++ outPlans).foreach { p =>
+    // never an unbounded pair scan anywhere in any closure
+    (stagePlans ++ resamplePlans ++ outPlans).foreach { p =>
       assert(!p.toString.contains("CartesianProduct"), p.toString.take(2000))
     }
   }
