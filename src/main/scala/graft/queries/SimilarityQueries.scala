@@ -828,47 +828,60 @@ object SimilarityQueries {
   val ivfCompact: QueryDef = q(
     "q_similarity_ivf_compact",
     ivfProbe2SqlWith("n WHERE vec_id % 4 <> 3")
-  ) { (s, dir) => ivfCompactServe(s, dir)._4 }
+  ) { (s, dir) => ivfCompactServe(s, dir)._5 }
 
   /** q_similarity_ivf_compact's build+ingest+compact+serve, exposed
     * private[graft] so IvfCompactSpec can pin the layouts and plans the
     * SQL oracle cannot see: (fragmented path, compacted epoch path,
-    * rewrite physical plan, served frame). Eager by design, like every
-    * stored-lane body. */
+    * rewrite physical plan, un-checkpointed served frame — the spec's
+    * partition-filter plan pin — and the declared output, an eager leaf
+    * forced inside the serve phase: the probe-cell derivation is a
+    * driver action and the probe-2 serve is the caller's work either
+    * way; in round 18 both ran unattributed — 37% of the headline).
+    * Eager by design, like every stored-lane body. */
   private[graft] def ivfCompactServe(s: SparkSession, dir: String)
-      : (String, String, String, DataFrame) = {
+      : (String, String, String, DataFrame, DataFrame) = {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
     val base = v.filter(col("vec_id") % 4 =!= 3)
     val batch = v.filter(col("vec_id") % 4 === 3)
-    val cents = IvfProvision.seeds(base)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val fragPath = graft.plans.ScratchDirs.unique("graft-ivf-frag-index").getAbsolutePath
     // manufacture the fragmentation: base build + THREE append triggers
     // (the batch split by arrival order), each adding files per touched
     // cell — phase-timed so the pathology cost never hides in the
-    // headline (the q_compact_apply.manufacture precedent)
-    graft.Bench.phase("q_similarity_ivf_compact.manufacture") {
-      assignCells(base, cents, Seq("e", "nrm"))
+    // headline (the q_compact_apply.manufacture precedent). The seeds
+    // derivation runs inside the phase: its K-count is an action on the
+    // corpus scan, which ran unattributed between phases in round 18.
+    val cents = graft.Bench.phase("q_similarity_ivf_compact.manufacture") {
+      val c = IvfProvision.seeds(base)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      assignCells(base, c, Seq("e", "nrm"))
         .write.mode("overwrite").partitionBy("c_id").parquet(fragPath)
       (0 until 3).foreach { k =>
-        assignCells(batch.filter(pmod(col("vec_id"), lit(3)) === k), cents, Seq("e", "nrm"))
+        assignCells(batch.filter(pmod(col("vec_id"), lit(3)) === k), c, Seq("e", "nrm"))
           .write.mode("append").partitionBy("c_id").parquet(fragPath)
       }
+      c
     }
     // compaction: one shuffle keyed on c_id → exactly one file per cell
-    // directory in a NEW epoch; reads only the store
-    val frag = s.read.parquet(fragPath)
-      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
-    val rewrite = frag.repartition(col("c_id"))
-    val rewritePlan = rewrite.queryExecution.executedPlan.toString
+    // directory in a NEW epoch; reads only the store. The parquet
+    // footer listing and the physical-plan capture both run inside the
+    // phase — driver work this lane does either way, now attributed.
     val compPath = graft.plans.ScratchDirs.unique("graft-ivf-compact-epoch").getAbsolutePath
-    graft.Bench.phase("q_similarity_ivf_compact.compact") {
+    val rewritePlan = graft.Bench.phase("q_similarity_ivf_compact.compact") {
+      val frag = s.read.parquet(fragPath)
+        .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
+      val rewrite = frag.repartition(col("c_id"))
+      val p = rewrite.queryExecution.executedPlan.toString
       rewrite.write.mode("overwrite").partitionBy("c_id").parquet(compPath)
+      p
     }
-    (fragPath, compPath, rewritePlan,
-      serveStoredIndex(s, v, cents, compPath))
+    val (servedPre, servedLeaf) = graft.Bench.phase("q_similarity_ivf_compact.serve") {
+      val pre = serveStoredIndex(s, v, cents, compPath)
+      (pre, pre.localCheckpoint(true))
+    }
+    (fragPath, compPath, rewritePlan, servedPre, servedLeaf)
   }
 
   /** The delete set every *_delete_apply lane tombstones: the takedown
@@ -2957,10 +2970,21 @@ object SimilarityQueries {
       .persist(MEMORY_AND_DISK)
     val base = v.filter(col("vec_id") % 4 =!= 3)
     val batch = v.filter(col("vec_id") % 4 === 3)
-    val cents = IvfProvision.seeds(base)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val a2base = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
-    val a2batch = graphAssign2(batch, cents).persist(MEMORY_AND_DISK)
+    // assignments land as EAGER leaves (round-18 Catalyst-re-analysis
+    // lesson): the rebuild write, the candidate expansion, and the top-5
+    // rerank each take an action over this lineage — as bare persists,
+    // every one re-paid the crossjoin+window analysis walk. Both arms of
+    // the declared output execute both slices (assign1 unions them), so
+    // forcing here is the declared output's own work, phase-timed so it
+    // lands in the artifact instead of the caller's action. The seeds
+    // derivation sits inside the phase too: its K-count is an ACTION
+    // (it materializes v), which ran unattributed between phases.
+    val (a2base, a2batch) = graft.Bench.phase("q_graph_rebuild_apply.assign") {
+      val cents = IvfProvision.seeds(base)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      (graphAssign2(base, cents).localCheckpoint(true),
+        graphAssign2(batch, cents).localCheckpoint(true))
+    }
     val alla2 = a2base.unionByName(a2batch)
     val assign1 = alla2.filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
     val qv = v.filter(col("vec_id") < 8).limit(8)
@@ -2969,17 +2993,21 @@ object SimilarityQueries {
       df.select(col("q_id"), col("vec_id"), col("rank"), col("cos"),
         lit(epoch).as("epoch"), lit(hubPpm).as("hub_ppm"))
     // serve phase forces the selected epoch's candidate expansion (and,
-    // transitively, the assignment crossjoins it depends on) so the
-    // headline decomposes as trigger + [rebuild] + serve
-    def servedOver(edgeTbl: String): DataFrame =
+    // transitively, the assignment crossjoins it depends on) AND the
+    // declared top-5 rerank as an eager leaf — the rerank is work the
+    // caller's action executes anyway (safe to force; the materialized
+    // rows are reused), and in round 18 it ran unattributed in the
+    // caller along with a Catalyst re-analysis of the whole assignment
+    // lineage: 36% of the headline was outside every phase. With the
+    // leaf the headline decomposes as trigger + [rebuild] + serve.
+    def servedOver(edgeTbl: String, epoch: Long): (DataFrame, DataFrame) =
       graft.Bench.phase("q_graph_rebuild_apply.serve") {
         val (_, gall) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), v, qv)
-        gall.count(); gall
+        (gall, decided(graphTop5(gall, v, qv), epoch).localCheckpoint(true))
       }
     if (!tripped) {
-      val gall = servedOver(tbl0)
-      GraphRebuildResult(path0, None, 0L, hubPpm, gall,
-        decided(graphTop5(gall, v, qv), 0L))
+      val (gall, out) = servedOver(tbl0, 0L)
+      GraphRebuildResult(path0, None, 0L, hubPpm, gall, out)
     } else {
       // epoch rebuild: frozen quantizer, candidates from the FULL
       // population's 2-cell assignments (base→batch edges now exist),
@@ -2995,9 +3023,8 @@ object SimilarityQueries {
           .option("path", epochPath)
           .saveAsTable(epochTbl)
       }
-      val gall = servedOver(epochTbl)
-      GraphRebuildResult(path0, Some(epochPath), 1L, hubPpm, gall,
-        decided(graphTop5(gall, v, qv), 1L))
+      val (gall, out) = servedOver(epochTbl, 1L)
+      GraphRebuildResult(path0, Some(epochPath), 1L, hubPpm, gall, out)
     }
   }
 

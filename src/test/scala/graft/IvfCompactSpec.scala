@@ -23,7 +23,7 @@ class IvfCompactSpec extends SparkSpec {
       .toMap
 
   test("compaction: fragmented cells hold many files, compacted cells exactly one") {
-    val (fragPath, compPath, rewritePlan, served) =
+    val (fragPath, compPath, rewritePlan, served, _) =
       SimilarityQueries.ivfCompactServe(spark, sf)
     served.collect() // seal the lazy tail so both stores are final
     val frag = cellFiles(fragPath)
@@ -54,7 +54,7 @@ class IvfCompactSpec extends SparkSpec {
   }
 
   test("serving over the compacted epoch equals serving over the fragmented store") {
-    val (fragPath, _, _, servedComp) = SimilarityQueries.ivfCompactServe(spark, sf)
+    val (fragPath, _, _, servedComp, _) = SimilarityQueries.ivfCompactServe(spark, sf)
     val v = Tables(spark, sf).embeddings
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x),
@@ -70,7 +70,7 @@ class IvfCompactSpec extends SparkSpec {
   }
 
   test("the compacted serving scan keeps its probe-cell partition filters") {
-    val (_, _, _, served) = SimilarityQueries.ivfCompactServe(spark, sf)
+    val (_, _, _, served, _) = SimilarityQueries.ivfCompactServe(spark, sf)
     val plan = served.queryExecution.executedPlan.toString
     val indexScans = plan.linesIterator
       .filter(_.contains("graft-ivf-compact-epoch"))
