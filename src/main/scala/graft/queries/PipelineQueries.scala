@@ -856,7 +856,17 @@ object PipelineQueries {
             concat_ws(" ", filter(split(col("text"), " "), (_, i) => i % 7 =!= 0)).as("text"))
         )).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"), col("r.text").as("text"))
-      // stage 1 — composite filter (q_corpus_filter's keep rules)
+      // stage 1 — composite filter (q_corpus_filter's keep rules). The
+      // token array is NOT carried through the stage caches: the
+      // round-18 verdict suggested sharing one tokens frame across
+      // minhash/decontaminate/resample, and the same-host A/B measured
+      // the combined proposal 1.7 s SLOWER at sf0.1 (8.41 → 10.09
+      // min-of-3) — columnar caching of array<string> columns costs
+      // more to build and deserialize across four stage persists than
+      // re-running split(text) per stage over the cached strings
+      // (variant ladder in docs/SCALING.md's round-19 negative-result
+      // note). Each stage tokenizes its own cached text, exactly like
+      // the oracle's per-CTE string_split.
       val f = corpus0.withColumn("l", split(col("text"), " "))
         .withColumn("n_tokens", size(col("l")).cast("long"))
         .filter(col("n_tokens") >= 20 &&
@@ -928,7 +938,11 @@ object PipelineQueries {
         // including the UN-checkpointed `pre` frame returned below, so
         // the resample plan itself (weights, Gumbel top-k, survivor
         // join) stays under guard too.
+        // the checkpoint materializes only what the mix/pack tail reads —
+        // carrying text+tokens into the leaf would double its IO for
+        // columns nothing downstream touches
         val pre = d.join(sel, "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
         (pre, pre.localCheckpoint(true))
       }
       // stages 6+7 — corpus mix (data-derived per-language quota, 2× min)
@@ -1018,10 +1032,26 @@ object PipelineQueries {
     * split so the q_corpus_pipeline resample stage scores the
     * DECONTAMINATED SURVIVORS (its raw distribution is the pipeline's,
     * not the ingest corpus's) through the same text. */
-  private[graft] def dsirWeightsDocs(docs: DataFrame): DataFrame = {
+  private[graft] def dsirWeightsDocs(docs: DataFrame): DataFrame =
+    dsirWeightsToks(docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts")))
+
+  /** The weight engine over a PRE-TOKENIZED (doc_id, lang, ts) frame.
+    * The feature explode IS evaluated twice (the bucket-count branch
+    * feeds a broadcast, the per-doc tf branch the main stage) — and
+    * that is the MEASURED fastest shape: round 19's A/B tried both of
+    * the round-18 verdict's proposed fixes and they REGRESSED at sf0.1
+    * (docs/SCALING.md "negative result" section): persisting the
+    * per-doc tf rollup to derive the bucket counts from it cost
+    * +1.2-1.4 s (the ~1M-row columnar cache build exceeds the
+    * re-explode, which is linear and embarrassingly parallel), and
+    * carrying a shared token array through the pipeline's stage caches
+    * was neutral-to-negative on top (array<string> columnar
+    * build/deserialize per stage offsets the split(text) it saves).
+    * Both branches fold the same feat expression, so results are
+    * identical either way — the choice is purely physical. */
+  private[graft] def dsirWeightsToks(toks: DataFrame): DataFrame = {
     val B = 128
-    val toks = docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
     val grams = toks.select(col("doc_id"), col("lang"),
       explode(concat(col("ts"),
         when(size(col("ts")) >= 2,
