@@ -1086,7 +1086,8 @@ object DedupQueries {
     tbl
   }
 
-  private[graft] def dedupDeleteServe(s: SparkSession, dir: String): DedupDeleteResult = {
+  private[graft] def dedupDeleteServe(s: SparkSession, dir: String,
+      takedown: Option[DataFrame] = None): DedupDeleteResult = {
     val sarr = shingleArrays(corpus(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sarr)
@@ -1096,9 +1097,12 @@ object DedupQueries {
     }
     // 1) tombstone append: the takedown list only — O(deletes), never a
     // stored row (the shared %10==7 takedown predicate of the IVF/graph
-    // delete lanes, so the four families' fixtures stay comparable)
-    val dels = Tables(s, dir).documents.select(col("doc_id"))
-      .filter(col("doc_id") % 10 === 7)
+    // delete lanes, so the four families' fixtures stay comparable;
+    // `takedown` swaps in the production shape — an explicit id table —
+    // the DeleteApplySpec list arm drives into all four families)
+    val dels = takedown.getOrElse(
+      Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 7))
     val tombstonePlan = dels.queryExecution.executedPlan.toString
     val tombPath = graft.plans.ScratchDirs.unique("graft-band-del-tomb").getAbsolutePath
     graft.Bench.phase("q_dedup_delete_apply.tombstone") {

@@ -944,7 +944,8 @@ object SimilarityQueries {
 
   private[graft] def ivfDeleteServe(s: SparkSession, dir: String,
       queryPred: Column = col("vec_id") < 8, topK: Int = 3,
-      phase: String = "q_ivf_delete_apply"): IvfDeleteResult = {
+      phase: String = "q_ivf_delete_apply",
+      takedown: Option[DataFrame] = None): IvfDeleteResult = {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
@@ -959,9 +960,14 @@ object SimilarityQueries {
         .write.mode("overwrite").partitionBy("c_id").parquet(store0)
     }
     // 1) tombstone append: O(deletes) — the takedown list only, never a
-    // stored row (plan captured pre-write for the spec)
-    val dels = Tables(s, dir).embeddings.select(col("vec_id"))
-      .filter(deletePred(col("vec_id")))
+    // stored row (plan captured pre-write for the spec). `takedown`
+    // supplies the PRODUCTION shape — an explicit id table (a
+    // q_bm25_delete_list-style materialized list) instead of the
+    // fixture's predicate-derived set; DeleteApplySpec's list arm
+    // drives all four families from one such file.
+    val dels = takedown.getOrElse(
+      Tables(s, dir).embeddings.select(col("vec_id"))
+        .filter(deletePred(col("vec_id"))))
     val tombstonePlan = dels.queryExecution.executedPlan.toString
     val tombPath = graft.plans.ScratchDirs.unique("graft-ivf-del-tomb").getAbsolutePath
     graft.Bench.phase(s"$phase.tombstone") {
@@ -3055,13 +3061,18 @@ object SimilarityQueries {
       store0Path: String, tombstonePlan: String, tombPath: String,
       epochPath: String, rewritePlan: String, gall: DataFrame, served: DataFrame)
 
-  private[graft] def graphDeleteServe(s: SparkSession, dir: String): GraphDeleteResult = {
+  private[graft] def graphDeleteServe(s: SparkSession, dir: String,
+      takedown: Option[DataFrame] = None): GraphDeleteResult = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (tbl0, path0) = ensureGraphStore(s, dir, "q_graph_delete_apply")
     // 1) tombstone append — O(deletes): the takedown list, never a
-    // stored row (plan captured pre-write for the spec)
-    val dels = Tables(s, dir).embeddings.select(col("vec_id"))
-      .filter(deletePred(col("vec_id")))
+    // stored row (plan captured pre-write for the spec). `takedown`
+    // supplies the production shape: an explicit id table replaces the
+    // fixture's predicate-derived set, and the serve-side exclusions
+    // below switch to broadcast anti-joins against the SAME list.
+    val dels = takedown.getOrElse(
+      Tables(s, dir).embeddings.select(col("vec_id"))
+        .filter(deletePred(col("vec_id"))))
     val tombstonePlan = dels.queryExecution.executedPlan.toString
     val tombPath = graft.plans.ScratchDirs.unique("graft-knn-graph-tomb").getAbsolutePath
     graft.Bench.phase("q_graph_delete_apply.tombstone") {
@@ -3100,10 +3111,20 @@ object SimilarityQueries {
     val batch = v.filter(col("vec_id") % 4 === 3)
     val cents = IvfProvision.seeds(base)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val assign1 = graphAssign2(base, cents).unionByName(graphAssign2(batch, cents))
-      .filter(col("rn") === 1 && !deletePred(col("vec_id")))
+    // survivor exclusion: the default lane keeps the fixture predicate
+    // (the audited plan shape); a list-driven takedown anti-joins the
+    // broadcast tombstone list instead — its origin must stay invisible
+    // to the serve plan just as it does to the compaction
+    def survivorsOnly(df: DataFrame): DataFrame = takedown match {
+      case None => df.filter(!deletePred(col("vec_id")))
+      case Some(_) => df.join(
+        broadcast(s.read.parquet(tombPath)), Seq("vec_id"), "left_anti")
+    }
+    val assign1 = survivorsOnly(
+        graphAssign2(base, cents).unionByName(graphAssign2(batch, cents))
+          .filter(col("rn") === 1))
       .select(col("vec_id"), col("c_id"))
-    val qv = v.filter(col("vec_id") < 8 && !deletePred(col("vec_id"))).limit(8)
+    val qv = survivorsOnly(v.filter(col("vec_id") < 8)).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val (gall, served) = graft.Bench.phase("q_graph_delete_apply.serve") {
       val (_, g) = graphServeCands(assign1, s.table(epochTbl).hint("merge"), v, qv)

@@ -257,6 +257,79 @@ class DeleteApplySpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("one materialized takedown table drives all four families: list in plan, corpus and origin out") {
+    // the PRODUCTION shape round 17/18 established for bm25 extended
+    // family-wide (round-18 verdict item 3): ONE id table — the DMCA /
+    // contamination artifact an operator actually hands the stores —
+    // materialized once, then every family's tombstone append copies it
+    // and every compaction broadcast-anti-joins it. The fixture id
+    // space is shared (doc_id and vec_id both enumerate 0..n-1 at this
+    // SF), so literally the same file drives all four. Three plan
+    // assertions per family, the bm25 list arm's contract verbatim:
+    // the list rides a broadcast, the corpus is never re-read, and the
+    // list's generating predicate (lang='de') is invisible to the store
+    // pipeline.
+    val listPath = graft.plans.ScratchDirs
+      .unique("graft-shared-takedown").getAbsolutePath
+    Tables(spark, dir).documents.filter(col("lang") === "de")
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(40)
+      .write.mode("overwrite").parquet(listPath)
+    val listIds = spark.read.parquet(listPath)
+      .collect().map(_.getLong(0)).toSet
+    assert(listIds.nonEmpty, "fixture has no 'de' docs — empty takedown list")
+    val listSeq = listIds.toSeq
+    def checkPlans(name: String, tombstonePlan: String, rewritePlan: String,
+        corpusToken: String): Unit = {
+      assert(rewritePlan.contains("BroadcastExchange"),
+        s"$name: compaction must anti-join a broadcast list:\n${rewritePlan.take(2000)}")
+      assert(!rewritePlan.contains(corpusToken),
+        s"$name: list-driven compaction re-read the corpus")
+      assert(!rewritePlan.contains("lang") && !tombstonePlan.contains("lang"),
+        s"$name: the list's generating predicate leaked into the store pipeline")
+    }
+    def listAsCol(c: String) =
+      Some(spark.read.parquet(listPath).select(col("doc_id").as(c)))
+    // ivf
+    val iv = SimilarityQueries.ivfDeleteServe(spark, dir, takedown = listAsCol("vec_id"))
+    checkPlans("ivf", iv.tombstonePlan, iv.rewritePlan, "embeddings")
+    assert(spark.read.parquet(iv.tombPath)
+      .collect().map(_.getLong(0)).toSet === listIds,
+      "ivf tombstones must hold exactly the shared list's ids")
+    assert(spark.read.parquet(iv.epochPath)
+      .filter(col("vec_id").isin(listSeq: _*)).count() === 0L)
+    assert(iv.served.collect().nonEmpty)
+    Bench.cleanup(spark)
+    // graph — serve-side exclusions (queries, assignments) also derive
+    // from the list, so a listed id stops being queryable too
+    val gr = SimilarityQueries.graphDeleteServe(spark, dir, takedown = listAsCol("vec_id"))
+    checkPlans("graph", gr.tombstonePlan, gr.rewritePlan, "embeddings")
+    val gEpoch = spark.read.parquet(gr.epochPath)
+    assert(gEpoch.filter(col("u").isin(listSeq: _*) ||
+      col("w").isin(listSeq: _*)).count() === 0L)
+    val gRows = gr.served.collect()
+    assert(gRows.nonEmpty)
+    assert(!gRows.exists(r => listIds(r.getLong(0))), "a listed id still queries")
+    assert(!gRows.exists(r => listIds(r.getLong(1))), "a listed id was served")
+    Bench.cleanup(spark)
+    // dedup
+    val dd = graft.queries.DedupQueries.dedupDeleteServe(spark, dir,
+      takedown = listAsCol("doc_id"))
+    checkPlans("dedup", dd.tombstonePlan, dd.rewritePlan, "documents")
+    assert(spark.table(dd.epochTbl)
+      .filter(col("doc_b").isin(listSeq: _*)).count() === 0L)
+    assert(!dd.served.collect().exists(r => listIds(r.getLong(1))),
+      "a listed doc was served as dup_of")
+    Bench.cleanup(spark)
+    // bm25 — the family the shape was proven on, now driven from the
+    // SAME file as the other three
+    val bm = TextQueries.bm25DeleteServe(spark, dir, takedown = listAsCol("doc_id"))
+    checkPlans("bm25", bm.tombstonePlan, bm.rewritePlan, "documents")
+    assert(spark.read.parquet(s"${bm.epochPath}/postings")
+      .filter(col("doc_id").isin(listSeq: _*)).count() === 0L)
+    assert(bm.served.collect().nonEmpty)
+    Bench.cleanup(spark)
+  }
+
   test("hybrid: a deleted doc can appear in NO arm and NO fused rank; rrf re-derives from the row's own ranks") {
     val rows = SparkEntry.queries("q_hybrid_delete")(spark, dir).collect()
     assert(rows.nonEmpty)
