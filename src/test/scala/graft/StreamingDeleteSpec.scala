@@ -293,4 +293,91 @@ class StreamingDeleteSpec extends SparkSpec {
     twins.unpersist()
     Bench.cleanup(spark)
   }
+
+  test("file-source restart: an uncommitted batch is REDELIVERED under its own batchId and the tombstone layout is a no-op") {
+    // the production redelivery mode the MemoryStream arms cannot show
+    // (round-18 verdict item 6): a FileStreamSource query crashes AFTER
+    // the foreachBatch effect landed but BEFORE the commit log entry —
+    // on restart Structured Streaming re-plans the same offset range and
+    // redelivers the SAME batch under the SAME batchId. Simulated
+    // exactly: run batch 0, stop, remove <ckpt>/commits/0 (offsets/0
+    // stays — the crash-between-effect-and-commit state), restart. The
+    // engine itself redelivers; the takedown append must be a layout
+    // no-op, and the NEXT file then lands as a fresh batch.
+    import org.apache.spark.sql.streaming.Trigger
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val index = StreamingIvf.buildIndex(spark, v)
+    val delIds = v.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val (c1, c2) = delIds.splitAt(delIds.length / 2)
+    val srcDir = graft.plans.ScratchDirs.unique("graft-del-filesrc").getAbsolutePath
+    val ckpt = graft.plans.ScratchDirs.unique("graft-del-fileckpt").getAbsolutePath
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def runStream(): Unit = {
+      val q = spark.readStream.schema("vec_id LONG").parquet(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) delivered.synchronized {
+            val rows = batch.select(col("vec_id")).as[Long].collect().toSeq.sorted
+            StreamingIvf.appendDeletes(index, batch, batchId)
+            delivered += ((batchId, rows))
+          }: Unit
+        }
+        .start()
+      q.awaitTermination()
+      q.stop()
+      // the active-query registry releases the checkpoint slightly after
+      // termination; the restart below must not race it
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spark.streams.active.isEmpty, "previous query failed to release")
+    }
+    // batch 0: the first chunk arrives as a file
+    c1.toDF("vec_id").coalesce(1).write.mode("append").parquet(srcDir)
+    runStream()
+    assert(delivered.size === 1)
+    val (bid0, rows0) = delivered.head
+    val tombDir = StreamingIvf.tombstonePath(index)
+    val before = spark.read.parquet(tombDir)
+      .select(col("vec_id"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(before.map(_._1) === c1.sorted)
+    // crash-before-commit: the engine wrote offsets/<bid0> and our sink
+    // effect landed, but the commit never did
+    val commit0 = new java.io.File(s"$ckpt/commits/$bid0")
+    assert(commit0.exists, s"expected commit log entry at $commit0")
+    assert(commit0.delete())
+    // the local FS keeps a CRC sidecar next to the commit entry; a real
+    // crash-before-commit writes neither, so remove both
+    val crc0 = new java.io.File(s"$ckpt/commits/.$bid0.crc")
+    if (crc0.exists) assert(crc0.delete())
+    // restart: the SAME batch redelivers through the real engine path
+    runStream()
+    assert(delivered.size === 2, "restart must redeliver the uncommitted batch")
+    val (bidR, rowsR) = delivered(1)
+    assert(bidR === bid0 && rowsR === rows0,
+      s"redelivery must replay batch $bid0 verbatim, got $bidR")
+    val after = spark.read.parquet(tombDir)
+      .select(col("vec_id"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after === before, "a redelivered delete batch must be a layout no-op")
+    // the stream continues past the redelivery: the next file is a
+    // FRESH batch and the tombstone set extends exactly
+    c2.toDF("vec_id").coalesce(1).write.mode("append").parquet(srcDir)
+    runStream()
+    assert(delivered.size === 3 && delivered(2)._1 > bid0)
+    val finalTombs = spark.read.parquet(tombDir)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(finalTombs === delIds, "tombstones must hold exactly the takedown ids")
+    // and compaction over the restart-built tombstones drops physically
+    val (epochPath, _) = StreamingIvf.compactWithDeletes(spark, index)
+    assert(spark.read.parquet(epochPath)
+      .filter(col("vec_id").isin(delIds: _*)).count() === 0L)
+    Bench.cleanup(spark)
+  }
 }
