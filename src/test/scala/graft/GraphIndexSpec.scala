@@ -302,6 +302,73 @@ class GraphIndexSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
+  test("layered lifecycle: the descent serves the post-rebuild epoch family; stride uppers are population-stable") {
+    // round-18 verdict item 7: wire the epoch rebuild into the layered
+    // hierarchy. Two claims are pinned. (1) COMPOSITION: the layered
+    // descent serves the epoch-1 family — the rebuilt layer-0 store plus
+    // the standing upper layers handed in — and through it the re-knit
+    // is OBSERVABLE: batch nodes become reachable by expansion, which
+    // the frozen epoch-0 family cannot do (upper layers are base-only
+    // strides and frozen layer-0 edges never point at batch). (2) the
+    // stride-derived upper layers are POPULATION-STABLE under a layer-0
+    // re-knit, so the rebuild does NOT invalidate them: membership
+    // depends only on ids (multiples of 16 are always base — 16 ≡ 0
+    // mod 4), and their edges only on the frozen vectors — an upper
+    // layer rebuilt over the POST-rebuild full population is
+    // edge-for-edge the standing one. That is the design answer to
+    // "re-knit the upper layers the rebuild invalidates": it provably
+    // invalidates none.
+    val dir01 = "/root/testdata/sf0.01"
+    // standing hierarchy + epoch-0 layered serve
+    val (paths0, vis0, out0) = SimilarityQueries.beamLayeredServe(spark, dir01)
+    val upperTbls = paths0.map { case (j, p) =>
+      j -> new java.io.File(p).getName.replace('-', '_').replace('.', '_')
+    }
+    val batchVisited0 = vis0.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id")).distinct().count()
+    assert(batchVisited0 === 0L,
+      "the frozen epoch-0 family must not reach batch nodes by expansion")
+    val hits0 = out0.agg(sum(col("n_hit_beam"))).head().getLong(0)
+    Bench.cleanup(spark)
+    // tripped rebuild: epoch-1 layer-0 re-knit from the FULL population
+    val r1 = SimilarityQueries.graphRebuildServe(spark, dir01)
+    assert(r1.epoch === 1L && r1.epochPath.nonEmpty)
+    val epochTbl = new java.io.File(r1.epochPath.get).getName
+      .replace('-', '_').replace('.', '_')
+    // layered serve over the epoch-1 family
+    val (paths1, vis1, out1) = SimilarityQueries.beamLayeredServe(spark, dir01,
+      edgeTbl = Some(epochTbl), upperTbls = upperTbls)
+    assert(paths1.isEmpty, "every layer was handed in — nothing should rebuild")
+    val batchVisited1 = vis1.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id")).distinct().count()
+    assert(batchVisited1 > 0L,
+      "the rebuilt epoch must make batch nodes reachable through the layered descent")
+    val hits1 = out1.agg(sum(col("n_hit_beam"))).head().getLong(0)
+    assert(hits1 >= hits0,
+      s"layered recall over the re-knit epoch ($hits1) fell below the frozen epoch ($hits0)")
+    // population-stability: rebuild the top upper layer over the
+    // POST-rebuild population (base ∪ batch) — edge multiset identical
+    // to the standing table
+    val v = Tables(spark, dir01).embeddings
+      .select(col("vec_id"),
+        graft.plans.OptimizerBarrier.once(
+          transform(col("embedding"), x => x.cast("double"))).as("e"))
+    val nBase = v.filter(col("vec_id") % 4 =!= 3).count()
+    val ell = SimilarityQueries.GraphLayers.layersFor(nBase)
+    val p = SimilarityQueries.GraphLayers.pow16(ell)
+    val lj = v.filter(col("vec_id") % p === 0)
+    val cand = broadcast(lj.select(col("vec_id").as("u")))
+      .crossJoin(lj.select(col("vec_id").as("w")))
+      .filter(col("u") =!= col("w"))
+    val rebuiltUpper = SimilarityQueries.graphEdgesFrom(cand, lj, lj)
+      .select(col("u"), col("w"))
+    val standingUpper = spark.read.parquet(paths0(ell)).select(col("u"), col("w"))
+    assert(rebuiltUpper.count() === standingUpper.count())
+    assert(rebuiltUpper.exceptAll(standingUpper).count() === 0L,
+      "upper layer rebuilt over the post-rebuild population diverged from the standing table")
+    Bench.cleanup(spark)
+  }
+
   test("lifecycle: stats -> tripped rebuild -> beam over the new epoch reaches batch nodes") {
     // the full maintenance loop at a tripped SF: the report reads the
     // store, the apply rebuilds epoch 1, and serving over the NEW epoch
