@@ -3396,20 +3396,95 @@ object SimilarityQueries {
 
   /** Upper-layer beam width / rounds (applied PER layer on the descent):
     * each layer is a coarse locator, so it runs narrower and shorter
-    * than the layer-0 beam. */
+    * than the layer-0 beam. R₁ dropped 2 → 1 in round 19 off the
+    * measured sweep (docs/SCALING.md): a 16×-thinned upper layer
+    * SATURATES in one W=2 round (the second round's frontier found
+    * nothing new at every gate SF), and giving the spare round to the
+    * layer-0 beam instead (R₀ 4 → 5) is what closed the recall gap to
+    * the forced-flat hierarchy — 13/40 vs 13/40 at comparable evals
+    * (1224 vs 1167), where the old (R₁=2, R₀=4) split measured 11/40.
+    * The round-18 candidate-source hypothesis was ceiling-tested and
+    * REFUTED: serving with byte-exact all-pairs upper edges still
+    * measured 11/40 under the old split, so the descent's round
+    * allocation, not upper-edge quality, was the limiter. */
   private[graft] val graphL1BeamWidth = 2
-  private[graft] val graphL1Rounds = 2
+  private[graft] val graphL1Rounds = 1
+
+  /** NN-descent refinement rounds applied to every upper layer's edge
+    * set after the initial candidate rule (round-18 verdict item 4 —
+    * "use the hierarchy being built at build time", expressed as the
+    * published neighbor-of-neighbor iteration of Dong et al. 2011,
+    * which is HNSW-insert's effect without its sequential insertion
+    * order): each round candidates = current edges ∪ both-direction
+    * 2-hop pairs, re-ranked exact top-M. On the all-pairs TOP layer the
+    * rounds are an exact identity (candidates ⊆ all pairs and the
+    * standing top-M always survives the rank — the total order is
+    * (cos DESC, w)), so the rule applies uniformly and the oracle
+    * unrolls it for every layer without an arm split. Cost per round is
+    * O(n_j·4M²) candidate pairs — linear in the layer, and the layer
+    * populations are a 16× geometric series, so the whole refinement
+    * stays inside the hierarchy's ~1/256-of-layer-0 build budget.
+    * JVM property `graft.graph.refine` (read once, shared with the
+    * generated oracle text — the graft.ivf.cells pattern) so the sweep
+    * harness can A/B the rounds. DEFAULT 0 — off — from the round-19
+    * measurements (docs/SCALING.md): the candidate-source hypothesis
+    * was ceiling-tested by serving with byte-exact all-pairs upper
+    * edges and recall did NOT move (11/40 either way under the old
+    * round split), two refinement rounds brought the refined layer-1 to
+    * 92% of exact with zero serving effect, and the rounds cost 2.4×
+    * the whole hierarchy build phase at sf0.1 (1.96 → 4.80 s). The
+    * machinery stays property-pinned (GraphIndexSpec) and
+    * sweep-reachable for a corpus whose bucket rule actually starves —
+    * the repair property is real — but it is not paid for by default. */
+  private[graft] lazy val graphLayerRefineRounds: Int = {
+    val raw = sys.props.getOrElse("graft.graph.refine", "0")
+    val parsed = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft.graph.refine must be a non-negative integer, got '$raw'")
+    }
+    require(parsed >= 0, s"graft.graph.refine must be >= 0, got $parsed")
+    parsed
+  }
+
+  /** One NN-descent pass over a layer's (u, w) edge frame: candidates =
+    * edges ∪ 2-hop pairs through the BIDIRECTED edge set, exact top-M
+    * re-rank against the layer's vectors. Exposed private[graft] so
+    * GraphIndexSpec can pin the two properties the lane relies on:
+    * identity on an exact top-M graph, and reachability repair on a
+    * bucket-blind initialization. */
+  private[graft] def refineLayerEdges(edges0: DataFrame, lj: DataFrame,
+      rounds: Int): DataFrame = {
+    // each round references the previous edge frame three times (both
+    // union directions + the candidate union) — every round lands as an
+    // EAGER leaf or the chained plan recomputes the whole upstream per
+    // reference per round (measured 1.96 → 20.7 s build at sf0.1 before
+    // the leaves; 2.6 s with them — the round-18 re-analysis lesson)
+    var edges = if (rounds > 0) edges0.localCheckpoint(true) else edges0
+    (1 to rounds).foreach { _ =>
+      val bi = edges.unionByName(edges.select(col("w").as("u"), col("u").as("w")))
+      val nn2 = bi.select(col("u"), col("w").as("x"))
+        .join(bi.select(col("u").as("x"), col("w")), "x")
+        .select(col("u"), col("w"))
+        .filter(col("u") =!= col("w"))
+      edges = graphEdgesFrom(nn2.unionByName(edges).distinct(), lj, lj)
+        .localCheckpoint(true)
+    }
+    edges
+  }
   /** Layer-0 width/rounds for the LAYERED lane — wider than the flat
     * beam's (W=4, B=3) because quantizer-free entry points start at
     * ~rank-16 (the best of a 1/16 sample) instead of the probe-1 cell's
     * exact top-5: the measured sweep (docs/SCALING.md) shows narrow
     * beams CONVERGE before closing that gap (W0=4 saturates at 11/40
     * base-truth hits no matter how many rounds), while ef-style width
-    * buys recall — W0=8, R0=4 reaches 20/40, BEATING the probe-seeded
-    * flat beam's 18/40 at ~3.7x its eval budget. That is the honest
-    * price of removing the quantizer scan from serving. */
+    * buys recall — W0=8 beats W0=4's plateau at every round count. That
+    * is the honest price of removing the quantizer scan from serving.
+    * R₀ raised 4 → 5 in round 19: the round moved here from the
+    * saturated upper-layer descent (see [[graphL1Rounds]]) is what
+    * recovered the derived hierarchy's 2-hit recall gap to forced-flat
+    * at comparable evals. */
   private[graft] val graphLayeredWidth = 8
-  private[graft] val graphLayeredRounds = 4
+  private[graft] val graphLayeredRounds = 5
 
   /** ★ LAYERED beam serving — the HNSW layer hierarchy proper (round-16
     * verdict item 6; layer count made data-derived in round 18 — the
@@ -3525,7 +3600,7 @@ object SimilarityQueries {
           }
         val dirF = graft.plans.ScratchDirs.unique(s"graft-knn-graph-l$j")
         val tbl = dirF.getName.replace('-', '_').replace('.', '_')
-        graphEdgesFrom(cand, lj, lj)
+        refineLayerEdges(graphEdgesFrom(cand, lj, lj), lj, graphLayerRefineRounds)
           .repartition(graphIndexBuckets, col("u"))
           .write.mode("overwrite")
           .bucketBy(graphIndexBuckets, "u").sortBy("u")
@@ -3740,8 +3815,32 @@ object SimilarityQueries {
   private lazy val annRecallBeamLayeredSql: String = {
     val cosAb = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)"
     val LMAX = GraphLayers.sqlMaxLayers
+    val R = graphLayerRefineRounds
     val layerCtes = (1 to LMAX).map { j =>
       val p = GraphLayers.pow16(j)
+      // NN-descent refinement unrolled per layer (graphLayerRefineRounds
+      // rounds, the Spark loop's text): candidates = previous edges ∪
+      // both-direction 2-hop pairs, exact top-M re-rank. On the
+      // all-pairs top layer every round is an exact identity, so no
+      // lprm arm split is needed here.
+      // every lgraph_*_r node is MATERIALIZED: DuckDB inlines plain CTEs
+      // per reference, and the refinement chain references its
+      // predecessor three times per round — un-materialized, the
+      // descent's per-round graph references would re-evaluate an
+      // exponentially unrolled tree
+      val refine = (1 to R).map { r =>
+        s""",
+           |lbi_${j}_$r AS (
+           |  SELECT u, w FROM lgraph_${j}_r${r - 1}
+           |  UNION ALL SELECT w AS u, u AS w FROM lgraph_${j}_r${r - 1}),
+           |lnn_${j}_$r AS (
+           |  SELECT DISTINCT u, w FROM (
+           |    SELECT a.u, b.w FROM lbi_${j}_$r a JOIN lbi_${j}_$r b
+           |      ON a.w = b.u WHERE a.u <> b.w
+           |    UNION ALL SELECT u, w FROM lgraph_${j}_r${r - 1}) nn),
+           |${graphEdgesSql(s"lnn_${j}_$r", s"lgt_${j}_r$r")},
+           |lgraph_${j}_r$r AS MATERIALIZED (SELECT u, w FROM lgt_${j}_r$r)""".stripMargin
+      }.mkString("")
       s"""lj_$j AS (SELECT t.* FROM nb t CROSS JOIN lprm WHERE t.vec_id % $p = 0 AND $j <= lprm.l),
          |la2_$j AS (SELECT a.vec_id, a.c_id FROM basea2 a JOIN lj_$j t ON a.vec_id = t.vec_id),
          |ljc_$j AS (
@@ -3757,7 +3856,9 @@ object SimilarityQueries {
          |  SELECT a.vec_id AS u, b.vec_id AS w
          |  FROM lj_$j a JOIN lj_$j b ON a.vec_id <> b.vec_id
          |  WHERE $j = (SELECT l FROM lprm)),
-         |${graphEdgesSql(s"ljc_$j", s"lgraph_$j")}""".stripMargin
+         |${graphEdgesSql(s"ljc_$j", s"lgt_${j}_r0")},
+         |lgraph_${j}_r0 AS MATERIALIZED (SELECT u, w FROM lgt_${j}_r0)$refine,
+         |lgraph_$j AS MATERIALIZED (SELECT u, w FROM lgraph_${j}_r$R)""".stripMargin
     }.mkString(",\n")
     val layers =
       (LMAX to 1 by -1).flatMap(j =>
