@@ -199,7 +199,29 @@ object Bench {
       calibPre = calibrate()
     }
     val calibPreHealthy = calibPre <= CALIB_HEALTHY_RATIO * REF_CALIB
-    val calibParPre = calibratePar()
+    // Parallel-calib publish gate (round-18 verdict item 2): BOTH r18
+    // runs started with calib_par_pre 2.5-2.9× calib_par_post while the
+    // scalar gate read healthy — the cores-contended-scalar-fine mode —
+    // and the committed artifact carried +52-79% start-contention
+    // inflation on two heavy lanes under a "±15%" narrative. The
+    // all-cores probe must ALSO settle before the run counts as a
+    // publishable window: on an idle host calib_par ≈ calib (same loop
+    // per core), so the gate is calib_par ≤ PAR_HEALTHY_RATIO × the
+    // just-measured healthy scalar probe. Like the scalar gate, a
+    // window that never comes doesn't block the run — the artifact
+    // self-certifies via calib_par_pre_healthy.
+    val PAR_HEALTHY_RATIO = 1.5
+    var calibParPre = calibratePar()
+    var parWaits = 0
+    while (calibParPre > PAR_HEALTHY_RATIO * calibPre && parWaits < 12) {
+      parWaits += 1
+      System.err.println(
+        s"BENCH PAR CALIB UNHEALTHY (${d4s(calibParPre)} > ${PAR_HEALTHY_RATIO}x${d4s(calibPre)}), wait $parWaits/12")
+      Thread.sleep(10000)
+      calibPre = math.min(calibPre, calibrate())
+      calibParPre = calibratePar()
+    }
+    val calibParPreHealthy = calibParPre <= PAR_HEALTHY_RATIO * calibPre
 
     // warm-up (not timed): smallest sf exercises the same code paths.
     // q_ann_recall_pq_trained is included because its first execution
@@ -352,7 +374,25 @@ object Bench {
         .map { case (k, ts) => k -> d4(ts.min) })
     }
     val isolatedArr = heavies.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"isolated":$isolatedArr,"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    // Per-lane provenance of the published min (round-18 verdict item 8):
+    // which rep kind produced it — "shared" (interleaved base round),
+    // "isolated" (the heavy lane's own-bracket pass), or "retry" (the
+    // steal/disagree rescue round) — so an auditor can see at a glance
+    // whether a heavy lane's number came from its controlled rep without
+    // diffing artifacts.
+    val minRepKind = obj(names.map { n =>
+      val clean = times(n).zipWithIndex.filter(_._1 >= 0)
+      val kind =
+        if (clean.isEmpty || results(n) < 0) "failed"
+        else {
+          val idx = clean.minBy(_._1)._2
+          if (idx < REPS_BASE) "shared"
+          else if (heavies.contains(n)) "isolated"
+          else "retry"
+        }
+      n -> ("\"" + kind + "\"")
+    })
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"isolated":$isolatedArr,"min_rep_kind":$minRepKind,"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_pre_healthy":$calibParPreHealthy,"par_wait_retries":$parWaits,"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
     println(full)
     // The full line is long and has been tail-truncated in past round
     // artifacts; persist it and follow with a SHORT headline line so any
