@@ -553,6 +553,41 @@ object TextQueries {
        |  md5(array_to_string(pseq, chr(1))) AS pieces_fp
        |FROM docs""".stripMargin
 
+  /** Per-char negative-log-prob threshold (micro-nats per character)
+    * above which q_quality_lm_ppl flags a document — the CCNet-style
+    * perplexity bucket boundary as an exact integer both engines
+    * compare. Chosen from the measured fixture distribution so BOTH
+    * arms are exercised at every gate SF (see the lane's Scaladoc). */
+  private[graft] val unigramPplThreshMicro = 1950000L
+
+  /** q_quality_lm_ppl oracle: the SAME trained vocabulary and
+    * integer piece scores as q_unigram_encode (shared CTE text), each
+    * word's best-path score re-derived as the sum of its winning
+    * segmentation's piece scores, rolled up per document, and the
+    * per-char metric compared against [[unigramPplThreshMicro]] in
+    * exact integers. */
+  private lazy val qualityLmPplSql: String =
+    s"""WITH RECURSIVE ${unigramStagesSql(unigramEncodeRounds)},
+       |totE AS (SELECT floor(1e6 * ln(sum(n)))::BIGINT AS ilt FROM v$unigramEncodeRounds),
+       |scE AS MATERIALIZED (SELECT piece, floor(1e6 * ln(n))::BIGINT - (SELECT ilt FROM totE) AS s FROM v$unigramEncodeRounds),
+       |${unigramSegSql("E")},
+       |wsc AS MATERIALIZED (
+       |  SELECT word, sum(s)::BIGINT AS wscore FROM (
+       |    SELECT word, unnest(ps) AS piece FROM segE) t
+       |  JOIN scE USING (piece) GROUP BY word),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |docp AS (
+       |  SELECT dw.doc_id, sum(w.wscore)::BIGINT AS logp,
+       |    sum(length(dw.word))::BIGINT AS n_chars
+       |  FROM dw JOIN wsc w USING (word) WHERE length(dw.word) >= 1
+       |  GROUP BY dw.doc_id)
+       |SELECT doc_id, n_chars, (-logp)::BIGINT AS neg_logp_micro,
+       |  ((-logp) // n_chars)::BIGINT AS ppc_micro,
+       |  ((-logp) // n_chars > $unigramPplThreshMicro) AS low_quality
+       |FROM docp""".stripMargin
+
   /** q_unigram_pack oracle: the shared unigram training stages, per-word
     * Viterbi token counts off the final vocabulary, then the
     * q_pack_sequences prefix-sum bin rule over TRAINED counts —
@@ -939,6 +974,63 @@ object TextQueries {
             // whitespace-split word can contain: the fingerprint is
             // injective over piece sequences
             md5(concat_ws("\u0001", col("pseq"))).as("pieces_fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      }
+    },
+
+    // ★ TRAINED-LM perplexity quality filter — the CCNet/LLaMA-style
+    // filter every production pretraining pipeline runs (Wenzek et al.
+    // 2020 bucket web text by KenLM perplexity; docs the LM finds
+    // surprising are disproportionately gibberish/boilerplate). This is
+    // the distinction q_quality_perplexity does NOT make: that lane
+    // scores against the corpus's OWN word frequencies (a self-LM — a
+    // doc of globally-rare words scores badly even if well-formed),
+    // where CCNet's filter scores against a TRAINED language model.
+    // Here the trained model is the IN-REPO unigram-LM tokenizer: the
+    // q_unigram_encode training (same text, same 2 hard-EM rounds, same
+    // integer fixed-point piece scores) produces per-word best-path
+    // log-probs, which roll up to an exact per-document integer
+    // Σ log p; the filter metric is micro-nats PER CHARACTER (integer
+    // floor division — length-invariant, the per-char normalization
+    // CCNet uses) against a fixed bucket boundary chosen from the
+    // measured fixture distribution so both verdict arms are exercised
+    // at every gate SF. Plan shape: the trainer's bounded driver
+    // collects + one words-table map (distinct words, never the
+    // corpus) + a broadcast word-score join + one hash agg per doc —
+    // the q_unigram_encode serving shape with a 1-row-per-doc tail. At
+    // 100 TB the score pass is the same O(corpus) single scan every
+    // quality filter costs; training stays O(distinct words).
+    q(
+      "q_quality_lm_ppl",
+      qualityLmPplSql
+    ) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val (words, vFinal) = graft.Bench.phase("q_quality_lm_ppl.train") {
+        val (ws, _, hist) = unigramTrainLoop(s, docs, unigramEncodeRounds)
+        (ws, hist.last._2)
+      }
+      val bc = s.sparkContext.broadcast(unigramScores(vFinal))
+      // per-word best-path score = Σ piece scores of the Viterbi
+      // segmentation — the oracle re-derives the same sum from segE's
+      // winning pieces joined to scE
+      val wsc = words.select(col("word")).as[String]
+        .map(w => (w, unigramViterbi(w, bc.value).map(bc.value).sum))
+        .toDF("word", "wscore")
+      val dw = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      graft.Bench.phase("q_quality_lm_ppl.score") {
+        val out = dw.join(wsc, "word")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("wscore")).as("logp"),
+            sum(length(col("word")).cast("long")).as("n_chars"))
+          .select(col("doc_id"), col("n_chars"),
+            (-col("logp")).as("neg_logp_micro"),
+            expr("(-logp) div n_chars").as("ppc_micro"),
+            (expr("(-logp) div n_chars") > unigramPplThreshMicro).as("low_quality"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
         out

@@ -97,4 +97,43 @@ class UnigramSpec extends SparkSpec {
     }
     Bench.cleanup(spark)
   }
+
+  test("lm-ppl filter: scores re-derive from Viterbi pieces; gibberish scores above fluent text; both arms live") {
+    import SharedSpark.spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val (words, vFinal) =
+      TextQueries.unigramTrainLoop(spark, docs, TextQueries.unigramEncodeRounds) match {
+        case (ws, _, hist) => (ws, hist.last._2)
+      }
+    val sc = TextQueries.unigramScores(vFinal)
+    // the lane's per-word score IS the Viterbi best path's piece sum —
+    // re-derived here for a sample of real fixture words
+    val sample = words.select(col("word")).as[String].take(50)
+    sample.foreach { w =>
+      val pieces = TextQueries.unigramViterbi(w, sc)
+      assert(pieces.mkString === w)
+      assert(pieces.map(sc).sum <= 0L, s"positive log-prob for '$w'")
+    }
+    // semantic pin: under the TRAINED model, a character-shuffled
+    // gibberish word costs strictly more per char than a frequent real
+    // word — the property the CCNet-style filter relies on (and the
+    // one the self-frequency q_quality_perplexity cannot express for
+    // out-of-corpus text: its LM has no entry at all for unseen words)
+    val frequent = words.orderBy(col("wc").desc).select(col("word"))
+      .as[String].head
+    val gibberish = frequent.reverse + frequent.headOption.getOrElse('x')
+    def ppc(w: String): Long = {
+      val p = TextQueries.unigramViterbi(w, sc)
+      -p.map(sc).sum / w.codePointCount(0, w.length)
+    }
+    assert(ppc(gibberish) > ppc(frequent),
+      s"trained LM must find gibberish '$gibberish' more surprising than '$frequent'")
+    // and the shipped threshold exercises BOTH verdict arms at this SF
+    val verdicts = SparkEntry.queries("q_quality_lm_ppl")(spark, dir)
+      .groupBy(col("low_quality")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(verdicts.getOrElse(true, 0L) > 0L && verdicts.getOrElse(false, 0L) > 0L,
+      s"threshold must split the fixture, got $verdicts")
+    Bench.cleanup(spark)
+  }
 }
