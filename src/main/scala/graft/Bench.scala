@@ -101,7 +101,16 @@ object Bench {
     * mis-state the fraction whenever the two differ.
     */
   def runRep(spark: SparkSession, name: String, sfDir: String,
-             hostCpus: Int): (Double, Double) = {
+             hostCpus: Int): (Double, Double, Map[String, Double]) = {
+    import scala.jdk.CollectionConverters._
+    // Per-rep phase capture (round-20, verdict item 2): phases must come
+    // from the SAME rep that produces the published min, or the artifact
+    // mixes reps (r19's q_ann_recall_beam phase sum read 121% of its
+    // headline because per-phase mins and the lane min came from
+    // different reps). The buffer is cleared at rep start and snapshotted
+    // at rep end; a phase that executes twice within one rep (a loop)
+    // sums, because both executions are inside this rep's wall time.
+    phaseTimes.clear()
     val s0 = stealJiffies()
     val t0 = System.nanoTime()
     val ok =
@@ -113,10 +122,16 @@ object Bench {
       }
     val dt = (System.nanoTime() - t0) / 1e9
     val steal = stealJiffies() - s0
+    // Only this lane's phases count (all phase keys are lane-prefixed;
+    // shared helpers parameterize their prefix) — a stray cross-lane key
+    // would otherwise attribute one lane's work to another's rep.
+    val phs = phaseTimes.asScala.collect {
+      case (k, ts) if k.startsWith(name + ".") => k -> ts.sum
+    }.toMap
     cleanup(spark)
     val stealFrac =
       if (dt > 0) steal.toDouble / (dt * 100.0 * hostCpus) else 0.0
-    (if (ok) dt else -1.0, stealFrac)
+    (if (ok) dt else -1.0, stealFrac, phs)
   }
 
   /** Sub-phase wall times recorded by instrumented query bodies
@@ -221,7 +236,12 @@ object Bench {
       calibPre = math.min(calibPre, calibrate())
       calibParPre = calibratePar()
     }
-    val calibParPreHealthy = calibParPre <= PAR_HEALTHY_RATIO * calibPre
+    // Composed with the scalar flag (r19 advice): on a host whose scalar
+    // probe never settled, calibPre is inflated and the par ratio is
+    // measured against a bad denominator — the par flag alone could read
+    // healthy on exactly the contended hosts this gate exists for.
+    val calibParPreHealthy =
+      calibPreHealthy && calibParPre <= PAR_HEALTHY_RATIO * calibPre
 
     // warm-up (not timed): smallest sf exercises the same code paths.
     // q_ann_recall_pq_trained is included because its first execution
@@ -240,10 +260,16 @@ object Bench {
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val steals = scala.collection.mutable.Map.empty[String, List[Double]]
     val calibs = scala.collection.mutable.Map.empty[String, List[Double]]
-    def record(name: String, rep: (Double, Double), calib: Double): Unit = {
+    val repPhases =
+      scala.collection.mutable.Map.empty[String, List[Map[String, Double]]]
+    val repKinds = scala.collection.mutable.Map.empty[String, List[String]]
+    def record(name: String, rep: (Double, Double, Map[String, Double]),
+               calib: Double, kind: String): Unit = {
       times(name) = times.getOrElse(name, Nil) :+ rep._1
       steals(name) = steals.getOrElse(name, Nil) :+ rep._2
       calibs(name) = calibs.getOrElse(name, Nil) :+ calib
+      repPhases(name) = repPhases.getOrElse(name, Nil) :+ rep._3
+      repKinds(name) = repKinds.getOrElse(name, Nil) :+ kind
     }
     // Per-SEGMENT calibration (round-10 hardening): a single pre/post
     // scalar probe cannot correct contention that arrives MID-run — the
@@ -256,18 +282,18 @@ object Bench {
     // normalized total sums per-rep normalized minima. Probe cost is
     // (#segments+1) × ~0.1 s per round, outside the timed regions.
     val SEGMENT = 12
-    def runRound(round: Seq[String]): Unit = {
+    def runRound(round: Seq[String], kind: String): Unit = {
       var pre = calibrate()
       round.grouped(SEGMENT).foreach { seg =>
         val reps = seg.map(n => n -> runRep(spark, n, sfDir, hostCpus))
         val post = calibrate()
         val segCalib = math.min(pre, post)
-        reps.foreach { case (n, rep) => record(n, rep, segCalib) }
+        reps.foreach { case (n, rep) => record(n, rep, segCalib, kind) }
         pre = post
       }
     }
     val REPS_BASE = 2
-    (1 to REPS_BASE).foreach(_ => runRound(names))
+    (1 to REPS_BASE).foreach(_ => runRound(names, "shared"))
     // ISOLATED third rep for every multi-second query (round-17 verdict
     // item 4 — heavy lanes previously took their mandatory extra rep
     // interleaved in the shared segments, and the builder's 7-lane batch
@@ -297,9 +323,17 @@ object Bench {
         val pre = calibrate()
         val rep = runRep(spark, n, sfDir, hostCpus)
         val post = calibrate()
-        record(n, rep, math.min(pre, post))
+        record(n, rep, math.min(pre, post), "isolated")
       }
     }
+    // Third interleaved rep for the SMALL lanes too (r19 verdict item 8):
+    // two reps of a sub-2 s lane leave sub-second noise reading as a
+    // round-over-round regression (r19's q_filter_predicates 1.98/1.42
+    // shipped as a +58% "move" that was pure sampling). One extra
+    // interleaved round over the small lanes costs ~1/3 of a base round
+    // and gives every lane in the artifact at least three samples.
+    val smalls = names.filterNot(heavies.contains)
+    if (smalls.nonEmpty) runRound(smalls, "extra")
     // retry pass over steal-polluted / disagreeing queries (still
     // interleaved so the retries of different queries decorrelate
     // against a fresh burst).
@@ -311,7 +345,7 @@ object Bench {
     }
     if (suspects.nonEmpty) {
       System.err.println(s"BENCH RETRY (steal/disagree): ${suspects.mkString(",")}")
-      runRound(suspects)
+      runRound(suspects, "retry")
     }
 
     // A failed MANDATORY rep records -1 (not its fast wall time to the
@@ -368,31 +402,71 @@ object Bench {
     // steal/disagree/heavy retry carry reps_base+1 entries in rep_times
     // (the old fixed "reps":2 field misdescribed retried queries).
     val repCalib = obj(names.map(n => n -> arr(calibs(n))))
-    val phases = {
-      import scala.jdk.CollectionConverters._
-      obj(phaseTimes.asScala.toSeq.sortBy(_._1)
-        .map { case (k, ts) => k -> d4(ts.min) })
+    // Index of the rep that produced the published min. Ties break toward
+    // the LATER rep (r19 advice): on an exact time tie between a shared
+    // rep and a later controlled (isolated/extra) rep, provenance should
+    // name the controlled one, and phases should come from it.
+    def minRepIdx(n: String): Int = {
+      val clean = times(n).zipWithIndex.filter(_._1 >= 0)
+      if (clean.isEmpty) -1
+      else {
+        val m = clean.map(_._1).min
+        clean.filter(_._1 == m).map(_._2).max
+      }
     }
+    // Phases of the min rep ONLY (round-20, verdict item 2): every phase
+    // value in the artifact comes from the same execution that produced
+    // the lane's published headline, so Σ(leaf phases) ≤ headline holds
+    // by construction and is machine-checked below. Umbrella phases — a
+    // phase whose name prefixes another phase of the same lane (e.g.
+    // q_hybrid_delete.bm25_lifecycle containing .bm25_lifecycle.build) —
+    // time a span that CONTAINS its children and are listed separately so
+    // a naive sum doesn't double-count them.
+    val minPhasesByLane: Map[String, Map[String, Double]] = names.map { n =>
+      val idx = minRepIdx(n)
+      val phs = repPhases.getOrElse(n, Nil)
+      n -> (if (idx >= 0 && idx < phs.size) phs(idx) else Map.empty[String, Double])
+    }.toMap
+    val allPhases = minPhasesByLane.values.flatten.toSeq.sortBy(_._1)
+    val phases = obj(allPhases.map { case (k, v) => k -> d4(v) })
+    val umbrellas = minPhasesByLane.flatMap { case (_, phs) =>
+      phs.keys.filter(k => phs.keys.exists(o => o != k && o.startsWith(k + ".")))
+    }.toSeq.sorted
+    val umbrellaArr = umbrellas.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Publish-time machine check: for every lane, the sum of its min-rep
+    // LEAF phases must not exceed its published headline (leaves are
+    // disjoint spans inside the rep's wall time; an excess means a phase
+    // leaked across reps or a background thread recorded into the lane).
+    val phaseSumViolations = names.filter { n =>
+      val phs = minPhasesByLane(n)
+      val leafSum = phs.collect {
+        case (k, v) if !phs.keys.exists(o => o != k && o.startsWith(k + ".")) => v
+      }.sum
+      results(n) >= 0 && leafSum > results(n) + 1e-6
+    }
+    if (phaseSumViolations.nonEmpty)
+      System.err.println(
+        s"BENCH PHASE-SUM VIOLATION: ${phaseSumViolations.mkString(",")}")
+    val phaseSumOk = phaseSumViolations.isEmpty
+    val phaseViolArr =
+      phaseSumViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val isolatedArr = heavies.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-lane provenance of the published min (round-18 verdict item 8):
     // which rep kind produced it — "shared" (interleaved base round),
-    // "isolated" (the heavy lane's own-bracket pass), or "retry" (the
-    // steal/disagree rescue round) — so an auditor can see at a glance
-    // whether a heavy lane's number came from its controlled rep without
-    // diffing artifacts.
+    // "isolated" (the heavy lane's own-bracket pass), "extra" (the small-
+    // lane third interleaved round), or "retry" (the steal/disagree
+    // rescue round) — so an auditor can see at a glance whether a heavy
+    // lane's number came from its controlled rep without diffing
+    // artifacts. Provenance refers to the raw "queries" min; the
+    // normalized total may be driven by a different rep.
     val minRepKind = obj(names.map { n =>
-      val clean = times(n).zipWithIndex.filter(_._1 >= 0)
+      val idx = minRepIdx(n)
       val kind =
-        if (clean.isEmpty || results(n) < 0) "failed"
-        else {
-          val idx = clean.minBy(_._1)._2
-          if (idx < REPS_BASE) "shared"
-          else if (heavies.contains(n)) "isolated"
-          else "retry"
-        }
+        if (idx < 0 || results(n) < 0) "failed"
+        else repKinds(n)(idx)
       n -> ("\"" + kind + "\"")
     })
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"isolated":$isolatedArr,"min_rep_kind":$minRepKind,"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_pre_healthy":$calibParPreHealthy,"par_wait_retries":$parWaits,"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"phase_umbrellas":$umbrellaArr,"phase_provenance":"min-rep","phase_sum_ok":$phaseSumOk,"phase_sum_violations":$phaseViolArr,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"isolated":$isolatedArr,"min_rep_kind":$minRepKind,"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_pre_healthy":$calibParPreHealthy,"par_wait_retries":$parWaits,"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
     println(full)
     // The full line is long and has been tail-truncated in past round
     // artifacts; persist it and follow with a SHORT headline line so any

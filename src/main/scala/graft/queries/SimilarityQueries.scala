@@ -890,9 +890,12 @@ object SimilarityQueries {
     * the 8 fixture queries is itself deleted, pinning both removal
     * contracts: a removed vector never SERVES again (every lane), and —
     * in the graph lane, where the query set is drawn from the index —
-    * it stops being queryable too. (The IVF lane's queries are external
-    * by design — "a query needn't be indexed to be asked" — so there q7
-    * still queries and simply finds only survivors.) */
+    * it stops being queryable too. (The IVF lane's FIXTURE queries are
+    * external by design — "a query needn't be indexed to be asked" — so
+    * there q7 still queries and simply finds only survivors; the
+    * list-driven takedown arm, by contrast, mirrors the graph family's
+    * survivorsOnly on the query side — a listed id stops being
+    * queryable in every family, pinned by DeleteApplySpec's list test.) */
   private[graft] def deletePred(idCol: Column): Column =
     pmod(idCol, lit(10)) === 7
   private[graft] val deletePredSql = "% 10 = 7"
@@ -985,9 +988,21 @@ object SimilarityQueries {
     graft.Bench.phase(s"$phase.compact") {
       rewrite.write.mode("overwrite").partitionBy("c_id").parquet(epochPath)
     }
-    // 3) serve the epoch — no serve-time filter: the rows are GONE
+    // 3) serve the epoch — no serve-time filter on the CANDIDATE side:
+    // the rows are physically gone. The QUERY side mirrors
+    // graphDeleteServe's survivorsOnly when a takedown list drives the
+    // delete (r19 advice): a listed id stops being queryable too, so the
+    // four-family list contract is symmetric — the list rides the same
+    // broadcast anti-join, the corpus is never re-read for it. The
+    // default fixture arm keeps the raw queryPred (its oracle text
+    // serves all 8 fixture queries, survivors filtered candidate-side).
+    val vServe = takedown match {
+      case None => v
+      case Some(_) => v.join(
+        broadcast(s.read.parquet(tombPath)), Seq("vec_id"), "left_anti")
+    }
     IvfDeleteResult(store0, tombstonePlan, tombPath, epochPath, rewritePlan,
-      serveStoredIndex(s, v, cents, epochPath, queryPred = queryPred, topK = topK))
+      serveStoredIndex(s, vServe, cents, epochPath, queryPred = queryPred, topK = topK))
   }
 
   /** ★ IVF index-health report — the operational artifact the

@@ -45,7 +45,7 @@ object ReproBench {
     (1 to rounds).foreach { r =>
       names.foreach { n =>
         val h0 = if (n == names.last) jvmHealth() else ""
-        val (t, _) = graft.Bench.runRep(spark, n, sfDir, hostCpus)
+        val (t, _, _) = graft.Bench.runRep(spark, n, sfDir, hostCpus)
         times(n) = times.getOrElse(n, Nil) :+ t
         System.err.println(f"REPRO round=$r $n $t%.2f")
         if (n == names.last)

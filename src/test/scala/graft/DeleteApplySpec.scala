@@ -289,15 +289,26 @@ class DeleteApplySpec extends SparkSpec {
     }
     def listAsCol(c: String) =
       Some(spark.read.parquet(listPath).select(col("doc_id").as(c)))
-    // ivf
-    val iv = SimilarityQueries.ivfDeleteServe(spark, dir, takedown = listAsCol("vec_id"))
+    // ivf — query-side symmetry with the graph family (r19 advice): the
+    // queryPred is widened to name a LISTED id explicitly, and the serve
+    // must still refuse to query it — a listed id stops being queryable,
+    // not just servable, in every family
+    val aListed = listSeq.min
+    val iv = SimilarityQueries.ivfDeleteServe(spark, dir,
+      queryPred = col("vec_id") < 8 || col("vec_id") === aListed,
+      takedown = listAsCol("vec_id"))
     checkPlans("ivf", iv.tombstonePlan, iv.rewritePlan, "embeddings")
     assert(spark.read.parquet(iv.tombPath)
       .collect().map(_.getLong(0)).toSet === listIds,
       "ivf tombstones must hold exactly the shared list's ids")
     assert(spark.read.parquet(iv.epochPath)
       .filter(col("vec_id").isin(listSeq: _*)).count() === 0L)
-    assert(iv.served.collect().nonEmpty)
+    val ivRows = iv.served.collect()
+    assert(ivRows.nonEmpty)
+    assert(!ivRows.exists(r => listIds(r.getLong(0))),
+      "ivf: a listed id still queries")
+    assert(!ivRows.exists(r => listIds(r.getLong(1))),
+      "ivf: a listed id was served")
     Bench.cleanup(spark)
     // graph — serve-side exclusions (queries, assignments) also derive
     // from the list, so a listed id stops being queryable too

@@ -119,7 +119,11 @@ class UnigramSpec extends SparkSpec {
     // word — the property the CCNet-style filter relies on (and the
     // one the self-frequency q_quality_perplexity cannot express for
     // out-of-corpus text: its LM has no entry at all for unseen words)
-    val frequent = words.orderBy(col("wc").desc).select(col("word"))
+    // the probe word needs length >= 3 (r19 advice): a 1-char or
+    // palindromic most-frequent word degenerates reverse+head into a
+    // string that may itself be a cheap in-vocabulary piece ('a' -> 'aa')
+    val frequent = words.filter(length(col("word")) >= 3)
+      .orderBy(col("wc").desc).select(col("word"))
       .as[String].head
     val gibberish = frequent.reverse + frequent.headOption.getOrElse('x')
     def ppc(w: String): Long = {
