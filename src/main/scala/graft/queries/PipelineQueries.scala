@@ -796,13 +796,18 @@ object PipelineQueries {
       val u = (conv(substring(
           md5(concat(lit("dsir42#"), col("doc_id").cast("string"))), 1, 12),
           16, 10).cast("double") + 0.5) / 281474976710656.0
-      dsirWeights(s, dir)
-        .withColumn("key", col("logw") - log(-log(u)))
-        .select(col("doc_id"), col("lang"), col("n_feats"),
-          (floor(col("logw") * 1e6) / 1e6 + 0.0).as("logw_f"),
-          (floor(col("key") * 1e6) / 1e6 + 0.0).as("skey"))
-        .orderBy(col("skey").desc, col("doc_id"))
-        .limit(30)
+      // one fully-lazy pipeline (the double feature explode is the
+      // MEASURED fastest shape — see dsirWeightsToks), so attribution is
+      // a single forced phase; the audit sees the pre-force plan
+      graft.plans.AuditFrames.forced("q_importance_resample", "weights_topk") {
+        dsirWeights(s, dir)
+          .withColumn("key", col("logw") - log(-log(u)))
+          .select(col("doc_id"), col("lang"), col("n_feats"),
+            (floor(col("logw") * 1e6) / 1e6 + 0.0).as("logw_f"),
+            (floor(col("key") * 1e6) / 1e6 + 0.0).as("skey"))
+          .orderBy(col("skey").desc, col("doc_id"))
+          .limit(30)
+      }
     }
   )
 

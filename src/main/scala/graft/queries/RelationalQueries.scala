@@ -860,8 +860,18 @@ object RelationalQueries {
         |FROM kept GROUP BY event_type, day""".stripMargin
     ) { (s, dir) =>
       val root = graft.plans.ScratchDirs.unique("graft-mv")
-      try mvRefresh(s, dir, new java.io.File(root, "mv").getAbsolutePath)
-        .localCheckpoint() // seal: the scratch MV dir is removed below
+      try {
+        // mvRefresh phases its own build/refresh internally; only the
+        // final readback is wrapped here (wrapping the whole call would
+        // double-count those phases in the leaf sum — they are not
+        // name-nested under this one). Sealed as an eager leaf: the
+        // scratch MV dir is removed below, so the caller's action must
+        // read from cache. No AuditFrames registration — the pre-force
+        // plan scans a path that no longer exists by audit time;
+        // MvRefreshSpec pins the real plans.
+        val mv = mvRefresh(s, dir, new java.io.File(root, "mv").getAbsolutePath)
+        graft.Bench.phase("q_mv_refresh.seal") { mv.localCheckpoint() }
+      }
       finally graft.plans.ScratchDirs.remove(root)
     },
 
@@ -1038,39 +1048,47 @@ object RelationalQueries {
       // rows of a day opens its own file in that day's directory (32
       // tasks × days files here, thousands at scale); with it each day
       // lands in exactly one writer, one file (MvRefreshSpec pins it)
-      byKey.filter(col("n_base") > 0)
-        .select(col("event_type"), col("day"),
-          col("n_base").as("n_events"), col("v_base").as("sum_value"))
-        .repartition(col("day"))
-        .write.partitionBy("day").parquet(mvPath)
-      // lateness horizon: one scalar action over the keyed frame, then
-      // pure driver date arithmetic
-      val maxd = byKey.agg(max(col("day"))).head.getString(0)
-      val horizon = java.time.LocalDate.parse(maxd).minusDays(7).toString
-      val delta = byKey
-        .filter(col("n_late") > 0 && col("day") >= lit(horizon))
-        .select(col("event_type"), col("day"),
-          col("n_late").as("n_events"), col("v_late").as("sum_value"))
-      // horizon-bounded driver list (≤ 8 day strings) → partition-filter
-      // literals on the MV read
-      val touched = delta.select(col("day")).distinct()
-        .collect().map(_.get(0).toString).toSeq
-      if (touched.nonEmpty) {
-        val mv = s.read.parquet(mvPath)
-        mv.filter(col("day").cast("string").isInCollection(touched))
-          .select(col("event_type"), col("day").cast("string").as("day"),
-            col("n_events"), col("sum_value"))
-          .unionByName(delta)
-          .groupBy(col("event_type"), col("day"))
-          .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+      graft.Bench.phase("q_mv_refresh.build") {
+        byKey.filter(col("n_base") > 0)
+          .select(col("event_type"), col("day"),
+            col("n_base").as("n_events"), col("v_base").as("sum_value"))
           .repartition(col("day"))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day").parquet(mvPath)
+          .write.partitionBy("day").parquet(mvPath)
+      }
+      graft.Bench.phase("q_mv_refresh.refresh") {
+        // lateness horizon: one scalar action over the keyed frame, then
+        // pure driver date arithmetic
+        val maxd = byKey.agg(max(col("day"))).head.getString(0)
+        val horizon = java.time.LocalDate.parse(maxd).minusDays(7).toString
+        val delta = byKey
+          .filter(col("n_late") > 0 && col("day") >= lit(horizon))
+          .select(col("event_type"), col("day"),
+            col("n_late").as("n_events"), col("v_late").as("sum_value"))
+        // horizon-bounded driver list (≤ 8 day strings) → partition-filter
+        // literals on the MV read
+        val touched = delta.select(col("day")).distinct()
+          .collect().map(_.get(0).toString).toSeq
+        if (touched.nonEmpty) {
+          val mv = s.read.parquet(mvPath)
+          mv.filter(col("day").cast("string").isInCollection(touched))
+            .select(col("event_type"), col("day").cast("string").as("day"),
+              col("n_events"), col("sum_value"))
+            .unionByName(delta)
+            .groupBy(col("event_type"), col("day"))
+            .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+            .repartition(col("day"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(mvPath)
+        }
       }
     } finally byKey.unpersist() // a failed write must not pin the blocks
-    s.read.parquet(mvPath).select(
-      col("event_type"), col("day").cast("string").as("day"),
-      col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    // the readback construction pays the MV dir's parquet schema
+    // inference — a driver FS pass, inside its own phase
+    graft.Bench.phase("q_mv_refresh.readback") {
+      s.read.parquet(mvPath).select(
+        col("event_type"), col("day").cast("string").as("day"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    }
   }
 
   /** Measured-skew salted equi-join of `fact.l_suppkey` = `dim.s_suppkey`

@@ -665,21 +665,34 @@ object SimilarityQueries {
       ("wide", col("label") === 3))
     // the selectivity probe: ONE column-pruned pass computing every lane's
     // cardinality (bounded driver data — one row, |lanes| longs)
-    val cntRow = v.agg(
-      count(when(lanes(0)._2, true)).as("narrow"),
-      count(when(lanes(1)._2, true)).as("half"),
-      count(when(lanes(2)._2, true)).as("wide")).collect()(0)
+    val cntRow = graft.Bench.phase("q_similarity_filtered_adaptive.probe") {
+      v.agg(
+        count(when(lanes(0)._2, true)).as("narrow"),
+        count(when(lanes(1)._2, true)).as("half"),
+        count(when(lanes(2)._2, true)).as("wide")).collect()(0)
+    }
     val cnts = lanes.map(_._1).zipWithIndex.map { case (l, i) => l -> cntRow.getLong(i) }.toMap
     // the index exists regardless of today's branch decisions — a serving
     // system maintains it continuously (the incremental/streaming lanes);
-    // building it here is the stored-lane build cost, not a per-request one
-    val cents = IvfProvision.seeds(v)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // building it here is the stored-lane build cost, not a per-request
+    // one. The seeds derivation (a K-count action on the corpus scan)
+    // runs inside the phase — the q_similarity_ivf_compact.manufacture
+    // precedent.
     val path = graft.plans.ScratchDirs.unique("graft-ivf-adaptive-index").getAbsolutePath
-    assignCells(v, cents, Seq("label", "e", "nrm"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    val cents = graft.Bench.phase("q_similarity_filtered_adaptive.build") {
+      val c = IvfProvision.seeds(v)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      assignCells(v, c, Seq("label", "e", "nrm"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(path)
+      c
+    }
     val queries = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // the whole arm CONSTRUCTION runs inside the forced phase: each IVF
+    // arm's probe-cell derivation is an EAGER driver collect at
+    // construction time (serveStoredIndex), which round 20's first sweep
+    // measured as ~1 s of unattributed headline when it ran outside
+    graft.plans.AuditFrames.forced("q_similarity_filtered_adaptive", "serve") {
     val parts = lanes.map { case (lane, pred) =>
       if (cnts(lane) <= threshold) {
         // EXACT pre-filter arm: the predicate prunes the scan (pushed to
@@ -700,6 +713,7 @@ object SimilarityQueries {
       }
     }
     parts.reduce(_.unionByName(_))
+    }
   }
 
   /** Probe-2 top-3 serving over a cell-partitioned stored index: probe
@@ -954,13 +968,15 @@ object SimilarityQueries {
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
     // frozen PRE-delete quantizer: K and stride derive from the full
     // corpus count — the versioned-index contract (a delete is not a
-    // retrain; q_ivf_retrain_apply is the epoch move that re-derives)
-    val cents = IvfProvision.seeds(v)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // retrain; q_ivf_retrain_apply is the epoch move that re-derives).
+    // The seeds derivation is a K-count action — inside the phase.
     val store0 = graft.plans.ScratchDirs.unique("graft-ivf-del-v0").getAbsolutePath
-    graft.Bench.phase(s"$phase.build") {
-      assignCells(v, cents, Seq("e", "nrm"))
+    val cents = graft.Bench.phase(s"$phase.build") {
+      val c = IvfProvision.seeds(v)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      assignCells(v, c, Seq("e", "nrm"))
         .write.mode("overwrite").partitionBy("c_id").parquet(store0)
+      c
     }
     // 1) tombstone append: O(deletes) — the takedown list only, never a
     // stored row (plan captured pre-write for the spec). `takedown`
@@ -971,22 +987,29 @@ object SimilarityQueries {
     val dels = takedown.getOrElse(
       Tables(s, dir).embeddings.select(col("vec_id"))
         .filter(deletePred(col("vec_id"))))
-    val tombstonePlan = dels.queryExecution.executedPlan.toString
     val tombPath = graft.plans.ScratchDirs.unique("graft-ivf-del-tomb").getAbsolutePath
-    graft.Bench.phase(s"$phase.tombstone") {
+    // plan captures run INSIDE their phases: executedPlan pays a full
+    // Catalyst analysis pass — driver work this lane does either way,
+    // previously unattributed between phases (round-20 sweep)
+    val tombstonePlan = graft.Bench.phase(s"$phase.tombstone") {
+      val p = dels.queryExecution.executedPlan.toString
       dels.write.mode("overwrite").parquet(tombPath)
+      p
     }
     // 2) compaction applies the deletes physically: store + tombstones
-    // only, broadcast anti-join, one keyed shuffle, fresh epoch
-    val tomb = s.read.parquet(tombPath)
-    val survivors = s.read.parquet(store0)
-      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
-      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-    val rewrite = survivors.repartition(col("c_id"))
-    val rewritePlan = rewrite.queryExecution.executedPlan.toString
+    // only, broadcast anti-join, one keyed shuffle, fresh epoch. The
+    // tombstone/store reads (parquet schema inference) and the plan
+    // capture all run inside the phase.
     val epochPath = graft.plans.ScratchDirs.unique("graft-ivf-del-epoch").getAbsolutePath
-    graft.Bench.phase(s"$phase.compact") {
+    val rewritePlan = graft.Bench.phase(s"$phase.compact") {
+      val tomb = s.read.parquet(tombPath)
+      val survivors = s.read.parquet(store0)
+        .select(col("vec_id"), col("e"), col("nrm"), col("c_id").cast("long").as("c_id"))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      val rewrite = survivors.repartition(col("c_id"))
+      val p = rewrite.queryExecution.executedPlan.toString
       rewrite.write.mode("overwrite").partitionBy("c_id").parquet(epochPath)
+      p
     }
     // 3) serve the epoch — no serve-time filter on the CANDIDATE side:
     // the rows are physically gone. The QUERY side mirrors
@@ -996,13 +1019,27 @@ object SimilarityQueries {
     // broadcast anti-join, the corpus is never re-read for it. The
     // default fixture arm keeps the raw queryPred (its oracle text
     // serves all 8 fixture queries, survivors filtered candidate-side).
-    val vServe = takedown match {
-      case None => v
-      case Some(_) => v.join(
-        broadcast(s.read.parquet(tombPath)), Seq("vec_id"), "left_anti")
+    // the probe-2 serve IS the declared output — forced as an eager leaf
+    // so the headline carries it here instead of an unattributed
+    // caller-action tail (the lane had NO serve phase through round 19:
+    // 47% of its headline ran outside every phase; same move as the
+    // graph/dedup/bm25 delete siblings)
+    val served = graft.Bench.phase(s"$phase.serve") {
+      val vServe = takedown match {
+        case None => v
+        case Some(_) => v.join(
+          broadcast(s.read.parquet(tombPath)), Seq("vec_id"), "left_anti")
+      }
+      val pre = serveStoredIndex(s, vServe, cents, epochPath,
+        queryPred = queryPred, topK = topK)
+      // register the pre-force plan only when `phase` IS the lane name —
+      // a nested prefix (q_hybrid_delete.ivf_lifecycle) must not claim
+      // the composing lane's audit slot
+      if (!phase.contains('.')) graft.plans.AuditFrames.put(phase, pre)
+      pre.localCheckpoint(true)
     }
     IvfDeleteResult(store0, tombstonePlan, tombPath, epochPath, rewritePlan,
-      serveStoredIndex(s, vServe, cents, epochPath, queryPred = queryPred, topK = topK))
+      served)
   }
 
   /** ★ IVF index-health report — the operational artifact the
@@ -1392,13 +1429,17 @@ object SimilarityQueries {
     // build-dominated like q_hybrid_incremental (both delete lifecycles
     // run in-body); phase prefixes keep every second attributable to
     // THIS lane in the bench artifact
+    // the lifecycle phases are UMBRELLAS: their children record under a
+    // name-NESTED prefix (<umbrella>.<verb>) so the artifact's leaf-sum
+    // machine check excludes the containing span instead of
+    // double-counting it (round-20, verdict item 2)
     val vecR = graft.Bench.phase("q_hybrid_delete.ivf_lifecycle") {
       ivfDeleteServe(s, dir, queryPred = col("vec_id") === 0, topK = 10,
-        phase = "q_hybrid_delete.ivf")
+        phase = "q_hybrid_delete.ivf_lifecycle")
     }
     val vec = vecR.served.select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
     val lexServed = graft.Bench.phase("q_hybrid_delete.bm25_lifecycle") {
-      TextQueries.bm25DeleteServe(s, dir, phase = "q_hybrid_delete.bm25").served
+      TextQueries.bm25DeleteServe(s, dir, phase = "q_hybrid_delete.bm25_lifecycle").served
     }
     graft.Bench.phase("q_hybrid_delete.serve") {
       val fused = rrfFuse(rankLex(lexServed), vec)
@@ -1477,18 +1518,22 @@ object SimilarityQueries {
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val path = graft.plans.ScratchDirs.unique("graft-hybrid-filtered-index").getAbsolutePath
     // lang rides into the index as a data column (the ivfFiltered move)
-    assignCells(
-        v.join(docsLang.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id")),
-        cents, Seq("lang", "e", "nrm"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(path)
-    val vec = serveStoredIndex(s, v, cents, path,
-        queryPred = col("vec_id") === 0, topK = 10,
-        candPred = col("lang") === "de")
-      .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
-    val lex = TextQueries.bm25Scored(s, dir)
-      .join(docsLang, "doc_id").filter(col("lang") === "de")
-      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
-    rrfFuse(rankLex(lex), vec)
+    graft.Bench.phase("q_hybrid_filtered.build") {
+      assignCells(
+          v.join(docsLang.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id")),
+          cents, Seq("lang", "e", "nrm"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    }
+    graft.plans.AuditFrames.forced("q_hybrid_filtered", "serve") {
+      val vec = serveStoredIndex(s, v, cents, path,
+          queryPred = col("vec_id") === 0, topK = 10,
+          candPred = col("lang") === "de")
+        .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+      val lex = TextQueries.bm25Scored(s, dir)
+        .join(docsLang, "doc_id").filter(col("lang") === "de")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      rrfFuse(rankLex(lex), vec)
+    }
   }
 
   /** Filtered-hybrid oracle: the shared BM25 + IVF serving CTEs with the
@@ -2658,20 +2703,24 @@ object SimilarityQueries {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), graft.plans.OptimizerBarrier.once(asDouble(col("embedding"))).as("e"))
       .persist(MEMORY_AND_DISK)
-    val cents = IvfProvision.seeds(v)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val assign2 = graphAssign2(v, cents).persist(MEMORY_AND_DISK)
     val dirF = graft.plans.ScratchDirs.unique("graft-knn-graph")
     val tbl = dirF.getName.replace('-', '_').replace('.', '_')
     val path = dirF.getAbsolutePath
-    // index build — the one-time cost: bounded edges bucketed by u
-    graft.Bench.phase("q_graph_stored.build") {
-      graphEdgesFrom(graphBuildCands(assign2), v, v)
+    // index build — the one-time cost: bounded edges bucketed by u. The
+    // seeds derivation (a K-count action that also fills the corpus
+    // cache) runs inside the phase — round-20 attribution sweep, the
+    // q_similarity_ivf_compact.manufacture precedent.
+    val assign2 = graft.Bench.phase("q_graph_stored.build") {
+      val cents = IvfProvision.seeds(v)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      val a2 = graphAssign2(v, cents).persist(MEMORY_AND_DISK)
+      graphEdgesFrom(graphBuildCands(a2), v, v)
         .repartition(graphIndexBuckets, col("u"))
         .write.mode("overwrite")
         .bucketBy(graphIndexBuckets, "u").sortBy("u")
         .option("path", path)
         .saveAsTable(tbl)
+      a2
     }
     val stored = s.table(tbl).hint("merge")
     val qv = v.filter(col("vec_id") < 8).limit(8)
@@ -2682,11 +2731,15 @@ object SimilarityQueries {
     // forcing it here charges the assignment crossjoins + hop joins +
     // candidate union to .serve; the caller's action keeps only the
     // final rerank
-    val (_, gall) = graft.Bench.phase("q_graph_stored.serve") {
-      val (p1, g) = graphServeCands(assign1, stored, v, qv)
-      g.count(); (p1, g)
+    val (gall, top5) = graft.Bench.phase("q_graph_stored.serve") {
+      val (_, g) = graphServeCands(assign1, stored, v, qv)
+      g.count()
+      // the top-5 rerank IS the declared output — forced as an eager
+      // leaf (round-20 sweep); the audit sees the pre-force plan
+      (g, graft.plans.AuditFrames.put("q_graph_stored",
+        graphTop5(g, v, qv)).localCheckpoint(true))
     }
-    (path, gall, graphTop5(gall, v, qv))
+    (path, gall, top5)
   }
 
   /** ★ INCREMENTAL kNN-graph maintenance — O(batch) appends against a
@@ -2728,10 +2781,6 @@ object SimilarityQueries {
       .persist(MEMORY_AND_DISK)
     val base = v.filter(col("vec_id") % 4 =!= 3)
     val batch = v.filter(col("vec_id") % 4 === 3)
-    val cents = IvfProvision.seeds(base)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val a2base = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
-    val a2batch = graphAssign2(batch, cents).persist(MEMORY_AND_DISK)
     val dirF = graft.plans.ScratchDirs.unique(scratch)
     val tbl = dirF.getName.replace('-', '_').replace('.', '_')
     val path = dirF.getAbsolutePath
@@ -2742,18 +2791,30 @@ object SimilarityQueries {
         .option("path", path)
         .saveAsTable(tbl)
     // 1) base build — the one-time cost (phase-timed: the write IS the
-    // action, per the ≥3 s headline attribution standard)
-    graft.Bench.phase(s"$phase.build") {
-      writeEdges(graphEdgesFrom(graphBuildCands(a2base), base, base), "overwrite")
+    // action, per the ≥3 s headline attribution standard). The seeds
+    // derivation is a K-count action that also fills the corpus cache —
+    // inside the phase (round-20 attribution sweep).
+    val (a2base, a2batch) = graft.Bench.phase(s"$phase.build") {
+      val cents = IvfProvision.seeds(base)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      val ab = graphAssign2(base, cents).persist(MEMORY_AND_DISK)
+      val at = graphAssign2(batch, cents).persist(MEMORY_AND_DISK)
+      writeEdges(graphEdgesFrom(graphBuildCands(ab), base, base), "overwrite")
+      (ab, at)
     }
     // 2) incremental ingest — batch edges against frozen base
-    // candidates only (u and w slices are disjoint, no u≠w filter needed)
-    val xcand = a2batch.select(col("c_id"), col("vec_id").as("u"))
-      .join(a2base.select(col("c_id"), col("vec_id").as("w")), "c_id")
-      .select(col("u"), col("w")).distinct()
-    val newEdges = graphEdgesFrom(xcand, batch, base)
-    val ingestPlan = newEdges.queryExecution.executedPlan.toString
-    graft.Bench.phase(s"$phase.ingest") { writeEdges(newEdges, "append") }
+    // candidates only (u and w slices are disjoint, no u≠w filter
+    // needed). The ingest-plan capture pays a Catalyst analysis pass —
+    // inside the phase.
+    val ingestPlan = graft.Bench.phase(s"$phase.ingest") {
+      val xcand = a2batch.select(col("c_id"), col("vec_id").as("u"))
+        .join(a2base.select(col("c_id"), col("vec_id").as("w")), "c_id")
+        .select(col("u"), col("w")).distinct()
+      val newEdges = graphEdgesFrom(xcand, batch, base)
+      val p = newEdges.queryExecution.executedPlan.toString
+      writeEdges(newEdges, "append")
+      p
+    }
     GraphStoreCtx(v, a2base, a2batch, ingestPlan, tbl, path)
   }
 
@@ -2777,15 +2838,21 @@ object SimilarityQueries {
       .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
     val qv = ctx.v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val gall = phase match {
+    phase match {
       case Some(p) => graft.Bench.phase(p) {
         val (_, g) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)
-        g.count(); g
+        g.count()
+        // the top-5 rerank IS the declared output — forced as an eager
+        // leaf (round-20 sweep: the caller's action left ~0.5 s of every
+        // graph headline unattributed); the audit sees the pre-force plan
+        graft.plans.AuditFrames.put(p.takeWhile(_ != '.'),
+          graphTop5(g, ctx.v, qv)).localCheckpoint(true)
       }
       case None =>
-        graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)._2
+        graphTop5(
+          graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)._2,
+          ctx.v, qv)
     }
-    graphTop5(gall, ctx.v, qv)
   }
 
   /** q_graph_incremental's build+ingest+serve, exposed private[graft]
@@ -3088,10 +3155,12 @@ object SimilarityQueries {
     val dels = takedown.getOrElse(
       Tables(s, dir).embeddings.select(col("vec_id"))
         .filter(deletePred(col("vec_id"))))
-    val tombstonePlan = dels.queryExecution.executedPlan.toString
     val tombPath = graft.plans.ScratchDirs.unique("graft-knn-graph-tomb").getAbsolutePath
-    graft.Bench.phase("q_graph_delete_apply.tombstone") {
+    // plan capture pays a Catalyst analysis pass — inside the phase
+    val tombstonePlan = graft.Bench.phase("q_graph_delete_apply.tombstone") {
+      val p = dels.queryExecution.executedPlan.toString
       dels.write.mode("overwrite").parquet(tombPath)
+      p
     }
     // 2) compaction applies the deletes physically: store + tombstones
     // only, exchange-free rewrite (force the genuinely bucketed scan —
@@ -3099,12 +3168,13 @@ object SimilarityQueries {
     val epochDirF = graft.plans.ScratchDirs.unique("graft-knn-graph-delepoch")
     val epochTbl = epochDirF.getName.replace('-', '_').replace('.', '_')
     val epochPath = epochDirF.getAbsolutePath
-    val tomb = s.read.parquet(tombPath)
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = s.conf.get(autoKey, "true")
     s.conf.set(autoKey, "false")
     val rewritePlan =
       try graft.Bench.phase("q_graph_delete_apply.compact") {
+        // tombstone read (schema inference) inside the phase
+        val tomb = s.read.parquet(tombPath)
         val survivors = s.table(tbl0)
           .join(broadcast(tomb.withColumnRenamed("vec_id", "u")), Seq("u"), "left_anti")
           .join(broadcast(tomb.withColumnRenamed("vec_id", "w")), Seq("w"), "left_anti")
@@ -3124,24 +3194,27 @@ object SimilarityQueries {
       .persist(MEMORY_AND_DISK)
     val base = v.filter(col("vec_id") % 4 =!= 3)
     val batch = v.filter(col("vec_id") % 4 === 3)
-    val cents = IvfProvision.seeds(base)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    // survivor exclusion: the default lane keeps the fixture predicate
-    // (the audited plan shape); a list-driven takedown anti-joins the
-    // broadcast tombstone list instead — its origin must stay invisible
-    // to the serve plan just as it does to the compaction
-    def survivorsOnly(df: DataFrame): DataFrame = takedown match {
-      case None => df.filter(!deletePred(col("vec_id")))
-      case Some(_) => df.join(
-        broadcast(s.read.parquet(tombPath)), Seq("vec_id"), "left_anti")
-    }
-    val assign1 = survivorsOnly(
-        graphAssign2(base, cents).unionByName(graphAssign2(batch, cents))
-          .filter(col("rn") === 1))
-      .select(col("vec_id"), col("c_id"))
-    val qv = survivorsOnly(v.filter(col("vec_id") < 8)).limit(8)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val (gall, served) = graft.Bench.phase("q_graph_delete_apply.serve") {
+      // the seeds derivation (a K-count action) and the survivor-frame
+      // constructions (tombstone schema reads on the takedown arm) run
+      // inside the phase — round-20 attribution sweep
+      val cents = IvfProvision.seeds(base)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      // survivor exclusion: the default lane keeps the fixture predicate
+      // (the audited plan shape); a list-driven takedown anti-joins the
+      // broadcast tombstone list instead — its origin must stay invisible
+      // to the serve plan just as it does to the compaction
+      def survivorsOnly(df: DataFrame): DataFrame = takedown match {
+        case None => df.filter(!deletePred(col("vec_id")))
+        case Some(_) => df.join(
+          broadcast(s.read.parquet(tombPath)), Seq("vec_id"), "left_anti")
+      }
+      val assign1 = survivorsOnly(
+          graphAssign2(base, cents).unionByName(graphAssign2(batch, cents))
+            .filter(col("rn") === 1))
+        .select(col("vec_id"), col("c_id"))
+      val qv = survivorsOnly(v.filter(col("vec_id") < 8)).limit(8)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
       val (_, g) = graphServeCands(assign1, s.table(epochTbl).hint("merge"), v, qv)
       g.count()
       // the top-5 rerank IS the declared output — forced as an eager
@@ -3567,6 +3640,17 @@ object SimilarityQueries {
     val (ell, layerInfo) = graft.Bench.phase("q_ann_recall_beam_layered.build_l1") {
       val nBase = base.count()
       val ell = GraphLayers.layersFor(nBase)
+      // fail LOUD, never drift silently (round-19 verdict item 7): the
+      // engine's derivation is unbounded but the DuckDB oracle's CTE
+      // text is statically unrolled to sqlMaxLayers and its CASE would
+      // silently CLAMP — a fixture past the ceiling must name this
+      // constant, not surface as an opaque hash mismatch. The ceiling is
+      // an oracle-text limitation only (~67M rows at the default stride);
+      // LayerCeilingSpec pins the gate fixtures' headroom.
+      require(ell <= GraphLayers.sqlMaxLayers,
+        s"fixture derives ell=$ell layers but the oracle text unrolls only " +
+        s"sqlMaxLayers=${GraphLayers.sqlMaxLayers} (n=$nBase): regenerate the " +
+        "oracle CTEs or raise the ceiling")
       // frozen base quantizer — the SAME derivation (and the same rn≤2
       // membership text) the stored layer-0 build uses. Wider membership
       // (t=4) was swept at sf0.1 and measured NEUTRAL (11/40 hits either
@@ -4996,14 +5080,20 @@ object SimilarityQueries {
       val b = adcTop5(xhTrained).persist(MEMORY_AND_DISK)
       a.count(); b.count(); (a, b)
     }
-    hitsOf(adcStandin, "n_hit_standin")
-      .join(hitsOf(adcTrained, "n_hit_trained"), "q_id")
-      .crossJoin(mseOf(xhStandin, "mse_standin"))
-      .crossJoin(mseOf(xhTrained, "mse_trained"))
-      .select(col("q_id"),
-        col("n_hit_standin"), (col("n_hit_standin") / lit(5.0)).as("recall_standin"),
-        col("n_hit_trained"), (col("n_hit_trained") / lit(5.0)).as("recall_trained"),
-        col("mse_standin"), col("mse_trained"))
+    // the rollup is NOT O(queries) alone — each mseOf is a corpus-wide
+    // join + ordered fold over the cached x̂ frames — so it is forced
+    // here as the declared output (round-20 sweep: ~15% of this headline
+    // ran in the caller's action); the audit sees the pre-force plan
+    graft.plans.AuditFrames.forced("q_ann_recall_pq_trained", "rollup") {
+      hitsOf(adcStandin, "n_hit_standin")
+        .join(hitsOf(adcTrained, "n_hit_trained"), "q_id")
+        .crossJoin(mseOf(xhStandin, "mse_standin"))
+        .crossJoin(mseOf(xhTrained, "mse_trained"))
+        .select(col("q_id"),
+          col("n_hit_standin"), (col("n_hit_standin") / lit(5.0)).as("recall_standin"),
+          col("n_hit_trained"), (col("n_hit_trained") / lit(5.0)).as("recall_trained"),
+          col("mse_standin"), col("mse_trained"))
+    }
   }
 
   /** Trained-PQ oracle: the identical fixture (in-query md5-parity anchors
@@ -5394,7 +5484,11 @@ object SimilarityQueries {
     val pairs = DedupQueries.embedDupPairsFrom(n)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       .persist(MEMORY_AND_DISK)
-    val cc = DedupQueries.connectedComponents(s, pairs) // (doc_id, comp)
+    // CC's iterative loop runs body-internal actions — phase it so the
+    // clustering cost is attributable next to the scoring pass
+    val cc = graft.Bench.phase("q_hard_negatives.cluster") {
+      DedupQueries.connectedComponents(s, pairs) // (doc_id, comp)
+    }
     val anchorComp = cc.filter(col("doc_id") < 8)
       .select(col("doc_id").as("q_id"), col("comp").as("qcomp"))
     // every member of an anchor's near-dup cluster, keyed by anchor
@@ -5411,9 +5505,13 @@ object SimilarityQueries {
       .join(broadcast(excl),
         col("q_id") === col("eq_id") && col("vec_id") === col("x_id"),
         "left_anti")
-    twoPhaseRank(hard, Seq("q_id"), Seq(col("cos").desc, col("vec_id")), 5, "rank")
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), round(col("cos"), 4).as("cos"))
+    // the exclusion-anti-join + top-5 rerank is the declared output —
+    // forced as an eager leaf (round-20 attribution sweep)
+    graft.plans.AuditFrames.forced("q_hard_negatives", "rank") {
+      twoPhaseRank(hard, Seq("q_id"), Seq(col("cos").desc, col("vec_id")), 5, "rank")
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos"))
+    }
   }
 
   /** Hard-negative oracle: the verified embed-dedup pairs (verbatim

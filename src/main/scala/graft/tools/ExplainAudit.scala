@@ -101,14 +101,25 @@ object ExplainAudit {
     sb.append("BNLJ build-side contract machine-checked per plan (bnljViolations).\n")
     val bnljFailures = scala.collection.mutable.Buffer[String]()
     names.foreach { n =>
-      val qe = SparkEntry.queries(n)(spark, dir).queryExecution
+      graft.plans.AuditFrames.clear()
+      val declared = SparkEntry.queries(n)(spark, dir)
+      // eager-leaf lanes (declared output forced to a localCheckpoint
+      // inside their Bench.phase) register the UN-forced frame in
+      // AuditFrames — audit that plan, not the bare ExistingRDD scan the
+      // checkpoint leaves behind, so the serve plan stays reviewable and
+      // the BNLJ contract is machine-checked over it
+      val (qe, preForce) = graft.plans.AuditFrames.get(n) match {
+        case Some(pre) => (pre.queryExecution, true)
+        case None      => (declared.queryExecution, false)
+      }
       val plan = qe.explainString(ExplainMode.fromString("formatted"))
       val viol = bnljViolations(qe.executedPlan)
       viol.foreach { v =>
         bnljFailures += s"$n: $v"
         System.err.println(s"BNLJ CONTRACT VIOLATION in $n:\n$v")
       }
-      sb.append(s"\n## $n\n\n```\n$plan```\n")
+      val tag = if (preForce) " (pre-force serve plan)" else ""
+      sb.append(s"\n## $n$tag\n\n```\n$plan```\n")
       println(s"========== $n ==========")
       // some declared bodies persist internally, and the stored-index
       // lanes run their writes eagerly at build time BY DESIGN (the

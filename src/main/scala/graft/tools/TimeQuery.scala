@@ -22,25 +22,38 @@ object TimeQuery {
     names.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
-      // drop the warm-up's phase samples so the per-phase mins below
-      // aggregate ONLY the timed reps at sfDir
-      graft.Bench.phaseTimes.clear()
+      import scala.jdk.CollectionConverters._
+      // per-rep phase snapshots, Bench.runRep's capture discipline: the
+      // printed phases come from the SAME rep that produced the min, so
+      // local iteration previews exactly what the artifact will publish
       val times = (1 to reps).map { _ =>
         // cold-cache per rep: a query that persist()s must not carry its
         // cache into the next rep (Bench runs each query exactly once)
         spark.sharedState.cacheManager.clearCache()
+        graft.Bench.phaseTimes.clear()
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9 -> rows
+        val dt = (System.nanoTime() - t0) / 1e9
+        val phs = graft.Bench.phaseTimes.asScala.collect {
+          case (k, ts) if k.startsWith(n + ".") => k -> ts.sum
+        }.toMap
+        (dt, rows, phs)
       }
+      val minRep = times.minBy(_._1)
       println(f"TIME $n rows=${times.head._2} " +
         times.map(t => f"${t._1}%.2f").mkString(" ") +
-        f" min=${times.map(_._1).min}%.2f")
-      import scala.jdk.CollectionConverters._
-      graft.Bench.phaseTimes.asScala.toSeq.sortBy(_._1).foreach {
-        case (ph, samples) =>
-          println(f"PHASE $ph%s min=${samples.min}%.2f n=${samples.size}")
+        f" min=${minRep._1}%.2f")
+      val phs = minRep._3
+      phs.toSeq.sortBy(_._1).foreach { case (ph, t) =>
+        val umbrella =
+          if (phs.keys.exists(o => o != ph && o.startsWith(ph + "."))) " (umbrella)" else ""
+        println(f"PHASE $ph%s ${t}%.2f$umbrella (min rep)")
       }
+      val leafSum = phs.collect {
+        case (k, v) if !phs.keys.exists(o => o != k && o.startsWith(k + ".")) => v
+      }.sum
+      if (phs.nonEmpty)
+        println(f"ATTRIB $n ${100 * leafSum / minRep._1}%.1f%% (leaf sum ${leafSum}%.2f of ${minRep._1}%.2f)")
       graft.Bench.phaseTimes.clear()
     }
     spark.stop()

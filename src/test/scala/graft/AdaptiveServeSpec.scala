@@ -69,8 +69,12 @@ class AdaptiveServeSpec extends SparkSpec {
   test("arm plans: predicate in the right scan, index read only on the IVF arm") {
     // all-exact: no lane reads the stored index, and the pushable lane
     // predicate (label = 3) reaches the EMBEDDINGS parquet scan
-    val exactPlan = SimilarityQueries.adaptiveServe(spark, sf, threshold = Long.MaxValue)
-      .queryExecution.executedPlan.toString
+    // the serve is checkpointed (round-20 attribution sweep) — the plan
+    // pin reads the registered pre-force frame
+    graft.plans.AuditFrames.clear()
+    SimilarityQueries.adaptiveServe(spark, sf, threshold = Long.MaxValue)
+    val exactPlan = graft.plans.AuditFrames.get("q_similarity_filtered_adaptive")
+      .get.queryExecution.executedPlan.toString
     assert(!exactPlan.contains("graft-ivf-adaptive-index"),
       "exact arm must not scan the stored index")
     val embScans = exactPlan.linesIterator
@@ -80,8 +84,10 @@ class AdaptiveServeSpec extends SparkSpec {
       s"lane predicate not pushed to the embeddings scan:\n$embScans")
     // all-IVF: the index scan carries BOTH probe-cell partition filters
     // and the pushable lane predicate as a parquet data filter
-    val ivfPlan = SimilarityQueries.adaptiveServe(spark, sf, threshold = 0L)
-      .queryExecution.executedPlan.toString
+    graft.plans.AuditFrames.clear()
+    SimilarityQueries.adaptiveServe(spark, sf, threshold = 0L)
+    val ivfPlan = graft.plans.AuditFrames.get("q_similarity_filtered_adaptive")
+      .get.queryExecution.executedPlan.toString
     val indexScans = ivfPlan.linesIterator
       .filter(_.contains("graft-ivf-adaptive-index"))
       .mkString("\n")

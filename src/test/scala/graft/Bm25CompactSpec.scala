@@ -21,6 +21,7 @@ class Bm25CompactSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("compaction: fewer files, one folded totals row, store-only rewrite, served bit-equal, bucket pruning") {
+    graft.plans.AuditFrames.clear()
     val (store, epoch, rewritePlan, servedFrag, servedEpoch) =
       TextQueries.bm25CompactServe(spark, dir)
     def parquetFiles(p: String) = new java.io.File(p).listFiles()
@@ -53,9 +54,11 @@ class Bm25CompactSpec extends SparkSpec {
     // serving bit-equality across layouts
     assert(servedFrag.collect().map(_.toString).sorted.toSeq ===
       servedEpoch.collect().map(_.toString).sorted.toSeq)
-    // the epoch's term scan prunes buckets
-    servedEpoch.collect()
-    val plan = servedEpoch.queryExecution.executedPlan.toString
+    // the epoch's term scan prunes buckets — the serve is checkpointed
+    // (round-20 attribution sweep), so the pin reads the registered
+    // pre-force frame
+    val plan = graft.plans.AuditFrames.get("q_bm25_compact")
+      .getOrElse(servedEpoch).queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount"),
       s"epoch serving must bucket-prune the term scan:\n${plan.take(3000)}")
     Bench.cleanup(spark)

@@ -355,4 +355,52 @@ class DeleteApplySpec extends SparkSpec {
     }
     Bench.cleanup(spark)
   }
+
+  test("hybrid list-driven takedown: ONE materialized id table flows through BOTH arms' lifecycles into the fused top-K") {
+    // the four-family list test drives each family's serve in isolation;
+    // this arm composes the SAME production artifact — one id table —
+    // through the RAG capstone (round-19 verdict item 5): both arms'
+    // delete lifecycles take the list, both compactions carry the three
+    // list-contract assertions, and the fusion can surface no listed id
+    // from either column because neither arm can produce one.
+    val listPath = graft.plans.ScratchDirs
+      .unique("graft-hybrid-takedown").getAbsolutePath
+    Tables(spark, dir).documents.filter(col("lang") === "de")
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(40)
+      .write.mode("overwrite").parquet(listPath)
+    val listIds = spark.read.parquet(listPath)
+      .collect().map(_.getLong(0)).toSet
+    assert(listIds.nonEmpty, "fixture has no 'de' docs — empty takedown list")
+    def listAs(c: String) =
+      Some(spark.read.parquet(listPath).select(col("doc_id").as(c)))
+    def checkPlans(name: String, tombstonePlan: String, rewritePlan: String,
+        corpusToken: String): Unit = {
+      assert(rewritePlan.contains("BroadcastExchange"),
+        s"$name: compaction must anti-join a broadcast list")
+      assert(!rewritePlan.contains(corpusToken),
+        s"$name: list-driven compaction re-read the corpus")
+      assert(!rewritePlan.contains("lang") && !tombstonePlan.contains("lang"),
+        s"$name: the list's generating predicate leaked into the store pipeline")
+    }
+    // both lifecycles off the ONE list, exactly the q_hybrid_delete body
+    // with the takedown parameter threaded through
+    val vecR = SimilarityQueries.ivfDeleteServe(spark, dir,
+      queryPred = col("vec_id") === 0, topK = 10, takedown = listAs("vec_id"))
+    checkPlans("ivf", vecR.tombstonePlan, vecR.rewritePlan, "embeddings")
+    val lexR = TextQueries.bm25DeleteServe(spark, dir, takedown = listAs("doc_id"))
+    checkPlans("bm25", lexR.tombstonePlan, lexR.rewritePlan, "documents")
+    val vec = vecR.served.select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+    val fused = SimilarityQueries.rrfFuse(
+      SimilarityQueries.rankLex(lexR.served), vec).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val (docId, rLex, rVec, rrf) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(!listIds(docId), s"takedown'd doc $docId surfaced in the fused top-K")
+      val expect = (if (rLex > 0) 1000000000L / (60 + rLex) else 0L) +
+        (if (rVec > 0) 1000000000L / (60 + rVec) else 0L)
+      assert(rrf === expect, s"rrf_q of $docId is not the integer fold of its ranks")
+    }
+    Bench.cleanup(spark)
+  }
 }

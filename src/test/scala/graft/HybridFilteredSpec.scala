@@ -55,8 +55,12 @@ class HybridFilteredSpec extends SparkSpec {
   }
 
   test("the vector arm's index scan carries partition filters AND the pushed lang filter") {
-    val plan = SparkEntry.queries("q_hybrid_filtered")(spark, sf)
-      .queryExecution.executedPlan.toString
+    // the serve is checkpointed (round-20 attribution sweep) — the plan
+    // pin reads the registered pre-force frame
+    graft.plans.AuditFrames.clear()
+    val declared = SparkEntry.queries("q_hybrid_filtered")(spark, sf)
+    val plan = graft.plans.AuditFrames.get("q_hybrid_filtered")
+      .getOrElse(declared).queryExecution.executedPlan.toString
     val indexScans = plan.linesIterator
       .filter(_.contains("graft-hybrid-filtered-index"))
       .mkString("\n")

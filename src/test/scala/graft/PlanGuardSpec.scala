@@ -9,8 +9,15 @@ class PlanGuardSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  private def planOf(name: String): String = {
+    // eager-leaf lanes checkpoint their declared output and register the
+    // UN-forced frame in AuditFrames (round 20) — guard that plan, not
+    // the bare ExistingRDD scan the checkpoint leaves behind
+    graft.plans.AuditFrames.clear()
+    val declared = SparkEntry.queries(name)(spark, sf)
+    graft.plans.AuditFrames.get(name).getOrElse(declared)
+      .queryExecution.executedPlan.toString
+  }
 
   test("q_meta_series plans exactly ONE parquet scan (single-parse meta lane)") {
     // the round-2 shape parsed the corpus twice; the fused lane must keep

@@ -294,36 +294,34 @@ class StreamingDeleteSpec extends SparkSpec {
     Bench.cleanup(spark)
   }
 
-  test("file-source restart: an uncommitted batch is REDELIVERED under its own batchId and the tombstone layout is a no-op") {
-    // the production redelivery mode the MemoryStream arms cannot show
-    // (round-18 verdict item 6): a FileStreamSource query crashes AFTER
-    // the foreachBatch effect landed but BEFORE the commit log entry —
-    // on restart Structured Streaming re-plans the same offset range and
-    // redelivers the SAME batch under the SAME batchId. Simulated
-    // exactly: run batch 0, stop, remove <ckpt>/commits/0 (offsets/0
-    // stays — the crash-between-effect-and-commit state), restart. The
-    // engine itself redelivers; the takedown append must be a layout
-    // no-op, and the NEXT file then lands as a fresh batch.
+  /** The FileStreamSource crash-restart choreography, shared by all four
+    * families' restart arms (round-19 verdict item 4 — only IVF had the
+    * engine-path restart; the production redelivery mode the MemoryStream
+    * arms cannot show): a query crashes AFTER the foreachBatch effect
+    * landed but BEFORE the commit log entry — on restart Structured
+    * Streaming re-plans the same offset range and redelivers the SAME
+    * batch under the SAME batchId. Simulated exactly: run batch 0, stop,
+    * remove <ckpt>/commits/<bid0> (offsets stays — the
+    * crash-between-effect-and-commit state), restart. The engine itself
+    * redelivers; the family's takedown append must be a layout no-op,
+    * and the NEXT file then lands as a fresh batch extending the
+    * tombstone set to exactly `delIds`. */
+  private def fileSourceRestartArm(idCol: String, delIds: Seq[Long],
+      tombDir: String, append: (DataFrame, Long) => Unit): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    val v = Tables(spark, dir).embeddings
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-    val index = StreamingIvf.buildIndex(spark, v)
-    val delIds = v.filter(col("vec_id") % 10 === 7)
-      .select(col("vec_id")).as[Long].collect().sorted.toSeq
     val (c1, c2) = delIds.splitAt(delIds.length / 2)
     val srcDir = graft.plans.ScratchDirs.unique("graft-del-filesrc").getAbsolutePath
     val ckpt = graft.plans.ScratchDirs.unique("graft-del-fileckpt").getAbsolutePath
     val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     def runStream(): Unit = {
-      val q = spark.readStream.schema("vec_id LONG").parquet(srcDir)
+      val q = spark.readStream.schema(s"$idCol LONG").parquet(srcDir)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty) delivered.synchronized {
-            val rows = batch.select(col("vec_id")).as[Long].collect().toSeq.sorted
-            StreamingIvf.appendDeletes(index, batch, batchId)
+            val rows = batch.select(col(idCol)).as[Long].collect().toSeq.sorted
+            append(batch, batchId)
             delivered += ((batchId, rows))
           }: Unit
         }
@@ -338,14 +336,11 @@ class StreamingDeleteSpec extends SparkSpec {
       assert(spark.streams.active.isEmpty, "previous query failed to release")
     }
     // batch 0: the first chunk arrives as a file
-    c1.toDF("vec_id").coalesce(1).write.mode("append").parquet(srcDir)
+    c1.toDF(idCol).coalesce(1).write.mode("append").parquet(srcDir)
     runStream()
     assert(delivered.size === 1)
     val (bid0, rows0) = delivered.head
-    val tombDir = StreamingIvf.tombstonePath(index)
-    val before = spark.read.parquet(tombDir)
-      .select(col("vec_id"), col("batch_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val before = tombRows(tombDir, idCol)
     assert(before.map(_._1) === c1.sorted)
     // crash-before-commit: the engine wrote offsets/<bid0> and our sink
     // effect landed, but the commit never did
@@ -362,22 +357,81 @@ class StreamingDeleteSpec extends SparkSpec {
     val (bidR, rowsR) = delivered(1)
     assert(bidR === bid0 && rowsR === rows0,
       s"redelivery must replay batch $bid0 verbatim, got $bidR")
-    val after = spark.read.parquet(tombDir)
-      .select(col("vec_id"), col("batch_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    assert(after === before, "a redelivered delete batch must be a layout no-op")
+    assert(tombRows(tombDir, idCol) === before,
+      "a redelivered delete batch must be a layout no-op")
     // the stream continues past the redelivery: the next file is a
     // FRESH batch and the tombstone set extends exactly
-    c2.toDF("vec_id").coalesce(1).write.mode("append").parquet(srcDir)
+    c2.toDF(idCol).coalesce(1).write.mode("append").parquet(srcDir)
     runStream()
     assert(delivered.size === 3 && delivered(2)._1 > bid0)
     val finalTombs = spark.read.parquet(tombDir)
-      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+      .select(col(idCol)).as[Long].collect().sorted.toSeq
     assert(finalTombs === delIds, "tombstones must hold exactly the takedown ids")
+  }
+
+  test("file-source restart (ivf): an uncommitted batch is REDELIVERED under its own batchId and the tombstone layout is a no-op") {
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val index = StreamingIvf.buildIndex(spark, v)
+    val delIds = v.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    fileSourceRestartArm("vec_id", delIds,
+      StreamingIvf.tombstonePath(index),
+      (b, id) => { StreamingIvf.appendDeletes(index, b, id); () })
     // and compaction over the restart-built tombstones drops physically
     val (epochPath, _) = StreamingIvf.compactWithDeletes(spark, index)
     assert(spark.read.parquet(epochPath)
       .filter(col("vec_id").isin(delIds: _*)).count() === 0L)
+    Bench.cleanup(spark)
+  }
+
+  test("file-source restart (graph): engine redelivery is a tombstone no-op; compaction drops incident edges") {
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val index = StreamingGraph.buildIndex(spark, v)
+    val delIds = v.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    fileSourceRestartArm("vec_id", delIds,
+      StreamingGraph.tombstonePath(index),
+      (b, id) => { StreamingGraph.appendDeletes(index, b, id); () })
+    val (epochTbl, _, _) = StreamingGraph.compactWithDeletes(spark, index)
+    assert(spark.table(epochTbl)
+      .filter(col("u").isin(delIds: _*) || col("w").isin(delIds: _*))
+      .count() === 0L)
+    Bench.cleanup(spark)
+  }
+
+  test("file-source restart (bm25): engine redelivery is a tombstone no-op; compaction drops both per-doc artifacts") {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val store = StreamingBm25.buildIndex(spark, docs)
+    val delIds = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    fileSourceRestartArm("doc_id", delIds,
+      StreamingBm25.tombstonePath(store),
+      (b, id) => { StreamingBm25.appendDeletes(store, b, id); () })
+    val (epoch, _) = StreamingBm25.compactWithDeletes(spark, store)
+    Seq("postings", "docstats").foreach { a =>
+      assert(spark.read.parquet(s"$epoch/$a")
+        .filter(col("doc_id").isin(delIds: _*)).count() === 0L,
+        s"a tombstoned doc survived in $a")
+    }
+    Bench.cleanup(spark)
+  }
+
+  test("file-source restart (dedup): engine redelivery is a tombstone no-op; compaction drops both index artifacts") {
+    val corpus = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("text"))
+    val index = StreamingDedup.buildIndex(spark, corpus)
+    val delIds = corpus.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    fileSourceRestartArm("doc_id", delIds,
+      StreamingDedup.tombstonePath(index),
+      (b, id) => { StreamingDedup.appendDeletes(index, b, id); () })
+    val (epochIndex, _) = StreamingDedup.compactWithDeletes(spark, index)
+    assert(epochIndex.bands.filter(col("doc_b").isin(delIds: _*)).count() === 0L)
+    assert(epochIndex.shingles.filter(col("doc_b").isin(delIds: _*)).count() === 0L)
     Bench.cleanup(spark)
   }
 }
