@@ -892,7 +892,8 @@ object SimilarityQueries {
       p
     }
     val (servedPre, servedLeaf) = graft.Bench.phase("q_similarity_ivf_compact.serve") {
-      val pre = serveStoredIndex(s, v, cents, compPath)
+      val pre = graft.plans.AuditFrames.put("q_similarity_ivf_compact",
+        serveStoredIndex(s, v, cents, compPath))
       (pre, pre.localCheckpoint(true))
     }
     (fragPath, compPath, rewritePlan, servedPre, servedLeaf)
@@ -1400,7 +1401,8 @@ object SimilarityQueries {
     // explicitly (the 10-row fused result is cached; the caller's action
     // re-reads the cache)
     graft.Bench.phase("q_hybrid_incremental.serve") {
-      val fused = rrfFuse(rankLex(lexServed), vec)
+      val fused = graft.plans.AuditFrames.put("q_hybrid_incremental",
+          rrfFuse(rankLex(lexServed), vec))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       fused.count()
       fused
@@ -1442,7 +1444,8 @@ object SimilarityQueries {
       TextQueries.bm25DeleteServe(s, dir, phase = "q_hybrid_delete.bm25_lifecycle").served
     }
     graft.Bench.phase("q_hybrid_delete.serve") {
-      val fused = rrfFuse(rankLex(lexServed), vec)
+      val fused = graft.plans.AuditFrames.put("q_hybrid_delete",
+          rrfFuse(rankLex(lexServed), vec))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       fused.count()
       fused

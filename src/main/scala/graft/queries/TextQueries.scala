@@ -795,7 +795,8 @@ object TextQueries {
     val served = graft.Bench.phase("q_bm25_incremental.serve") {
       // the merged-artifact top-10 IS the declared output — forced as an
       // eager leaf so the serve cost lands in its phase
-      bm25ServeStored(s, store).localCheckpoint(true)
+      graft.plans.AuditFrames.put("q_bm25_incremental",
+        bm25ServeStored(s, store)).localCheckpoint(true)
     }
     (store, ingestPlan, served)
   }
