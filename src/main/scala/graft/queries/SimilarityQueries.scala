@@ -1169,23 +1169,28 @@ object SimilarityQueries {
     * N/100 rows here). */
   private[graft] def ivfRetrainBuildV0(s: SparkSession, dir: String): RetrainCtx = {
     import s.implicits._
-    val vq = Tables(s, dir).embeddings
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000000d + 0.5d)).as("vq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (seedDf, k) = IvfProvision.seedsAndK(vq)
-    val seeds: Seq[(Long, Array[Long])] = seedDf
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-      .sortBy(_._1).toSeq
-    require(seeds.length <= k && k <= IvfProvision.maxCells,
-      s"seed rule must be bounded: got ${seeds.length} seeds, k=$k " +
-        s"(cap ${IvfProvision.maxCells})")
-    val store = graft.plans.ScratchDirs.unique("graft-ivf-retrain").getAbsolutePath
-    assignCellsL2(vq, broadcastableCents(s, seeds))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$store/v0")
-    RetrainCtx(store, vq, seeds)
+    // phase-timed (round-20 attribution sweep: the lane crossed the
+    // multi-second bar with zero phases): the seed collect and the
+    // epoch-0 write are the one-time build cost
+    graft.Bench.phase("q_ivf_retrain_apply.build") {
+      val vq = Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000d + 0.5d)).as("vq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (seedDf, k) = IvfProvision.seedsAndK(vq)
+      val seeds: Seq[(Long, Array[Long])] = seedDf
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1).toSeq
+      require(seeds.length <= k && k <= IvfProvision.maxCells,
+        s"seed rule must be bounded: got ${seeds.length} seeds, k=$k " +
+          s"(cap ${IvfProvision.maxCells})")
+      val store = graft.plans.ScratchDirs.unique("graft-ivf-retrain").getAbsolutePath
+      assignCellsL2(vq, broadcastableCents(s, seeds))
+        .write.mode("overwrite").partitionBy("c_id").parquet(s"$store/v0")
+      RetrainCtx(store, vq, seeds)
+    }
   }
 
   /** A driver-local K-row centroid seq as the (c_id, cq) frame the
@@ -1210,6 +1215,9 @@ object SimilarityQueries {
     * the epoch the decision selects. */
   private[graft] def ivfRetrainFinish(s: SparkSession, ctx: RetrainCtx): RetrainResult = {
     import s.implicits._
+    // the O(cells) health report, the trigger decision, and the
+    // conditional retrain+rebuild — one phase (round-20 sweep)
+    val (flagged, epoch, cents) = graft.Bench.phase("q_ivf_retrain_apply.retrain") {
     val counts = s.read.parquet(s"${ctx.store}/v0")
       .groupBy(col("c_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getAs[Number]("c_id").longValue(), r.getLong(1)))
@@ -1235,8 +1243,13 @@ object SimilarityQueries {
           .write.mode("overwrite").partitionBy("c_id").parquet(s"${ctx.store}/v1")
         (1L, trained)
       }
+    (flagged, epoch, cents)
+    }
     // probe-2 top-3 serving over the selected epoch: probe cells as
-    // partition-filter literals, exactly the stored-serving contract
+    // partition-filter literals, exactly the stored-serving contract —
+    // the probe-cell collect and the declared output run inside the
+    // serve phase as an eager leaf; the audit sees the pre-force plan
+    graft.Bench.phase("q_ivf_retrain_apply.serve") {
     val centsDf = cents.toDF("c_id", "cq")
     val q2 = ctx.vq.filter(col("vec_id") < 8).limit(8)
       .crossJoin(broadcast(centsDf))
@@ -1261,7 +1274,11 @@ object SimilarityQueries {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("rank"), col("d"),
         lit(epoch).as("epoch"), lit(flagged).as("n_flagged"))
-    RetrainResult(served, epoch, cents)
+    RetrainResult(
+      graft.plans.AuditFrames.put("q_ivf_retrain_apply", served)
+        .localCheckpoint(true),
+      epoch, cents)
+    }
   }
 
   /** q_ivf_retrain_apply oracle: the shared quantized corpus, the frozen

@@ -99,8 +99,11 @@ class IvfRetrainSpec extends SparkSpec {
       "no-op branch must not create an epoch-1 directory")
     assert(rows.map(_.getLong(4)).distinct.toSeq === Seq(0L), "must serve epoch 0")
     assert(rows.map(_.getLong(5)).distinct.toSeq === Seq(0L))
-    // serving is partition-pruned to the probe cells on the serving epoch
-    val plan = served.queryExecution.executedPlan.toString
+    // serving is partition-pruned to the probe cells on the serving
+    // epoch — the serve is checkpointed (round-20 attribution sweep), so
+    // the plan pin reads the registered pre-force frame
+    val plan = graft.plans.AuditFrames.get("q_ivf_retrain_apply")
+      .getOrElse(served).queryExecution.executedPlan.toString
     val indexScans = plan.linesIterator
       .filter(_.contains("graft-ivf-retrain")).mkString("\n")
     assert(indexScans.nonEmpty, s"index scan not found:\n${plan.take(3000)}")
