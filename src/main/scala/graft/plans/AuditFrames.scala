@@ -30,7 +30,16 @@ object AuditFrames {
     pre
   }
 
-  def get(name: String): Option[DataFrame] = Option(frames.get(name))
+  /** The registered object has usually been EXECUTED by the forcing
+    * checkpoint (same QueryExecution): its AQE plan is finalized and
+    * `executedPlan.toString` then prints BOTH the final and the initial
+    * plan sections — doubling every node count a plan-guard greps for.
+    * Hand back a fresh wrapper over the same analyzed logical plan
+    * instead: one pristine, unexecuted QueryExecution (the extra
+    * Project(*) is plan-shape-neutral). */
+  def get(name: String): Option[DataFrame] =
+    Option(frames.get(name))
+      .map(_.select(org.apache.spark.sql.functions.col("*")))
 
   /** ExplainAudit clears between lanes so a stale registration from a
     * previous lane (or a helper invoked with another lane's prefix)

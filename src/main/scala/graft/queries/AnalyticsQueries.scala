@@ -1064,23 +1064,30 @@ object AnalyticsQueries {
           struct((col("p") + 1000000L).as("src"), col("s").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // one scalar driver action for the source id — the loop family's
-      // per-round actions dwarf this
-      val root = sp.agg(min(col("s"))).head.getLong(0)
-      val (levels, rounds) = bfsLevels(s, edges, root, 64)
+      // per-round actions dwarf this. The loop does its work in
+      // body-internal actions — phased, the q_pagerank_converge shape
+      // (round-20 attribution sweep: the lane drifts across the
+      // multi-second bar between runs)
+      val (levels, rounds) = graft.Bench.phase("q_bfs_levels.iterate") {
+        val root = sp.agg(min(col("s"))).head.getLong(0)
+        bfsLevels(s, edges, root, 64)
+      }
       // node total from the EDGE frame itself (count DISTINCT src over
       // both directions) — exactly the oracle's derivation, so the two
       // sides cannot diverge even if fixture suppkeys ever grew past the
       // 1e6 partkey offset: a collision would then be counted once on
       // BOTH sides instead of double-counted on one; edges derives from
       // the cached pair frame, so this is still one scan of the cache
-      val totals = edges
-        .agg(countDistinct(col("src")).as("n_nodes_total"))
-        .crossJoin(broadcast(levels.agg(count(lit(1)).as("n_reached"))))
-      levels.groupBy(col("lvl").as("level"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(broadcast(totals))
-        .select(col("level"), col("n_nodes"), lit(rounds.toLong).as("n_rounds"),
-          (col("n_nodes_total") - col("n_reached")).as("n_unreached"))
+      graft.plans.AuditFrames.forced("q_bfs_levels", "rollup") {
+        val totals = edges
+          .agg(countDistinct(col("src")).as("n_nodes_total"))
+          .crossJoin(broadcast(levels.agg(count(lit(1)).as("n_reached"))))
+        levels.groupBy(col("lvl").as("level"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(broadcast(totals))
+          .select(col("level"), col("n_nodes"), lit(rounds.toLong).as("n_rounds"),
+            (col("n_nodes_total") - col("n_reached")).as("n_unreached"))
+      }
     },
 
     // ★ Z-order layout key — multi-dimensional data clustering for the

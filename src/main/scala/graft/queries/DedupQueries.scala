@@ -387,7 +387,10 @@ object DedupQueries {
       // per-doc arrays once, like the ngram index
       val sarr = shingleArrays(corpus(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      jaccardVerify(sarr, minhashCandsFrom(sarr), 0.3)
+      // one forced phase (the lane hovers at the multi-second bar)
+      graft.plans.AuditFrames.forced("q_dedup_minhash", "verify") {
+        jaccardVerify(sarr, minhashCandsFrom(sarr), 0.3)
+      }
     },
 
     // ★ Dedup-family evaluation harness (the q_ann_recall of fuzzy dedup):
@@ -856,7 +859,12 @@ object DedupQueries {
          |SELECT doc_a AS doc_batch, doc_b AS dup_of, jac FROM (
          |${jaccardSql("pairs", 0.3)})""".stripMargin
     ) { (s, dir) =>
-      incrementalDedupStored(s, corpus(s, dir), 1000000L, 0.3)
+      // one forced phase over the whole build+serve (the helper's
+      // bucketed-store write runs eagerly inside it); the direct helper
+      // calls StoredIndexDedupSpec plan-pins stay un-forced
+      graft.plans.AuditFrames.forced("q_dedup_incremental_stored", "serve") {
+        incrementalDedupStored(s, corpus(s, dir), 1000000L, 0.3)
+      }
     },
 
     // ★ Tombstone DELETE for the stored dedup band index — the takedown

@@ -734,7 +734,10 @@ object PipelineQueries {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val pairs = DedupQueries.simhashPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).persist(MEMORY_AND_DISK)
-      val comp = DedupQueries.connectedComponents(s, pairs) // (doc_id, comp)
+      // CC's loop actions phased (round-20 attribution sweep)
+      val comp = graft.Bench.phase("q_split_leakfree.cluster") {
+        DedupQueries.connectedComponents(s, pairs) // (doc_id, comp)
+      }
       val d = Tables(s, dir).documents.select(col("doc_id"))
       val ids = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id")))
       val asg = ids.join(comp, Seq("doc_id"), "left")
@@ -761,7 +764,9 @@ object PipelineQueries {
         crossed.crossJoin(sizes).select(lit(name).as("scheme"),
           col("n_cross"), col("n_train"), col("n_val"), col("n_test"))
       }
-      scheme("group", "split_group").unionByName(scheme("naive", "split_naive"))
+      graft.plans.AuditFrames.forced("q_split_leakfree", "rollup") {
+        scheme("group", "split_group").unionByName(scheme("naive", "split_naive"))
+      }
     },
 
     // ★ Importance resampling for domain-targeted data selection — the

@@ -1352,16 +1352,23 @@ object SimilarityQueries {
     val v = Tables(s, dir).embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (a, x) => a + x)))
-    val cents = IvfProvision.seeds(v)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // build (seeds K-count + index write) and serve phased — the lane
+    // hovers at the multi-second bar between runs (round-20 sweep)
     val path = graft.plans.ScratchDirs.unique("graft-hybrid-index").getAbsolutePath
-    assignCells(v, cents, Seq("e", "nrm"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(path)
-    val vec = serveStoredIndex(s, v, cents, path,
-        queryPred = col("vec_id") === 0, topK = 10)
-      .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
-    rrfFuse(rankLex(TextQueries.bm25Scored(s, dir)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(10)), vec)
+    val cents = graft.Bench.phase("q_hybrid_retrieval.build") {
+      val c = IvfProvision.seeds(v)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      assignCells(v, c, Seq("e", "nrm"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(path)
+      c
+    }
+    graft.plans.AuditFrames.forced("q_hybrid_retrieval", "serve") {
+      val vec = serveStoredIndex(s, v, cents, path,
+          queryPred = col("vec_id") === 0, topK = 10)
+        .select(col("vec_id").as("doc_id"), col("rank").as("r_vec"))
+      rrfFuse(rankLex(TextQueries.bm25Scored(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)), vec)
+    }
   }
 
   /** Rank an already-bounded lexical top-10 frame (doc_id, bm25):

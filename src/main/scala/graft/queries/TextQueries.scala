@@ -887,7 +887,13 @@ object TextQueries {
     q(
       "q_bpe_train_converge",
       bpeConvergeSql
-    ) { (s, dir) => bpeTrainConverge(s, Tables(s, dir).documents) },
+    ) { (s, dir) =>
+      // loop actions + declared rollup in one forced phase (the lane
+      // hovers at the multi-second bar between runs)
+      graft.plans.AuditFrames.forced("q_bpe_train_converge", "train") {
+        bpeTrainConverge(s, Tables(s, dir).documents)
+      }
+    },
 
     // ★ BPE ENCODE — the corpus-scale step a real pipeline runs after
     // training: map every document to its token-ID sequence under the
@@ -912,7 +918,12 @@ object TextQueries {
     ) { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
-      val (learned, finalVocab) = bpeTrainLoop(s, docs)
+      // trainer loop actions phased; the encode is the declared output,
+      // forced as an eager leaf (round-20 attribution sweep — the lane
+      // hovers at the multi-second bar between runs)
+      val (learned, finalVocab) = graft.Bench.phase("q_bpe_encode.train") {
+        bpeTrainLoop(s, docs)
+      }
       val ids = bpeIdAssignment(learned)
       val idMap = map_from_arrays(
         lit(ids.keys.toArray), lit(ids.values.toArray))
@@ -920,28 +931,30 @@ object TextQueries {
         transform(col("L"), sym =>
           when(length(sym) === 1, ascii(sym))
             .otherwise(element_at(idMap, sym))).as("ids"))
-      val dw = docs
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .filter(length(col("word")) >= 1)
-      val out = dw.join(ev, "word")
-        .groupBy(col("doc_id"))
-        .agg(
-          flatten(transform(
-            sort_array(collect_list(struct(col("pos"), col("ids")))),
-            x => x.getField("ids"))).as("idseq"),
-          sum(length(col("word"))).as("n_chars"))
-        .select(col("doc_id"),
-          size(col("idseq")).cast("long").as("n_tokens"),
-          col("n_chars"),
-          (floor(col("n_chars").cast("double") / size(col("idseq")) * 1e6) / 1e6 + 0.0)
-            .as("cpt"),
-          md5(concat_ws(",", transform(col("idseq"), x => x.cast("string"))))
-            .as("ids_fp"))
-      // the vocabulary frame has served its purpose once `ev` is joined;
-      // the result plan still references it, so release is deferred to
-      // Bench.cleanup / session end (bounded: one O(vocab) checkpoint)
-      out
+      graft.plans.AuditFrames.forced("q_bpe_encode", "encode") {
+        val dw = docs
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .filter(length(col("word")) >= 1)
+        // the vocabulary frame has served its purpose once `ev` is
+        // joined; the result plan still references it, so release is
+        // deferred to Bench.cleanup / session end (bounded: one
+        // O(vocab) checkpoint)
+        dw.join(ev, "word")
+          .groupBy(col("doc_id"))
+          .agg(
+            flatten(transform(
+              sort_array(collect_list(struct(col("pos"), col("ids")))),
+              x => x.getField("ids"))).as("idseq"),
+            sum(length(col("word"))).as("n_chars"))
+          .select(col("doc_id"),
+            size(col("idseq")).cast("long").as("n_tokens"),
+            col("n_chars"),
+            (floor(col("n_chars").cast("double") / size(col("idseq")) * 1e6) / 1e6 + 0.0)
+              .as("cpt"),
+            md5(concat_ws(",", transform(col("idseq"), x => x.cast("string"))))
+              .as("ids_fp"))
+      }
     },
 
     // ★ Unigram-LM tokenizer training, ONE hard-EM step — the BPE
