@@ -404,31 +404,36 @@ object DedupQueries {
       "q_dedup_minhash_recall",
       minhashRecallSql
     ) { (s, dir) =>
-      val sa = shingleArrays(corpus(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // phase timers: the harness runs TWO capped stages (exact-Jaccard
       // ground truth + LSH candidates) — attribute them separately so
-      // the bench artifact explains the headline without re-profiling
-      val truth = graft.Bench.phase("q_dedup_minhash_recall.truth") {
+      // the bench artifact explains the headline without re-profiling.
+      // Frame construction (the corpus scan's driver file listing after
+      // the inter-rep cache clear) runs inside the first phase — it was
+      // this lane's unattributed residual (round-20 sweep).
+      val (sa, truth) = graft.Bench.phase("q_dedup_minhash_recall.truth") {
+        val sa = shingleArrays(corpus(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val t = ngramJaccardFrom(sa).select(col("doc_a"), col("doc_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        t.count(); t
+        t.count(); (sa, t)
       }
       val cands = graft.Bench.phase("q_dedup_minhash_recall.candidates") {
         val c = minhashCandsFrom(sa)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count(); c
       }
-      val nCand = cands.agg(count(lit(1)).as("n_cand"))
-      truth
-        .join(cands.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("n_truth"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .crossJoin(broadcast(nCand))
-        .select(col("n_truth"), col("n_cand"), col("n_hit"),
-          // floor-first: recall is a small-integer ratio (the decimal-
-          // half class where engine round() semantics diverge)
-          CrossRound.col(col("n_hit") / col("n_truth"), 4).as("recall"))
+      graft.plans.AuditFrames.forced("q_dedup_minhash_recall", "rollup") {
+        val nCand = cands.agg(count(lit(1)).as("n_cand"))
+        truth
+          .join(cands.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .crossJoin(broadcast(nCand))
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            // floor-first: recall is a small-integer ratio (the decimal-
+            // half class where engine round() semantics diverge)
+            CrossRound.col(col("n_hit") / col("n_truth"), 4).as("recall"))
+      }
     },
 
     // ★ Edit-distance verify — the character-level near-dup family:

@@ -5507,14 +5507,17 @@ object SimilarityQueries {
   ) { (s, dir) =>
     import graft.functions.VectorExpressions.cosineSimilarity
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val n = DedupQueries.embedCorpus(s, dir).persist(MEMORY_AND_DISK)
-    val pairs = DedupQueries.embedDupPairsFrom(n)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      .persist(MEMORY_AND_DISK)
     // CC's iterative loop runs body-internal actions — phase it so the
-    // clustering cost is attributable next to the scoring pass
-    val cc = graft.Bench.phase("q_hard_negatives.cluster") {
-      DedupQueries.connectedComponents(s, pairs) // (doc_id, comp)
+    // clustering cost is attributable next to the scoring pass. Frame
+    // CONSTRUCTION runs inside too: s.read.parquet's driver file listing
+    // after the inter-rep cache clear was this lane's unattributed
+    // residual (round-20 sweep).
+    val (n, pairs, cc) = graft.Bench.phase("q_hard_negatives.cluster") {
+      val n = DedupQueries.embedCorpus(s, dir).persist(MEMORY_AND_DISK)
+      val pairs = DedupQueries.embedDupPairsFrom(n)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .persist(MEMORY_AND_DISK)
+      (n, pairs, DedupQueries.connectedComponents(s, pairs)) // (doc_id, comp)
     }
     val anchorComp = cc.filter(col("doc_id") < 8)
       .select(col("doc_id").as("q_id"), col("comp").as("qcomp"))
