@@ -1340,7 +1340,15 @@ object AnalyticsQueries {
     // OPTIMIZE — splitting the timer makes a regression in the headline
     // number attributable without re-profiling (round-11 review item).
     graft.Bench.phase("q_compact_apply.manufacture") {
-      ev.repartition(col("day"), col("hr"))
+      // explicit partition count: with `repartition(cols)` alone AQE is
+      // free to coalesce the tiny shuffle to 2-3 partitions, serializing
+      // the ~720 parquet file creates onto 3 tasks (measured 7.3 s of
+      // this phase — guide §2.5/§6: the file-create cost, not the bytes,
+      // is the work here, so it must spread over the cluster). With the
+      // (day, hr) hash spread over defaultParallelism tasks each task
+      // creates ~#dirs/#cores files; at real scale a day×hour ingest is
+      // naturally this parallel.
+      ev.repartition(s.sparkContext.defaultParallelism, col("day"), col("hr"))
         .write.mode("overwrite").partitionBy("day", "hr").parquet(fragPath)
     }
     val frag = s.read.parquet(fragPath).select(

@@ -98,6 +98,15 @@ object DedupQueries {
     cands
       .join(sa, "doc_a")
       .join(sb, "doc_b")
+      // spread the exact-Jaccard verify by the full pair key before the
+      // per-pair array_intersect (guide §2.5): capped buckets keep the
+      // LOWEST ids, so doc_a is hot on low ids and the broadcast-cands
+      // plan serializes the verify into the few stream partitions owning
+      // them (the q_dedup_edit_verify skew, measured there at ~1.1x
+      // wall-to-cpu). Explicit count — AQE sizes by bytes and would
+      // coalesce the KB-sized pair shuffle back to one partition.
+      .repartition(cands.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
@@ -474,6 +483,19 @@ object DedupQueries {
       val x = c.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val y = c.select(col("doc_id").as("doc_b"), col("text").as("tb"))
       val withLev = cands.join(x, "doc_a").join(y, "doc_b")
+        // spread the DP by the FULL pair key before any per-pair work
+        // (guide §2.5 — hot keys): cappedBucketPairs keeps the LOWEST-cap
+        // ids per bucket, so doc_a concentrates on low ids and the
+        // planner's broadcast-cands join runs every pair's O(len·t)
+        // Levenshtein inside the one corpus partition owning those ids —
+        // measured 3.6 s of DP cpu at ~1.1x wall (sequential) on a
+        // 32-core host. Pair-key hash has no hot key by construction.
+        // Explicit partition count: the pair frame is KB-sized, so AQE
+        // would coalesce a bare repartition right back to one partition —
+        // the cost model sees bytes, not DP rows (same trap as the
+        // q_compact_apply file-create write).
+        .repartition(s.sparkContext.defaultParallelism,
+          col("doc_a"), col("doc_b"))
         .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
         // lev ≥ |len(a) − len(b)|: a pair whose length gap already exceeds
         // 0.4·mx can't reach sim ≥ 0.6 — prune before any DP runs

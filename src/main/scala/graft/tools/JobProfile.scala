@@ -29,12 +29,25 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new ConcurrentLinkedQueue[Job]()
     val live = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    // per-stage executor metrics: (stageId, wall ms, runTime ms, cpuTime
+    // ms, gc ms, task count) — splits a slow job into compute vs GC vs
+    // scheduling without the UI
+    val stageMetrics = new ConcurrentLinkedQueue[(Int, Long, Long, Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val tm = si.taskMetrics
+        if (tm != null) stageMetrics.add((si.stageId,
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          tm.executorRunTime, tm.executorCpuTime / 1000000L,
+          tm.jvmGCTime, si.numTasks))
+      }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
@@ -55,7 +68,7 @@ object JobProfile {
       try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case e: Throwable => System.err.println(s"warm $n: $e") }
       graft.Bench.cleanup(spark)
-      jobs.clear(); live.clear()
+      jobs.clear(); live.clear(); stageMetrics.clear()
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -70,6 +83,11 @@ object JobProfile {
         val dt = (j.finished - j.submitted) / 1e3
         if (dt >= 0.02)
           println(f"  JOB ${j.id}%4d ${dt}%6.2fs stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.desc.take(110)}")
+      }
+      stageMetrics.asScala.toSeq.sortBy(_._1).foreach {
+        case (sid, wall, run, cpu, gc, nt) =>
+          if (wall >= 100)
+            println(f"  STAGE $sid%4d wall=${wall / 1e3}%6.2fs run=${run / 1e3}%7.2fs cpu=${cpu / 1e3}%7.2fs gc=${gc / 1e3}%5.2fs tasks=$nt%4d")
       }
       graft.Bench.cleanup(spark)
     }

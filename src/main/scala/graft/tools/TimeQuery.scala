@@ -17,6 +17,7 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
@@ -27,9 +28,14 @@ object TimeQuery {
       // printed phases come from the SAME rep that produced the min, so
       // local iteration previews exactly what the artifact will publish
       val times = (1 to reps).map { _ =>
-        // cold-cache per rep: a query that persist()s must not carry its
-        // cache into the next rep (Bench runs each query exactly once)
-        spark.sharedState.cacheManager.clearCache()
+        // cold-cache per rep with Bench's EXACT cleanup discipline
+        // (clearCache + unpersist every persistent RDD + System.gc):
+        // clearCache alone leaves localCheckpoint blocks accumulating
+        // across reps, and the storage-pool pressure lands as roving
+        // multi-second GC spikes in later reps — the same pathology
+        // Bench.cleanup documents, measured here as a 23/43/23 s rep
+        // profile on a lane Bench times at 8.7 s.
+        graft.Bench.cleanup(spark)
         graft.Bench.phaseTimes.clear()
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
