@@ -111,6 +111,7 @@ object Bench {
     // at rep end; a phase that executes twice within one rep (a loop)
     // sums, because both executions are inside this rep's wall time.
     phaseTimes.clear()
+    currentLane = name
     val s0 = stealJiffies()
     val t0 = System.nanoTime()
     val ok =
@@ -128,6 +129,7 @@ object Bench {
     val phs = phaseTimes.asScala.collect {
       case (k, ts) if k.startsWith(name + ".") => k -> ts.sum
     }.toMap
+    currentLane = null
     cleanup(spark)
     val stealFrac =
       if (dt > 0) steal.toDouble / (dt * 100.0 * hostCpus) else 0.0
@@ -143,6 +145,35 @@ object Bench {
     * Bench reads this. */
   val phaseTimes =
     new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+
+  /** Lane whose rep is currently inside runRep's timed region — the
+    * scheduler listener attributes completed stages to it so the artifact
+    * can carry per-lane task/parallelism stats (round-20 verdict item 7:
+    * job-overhead-bound lanes should be machine-visible from one run, not
+    * inferred from cross-config runs). Null outside reps (warm-up,
+    * calibration, cleanup) so stray stages never charge a lane.
+    * @volatile: written by the driver thread, read by the listener bus. */
+  @volatile private var currentLane: String = null
+
+  /** Per-lane scheduler stats accumulated across ALL reps (stats describe
+    * the lane's job structure, which is identical across reps):
+    * (stages, tasks, max tasks in any one stage). */
+  val laneStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  private def installLaneStatsListener(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val lane = currentLane
+          if (lane != null) {
+            val nt = e.stageInfo.numTasks.toLong
+            laneStats.merge(lane, (1L, nt, nt), (a, b) =>
+              (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
+          }
+        }
+      })
 
   /** Time `body` into [[phaseTimes]] under `name`. Records ONLY on
     * successful completion: a body that throws mid-phase would otherwise
@@ -188,6 +219,7 @@ object Bench {
       .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installLaneStatsListener(spark)
 
     // one untimed probe first: the very first run of the loop pays JIT
     // compilation, so an unwarmed calib_pre can read 10-30% slower than
@@ -205,12 +237,18 @@ object Bench {
     // "calib_pre_healthy" so a polluted run can never masquerade as a
     // clean one.
     val CALIB_HEALTHY_RATIO = 1.1
+    // Wait-loop cap, env-tunable (round-20 verdict item 8): official
+    // artifacts should come from a healthy window, so a local official
+    // run can raise the cap (e.g. GRAFT_BENCH_CALIB_WAITS=60 = 10 min);
+    // the default stays 12 so driver-run benches never stall >2 min.
+    val maxWaits =
+      sys.env.getOrElse("GRAFT_BENCH_CALIB_WAITS", "12").toInt
     var calibPre = calibrate()
     var calibWaits = 0
-    while (calibPre > CALIB_HEALTHY_RATIO * REF_CALIB && calibWaits < 12) {
+    while (calibPre > CALIB_HEALTHY_RATIO * REF_CALIB && calibWaits < maxWaits) {
       calibWaits += 1
       System.err.println(
-        s"BENCH CALIB UNHEALTHY (${d4s(calibPre)} > ${CALIB_HEALTHY_RATIO}x$REF_CALIB), wait $calibWaits/12")
+        s"BENCH CALIB UNHEALTHY (${d4s(calibPre)} > ${CALIB_HEALTHY_RATIO}x$REF_CALIB), wait $calibWaits/$maxWaits")
       Thread.sleep(10000)
       calibPre = calibrate()
     }
@@ -229,10 +267,10 @@ object Bench {
     val PAR_HEALTHY_RATIO = 1.5
     var calibParPre = calibratePar()
     var parWaits = 0
-    while (calibParPre > PAR_HEALTHY_RATIO * calibPre && parWaits < 12) {
+    while (calibParPre > PAR_HEALTHY_RATIO * calibPre && parWaits < maxWaits) {
       parWaits += 1
       System.err.println(
-        s"BENCH PAR CALIB UNHEALTHY (${d4s(calibParPre)} > ${PAR_HEALTHY_RATIO}x${d4s(calibPre)}), wait $parWaits/12")
+        s"BENCH PAR CALIB UNHEALTHY (${d4s(calibParPre)} > ${PAR_HEALTHY_RATIO}x${d4s(calibPre)}), wait $parWaits/$maxWaits")
       Thread.sleep(10000)
       calibPre = math.min(calibPre, calibrate())
       calibParPre = calibratePar()
@@ -467,7 +505,17 @@ object Bench {
         else repKinds(n)(idx)
       n -> ("\"" + kind + "\"")
     })
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"phase_umbrellas":$umbrellaArr,"phase_provenance":"min-rep","phase_sum_ok":$phaseSumOk,"phase_sum_violations":$phaseViolArr,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"isolated":$isolatedArr,"min_rep_kind":$minRepKind,"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_pre_healthy":$calibParPreHealthy,"par_wait_retries":$parWaits,"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
+    // Per-lane scheduler stats (round-20 verdict item 7): stage/task
+    // counts accumulated by the listener across ALL of the lane's reps
+    // (divide by "reps" for per-rep structure; max_stage_tasks is
+    // rep-invariant). A lane with many stages but max_stage_tasks far
+    // below the core count is job-overhead-bound, machine-visibly, from
+    // one artifact — no cross-config run needed.
+    val laneStatsJson = obj(names.map { n =>
+      val (st, tk, mx) = Option(laneStats.get(n)).getOrElse((0L, 0L, 0L))
+      n -> s"""{"reps":${times(n).size},"stages":$st,"tasks":$tk,"max_stage_tasks":$mx}"""
+    })
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"phase_umbrellas":$umbrellaArr,"phase_provenance":"min-rep","phase_sum_ok":$phaseSumOk,"phase_sum_violations":$phaseViolArr,"failed":$failed,"reps_base":$REPS_BASE,"agg":"min","norm":"segment-drift+global-anchor","segment_size":$SEGMENT,"rep_times":$repTimes,"rep_steal":$repSteal,"rep_calib":$repCalib,"lane_stats":$laneStatsJson,"steal_frac_threshold":$STEAL_FRAC,"disagree_ratio":$DISAGREE,"retried":${suspects.size},"isolated":$isolatedArr,"min_rep_kind":$minRepKind,"host_cpus":$hostCpus,"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_wait_retries":$calibWaits,"calib_post":${d4(calibPost)},"calib_par_pre":${d4(calibParPre)},"calib_par_pre_healthy":$calibParPreHealthy,"par_wait_retries":$parWaits,"calib_par_post":${d4(calibParPost)},"ref_calib":$REF_CALIB,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}"""
     println(full)
     // The full line is long and has been tail-truncated in past round
     // artifacts; persist it and follow with a SHORT headline line so any
@@ -480,6 +528,16 @@ object Bench {
         System.err.println(s"BENCH: could not write bench_latest.json: ${e.getMessage}")
     }
     println(s"""{"metric":"total_summary","value":${d4(total)},"unit":"sec","nqueries":${names.size},"failed":${results.values.count(_ < 0)},"retried":${suspects.size},"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_post":${d4(calibPost)},"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}""")
+    // LAST stdout line (round-20 verdict item 2): the full provenance line
+    // is ~45 KB (per-rep arrays for 200+ lanes) and has been tail-truncated
+    // in every driver capture since r14, so PERF_* carried no per-query
+    // table. This line is the driver contract line in COMPACT form —
+    // metric/value/unit/queries/sf only, 4-decimal seconds, no rep arrays,
+    // < 8 KB for 209 lanes — emitted last so even a tail-only capture
+    // contains the whole per-query map. Full provenance stays above and in
+    // bench_latest.json.
+    val qsCompact = obj(names.map(n => n -> d4(results(n))))
+    println(s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qsCompact,"failed":${results.values.count(_ < 0)},"retried":${suspects.size},"calib_pre":${d4(calibPre)},"calib_pre_healthy":$calibPreHealthy,"calib_par_pre_healthy":$calibParPreHealthy,"total_calib_normalized":${d4(totalNorm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,8 +46,15 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
         if ((m & 0x004) != 0) s.add(OTHERS_READ)
         if ((m & 0x002) != 0) s.add(OTHERS_WRITE)
         if ((m & 0x001) != 0) s.add(OTHERS_EXECUTE)
-        Files.setPosixFilePermissions(pathToFile(p).toPath, s)
-        ()
+        // Fall back to the stock shell-chmod path when the file store has
+        // no POSIX attribute view (FAT/some NFS mounts) — the nio call
+        // throws UnsupportedOperationException there, where the shell path
+        // would have worked (round-20 advice).
+        try { Files.setPosixFilePermissions(pathToFile(p).toPath, s); () }
+        catch {
+          case _: UnsupportedOperationException =>
+            super.setPermission(p, permission)
+        }
       }
     }
 }

@@ -94,10 +94,36 @@ object TextHashExpressions {
     new GenericArrayData(mins.map(UTF8String.fromString))
   }
 
+  /** First `n` hex chars of lowercase-hex md5(s), parsed base 16 — the
+    * fused equivalent of `conv(substring(md5(s), 1, n), 16, 10)
+    * .cast("long")` (the DSIR/classifier per-gram feature hash) without
+    * the three intermediate string allocations that chain pays per gram
+    * (32-char hex, substring slice, conv's decimal string). Bit-identical
+    * by construction: md5's hex prefix read as an integer IS the digest's
+    * big-endian nibble prefix, and n ≤ 15 keeps the value positive in a
+    * long (the call sites use 6 and 12). */
+  def md5PrefixLong(s: UTF8String, n: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < n) {
+      val nib =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf
+        else d(i >> 1) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
   def simHash(tokens: Column): Column =
     GraftShims.column(SimHash60(GraftShims.expression(tokens)))
   def minHash(shingles: Column, k: Int): Column =
     GraftShims.column(MinHashSig(GraftShims.expression(shingles), k))
+  def md5Prefix(s: Column, n: Int): Column =
+    GraftShims.column(Md5PrefixLong(GraftShims.expression(s), n))
 }
 
 /** `simhash60` as a Catalyst expression; codegen emits one static call. */
@@ -133,5 +159,25 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `md5PrefixLong` as a Catalyst expression; codegen emits one static
+  * call — whole-stage-codegen-friendly like its siblings (round-21,
+  * verdict item 3: the `conv(substring(md5(g),1,n),16,10)` chain was the
+  * last interpreted-adjacent per-gram hot path). */
+case class Md5PrefixLong(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 15, s"md5 hex prefix length must be 1..15, got $n")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_long"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashExpressions.md5PrefixLong(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextHashExpressions.md5PrefixLong($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
     copy(child = newChild)
 }

@@ -43,10 +43,14 @@ object JobProfile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val tm = si.taskMetrics
-        if (tm != null) stageMetrics.add((si.stageId,
-          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
-          tm.executorRunTime, tm.executorCpuTime / 1000000L,
-          tm.jvmGCTime, si.numTasks))
+        // Record only stages carrying both timestamps (round-20 advice:
+        // a missing one yielded a bogus huge/negative wall that passed
+        // the >=100ms print filter).
+        if (tm != null && si.submissionTime.isDefined && si.completionTime.isDefined)
+          stageMetrics.add((si.stageId,
+            si.completionTime.get - si.submissionTime.get,
+            tm.executorRunTime, tm.executorCpuTime / 1000000L,
+            tm.jvmGCTime, si.numTasks))
       }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -64,8 +68,16 @@ object JobProfile {
       }
     })
 
+    // Warm-up dir: env-overridable, defaulting to the sf0.001 sibling of
+    // sfDir so the tool works on any host/layout (round-20 advice: the
+    // hardcoded /root/testdata path silently mis-warmed elsewhere). Fail
+    // loudly when neither resolves.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
+    require(new java.io.File(warmDir).isDirectory,
+      s"JobProfile warm-up dir not found: $warmDir (set SPARK_GRAFT_WARM_DIR)")
     names.foreach { n =>
-      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try graft.SparkEntry.queries(n)(spark, warmDir).count()
       catch { case e: Throwable => System.err.println(s"warm $n: $e") }
       graft.Bench.cleanup(spark)
       jobs.clear(); live.clear(); stageMetrics.clear()
