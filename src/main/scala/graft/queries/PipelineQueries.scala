@@ -798,9 +798,12 @@ object PipelineQueries {
         |  floor(key * 1e6) / 1e6 + 0.0 AS skey
         |FROM keyed ORDER BY skey DESC, doc_id LIMIT 30""".stripMargin
     ) { (s, dir) =>
-      val u = (conv(substring(
-          md5(concat(lit("dsir42#"), col("doc_id").cast("string"))), 1, 12),
-          16, 10).cast("double") + 0.5) / 281474976710656.0
+      // fused md5-hex-prefix (12 hex chars = first 6 digest bytes; long →
+      // double is exact below 2^48, same value as conv's decimal-string
+      // parse) — round-21, the dsirWeightsToks change
+      val u = (graft.functions.TextHashExpressions.md5Prefix(
+          concat(lit("dsir42#"), col("doc_id").cast("string")), 12)
+          .cast("double") + 0.5) / 281474976710656.0
       // one fully-lazy pipeline (the double feature explode is the
       // MEASURED fastest shape — see dsirWeightsToks), so attribution is
       // a single forced phase; the audit sees the pre-force plan
@@ -929,9 +932,11 @@ object PipelineQueries {
       // keeps everything) — the IvfProvision floor idiom, so the small
       // fixtures exercise the no-op arm and sf0.1 the selecting arm.
       val (resamplePre, d2) = graft.Bench.phase("q_corpus_pipeline.resample") {
-        val u = (conv(substring(
-            md5(concat(lit("dsir42#"), col("doc_id").cast("string"))), 1, 12),
-            16, 10).cast("double") + 0.5) / 281474976710656.0
+        // fused md5-hex-prefix Gumbel seed — same value as the conv
+        // chain (round-21, the dsirWeightsToks change)
+        val u = (graft.functions.TextHashExpressions.md5Prefix(
+            concat(lit("dsir42#"), col("doc_id").cast("string")), 12)
+            .cast("double") + 0.5) / 281474976710656.0
         val sel = dsirWeightsDocs(d.select(col("doc_id"), col("lang"), col("text")))
           .withColumn("key", col("logw") - log(-log(u)))
           .orderBy((floor(col("key") * 1e6) / 1e6).desc, col("doc_id"))
@@ -1067,8 +1072,13 @@ object PipelineQueries {
         when(size(col("ts")) >= 2,
           expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], '_', ts[i + 1]))"))
           .otherwise(array().cast("array<string>")))).as("g"))
+    // md5Prefix = fused conv(substring(md5(g),1,6),16,10).cast(long)
+    // (round-21, guide §4/verdict item 3): same value bit-for-bit —
+    // md5's hex prefix read base-16 IS the digest's first 3 bytes — but
+    // zero intermediate string allocations per gram, and this expression
+    // runs once per gram in BOTH branches of the double explode.
     val feat = grams.select(col("doc_id"), col("lang"),
-      (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % B).as("b"))
+      (graft.functions.TextHashExpressions.md5Prefix(col("g"), 6) % B).as("b"))
     val bucket = feat.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))

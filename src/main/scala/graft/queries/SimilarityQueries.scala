@@ -2409,8 +2409,15 @@ object SimilarityQueries {
       .join(broadcast(qs), col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .persist(MEMORY_AND_DISK)
+    // candidate side broadcast (round-21, guide §3.1): the vector fetch
+    // is candidates ⋈ corpus on vec_id — as a shuffle join BOTH sides
+    // exchange, i.e. a corpus-wide exchange per serve just to fetch
+    // O(batch × cell) candidate vectors. The candidate frame is bounded
+    // by the query batch (never the corpus), so broadcasting it leaves
+    // the corpus cache un-exchanged — the same shape the qv broadcasts
+    // already use.
     val seeds = twoPhaseRank(
-      p1cand
+      broadcast(p1cand)
         .join(v.select(col("vec_id"), col("e")), "vec_id")
         .join(broadcast(qv.withColumnRenamed("q_id", "sq")), col("sq") === col("q_id"))
         .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
@@ -2438,11 +2445,22 @@ object SimilarityQueries {
   private[graft] def graphHopExpand(p1cand: DataFrame, seeds: DataFrame,
       graph: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Fused 2-hop (round-21, guide §2.4/§3): the old shape expanded
+    // frontier = distinct(seeds ∪ hop1) through the graph, but
+    // seeds ⋈ graph IS hop1 (same w ≠ q filter), so the old hop2
+    // re-derived every hop-1 edge a second time inside the hop-2 join
+    // and paid a union + distinct to build the frontier. Expanding
+    // hop1 alone is set-identical — gall = p1cand ∪ hop1 ∪ hop2 with
+    // hop2_old = hop1 ∪ (hop1 ⋈ graph) and hop1 already in the union —
+    // and drops one union, one distinct exchange, and |seeds| rows from
+    // the second hop join's frontier side. hop1 is deduped BEFORE the
+    // hop-2 join (the same dedup the frontier distinct used to provide)
+    // so graph fan-out never multiplies.
     val hop1 = seeds.join(graph, seeds("vec_id") === graph("u"))
       .filter(col("w") =!= col("q_id"))
       .select(col("q_id"), col("w").as("vec_id"))
-    val frontier = seeds.unionByName(hop1).distinct()
-    val hop2 = frontier.join(graph, frontier("vec_id") === graph("u"))
+      .distinct()
+    val hop2 = hop1.join(graph, hop1("vec_id") === graph("u"))
       .filter(col("w") =!= col("q_id"))
       .select(col("q_id"), col("w").as("vec_id"))
     p1cand.unionByName(hop1).unionByName(hop2).distinct()
@@ -2453,8 +2471,9 @@ object SimilarityQueries {
     * serving lanes' output shape (q_id, vec_id, rank, cos). */
   private[graft] def graphTop5(gall: DataFrame, v: DataFrame, qv: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.cosineSimilarity
+    // candidate-side broadcast — see graphSeedCands (round-21, §3.1)
     twoPhaseRank(
-      gall.join(v.select(col("vec_id"), col("e")), "vec_id")
+      broadcast(gall).join(v.select(col("vec_id"), col("e")), "vec_id")
         .join(broadcast(qv.withColumnRenamed("q_id", "sq")), col("sq") === col("q_id"))
         .withColumn("cos", cosineSimilarity(col("qe"), col("e")))
         .select(col("q_id"), col("vec_id"), col("cos")),
@@ -2760,9 +2779,11 @@ object SimilarityQueries {
     // final rerank
     val (gall, top5) = graft.Bench.phase("q_graph_stored.serve") {
       val (_, g) = graphServeCands(assign1, stored, v, qv)
-      g.count()
       // the top-5 rerank IS the declared output — forced as an eager
-      // leaf (round-20 sweep); the audit sees the pre-force plan
+      // leaf (round-20 sweep); the audit sees the pre-force plan. Its
+      // checkpoint action materializes the persisted gall too, so the
+      // old separate g.count() was a redundant action + cache re-read
+      // (round-21, cut checkpoint actions per serve).
       (g, graft.plans.AuditFrames.put("q_graph_stored",
         graphTop5(g, v, qv)).localCheckpoint(true))
     }
@@ -2868,10 +2889,12 @@ object SimilarityQueries {
     phase match {
       case Some(p) => graft.Bench.phase(p) {
         val (_, g) = graphServeCands(assign1, s.table(edgeTbl).hint("merge"), ctx.v, qv)
-        g.count()
         // the top-5 rerank IS the declared output — forced as an eager
         // leaf (round-20 sweep: the caller's action left ~0.5 s of every
-        // graph headline unattributed); the audit sees the pre-force plan
+        // graph headline unattributed); the audit sees the pre-force
+        // plan. Its checkpoint action materializes the persisted gall,
+        // so the old separate g.count() was a redundant action + cache
+        // re-read (round-21).
         graft.plans.AuditFrames.put(p.takeWhile(_ != '.'),
           graphTop5(g, ctx.v, qv)).localCheckpoint(true)
       }
@@ -3243,10 +3266,11 @@ object SimilarityQueries {
       val qv = survivorsOnly(v.filter(col("vec_id") < 8)).limit(8)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
       val (_, g) = graphServeCands(assign1, s.table(epochTbl).hint("merge"), v, qv)
-      g.count()
       // the top-5 rerank IS the declared output — forced as an eager
       // leaf so the headline carries it here instead of an unattributed
-      // caller-action tail (round-18 attribution sweep)
+      // caller-action tail (round-18 attribution sweep). Its checkpoint
+      // action materializes the persisted gall too — no separate count
+      // (round-21).
       (g, graphTop5(g, v, qv).localCheckpoint(true))
     }
     GraphDeleteResult(path0, tombstonePlan, tombPath, epochPath, rewritePlan,
@@ -3317,6 +3341,12 @@ object SimilarityQueries {
       .filter(col("rn") === 1).select(col("vec_id"), col("c_id"))
     val qv = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // NOTE (round-21): a candidate-side broadcast hint was A/B'd here
+    // (the graphSeedCands/graphTop5 §3.1 change) and REGRESSED the loop
+    // (+0.4 s on the layered beam, flat on the flat beam): each round's
+    // broadcast build is a driver round-trip paid once per round, while
+    // AQE already serves the tiny fresh-frontier join from local shuffle
+    // reads. Kept as the plain join — AQE picks the strategy per round.
     def score(cand: DataFrame): DataFrame = cand
       .join(v.select(col("vec_id"), col("e")), "vec_id")
       .join(broadcast(qv.withColumnRenamed("q_id", "sq")), col("sq") === col("q_id"))
@@ -3744,6 +3774,12 @@ object SimilarityQueries {
     val layerPaths = layerInfo.collect { case (j, (_, p)) if p.nonEmpty => j -> p }
     val qv = v.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // NOTE (round-21): a candidate-side broadcast hint was A/B'd here
+    // (the graphSeedCands/graphTop5 §3.1 change) and REGRESSED the loop
+    // (+0.4 s on the layered beam, flat on the flat beam): each round's
+    // broadcast build is a driver round-trip paid once per round, while
+    // AQE already serves the tiny fresh-frontier join from local shuffle
+    // reads. Kept as the plain join — AQE picks the strategy per round.
     def score(cand: DataFrame): DataFrame = cand
       .join(v.select(col("vec_id"), col("e")), "vec_id")
       .join(broadcast(qv.withColumnRenamed("q_id", "sq")), col("sq") === col("q_id"))
@@ -4974,10 +5010,19 @@ object SimilarityQueries {
               array((0 until 8).map(_ => lit(0.0)): _*),
               (acc, x) => zip_with(acc, x.getField("sub"), (a, b) => a + b)),
             s => s / size(col("lst"))).as("ucsub"))
+      // Each round lands as an EAGER 128-row leaf (round-21, guide §2 job
+      // structure / §5 lineage): round r+1 references trained_r TWICE
+      // (the broadcast in assign + the merge join), so as a lazy chain
+      // the whole per-round subtree re-executed per reference — the
+      // train phase ran as a ~25-job sequential cascade re-deriving
+      // earlier rounds' assignments. The checkpoint is O(K·8) rows, and
+      // values are byte-identical (localCheckpoint only truncates
+      // lineage; the ordered folds inside the round are untouched).
       trained = pqWithCn2(
         trained.select(col("cm"), col("k"), col("csub").as("ocsub"))
           .join(upd, Seq("cm", "k"), "left")
           .select(col("cm"), col("k"), coalesce(col("ucsub"), col("ocsub")).as("csub")))
+        .localCheckpoint(true)
     }
     trained
   }

@@ -777,9 +777,13 @@ object TextQueries {
     // lane's whole headline previously ran unattributed in the caller)
     graft.Bench.phase("q_bm25_incremental.build") {
       val (bp, bd, bt) = bm25Parts(docs.filter(col("doc_id") % 4 =!= 3))
+      // postings first (materializes the shared cache), then the two
+      // derived artifacts overlap — independent jobs into different
+      // paths (guide §2.6, round-20 verdict item 5)
       bp.write.mode("overwrite").parquet(s"$store/postings")
-      bd.write.mode("overwrite").parquet(s"$store/docstats")
-      bt.write.mode("overwrite").parquet(s"$store/totals")
+      graft.plans.ParallelJobs.await(
+        () => bd.write.mode("overwrite").parquet(s"$store/docstats"),
+        () => bt.write.mode("overwrite").parquet(s"$store/totals"))
     }
     // incremental ingest — batch rows only, pure appends
     val ingestPlan = graft.Bench.phase("q_bm25_incremental.ingest") {
@@ -788,8 +792,9 @@ object TextQueries {
         id.queryExecution.executedPlan.toString + "\n" +
         it.queryExecution.executedPlan.toString
       ip.write.mode("append").parquet(s"$store/postings")
-      id.write.mode("append").parquet(s"$store/docstats")
-      it.write.mode("append").parquet(s"$store/totals")
+      graft.plans.ParallelJobs.await(
+        () => id.write.mode("append").parquet(s"$store/docstats"),
+        () => it.write.mode("append").parquet(s"$store/totals"))
       plan
     }
     val served = graft.Bench.phase("q_bm25_incremental.serve") {
@@ -1147,7 +1152,10 @@ object TextQueries {
               expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], '_', ts[i + 1]))"))
               .otherwise(array().cast("array<string>")))).as("g"))
           .select(col(key),
-            (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % qcB).as("b"))
+            // fused md5-hex-prefix feature hash — same value bit-for-bit
+            // as conv(substring(md5(g),1,6),16,10).cast(long), no per-gram
+            // string allocations (round-21, the dsirWeightsToks change)
+            (graft.functions.TextHashExpressions.md5Prefix(col("g"), 6) % qcB).as("b"))
       }
       val train = docs.filter(col("doc_id") % 5 =!= 0)
       val trainBoth = train.select(lit(1L).as("y"), col("text"))
@@ -2027,15 +2035,22 @@ object TextQueries {
     // cost never hides in the headline (the q_compact_apply precedent)
     graft.Bench.phase("q_bm25_compact.manufacture") {
       val (bp, bd, bt) = bm25Parts(docs.filter(col("doc_id") % 4 =!= 3))
+      // postings first (materializes the shared cache), then the two
+      // derived artifacts overlap (guide §2.6, round-20 verdict item 5).
+      // Triples stay sequential across k — each k APPENDS into the same
+      // three paths, and concurrent commits into one directory race on
+      // the shared _temporary staging dir.
       bp.write.mode("overwrite").parquet(s"$store/postings")
-      bd.write.mode("overwrite").parquet(s"$store/docstats")
-      bt.write.mode("overwrite").parquet(s"$store/totals")
+      graft.plans.ParallelJobs.await(
+        () => bd.write.mode("overwrite").parquet(s"$store/docstats"),
+        () => bt.write.mode("overwrite").parquet(s"$store/totals"))
       (0 until 3).foreach { k =>
         val (ip, id, it) = bm25Parts(docs.filter(
           col("doc_id") % 4 === 3 && expr("doc_id div 4") % 3 === k))
         ip.write.mode("append").parquet(s"$store/postings")
-        id.write.mode("append").parquet(s"$store/docstats")
-        it.write.mode("append").parquet(s"$store/totals")
+        graft.plans.ParallelJobs.await(
+          () => id.write.mode("append").parquet(s"$store/docstats"),
+          () => it.write.mode("append").parquet(s"$store/totals"))
       }
     }
     // compact: read ONLY the store; postings re-land bucketed by token,
@@ -2050,14 +2065,18 @@ object TextQueries {
     val rewritePlan = graft.Bench.phase("q_bm25_compact.compact") {
       val p = Seq(fragP, fragD, fragT)
         .map(_.queryExecution.executedPlan.toString).mkString("\n")
-      fragP.repartition(8, col("token"))
-        .write.mode("overwrite")
-        .bucketBy(8, "token").sortBy("token")
-        .option("path", s"$epochPath/postings")
-        .saveAsTable(ptbl)
-      fragD.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/docstats")
-      fragT.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals")
+      // the three epoch artifacts read disjoint store subdirs and write
+      // disjoint paths — fully independent jobs, overlapped (guide §2.6)
+      graft.plans.ParallelJobs.await(
+        () => fragP.repartition(8, col("token"))
+          .write.mode("overwrite")
+          .bucketBy(8, "token").sortBy("token")
+          .option("path", s"$epochPath/postings")
+          .saveAsTable(ptbl),
+        () => fragD.coalesce(1).write.mode("overwrite")
+          .parquet(s"$epochPath/docstats"),
+        () => fragT.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals"))
       p
     }
     // declared output = the EPOCH serve, forced as an eager leaf; the
@@ -2090,9 +2109,12 @@ object TextQueries {
     val store0 = graft.plans.ScratchDirs.unique("graft-bm25-del-v0").getAbsolutePath
     graft.Bench.phase(s"$phase.build") {
       val (p, d, t) = bm25Parts(docs)
+      // postings first (materializes the shared cache), then the two
+      // derived artifacts overlap (guide §2.6, round-20 verdict item 5)
       p.write.mode("overwrite").parquet(s"$store0/postings")
-      d.write.mode("overwrite").parquet(s"$store0/docstats")
-      t.write.mode("overwrite").parquet(s"$store0/totals")
+      graft.plans.ParallelJobs.await(
+        () => d.write.mode("overwrite").parquet(s"$store0/docstats"),
+        () => t.write.mode("overwrite").parquet(s"$store0/totals"))
     }
     // 1) tombstone append — O(deletes): the takedown list only. Plan
     // capture pays a Catalyst analysis pass — inside the phase
@@ -2121,14 +2143,18 @@ object TextQueries {
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       val p = Seq(survP, survD)
         .map(_.queryExecution.executedPlan.toString).mkString("\n")
-      survP.repartition(8, col("token"))
-        .write.mode("overwrite")
-        .bucketBy(8, "token").sortBy("token")
-        .option("path", s"$epochPath/postings")
-        .saveAsTable(ptbl)
-      survD.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/docstats")
-      survD.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals")
+      // three independent store-read → epoch-write jobs into disjoint
+      // paths — overlapped (guide §2.6, round-20 verdict item 5)
+      graft.plans.ParallelJobs.await(
+        () => survP.repartition(8, col("token"))
+          .write.mode("overwrite")
+          .bucketBy(8, "token").sortBy("token")
+          .option("path", s"$epochPath/postings")
+          .saveAsTable(ptbl),
+        () => survD.coalesce(1).write.mode("overwrite")
+          .parquet(s"$epochPath/docstats"),
+        () => survD.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals"))
       p
     }
     // 3) serve the epoch — the unchanged bucketed path; deleted docs are
@@ -2200,17 +2226,22 @@ object TextQueries {
     val epochPath = epochDirF.getAbsolutePath
     graft.Bench.phase("q_bm25_wand.build") {
       val (p, d, t) = bm25Parts(docs)
+      // postings epoch first (materializes the shared postings cache),
+      // then the three derived artifacts — docstats, totals, ubounds —
+      // overlap as independent jobs into disjoint paths (guide §2.6,
+      // round-20 verdict item 5)
       p.repartition(8, col("token"))
         .write.mode("overwrite")
         .bucketBy(8, "token").sortBy("token")
         .option("path", s"$epochPath/postings")
         .saveAsTable(ptbl)
-      d.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/docstats")
-      t.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals")
-      // ubounds: the exact bm25Score term expression, maxed per token —
-      // O(postings) once at build time, O(vocab) rows stored
-      bm25Ubounds(p, d)
-        .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/ubounds")
+      graft.plans.ParallelJobs.await(
+        () => d.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/docstats"),
+        () => t.coalesce(1).write.mode("overwrite").parquet(s"$epochPath/totals"),
+        // ubounds: the exact bm25Score term expression, maxed per token —
+        // O(postings) once at build time, O(vocab) rows stored
+        () => bm25Ubounds(p, d)
+          .coalesce(1).write.mode("overwrite").parquet(s"$epochPath/ubounds"))
     }
     bm25WandLoop(s, ptbl, epochPath, "q_bm25_wand.serve")
   }

@@ -62,6 +62,31 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT minhash_sig(array(), 4) IS NULL AS n").head.getBoolean(0))
   }
 
+  test("md5_prefix_long ≡ conv(substring(md5(x),1,n),16,10) bit-for-bit") {
+    // the fused DSIR/classifier feature hash (round-21) must reproduce
+    // the declarative chain's value exactly — unicode, empty string, and
+    // both prefix widths the query lanes use (6 and 12), plus the % 128
+    // bucket arithmetic downstream of the 6-char form
+    val df = Seq("", "a", "the_quick", "tok_bigram", "héllo wörld", "字句",
+        "dsir42#12345", "x" * 500)
+      .toDF("g")
+    val r = df.select(
+      graft.functions.TextHashExpressions.md5Prefix(col("g"), 6).as("f6"),
+      conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long").as("c6"),
+      graft.functions.TextHashExpressions.md5Prefix(col("g"), 12).as("f12"),
+      conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("c12")
+    ).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) === row.getLong(1))
+      assert(row.getLong(2) === row.getLong(3))
+      assert(row.getLong(0) % 128 === row.getLong(1) % 128)
+    }
+    // null in → null out, like the conv chain
+    val n = Seq[Option[String]](None).toDF("g")
+      .select(graft.functions.TextHashExpressions.md5Prefix(col("g"), 6)).head
+    assert(n.isNullAt(0))
+  }
+
   test("non-literal kernel parameters are rejected at analysis time") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
