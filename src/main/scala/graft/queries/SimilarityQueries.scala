@@ -4986,8 +4986,20 @@ object SimilarityQueries {
     * assignment as ONE min-struct hash agg (no per-vector window), means
     * as vec_id-ordered folds so Spark and DuckDB add in the same IEEE
     * order; an emptied cluster keeps its previous centroid. */
+  /** `eagerRounds` (round-21, measured both ways): q_ann_recall_pq_trained
+    * FORCES the trained codebook in its .train phase, and there the lazy
+    * round chain re-executed earlier rounds per reference (round r+1
+    * references round r twice — the broadcast in assign and the merge
+    * join): eager 128-row checkpoints per round cut the lane 100 → 74
+    * jobs / 8.86 → 6.59 s. q_ann_recall_ivfpq_trained consumes the
+    * codebook inside ONE lazy final plan — there the same checkpoints
+    * REGRESSED the lane 2.2 → 6.0 s (each per-round action re-pays
+    * Catalyst analysis of the clustered-fixture lineage under `blocks`,
+    * which the single-plan shape analyzes once), so it keeps the lazy
+    * chain. Values are identical either way (checkpointing only
+    * truncates lineage); both lanes stay oracle-green at all SFs. */
   private def pqTrainedOf(blocks: DataFrame, standin: DataFrame,
-                          rounds: Int): DataFrame = {
+                          rounds: Int, eagerRounds: Boolean = false): DataFrame = {
     import graft.functions.VectorExpressions.dotProduct
     var trained = standin
     for (_ <- 1 to rounds) {
@@ -5010,19 +5022,13 @@ object SimilarityQueries {
               array((0 until 8).map(_ => lit(0.0)): _*),
               (acc, x) => zip_with(acc, x.getField("sub"), (a, b) => a + b)),
             s => s / size(col("lst"))).as("ucsub"))
-      // Each round lands as an EAGER 128-row leaf (round-21, guide §2 job
-      // structure / §5 lineage): round r+1 references trained_r TWICE
-      // (the broadcast in assign + the merge join), so as a lazy chain
-      // the whole per-round subtree re-executed per reference — the
-      // train phase ran as a ~25-job sequential cascade re-deriving
-      // earlier rounds' assignments. The checkpoint is O(K·8) rows, and
-      // values are byte-identical (localCheckpoint only truncates
-      // lineage; the ordered folds inside the round are untouched).
-      trained = pqWithCn2(
+      val next = pqWithCn2(
         trained.select(col("cm"), col("k"), col("csub").as("ocsub"))
           .join(upd, Seq("cm", "k"), "left")
           .select(col("cm"), col("k"), coalesce(col("ucsub"), col("ocsub")).as("csub")))
-        .localCheckpoint(true)
+      // eager: each round lands as a 128-row leaf (see the doc comment —
+      // right for the forced-train lane, wrong for the single-plan lane)
+      trained = if (eagerRounds) next.localCheckpoint(true) else next
     }
     trained
   }
@@ -5089,7 +5095,7 @@ object SimilarityQueries {
     // ADC top-5s, MSEs, exact ground truth — so the bench artifact
     // explains the split without re-profiling)
     val trained = graft.Bench.phase("q_ann_recall_pq_trained.train") {
-      val tr = pqTrainedOf(blocks, standin, rounds)
+      val tr = pqTrainedOf(blocks, standin, rounds, eagerRounds = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       tr.count()
       tr
@@ -5145,12 +5151,18 @@ object SimilarityQueries {
     val (xhStandin, xhTrained) = graft.Bench.phase("q_ann_recall_pq_trained.encode") {
       val a = xhatOf(standin).persist(MEMORY_AND_DISK)
       val b = xhatOf(trained).persist(MEMORY_AND_DISK)
-      a.count(); b.count(); (a, b)
+      // the two encodes are independent jobs over the shared blocks
+      // cache — overlapped so the second back-fills the first's tail
+      // (guide §2.6, round-21)
+      graft.plans.ParallelJobs.await(() => { a.count(); () }, () => { b.count(); () })
+      (a, b)
     }
     val (adcStandin, adcTrained) = graft.Bench.phase("q_ann_recall_pq_trained.adc") {
       val a = adcTop5(xhStandin).persist(MEMORY_AND_DISK)
       val b = adcTop5(xhTrained).persist(MEMORY_AND_DISK)
-      a.count(); b.count(); (a, b)
+      // independent ADC rankings over the two cached x̂ frames (§2.6)
+      graft.plans.ParallelJobs.await(() => { a.count(); () }, () => { b.count(); () })
+      (a, b)
     }
     // the rollup is NOT O(queries) alone — each mseOf is a corpus-wide
     // join + ordered fold over the cached x̂ frames — so it is forced
